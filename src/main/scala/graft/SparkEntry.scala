@@ -1,13 +1,554 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Conversions
+import graft.operators.{JoinOps, TimeSeriesOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] exercises one operator family from
+  * SURVEY.md §2 on the driver's TPC-H-ish parquet corpus, implemented
+  * through the graft operator library; [[oracleSql]] carries the
+  * equivalent DuckDB SQL for the hash-compare correctness gate.
+  *
+  * Determinism rules (oracle parity):
+  *  - every aggregate double is `rnd()`ed identically on both sides
+  *    so summation-order ulp noise can't flip the hash;
+  *  - every result has a total ORDER BY on its key columns;
+  *  - integer time arithmetic uses `div` (Spark) / `//` (DuckDB), never
+  *    float division;
+  *  - window orderings always include a unique tiebreak column.
+  */
 object SparkEntry {
+
+  /** Columns stored as parquet TIMESTAMP(NANOS) — Spark has no native
+    * nanosecond timestamp, so read them as long (legacy conf) and
+    * truncate to microseconds (matching DuckDB's ns->us cast). */
+  private val nanosCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      if (d.schema(c).dataType == org.apache.spark.sql.types.LongType)
+        d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      else d
+    }
+  }
+
+  /** Engine-parity rounding: floor(x*10^n + 0.5)/10^n. Every step is an
+    * exactly-specified IEEE-754 op, so Spark and DuckDB produce the same
+    * bits — unlike decimal `round`, whose half-way tie handling differs
+    * between the engines (Spark rounds the shortest decimal repr,
+    * DuckDB the raw binary). */
+  private def rnd(c: Column, scale: Int): Column = {
+    val p = math.pow(10.0, scale)
+    floor(c * p + lit(0.5)) / p
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------
+  // Query implementations (grouped by SURVEY.md §2 operator family)
+  // ---------------------------------------------------------------
+
+  /** A-class aggregation over lineitem (TPC-H Q1 shape). */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        rnd(sum(col("l_quantity")), 2).as("sum_qty"),
+        rnd(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        rnd(avg(col("l_quantity")), 4).as("avg_qty"),
+        rnd(avg(col("l_extendedprice")), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** P4 date-range slice + projection (pushdown-verified scan). */
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01")
+        && col("o_orderdate") < lit("1998-01-01")
+        && col("o_totalprice") > 100000.0)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** J-class multi-way join: revenue by nation (broadcast dims). */
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy("n_name")
+  }
+
+  /** Broadcast dimension rollup region->nation->customer. */
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region"); val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_customers"),
+           rnd(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+      .orderBy("r_name")
+  }
+
+  /** W4 ordered-first: top order per customer via window rank. */
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  /** W1/W2 lag: inter-event gap per user (integer-exact seconds). */
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("gap_sec",
+        expr("(unix_micros(ts) - prev_us) div 1000000"))
+      .select("event_id", "user_id", "gap_sec")
+      .orderBy("event_id")
+  }
+
+  /** D1 exact dedup: distinct-text stats per source on documents. */
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("text")).as("n_distinct_texts"))
+      .orderBy("source")
+
+  /** D2 duplicate-key diagnostics on lineitem order groups. */
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.duplicateKeyDiagnostics(
+        t(s, dir, "lineitem"), Seq("l_orderkey"), "l_partkey")
+      .orderBy("l_orderkey")
+
+  /** A1/A5 regularize-to-grid: hourly grid over events with counts
+    * (missing hours present with n_events = 0). */
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .withColumn("hour_ts", date_trunc("hour", col("ts")))
+    val grid = e.agg(min(col("hour_ts")).as("t0"), max(col("hour_ts")).as("t1"))
+      .select(explode(sequence(col("t0"), col("t1"),
+        expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+    grid.join(e, Seq("hour_ts"), "left")
+      .groupBy("hour_ts")
+      .agg(count(col("event_id")).as("n_events"))
+      .orderBy("hour_ts")
+  }
+
+  /** A2 interval inference substrate: histogram of ts first-differences. */
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.intervalHistogram(t(s, dir, "events"), "ts")
+      .orderBy("delta_sec")
+
+  /** A6 gap distribution per user (nominal interval 3600 s). */
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.gapDistribution(
+        t(s, dir, "events").select("user_id", "ts"), "ts", 3600,
+        Seq("user_id"))
+      .orderBy("n_records")
+
+  /** A7 gap bounds: gaps > 6 h per user with (start, end). */
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.gaps(
+        t(s, dir, "events").select("user_id", "ts"), "ts", 21600,
+        Seq("user_id"))
+      .select(col("user_id"), col("prev_ts").as("gap_start"),
+              col("ts").as("gap_end"), col("n_records"))
+      .orderBy("user_id", "gap_start")
+
+  /** A8 date span per user. */
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.dateSpan(t(s, dir, "events"), "ts", Seq("user_id"))
+      .orderBy("user_id")
+
+  /** A9 variable status: last record / last valid (range-masked) value
+    * / trailing-24h validity, against fixed now = 1998-08-02. */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val now = java.sql.Timestamp.valueOf("2024-01-30 00:00:00")
+    val masked = t(s, dir, "events")
+      .withColumn("v", TimeSeriesOps.maskRange(col("value"), 0.0, 150.0))
+    masked.groupBy("user_id").agg(
+        max(col("ts")).as("last_ts"),
+        max(when(col("v").isNotNull, col("ts"))).as("last_valid_ts"),
+        max_by(col("v"), when(col("v").isNotNull, col("ts")))
+          .as("last_valid_value"),
+        count(when(col("ts") >= lit(now), 1)).as("n_24h"),
+        count(when(col("ts") >= lit(now) && col("v").isNotNull, 1))
+          .as("n_valid_24h"))
+      .orderBy("user_id")
+  }
+
+  /** A4 diel mean: hour-of-day profile of event values. */
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(hour(col("ts")).as("hh"))
+      .agg(rnd(avg(col("value")), 4).as("avg_value"),
+           count(lit(1)).as("n"))
+      .orderBy("hh")
+
+  /** A3 downsample: daily mean per event type. */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day_ts"))
+      .agg(rnd(avg(col("value")), 4).as("avg_value"),
+           count(lit(1)).as("n"))
+      .orderBy("event_type", "day_ts")
+
+  /** P5 range mask: out-of-range -> null, rows preserved (count proof). */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val masked = t(s, dir, "lineitem")
+      .withColumn("q_masked", TimeSeriesOps.maskRange(col("l_quantity"), 5.0, 45.0))
+    masked.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("q_masked")).as("n_valid"),
+        rnd(avg(col("q_masked")), 4).as("avg_masked"),
+        rnd(sum(col("q_masked")), 2).as("sum_masked"))
+      .orderBy("l_returnflag")
+  }
+
+  /** F13-F19 met derivations (Buck es, e, VPD, dew point, AH) over a
+    * synthetic met frame mapped from lineitem columns. */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    import Conversions._
+    val met = t(s, dir, "lineitem")
+      .filter(col("l_discount") > 0.0)
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").as("ta"),
+        (col("l_discount") * 1000.0).as("rh"),
+        (col("l_extendedprice") / 1000.0).as("ps"))
+    met.select(col("flag"),
+        saturationVapourPressure(col("ta")).as("es"),
+        vpd(col("ta"), col("rh")).as("vpd_v"),
+        dewPoint(vapourPressure(col("ta"), col("rh"))).as("td"),
+        ahFromRh(col("ta"), col("rh"), col("ps")).as("ah"))
+      .groupBy("flag")
+      .agg(rnd(avg(col("es")), 6).as("avg_es"),
+           rnd(avg(col("vpd_v")), 6).as("avg_vpd"),
+           rnd(avg(col("td")), 6).as("avg_td"),
+           rnd(avg(col("ah")), 6).as("avg_ah"))
+      .orderBy("flag")
+  }
+
+  /** E1/E2 set ops: nations with customers but no suppliers. */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val withCust = n.join(t(s, dir, "customer"),
+      n("n_nationkey") === col("c_nationkey")).select("n_name")
+    val withSupp = n.join(t(s, dir, "supplier"),
+      n("n_nationkey") === col("s_nationkey")).select("n_name")
+    withCust.except(withSupp).orderBy("n_name")
+  }
+
+  /** J5 sessionization: split user streams on >6h gaps. */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.sessionize(
+        t(s, dir, "events").select("user_id", "ts", "event_id"),
+        "ts", 21600, Seq("user_id"), Seq("event_id"))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+           count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_id")
+
+  /** J5 gaps-and-islands: consecutive same-event_type runs per user
+    * (the instrument-history coalescing shape). */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.islands(
+        t(s, dir, "events").select("user_id", "ts", "event_type", "event_id"),
+        "ts", "event_type", Seq("user_id"), Seq("event_id"))
+      .orderBy("user_id", "start_ts")
+
+  /** J7 nearest-match join: per supplier, the same-nation customer with
+    * closest account balance (argmin + tiebreak). */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").as("nationkey"),
+              col("s_acctbal"))
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").as("nationkey"),
+              col("c_acctbal"))
+    JoinOps.nearestMatch(broadcast(sup), cust, Seq("nationkey"),
+        Seq("s_suppkey"),
+        rnd(abs(col("s_acctbal") - col("c_acctbal")), 2),
+        Seq(col("c_custkey")))
+      .select(col("s_suppkey"), col("c_custkey"),
+        rnd(abs(col("s_acctbal") - col("c_acctbal")), 2).as("bal_diff"))
+      .orderBy("s_suppkey")
+  }
+
+  /** E3/J1 union with kind tags: parties per nation. */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_nationkey").as("nationkey")).withColumn("kind", lit("cust"))
+    val supp = t(s, dir, "supplier")
+      .select(col("s_nationkey").as("nationkey")).withColumn("kind", lit("supp"))
+    cust.unionByName(supp)
+      .groupBy("nationkey")
+      .agg(count(when(col("kind") === "cust", 1)).as("n_cust"),
+           count(when(col("kind") === "supp", 1)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** A11 strict sum (skipna=False): null if any member null. */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val masked = t(s, dir, "lineitem")
+      .withColumn("q_masked", TimeSeriesOps.maskRange(col("l_quantity"), 5.0, 45.0))
+    masked.groupBy("l_returnflag").agg(
+        when(count(lit(1)) === count(col("q_masked")),
+          rnd(sum(col("q_masked")), 2)).as("strict_sum"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---------------------------------------------------------------
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"  -> (q01 _),
+    "q02_date_filter"      -> (q02 _),
+    "q03_revenue_by_nation"-> (q03 _),
+    "q04_region_rollup"    -> (q04 _),
+    "q05_top_order_per_cust" -> (q05 _),
+    "q06_event_lag"        -> (q06 _),
+    "q07_doc_exact_dedup"  -> (q07 _),
+    "q08_dup_key_diag"     -> (q08 _),
+    "q09_regular_grid"     -> (q09 _),
+    "q10_interval_hist"    -> (q10 _),
+    "q11_gap_hist"         -> (q11 _),
+    "q12_gap_bounds"       -> (q12 _),
+    "q13_date_span"        -> (q13 _),
+    "q14_status"           -> (q14 _),
+    "q15_diel_mean"        -> (q15 _),
+    "q16_daily_downsample" -> (q16 _),
+    "q17_mask_range"       -> (q17 _),
+    "q18_met_derivations"  -> (q18 _),
+    "q19_setops"           -> (q19 _),
+    "q20_sessionize"       -> (q20 _),
+    "q21_islands"          -> (q21 _),
+    "q22_nearest_match"    -> (q22 _),
+    "q23_union_kinds"      -> (q23 _),
+    "q24_strict_sum"       -> (q24 _),
+  )
+
+  /** DuckDB-equivalent SQL per query (same column names and ORDER BY). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+             floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+             floor((sum(l_extendedprice * (1.0 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+             floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+             floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+             count(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "q02_date_filter" -> """
+      SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND o_totalprice > 100000.0
+      ORDER BY o_orderkey""",
+    "q03_revenue_by_nation" -> """
+      SELECT n_name,
+             floor((sum(l_extendedprice * (1.0 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+             count(*) AS n_lines
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""",
+    "q04_region_rollup" -> """
+      SELECT r_name, count(*) AS n_customers,
+             floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0 AS sum_acctbal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name""",
+    "q05_top_order_per_cust" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders) WHERE rn = 1
+      ORDER BY o_custkey""",
+    "q06_event_lag" -> """
+      SELECT event_id, user_id,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+               AS gap_sec
+      FROM events ORDER BY event_id""",
+    "q07_doc_exact_dedup" -> """
+      SELECT source, count(*) AS n_docs,
+             count(DISTINCT text) AS n_distinct_texts
+      FROM documents GROUP BY source ORDER BY source""",
+    "q08_dup_key_diag" -> """
+      SELECT l_orderkey, count(*) AS n_rows,
+             count(DISTINCT l_partkey) AS n_distinct
+      FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+      ORDER BY l_orderkey""",
+    "q09_regular_grid" -> """
+      WITH e AS (SELECT date_trunc('hour', ts) AS hour_ts, event_id FROM events),
+      span AS (SELECT min(hour_ts) AS t0, max(hour_ts) AS t1 FROM e),
+      grid AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour_ts FROM span)
+      SELECT g.hour_ts, count(e.event_id) AS n_events
+      FROM grid g LEFT JOIN e ON e.hour_ts = g.hour_ts
+      GROUP BY g.hour_ts ORDER BY g.hour_ts""",
+    "q10_interval_hist" -> """
+      WITH d AS (
+        SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY ts) AS du
+        FROM (SELECT DISTINCT ts FROM events))
+      SELECT du // 1000000 AS delta_sec, count(*) AS n
+      FROM d WHERE du IS NOT NULL GROUP BY 1 ORDER BY 1""",
+    "q11_gap_hist" -> """
+      WITH d AS (
+        SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY ts)) // 1000000 AS gap_sec
+        FROM events)
+      SELECT gap_sec // 3600 - 1 AS n_records, count(*) AS n_gaps
+      FROM d WHERE gap_sec > 3600 GROUP BY 1 ORDER BY 1""",
+    "q12_gap_bounds" -> """
+      WITH d AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts,
+               (epoch_us(ts) - lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY ts)) // 1000000 AS gap_sec
+        FROM events)
+      SELECT user_id, prev_ts AS gap_start, ts AS gap_end,
+             gap_sec // 21600 - 1 AS n_records
+      FROM d WHERE gap_sec > 21600 ORDER BY user_id, gap_start""",
+    "q13_date_span" -> """
+      SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+             count(*) AS n_records
+      FROM events GROUP BY user_id ORDER BY user_id""",
+    "q14_status" -> """
+      WITH m AS (
+        SELECT *, CASE WHEN value BETWEEN 0.0 AND 150.0 THEN value END AS v
+        FROM events)
+      SELECT user_id, max(ts) AS last_ts,
+             max(CASE WHEN v IS NOT NULL THEN ts END) AS last_valid_ts,
+             arg_max(v, ts) FILTER (WHERE v IS NOT NULL) AS last_valid_value,
+             count(CASE WHEN ts >= TIMESTAMP '2024-01-30 00:00:00' THEN 1 END) AS n_24h,
+             count(CASE WHEN ts >= TIMESTAMP '2024-01-30 00:00:00'
+                         AND v IS NOT NULL THEN 1 END) AS n_valid_24h
+      FROM m GROUP BY user_id ORDER BY user_id""",
+    "q15_diel_mean" -> """
+      SELECT hour(ts) AS hh, floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value,
+             count(*) AS n
+      FROM events GROUP BY 1 ORDER BY 1""",
+    "q16_daily_downsample" -> """
+      SELECT event_type, date_trunc('day', ts) AS day_ts,
+             floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value, count(*) AS n
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q17_mask_range" -> """
+      WITH m AS (
+        SELECT l_returnflag,
+               CASE WHEN l_quantity BETWEEN 5.0 AND 45.0 THEN l_quantity END AS q_masked
+        FROM lineitem)
+      SELECT l_returnflag, count(*) AS n_rows, count(q_masked) AS n_valid,
+             floor((avg(q_masked)) * 10000.0 + 0.5) / 10000.0 AS avg_masked,
+             floor((sum(q_masked)) * 100.0 + 0.5) / 100.0 AS sum_masked
+      FROM m GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q18_met_derivations" -> """
+      WITH met AS (
+        SELECT l_returnflag AS flag, l_quantity AS ta,
+               l_discount * 1000.0 AS rh, l_extendedprice / 1000.0 AS ps
+        FROM lineitem WHERE l_discount > 0.0),
+      d AS (
+        SELECT flag, ps, rh,
+               0.61121 * exp((18.678 - ta/234.5) * (ta/(257.14 + ta))) AS es,
+               ps * 1000.0 / ((ta + 273.15) * 8.3143) AS md
+        FROM met),
+      d2 AS (SELECT flag, ps, md, es, es * rh / 100.0 AS e FROM d)
+      SELECT flag, floor((avg(es)) * 1000000.0 + 0.5) / 1000000.0 AS avg_es,
+             floor((avg(es - e)) * 1000000.0 + 0.5) / 1000000.0 AS avg_vpd,
+             floor((avg(243.5 * ln(e/0.61121) / (17.502 - ln(e/0.61121)))) * 1000000.0 + 0.5) / 1000000.0 AS avg_td,
+             floor((avg(e / ps * md * 18.0)) * 1000000.0 + 0.5) / 1000000.0 AS avg_ah
+      FROM d2 GROUP BY flag ORDER BY flag""",
+    "q19_setops" -> """
+      SELECT n_name FROM nation JOIN customer ON n_nationkey = c_nationkey
+      EXCEPT
+      SELECT n_name FROM nation JOIN supplier ON n_nationkey = s_nationkey
+      ORDER BY n_name""",
+    "q20_sessionize" -> """
+      WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN (epoch_us(ts) - lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+                 > 21600 OR lag(ts) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      s AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM g)
+      SELECT user_id, session_id, min(ts) AS start_ts, max(ts) AS end_ts,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q21_islands" -> """
+      WITH f AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                      OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS new_i
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      i AS (
+        SELECT user_id, ts, event_type,
+               sum(new_i) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS island
+        FROM f)
+      SELECT user_id, event_type, min(ts) AS start_ts, max(ts) AS end_ts,
+             count(*) AS n_records
+      FROM i GROUP BY user_id, event_type, island
+      ORDER BY user_id, start_ts""",
+    "q22_nearest_match" -> """
+      SELECT s_suppkey, c_custkey, bal_diff FROM (
+        SELECT s_suppkey, c_custkey,
+               floor((abs(s_acctbal - c_acctbal)) * 100.0 + 0.5) / 100.0 AS bal_diff,
+               row_number() OVER (PARTITION BY s_suppkey
+                 ORDER BY floor((abs(s_acctbal - c_acctbal)) * 100.0 + 0.5) / 100.0, c_custkey) AS rn
+        FROM supplier JOIN customer ON s_nationkey = c_nationkey)
+      WHERE rn = 1 ORDER BY s_suppkey""",
+    "q23_union_kinds" -> """
+      WITH u AS (
+        SELECT c_nationkey AS nationkey, 'cust' AS kind FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey, 'supp' AS kind FROM supplier)
+      SELECT nationkey,
+             count(CASE WHEN kind = 'cust' THEN 1 END) AS n_cust,
+             count(CASE WHEN kind = 'supp' THEN 1 END) AS n_supp
+      FROM u GROUP BY nationkey ORDER BY nationkey""",
+    "q24_strict_sum" -> """
+      WITH m AS (
+        SELECT l_returnflag,
+               CASE WHEN l_quantity BETWEEN 5.0 AND 45.0 THEN l_quantity END AS q_masked
+        FROM lineitem)
+      SELECT l_returnflag,
+             CASE WHEN count(*) = count(q_masked)
+                  THEN floor((sum(q_masked)) * 100.0 + 0.5) / 100.0 END AS strict_sum,
+             count(*) AS n_rows
+      FROM m GROUP BY l_returnflag ORDER BY l_returnflag""",
+  )
 }

@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series conditioning and analytics operators.
+  *
+  * Spark-first re-expression of the reference's `DataHandler` /
+  * gap-analysis surface (SURVEY.md §2.4, §2.6, §2.7):
+  * dedup (D1/D2), regularize-to-grid (A1), interval inference (A2),
+  * missing-record stats (A5), gap distribution/bounds (A6/A7),
+  * date span (A8), variable status (A9), diel means (A4),
+  * downsampling (A3), range masking (P5), gaps-and-islands (J5).
+  *
+  * Scale notes: every operator takes `keys` (e.g. site/user id) and
+  * partitions its windows/joins by them, so work distributes across
+  * executors by key at 100 TB — no global single-partition window is
+  * ever used unless `keys` is empty (small single-site frames only).
+  */
+object TimeSeriesOps {
+
+  /** D1: drop rows that duplicate an earlier row in all columns.
+    * Reference: file_handler.py:192-213 (mask + drop).
+    * Distributed as a hash-shuffle on the full row; at scale prefer
+    * pre-partitioning by a key subset (Spark hashes all columns here).
+    */
+  def dropExactDuplicates(df: DataFrame): DataFrame = df.dropDuplicates()
+
+  /** D2: timestamps duplicated with *different* payloads — diagnostic
+    * frame of (keys, ts, n_rows, n_distinct_payloads) for offenders.
+    * Reference: file_handler.py:216-238.
+    */
+  def duplicateKeyDiagnostics(df: DataFrame, keyCols: Seq[String],
+      payloadCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+           countDistinct(col(payloadCol)).as("n_distinct"))
+      .filter(col("n_rows") > 1)
+
+  /** A2: infer the sampling interval as the mode of first-differences
+    * of the (distinct, sorted) timestamps; reference errors when the
+    * minimum difference is not the mode (file_io.py:1041-1088) — we
+    * surface both so callers can enforce that policy.
+    * Returns (modeSeconds, minSeconds). Driver action (two-stage agg,
+    * fully distributed until the final 1-row collect).
+    */
+  def inferIntervalSeconds(df: DataFrame, tsCol: String,
+      keys: Seq[String] = Nil): (Long, Long) = {
+    val h = intervalHistogram(df, tsCol, keys)
+    val mode = h.orderBy(col("n").desc, col("delta_sec").asc)
+      .select("delta_sec").head().getLong(0)
+    val min = h.agg(org.apache.spark.sql.functions.min("delta_sec"))
+      .head().getLong(0)
+    (mode, min)
+  }
+
+  /** A2 substrate: histogram of successive-timestamp differences in
+    * seconds (one row per distinct delta, with occurrence count).
+    */
+  def intervalHistogram(df: DataFrame, tsCol: String,
+      keys: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    df.select((keys :+ tsCol).map(col): _*).distinct()
+      .withColumn("__du",
+        unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)))
+      .withColumn("delta_sec", expr("__du div 1000000"))
+      .drop("__du")
+      .filter(col("delta_sec").isNotNull)
+      .groupBy("delta_sec").agg(count(lit(1)).as("n"))
+  }
+
+  /** A1: regularize to a monotonic fixed-interval grid per key group:
+    * generate the [min, max] tick sequence per group, left-join the
+    * data back on (keys, tick). Missing ticks appear as all-null rows.
+    * The grid side is tiny relative to data (one row per tick) and the
+    * join shuffles both sides by (keys, ts) — the same partitioning
+    * later window ops reuse.
+    */
+  def regularize(df: DataFrame, tsCol: String, intervalSec: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    val k = keys.map(col)
+    val grid = df.groupBy(k: _*)
+      .agg(min(col(tsCol)).as("__t0"), max(col(tsCol)).as("__t1"))
+      .select(k :+ explode(sequence(col("__t0"), col("__t1"),
+        expr(s"INTERVAL $intervalSec SECONDS"))).as(tsCol): _*)
+    grid.join(df, keys :+ tsCol, "left")
+  }
+
+  /** A5: missing-record stats per key group against the implied grid:
+    * n_expected = (max-min)/interval + 1; n_missing; pct_missing.
+    * Pure aggregation — no grid materialization needed.
+    */
+  def missingStats(df: DataFrame, tsCol: String, intervalSec: Long,
+      keys: Seq[String] = Nil): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(min(col(tsCol)).as("first_ts"), max(col(tsCol)).as("last_ts"),
+           count(lit(1)).as("n_present"))
+      .withColumn("n_expected", expr(
+        s"(unix_micros(last_ts) - unix_micros(first_ts)) div ${intervalSec * 1000000L}") + 1L)
+      .withColumn("n_missing", col("n_expected") - col("n_present"))
+
+  /** A6/A7 substrate: one row per inter-record step larger than the
+    * nominal interval, with bounds (prev_ts, ts) and the gap size in
+    * whole records. Window partitioned by keys -> distributes.
+    */
+  def gaps(df: DataFrame, tsCol: String, intervalSec: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    df.select((keys :+ tsCol).map(col): _*)
+      .withColumn("prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("gap_sec", expr(
+        s"(unix_micros($tsCol) - unix_micros(prev_ts)) div 1000000"))
+      .filter(col("gap_sec") > intervalSec)
+      .withColumn("n_records", expr(s"gap_sec div $intervalSec") - 1)
+  }
+
+  /** A6: histogram of gap sizes (in records) across key groups. */
+  def gapDistribution(df: DataFrame, tsCol: String, intervalSec: Long,
+      keys: Seq[String] = Nil): DataFrame =
+    gaps(df, tsCol, intervalSec, keys)
+      .groupBy("n_records").agg(count(lit(1)).as("n_gaps"))
+
+  /** A8: date span per key group. */
+  def dateSpan(df: DataFrame, tsCol: String,
+      keys: Seq[String] = Nil): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(min(col(tsCol)).as("first_ts"), max(col(tsCol)).as("last_ts"),
+           count(lit(1)).as("n_records"))
+
+  /** A9: per-key status stats against a supplied "now": last record
+    * time, last valid (non-null) value via max_by, days since last
+    * record, and % valid in the trailing 24 h. One pass, one shuffle.
+    * Reference: network_status.py:496-557.
+    */
+  def variableStatus(df: DataFrame, tsCol: String, valueCol: String,
+      now: java.sql.Timestamp, keys: Seq[String] = Nil): DataFrame = {
+    val ts = col(tsCol); val v = col(valueCol)
+    val dayUs = 86400L * 1000000L
+    df.groupBy(keys.map(col): _*).agg(
+      max(ts).as("last_ts"),
+      max_by(v, when(v.isNotNull, ts)).as("last_valid_value"),
+      max(when(v.isNotNull, ts)).as("last_valid_ts"),
+      count(when(ts >= lit(now) - expr("INTERVAL 24 HOURS"), 1))
+        .as("n_24h"),
+      count(when(ts >= lit(now) - expr("INTERVAL 24 HOURS")
+        && v.isNotNull, 1)).as("n_valid_24h"))
+      .withColumn("days_since_last",
+        (lit(now.getTime * 1000L) - unix_micros(col("last_ts")))
+          .cast("double") / dayUs)
+  }
+
+  /** A4: diel (time-of-day) means — one bin per (hour, minute-bucket).
+    * Reference: profile_data_processor.py:158-201.
+    */
+  def dielMean(df: DataFrame, tsCol: String, valueCols: Seq[String],
+      keys: Seq[String] = Nil): DataFrame =
+    df.groupBy((keys.map(col) :+ hour(col(tsCol)).as("hh")
+        :+ minute(col(tsCol)).as("mm")): _*)
+      .agg(avg(valueCols.head).as(valueCols.head),
+        valueCols.tail.map(c => avg(c).as(c)): _*)
+
+  /** A3: downsample to a fixed window by mean. Window start labels the
+    * bucket (the TOA5 end-label convention is applied by the caller via
+    * `endLabel`). */
+  def downsampleMean(df: DataFrame, tsCol: String, valueCols: Seq[String],
+      intervalSec: Long, keys: Seq[String] = Nil): DataFrame = {
+    val bucket = timestamp_micros(
+      (unix_micros(col(tsCol)) / lit(intervalSec * 1000000L))
+        * lit(intervalSec * 1000000L)).as("bucket_ts")
+    df.groupBy((keys.map(col) :+ bucket): _*)
+      .agg(avg(valueCols.head).as(valueCols.head),
+        valueCols.tail.map(c => avg(c).as(c)): _*)
+  }
+
+  /** End-of-interval label helper (§7.4 hard part 4): shift a window
+    * start label to the interval end the reference uses. */
+  def endLabel(ts: Column, intervalSec: Long): Column =
+    timestamp_micros(unix_micros(ts) + intervalSec * 1000000L)
+
+  /** P5: mask values outside [lo, hi] to null — row count preserved,
+    * never a filter. Reference: convert_calc_filter.py:147-153. */
+  def maskRange(c: Column, lo: Double, hi: Double): Column =
+    when(c.between(lo, hi), c)
+
+  /** J5: gaps-and-islands — coalesce consecutive rows with the same
+    * `label` (ordered by tsCol within keys) into (label, start, end, n)
+    * intervals. Reference: instrument-history merge,
+    * nc_constructors.py:828-1004. Also serves sessionization when
+    * `newIslandWhen` supplies a gap predicate instead of label change.
+    */
+  def islands(df: DataFrame, tsCol: String, labelCol: String,
+      keys: Seq[String] = Nil, tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val flagged = df
+      .withColumn("__new", when(lag(col(labelCol), 1).over(w).isNull
+        || lag(col(labelCol), 1).over(w) =!= col(labelCol), 1)
+        .otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy((keys :+ labelCol).map(col) :+ col("__island"): _*)
+      .agg(min(col(tsCol)).as("start_ts"), max(col(tsCol)).as("end_ts"),
+           count(lit(1)).as("n_records"))
+      .drop("__island")
+  }
+
+  /** Sessionization: split each key's ordered events into sessions
+    * wherever the inter-event gap exceeds `gapSec`. */
+  def sessionize(df: DataFrame, tsCol: String, gapSec: Long,
+      keys: Seq[String] = Nil, tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    df.withColumn("__gap",
+        (unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)))
+          / lit(1000000L))
+      .withColumn("__new", when(col("__gap").isNull
+        || col("__gap") > gapSec, 1).otherwise(0))
+      .withColumn("session_id", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__gap", "__new")
+  }
+}
