@@ -321,6 +321,73 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  // --- LLM-corpus operators: text analysis / dedup / similarity ---
+
+  /** Token/quality stats per document (text-analysis operator set). */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps._
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        col("n_chars"),
+        rnd(punctRatio(col("text")), 4).as("punct_ratio"),
+        rnd(stopwordRatio(col("text")), 4).as("stop_ratio"),
+        rnd(meanTokenLength(col("text")), 4).as("mean_tok_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic language ID (stopword-hit argmax). */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), graft.text.TextOps.langId(col("text")).as("lang_guess"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint (normalized md5) per doc. */
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), graft.text.TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** N-gram Jaccard near-dup pairs (3-shingles, j >= 0.5). */
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    graft.text.DedupOps.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", 3, 0.5, 1000000L)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
+        col("n_b"), rnd(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  /** MinHash LSH candidate pairs (8-hash signature, 4 bands x 2). */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    graft.text.DedupOps.minhashCandidatePairs(
+        t(s, dir, "documents"), "doc_id", "text", 3, 4, 2)
+      .orderBy("id_a", "id_b")
+
+  /** 16-bit SimHash per document. */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), graft.text.TextOps.simhash16(col("text")).as("sh"))
+      .orderBy("doc_id")
+
+  /** SimHash near-dup pairs within hamming distance 3 (bucketed). */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    graft.text.DedupOps.simhashPairs(
+        t(s, dir, "documents"), "doc_id", "text", 3)
+      .orderBy("id_a", "id_b")
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 10. */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.sim.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb, 5, roundScale = 6)
+      .orderBy("q_id", "rank")
+  }
+
+  /** LSH-bucketed ANN (8 deterministic hyperplanes) — scale path for
+    * q32; no SQL oracle (rows-only check). */
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Similarity.lshTopK(t(s, dir, "embeddings"), 5, planes = 8)
+      .orderBy("q_id", "rank")
+
   // ---------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -349,7 +416,35 @@ object SparkEntry {
     "q22_nearest_match"    -> (q22 _),
     "q23_union_kinds"      -> (q23 _),
     "q24_strict_sum"       -> (q24 _),
+    "q25_token_stats"      -> (q25 _),
+    "q26_langid"           -> (q26 _),
+    "q27_fingerprint"      -> (q27 _),
+    "q28_ngram_jaccard"    -> (q28 _),
+    "q29_minhash_bands"    -> (q29 _),
+    "q30_simhash"          -> (q30 _),
+    "q31_simhash_pairs"    -> (q31 _),
+    "q32_cosine_topk"      -> (q32 _),
+    "q33_lsh_ann"          -> (q33 _),
   )
+
+  /** Shared DuckDB CTE: normalized token list per document, mirroring
+    * [[graft.text.TextOps.tokens]] exactly. */
+  private val tokCte = """
+      WITH tk AS (SELECT doc_id,
+        list_filter(string_split_regex(
+          regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+          x -> x <> '') AS toks
+      FROM documents)"""
+
+  /** Shared DuckDB CTE: distinct 3-token shingles per document,
+    * mirroring [[graft.text.TextOps.shingles]]. */
+  private val shingleCte = tokCte + """,
+      sh AS (SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(toks) >= 3
+            THEN list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END)) AS shingle
+        FROM tk)"""
 
   /** DuckDB-equivalent SQL per query (same column names and ORDER BY). */
   def oracleSql: Map[String, String] = Map(
@@ -550,5 +645,97 @@ object SparkEntry {
                   THEN floor((sum(q_masked)) * 100.0 + 0.5) / 100.0 END AS strict_sum,
              count(*) AS n_rows
       FROM m GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q25_token_stats" -> (tokCte + """
+      SELECT tk.doc_id, len(toks) AS n_tokens, d.n_chars,
+             floor((CASE WHEN length(d.text) > 0
+               THEN length(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g'))::DOUBLE / length(d.text)
+               ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+             floor((CASE WHEN len(toks) > 0
+               THEN len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], x)))::DOUBLE / len(toks)
+               ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+             floor((CASE WHEN len(toks) > 0
+               THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+               ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS mean_tok_len
+      FROM tk JOIN documents d ON tk.doc_id = d.doc_id
+      ORDER BY tk.doc_id"""),
+    "q26_langid" -> (tokCte + """,
+      sc AS (SELECT doc_id,
+        len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], x))) AS s_de,
+        len(list_filter(toks, x -> list_contains(['the','and','is','of','to','a','in','that'], x))) AS s_en,
+        len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los','una','por'], x))) AS s_es,
+        len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','pour','dans'], x))) AS s_fr
+      FROM tk)
+      SELECT doc_id,
+        CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_guess
+      FROM sc ORDER BY doc_id"""),
+    "q27_fingerprint" -> (tokCte + """
+      SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp
+      FROM tk ORDER BY doc_id"""),
+    "q28_ngram_jaccard" -> (shingleCte + """,
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+             floor((n_shared::DOUBLE / (sa.n + sb.n - n_shared)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+      FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE n_shared::DOUBLE / (sa.n + sb.n - n_shared) >= 0.5
+      ORDER BY id_a, id_b"""),
+    "q29_minhash_bands" -> (shingleCte + """,
+      mins AS (SELECT doc_id, j,
+          min(('0x' || substr(md5(j::VARCHAR || ':' || shingle), 1, 8))::BIGINT) AS h
+        FROM sh CROSS JOIN range(0, 8) t(j) GROUP BY doc_id, j),
+      bands AS (SELECT doc_id, j // 2 AS band,
+          md5(string_agg(h::VARCHAR, ',' ORDER BY j)) AS key
+        FROM mins GROUP BY doc_id, j // 2)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 ORDER BY id_a, id_b"""),
+    "q30_simhash" -> (tokCte + """,
+      h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)),
+      bits AS (SELECT tk.doc_id, t.j,
+          CASE WHEN coalesce(sum(CASE WHEN (h.h >> t.j) & 1 = 1 THEN 1 ELSE -1 END), 0) >= 0
+               THEN 1 << t.j ELSE 0 END AS bv
+        FROM tk CROSS JOIN range(0, 16) t(j)
+        LEFT JOIN h ON tk.doc_id = h.doc_id
+        GROUP BY tk.doc_id, t.j)
+      SELECT doc_id, sum(bv)::BIGINT AS sh FROM bits GROUP BY doc_id
+      ORDER BY doc_id"""),
+    "q31_simhash_pairs" -> (tokCte + """,
+      h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)),
+      bits AS (SELECT tk.doc_id, t.j,
+          CASE WHEN coalesce(sum(CASE WHEN (h.h >> t.j) & 1 = 1 THEN 1 ELSE -1 END), 0) >= 0
+               THEN 1 << t.j ELSE 0 END AS bv
+        FROM tk CROSS JOIN range(0, 16) t(j)
+        LEFT JOIN h ON tk.doc_id = h.doc_id
+        GROUP BY tk.doc_id, t.j),
+      s AS (SELECT doc_id, sum(bv)::BIGINT AS sh FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.sh, b.sh)) AS hamming
+      FROM s a JOIN s b ON (a.sh >> 8) = (b.sh >> 8) AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      ORDER BY id_a, id_b"""),
+    "q32_cosine_topk" -> """
+      WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+      sc AS (SELECT q_id, n_id,
+          CASE WHEN sqrt(list_inner_product(qv, qv)) > 0.0
+                AND sqrt(list_inner_product(nv, nv)) > 0.0
+            THEN floor((list_inner_product(qv, nv)
+              / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))))
+              * 1000000.0 + 0.5) / 1000000.0 END AS cos
+        FROM q, c WHERE n_id <> q_id),
+      r AS (SELECT q_id, n_id, cos,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+        FROM sc)
+      SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
+      ORDER BY q_id, rank""",
   )
 }

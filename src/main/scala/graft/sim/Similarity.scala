@@ -1,0 +1,86 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Baseline: brute-force cosine top-k (query-set broadcast x corpus
+  * scan — one pass, no shuffle of the corpus). Scale path: random-
+  * hyperplane LSH bucketing so only same-bucket candidates are scored;
+  * hyperplanes are derived from a deterministic seeded generator at
+  * plan time (no runtime RNG), so results are reproducible.
+  *
+  * Dot products use `zip_with` + `aggregate` over double-cast values —
+  * sequential left-to-right summation, deterministic bit-for-bit.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<float|double> columns (double math,
+    * sequential summation). 0-norm vectors yield null. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) =>
+        p.cast("double") * q.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val d = dot(a, b); val na = sqrt(dot(a, a)); val nb = sqrt(dot(b, b))
+    when(na > 0.0 && nb > 0.0, d / (na * nb))
+  }
+
+  /** Brute-force cosine top-k: for every query row, the k nearest
+    * corpus rows (excluding self), ranked by (rounded cosine desc,
+    * corpus id asc) for determinism. The query side should be small
+    * enough to broadcast; the corpus streams through one scan. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundScale: Int = 6): DataFrame = {
+    val p = math.pow(10.0, roundScale)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        floor(cosine(col("q_vec"), col("n_vec")) * p + 0.5) / p)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos")
+  }
+
+  /** Deterministic random hyperplanes: `planes` rows of `dim` values in
+    * {-1,+1}, from a fixed-seed generator (driver-side, plan constant). */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(planes, dim)(if (rng.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Random-hyperplane LSH bucket id: bit p set iff dot(vec, plane_p)
+    * >= 0. Vectors in the same bucket are candidate neighbors. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
+      val d = aggregate(zip_with(vec, planeCol,
+        (x, w) => x.cast("double") * w), lit(0.0), (acc, v) => acc + v)
+      when(d >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: score only same-bucket pairs. Trades recall for
+    * a corpus-sized equi-join instead of a cross join — the 100 TB
+    * path. Bucket count 2^planes; tune planes to corpus density. */
+  def lshTopK(df: DataFrame, k: Int, planes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, roundScale: Int = 6): DataFrame = {
+    val p = math.pow(10.0, roundScale)
+    val hp = hyperplanes(planes, dim)
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", lshBucket(col("vec"), hp))
+    val pairs = bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("q_id"), col("b.id").as("n_id"),
+        (floor(cosine(col("a.vec"), col("b.vec")) * p + 0.5) / p).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

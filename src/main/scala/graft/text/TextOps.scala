@@ -1,0 +1,157 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale corpus pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting, and the
+  * shingle/MinHash/SimHash substrate used by the dedup operators.
+  *
+  * Everything is built from Spark higher-order-function expressions
+  * (`transform`/`filter`/`aggregate`) and built-in string functions —
+  * no UDFs — so the operators distribute trivially and stay inside
+  * Catalyst. Hash primitives use md5 (bit-identical in any engine)
+  * rather than JVM-specific hashes, so results are portable and
+  * oracle-checkable.
+  */
+object TextOps {
+
+  /** Normalize: lowercase, non-alphanumerics to spaces. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(text), "[^a-z0-9 ]", " ")
+
+  /** Whitespace tokens of the normalized text (empties removed). */
+  def tokens(text: Column): Column =
+    filter(split(normalize(text), " +"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Punctuation ratio: fraction of chars that are not [a-z0-9\s]
+    * after lowercasing. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(lower(text), "[a-z0-9 ]", "")).cast("double")
+        / length(text))
+      .otherwise(lit(0.0))
+
+  /** Default English stopword set (public, minimal). */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by", "be", "are")
+
+  /** Fraction of tokens that appear in `stopwords`. */
+  def stopwordRatio(text: Column,
+      stopwords: Seq[String] = EnglishStopwords): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    val tk = tokens(text)
+    when(size(tk) > 0,
+      size(filter(tk, t => array_contains(sw, t))).cast("double") / size(tk))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean token length (0 for empty docs). */
+  def meanTokenLength(text: Column): Column = {
+    val tk = tokens(text)
+    when(size(tk) > 0,
+      aggregate(tk, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(tk))
+      .otherwise(lit(0.0))
+  }
+
+  /** Heuristic language ID: score = stopword hits per language, argmax
+    * (ties broken by language code order). Stopword lists are tiny
+    * public function-word sets — the standard n-gram-free heuristic.
+    */
+  val LangStopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "and", "is", "of", "to", "a", "in", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "una", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour", "dans"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val tk = tokens(text)
+    LangStopwords.toSeq.sortBy(_._1).map { case (code, words) =>
+      val sw = array(words.map(lit): _*)
+      code -> size(filter(tk, t => array_contains(sw, t)))
+    }
+  }
+
+  /** Predicted language code: argmax of langScores, tie -> first code
+    * alphabetically ('en' when all scores are zero is NOT special-cased;
+    * zero-everything yields the alphabetically-first code). */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // greatest-by via reduce over (score, code) structs: keep strictly
+    // greater so ties resolve to the earlier (alphabetical) code.
+    scores.tail.foldLeft(
+      struct(scores.head._2.as("s"), lit(scores.head._1).as("c"))) {
+        case (best, (code, sc)) =>
+          when(sc > best.getField("s"),
+            struct(sc.as("s"), lit(code).as("c"))).otherwise(best)
+      }.getField("c")
+  }
+
+  /** Document fingerprint: md5 of normalized token stream — whitespace-
+    * insensitive exact-dup detector (the distributed analogue of a
+    * rolling-hash document fingerprint; md5 keeps it engine-portable). */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** k-token shingles of the normalized text, joined by single spaces.
+    * Docs with fewer than k tokens yield a single shingle of all
+    * tokens, so short docs still participate in dedup. */
+  def shingles(text: Column, k: Int): Column = {
+    val tk = tokens(text)
+    when(size(tk) >= k,
+      transform(sequence(lit(1), size(tk) - (k - 1)),
+        i => concat_ws(" ", slice(tk, i, lit(k)))))
+      .otherwise(array(concat_ws(" ", tk)))
+  }
+
+  /** Portable 32-bit hash of a string under seed i: first 8 hex chars
+    * of md5("<i>:<s>") as an unsigned int in a long. Identical in any
+    * engine with md5 — the parity-safe replacement for xxhash. */
+  def seededHash32(s: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(seed.toString), lit(":"), s)), 1, 8),
+      16, 10).cast("long")
+
+  /** MinHash signature: for each of n seeds, min over the doc's
+    * distinct shingles of seededHash32. Returns array<long> length n. */
+  def minhashSignature(shingleArr: Column, n: Int): Column =
+    array((0 until n).map { i =>
+      array_min(transform(array_distinct(shingleArr),
+        s => seededHash32(s, i)))
+    }: _*)
+
+  /** LSH band keys: split an n-length signature into bands of `rows`
+    * entries; band key = md5 of the joined band values (+ band index).
+    * Join docs on (band_idx, band_key) to get candidate pairs. */
+  def lshBandKeys(signature: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",",
+          (0 until rows).map(r =>
+            signature.getItem(b * rows + r).cast("string")): _*))
+          .as("key"))
+    }: _*)
+
+  /** 16-bit SimHash over the token multiset: per token a 16-bit md5
+    * hash; each bit position accumulates +1/-1; sign -> bit. Small
+    * enough to oracle-check, same structure as the 64-bit variant. */
+  def simhash16(text: Column): Column = {
+    val tk = tokens(text)
+    val hashes = transform(tk,
+      t => conv(substring(md5(t), 1, 4), 16, 10).cast("long"))
+    (0 until 16).map { b =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L))
+      when(votes >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values (population count of
+    * xor); bitCount is a built-in. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}
