@@ -388,6 +388,27 @@ object SparkEntry {
     graft.sim.Similarity.lshTopK(t(s, dir, "embeddings"), 5, planes = 8)
       .orderBy("q_id", "rank")
 
+  /** TOA5 codec round-trip (S1/S4/K1/K2/D6): hourly event means ->
+    * TOA5 file on disk -> codec read-back. Hash-matching the direct
+    * aggregation oracle proves the codec is value-stable end-to-end. */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{FileInfo, TableMeta, VariableMeta}
+    val agg = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("DATETIME"))
+      .agg(rnd(avg(col("value")), 6).as("avg_value"),
+           count(lit(1)).cast("double").as("n"))
+    val meta = TableMeta(
+      FileInfo("TOA5", "EventsSite", "CR1000X", "1", "os", "prog", "1", "hourly"),
+      Seq(VariableMeta("TIMESTAMP", "TS", ""),
+        VariableMeta("avg_value", "arb", "Avg"),
+        VariableMeta("n", "samples", "Tot")))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q34/hourly.dat"
+    graft.sources.Toa5.write(agg, meta, path)
+    graft.sources.Toa5.read(s, path).data
+      .select(col("DATETIME").as("hour_ts"), col("avg_value"), col("n"))
+      .orderBy("hour_ts")
+  }
+
   // ---------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -425,6 +446,7 @@ object SparkEntry {
     "q31_simhash_pairs"    -> (q31 _),
     "q32_cosine_topk"      -> (q32 _),
     "q33_lsh_ann"          -> (q33 _),
+    "q34_toa5_roundtrip"   -> (q34 _),
   )
 
   /** Shared DuckDB CTE: normalized token list per document, mirroring
@@ -737,5 +759,10 @@ object SparkEntry {
         FROM sc)
       SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
       ORDER BY q_id, rank""",
+    "q34_toa5_roundtrip" -> """
+      SELECT date_trunc('hour', ts) AS hour_ts,
+             floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS avg_value,
+             count(*)::DOUBLE AS n
+      FROM events GROUP BY 1 ORDER BY 1""",
   )
 }

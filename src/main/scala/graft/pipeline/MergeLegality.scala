@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.TableMeta
+import graft.operators.TimeSeriesOps
+
+/** J2 merge-legality analysis (reference:
+  * code/file_handling/file_concatenators.py:187-455): before
+  * concatenating a candidate file into a master, check that it
+  * (a) contributes new dates, (b) has the same inferred interval,
+  * (c) shares variables, (d) has equal units modulo the alias table.
+  * Reports are data (a case class), not log strings (SURVEY §7.4 #8).
+  */
+object MergeLegality {
+
+  /** Unit alias groups treated as equal
+    * (reference: file_concatenators.py:19-25). */
+  val DefaultUnitAliases: Seq[Set[String]] = Seq(
+    Set("degC", "C"),
+    Set("n", "arb", "samples"),
+    Set("m^3/m^3", "fraction"))
+
+  final case class Report(
+      contributesNewDates: Boolean,
+      sameInterval: Boolean,
+      masterIntervalSec: Long,
+      candidateIntervalSec: Long,
+      commonVariables: Seq[String],
+      masterOnlyVariables: Seq[String],
+      candidateOnlyVariables: Seq[String],
+      unitConflicts: Seq[(String, String, String)]) {
+    def legal: Boolean =
+      contributesNewDates && sameInterval &&
+        commonVariables.nonEmpty && unitConflicts.isEmpty
+  }
+
+  def unitsEqual(a: String, b: String,
+      aliases: Seq[Set[String]] = DefaultUnitAliases): Boolean =
+    a == b || aliases.exists(g => g.contains(a) && g.contains(b))
+
+  /** Analyse candidate vs master. Interval inference is the A2
+    * operator; the date-contribution test is an anti-join existence
+    * check (one aggregate, no collect of the data). */
+  def analyse(master: DataFrame, masterMeta: TableMeta,
+      candidate: DataFrame, candidateMeta: TableMeta,
+      tsCol: String,
+      aliases: Seq[Set[String]] = DefaultUnitAliases): Report = {
+    val mVars = masterMeta.variableNames.filterNot(_ == "TIMESTAMP")
+    val cVars = candidateMeta.variableNames.filterNot(_ == "TIMESTAMP")
+    val common = mVars.intersect(cVars)
+
+    val mUnits = masterMeta.variables.map(v => v.name -> v.units).toMap
+    val cUnits = candidateMeta.variables.map(v => v.name -> v.units).toMap
+    val conflicts = common.flatMap { v =>
+      val (mu, cu) = (mUnits(v), cUnits(v))
+      if (unitsEqual(mu, cu, aliases)) None else Some((v, mu, cu))
+    }
+
+    val newDates = candidate.select(col(tsCol))
+      .join(master.select(col(tsCol)), Seq(tsCol), "left_anti")
+      .limit(1).count() > 0
+
+    val (mInt, _) = TimeSeriesOps.inferIntervalSeconds(master, tsCol)
+    val (cInt, _) = TimeSeriesOps.inferIntervalSeconds(candidate, tsCol)
+
+    Report(newDates, mInt == cInt, mInt, cInt, common,
+      mVars.diff(cVars), cVars.diff(mVars), conflicts)
+  }
+}

@@ -1,0 +1,199 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{FileFormat, FileInfo, TableMeta, VariableMeta}
+
+/** TOA5 / EddyPro codec.
+  *
+  * Read contract (reference: code/file_handling/file_io.py:61-262):
+  * a small header block (info line, variable names, units, sampling)
+  * followed by CSV/TSV rows; NA token `NAN`/`NaN`; non-numeric columns
+  * declared by format, everything else coerced to double (bad -> null);
+  * a DATETIME timestamp built from the file's time columns; bad rows
+  * dropped; sort by time.
+  *
+  * Spark-first design: the header block is probed driver-side (a few
+  * hundred bytes, no job), producing a `StructType` + [[TableMeta]];
+  * the body scans distributedly via `spark.read.text` + `from_csv`
+  * with the computed schema, filtering the header lines by literal
+  * equality (cheap, exact, and works for multi-file globs where every
+  * file repeats the same header — cross-file header equality is
+  * enforced first, reference D7: code/utils/fast_file_io.py:294-341).
+  */
+object Toa5 {
+
+  final case class Parsed(data: DataFrame, meta: TableMeta)
+
+  /** Driver-side header probe (S3/S4/S5): first `headerLines` lines. */
+  def probeHeader(path: String): (FileFormat, Seq[String]) = {
+    val it = Files.lines(Paths.get(path), StandardCharsets.UTF_8)
+    try {
+      val head = it.iterator().asScala.take(8).toVector
+      val fmt = FileFormat.detect(head.head).getOrElse(
+        throw new IllegalArgumentException(
+          s"unrecognized format in $path: ${head.head.take(60)}"))
+      (fmt, head.take(fmt.headerLines))
+    } finally it.close()
+  }
+
+  private def splitLine(line: String, fmt: FileFormat): Seq[String] =
+    line.split(java.util.regex.Pattern.quote(fmt.separator), -1).toSeq
+      .map(_.replaceAll("^\"|\"$", ""))
+
+  /** Build TableMeta from probed header lines. */
+  def parseHeader(fmt: FileFormat, header: Seq[String]): TableMeta = {
+    val names = splitLine(header(fmt.namesLine), fmt)
+    val units = fmt.unitsLine.map(i => splitLine(header(i), fmt))
+      .getOrElse(names.map(_ => ""))
+    val sampling = fmt.samplingLine.map(i => splitLine(header(i), fmt))
+      .getOrElse(names.map(_ => ""))
+    val info = fmt.infoLine.map { i =>
+      val f = splitLine(header(i), fmt).padTo(8, "")
+      FileInfo(f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+    }.getOrElse(FileInfo.dummy)
+    val vars = names.zipWithIndex.map { case (n, i) =>
+      VariableMeta(n, units.lift(i).getOrElse(""),
+        sampling.lift(i).getOrElse(""))
+    }
+    TableMeta(info, vars)
+  }
+
+  /** Schema: declared non-numeric columns are strings, all else double
+    * (D3 numeric coercion happens inside the csv parse: non-numeric
+    * garbage in a double column -> null under PERMISSIVE mode). */
+  def schemaFor(fmt: FileFormat, meta: TableMeta): StructType =
+    StructType(meta.variableNames.map { n =>
+      if (fmt.nonNumericCols.contains(n)) StructField(n, StringType)
+      else StructField(n, DoubleType)
+    })
+
+  /** Distributed scan of one file or a glob of header-identical files.
+    *
+    * Produces the conditioned frame: DATETIME built (F27), unparseable
+    * timestamps dropped (D4), value columns coerced (D3). Dedup/
+    * regularize are separate operators (TimeSeriesOps) — same
+    * separation as the reference's FileHandler vs file_io.
+    */
+  def read(spark: SparkSession, path: String): Parsed = {
+    val (fmt, header) = probeHeader(firstFileOf(path))
+    val meta = parseHeader(fmt, header)
+    val schema = schemaFor(fmt, meta)
+    val opts = Map("sep" -> fmt.separator, "nullValue" -> fmt.naToken,
+      "mode" -> "PERMISSIVE")
+
+    val raw = spark.read.text(path)
+      .filter(!col("value").isin(header: _*))   // strip header lines
+      .filter(length(col("value")) > 0)
+    val parsed = raw.select(
+      from_csv(col("value"), schema, opts).as("r")).select("r.*")
+
+    val withTs = fmt.name match {
+      case "TOA5" =>
+        parsed.withColumn("DATETIME",  // D4: unparseable -> null -> drop
+          try_to_timestamp(col("TIMESTAMP"), lit("yyyy-MM-dd HH:mm:ss")))
+      case "EddyPro" =>
+        parsed.withColumn("DATETIME",
+          try_to_timestamp(concat_ws(" ", col("date"), col("time")),
+            lit("yyyy-MM-dd HH:mm")))
+      case other => throw new IllegalArgumentException(other)
+    }
+    Parsed(withTs.filter(col("DATETIME").isNotNull), meta)
+  }
+
+  /** D7 cross-file header equality: every file of a set must carry the
+    * same header block before concatenation. */
+  def assertHeadersEqual(paths: Seq[String]): Unit = {
+    val headers = paths.map(p => probeHeader(p)._2)
+    val first = headers.head
+    val bad = paths.zip(headers).collect {
+      case (p, h) if h != first => p }
+    require(bad.isEmpty,
+      s"header mismatch vs ${paths.head}: ${bad.mkString(", ")}")
+  }
+
+  private def firstFileOf(path: String): String = {
+    val p = Paths.get(path)
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq
+        .filter(f => !Files.isDirectory(f)).map(_.toString).sorted.head
+    else path
+  }
+
+  /** K1/K2 writer: byte-stable single-file TOA5 output — header block
+    * then body rows, QUOTE_NONNUMERIC quoting, NA token, timestamp as
+    * leading `TIMESTAMP` string column (reference:
+    * code/file_handling/file_io.py:326-418,668-717).
+    *
+    * The single-file, byte-ordered contract forces a driver-side write
+    * (reference products are <= ~1e5 rows); the D6 header/data
+    * consistency check runs first. Large frames belong in parquet via
+    * the lake writer, not here.
+    */
+  def write(df: DataFrame, meta: TableMeta, path: String,
+      tsCol: String = "DATETIME"): Unit = {
+    val dataCols = df.columns.filter(_ != tsCol).toSeq
+    val headerVars = meta.variableNames.filter(_ != "TIMESTAMP")
+    require(dataCols == headerVars,
+      s"header/data mismatch: data-only=${dataCols.diff(headerVars)} " +
+      s"header-only=${headerVars.diff(dataCols)}")
+
+    val fmt = FileFormat.Toa5
+    def q(s: String) = "\"" + s + "\""
+    val infoLine = {
+      val i = meta.info
+      Seq(i.format, i.stationName, i.loggerType, i.serialNum,
+        i.osVersion, i.programName, i.programSig, i.tableName)
+        .map(q).mkString(",")
+    }
+    val vars = "TIMESTAMP" +: headerVars
+    val byName = meta.variables.map(v => v.name -> v).toMap
+    val namesLine = vars.map(q).mkString(",")
+    val unitsLine = ("TS" +: headerVars.map(n =>
+      byName.get(n).map(_.units).getOrElse(""))).map(q).mkString(",")
+    val samplingLine = ("" +: headerVars.map(n =>
+      byName.get(n).map(_.sampling).getOrElse(""))).map(q).mkString(",")
+
+    val stringCols = df.schema.fields.collect {
+      case f if f.dataType == StringType => f.name }.toSet
+    val rows = df.orderBy(col(tsCol))
+      .select((col(tsCol) +: dataCols.map(col)): _*)
+      .collect()
+    val sb = new StringBuilder
+    Seq(infoLine, namesLine, unitsLine, samplingLine)
+      .foreach(l => sb.append(l).append("\r\n"))
+    val tsFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    rows.foreach { r =>
+      val ts = r.getTimestamp(0).toLocalDateTime.format(tsFmt)
+      sb.append(q(ts))
+      dataCols.zipWithIndex.foreach { case (c, i) =>
+        val v = r.get(i + 1)
+        val cell =
+          if (v == null) fmt.naToken
+          else if (stringCols.contains(c)) q(v.toString)
+          else formatNum(v)
+        sb.append(",").append(cell)
+      }
+      sb.append("\r\n")
+    }
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.write(Paths.get(path),
+      sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Numeric rendering: integral doubles without trailing .0 kept as
+    * pandas does ("1.0" stays "1.0"); we render shortest repr. */
+  private def formatNum(v: Any): String = v match {
+    case d: java.lang.Double =>
+      if (d.isNaN) "NAN" else d.toString
+    case f: java.lang.Float => f.toString
+    case x => x.toString
+  }
+}

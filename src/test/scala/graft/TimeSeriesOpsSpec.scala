@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.TimeSeriesOps
+
+class TimeSeriesOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("regularize fills missing grid rows with nulls and keeps ints (A1)") {
+    val df = Seq(
+      (ts("2024-01-01 00:30:00"), 1L, 1.0),
+      (ts("2024-01-01 01:00:00"), 2L, 2.0),
+      // 01:30 missing
+      (ts("2024-01-01 02:00:00"), 4L, 4.0)
+    ).toDF("DATETIME", "n", "v")
+    val out = TimeSeriesOps.regularize(df, "DATETIME", 1800)
+      .orderBy("DATETIME")
+    assert(out.count() == 4)
+    val gap = out.filter($"DATETIME" === ts("2024-01-01 01:30:00")).head()
+    assert(gap.isNullAt(gap.fieldIndex("n")))
+    // Int column must stay integral, not silently widen to double
+    assert(out.schema("n").dataType.typeName == "long")
+  }
+
+  test("interval inference returns mode and min (A2)") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    val times = Seq(0, 30, 60, 90, 150, 180).map(m =>
+      new Timestamp(base + m * 60000L))
+    val df = times.map(t => (t, 1.0)).toDF("DATETIME", "v")
+    val (mode, min) = TimeSeriesOps.inferIntervalSeconds(df, "DATETIME")
+    assert(mode == 1800L && min == 1800L)
+    // min != mode case: caller-enforced policy has the data to raise
+    val irregular = (times :+ new Timestamp(base + 181 * 60000L))
+      .map(t => (t, 1.0)).toDF("DATETIME", "v")
+    val (m2, min2) = TimeSeriesOps.inferIntervalSeconds(irregular, "DATETIME")
+    assert(m2 == 1800L && min2 == 60L && m2 != min2)
+  }
+
+  test("gaps reports bounds and record counts (A6/A7)") {
+    val rows = Seq("00:30", "01:00", "03:00", "03:30", "06:30").map(t =>
+      (ts(s"2024-01-01 $t:00"), 1.0)).toDF("DATETIME", "v")
+    val g = TimeSeriesOps.gaps(rows, "DATETIME", 1800)
+      .orderBy("prev_ts").collect()
+    assert(g.length == 2)
+    assert(g(0).getAs[Long]("n_records") == 3) // 01:00 -> 03:00
+    assert(g(1).getAs[Long]("n_records") == 5) // 03:30 -> 06:30
+  }
+
+  test("duplicate-key diagnostics flags only multi-row keys (D2)") {
+    val df = Seq((1, "a"), (1, "b"), (2, "a")).toDF("k", "p")
+    val d = TimeSeriesOps.duplicateKeyDiagnostics(df, Seq("k"), "p").collect()
+    assert(d.length == 1 && d(0).getInt(0) == 1
+      && d(0).getAs[Long]("n_distinct") == 2)
+  }
+
+  test("maskRange masks to null without dropping rows (P5)") {
+    val df = Seq(1.0, 5.0, 50.0).toDF("v")
+      .withColumn("m", TimeSeriesOps.maskRange(col("v"), 2.0, 10.0))
+    assert(df.count() == 3)
+    assert(df.filter(col("m").isNotNull).count() == 1)
+  }
+
+  test("islands coalesces consecutive equal labels (J5)") {
+    val df = Seq(
+      (ts("2024-01-01 00:00:00"), "A"),
+      (ts("2024-01-01 01:00:00"), "A"),
+      (ts("2024-01-01 02:00:00"), "B"),
+      (ts("2024-01-01 03:00:00"), "A")
+    ).toDF("DATETIME", "inst")
+    val out = TimeSeriesOps.islands(df, "DATETIME", "inst")
+      .orderBy("start_ts").collect()
+    assert(out.map(_.getAs[String]("inst")).toSeq == Seq("A", "B", "A"))
+    assert(out(0).getAs[Long]("n_records") == 2)
+  }
+
+  test("strict-sum semantics via endLabel helper (A11/#4)") {
+    val lbl = TimeSeriesOps.endLabel(lit(ts("2024-01-01 00:00:00")), 1800)
+    val v = spark.range(1).select(lbl.as("t")).head().getTimestamp(0)
+    assert(v == ts("2024-01-01 00:30:00"))
+  }
+}
