@@ -351,7 +351,7 @@ object SparkEntry {
   /** N-gram Jaccard near-dup pairs (3-shingles, j >= 0.5). */
   private def q28(s: SparkSession, dir: String): DataFrame =
     graft.text.DedupOps.ngramJaccardPairs(
-        t(s, dir, "documents"), "doc_id", "text", 3, 0.5, 1000000L)
+        t(s, dir, "documents"), "doc_id", "text", 3, 0.5, Long.MaxValue)
       .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
         col("n_b"), rnd(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
@@ -362,10 +362,10 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", 3, 4, 2)
       .orderBy("id_a", "id_b")
 
-  /** 16-bit SimHash per document. */
+  /** 16-bit SimHash per document (relational form). */
   private def q30(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), graft.text.TextOps.simhash16(col("text")).as("sh"))
+    graft.text.DedupOps.simhashTable(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("sh"))
       .orderBy("doc_id")
 
   /** SimHash near-dup pairs within hamming distance 3 (bucketed). */

@@ -31,15 +31,26 @@ object Similarity {
     * corpus rows (excluding self), ranked by (rounded cosine desc,
     * corpus id asc) for determinism. The query side should be small
     * enough to broadcast; the corpus streams through one scan. */
+  /** Dot product with sequential (deterministic) summation. */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) =>
+      p.cast("double") * q.cast("double")), lit(0.0), (acc, v) => acc + v)
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       roundScale: Int = 6): DataFrame = {
     val p = math.pow(10.0, roundScale)
+    // Precompute norms per row (not per pair): the pair stage then does
+    // exactly one dot product — 3x less array work on the hot path.
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", sqrt(dot(col("q_vec"), col("q_vec"))))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("n_norm", sqrt(dot(col("n_vec"), col("n_vec"))))
     val scored = broadcast(q).join(c, col("q_id") =!= col("n_id"))
       .withColumn("cos",
-        floor(cosine(col("q_vec"), col("n_vec")) * p + 0.5) / p)
+        floor(when(col("q_norm") > 0.0 && col("n_norm") > 0.0,
+          dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+          * p + 0.5) / p)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -74,10 +85,14 @@ object Similarity {
     val hp = hyperplanes(planes, dim)
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", lshBucket(col("vec"), hp))
+      .withColumn("norm", sqrt(dot(col("vec"), col("vec"))))
+      .persist()
     val pairs = bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("q_id"), col("b.id").as("n_id"),
-        (floor(cosine(col("a.vec"), col("b.vec")) * p + 0.5) / p).as("cos"))
+        (floor(when(col("a.norm") > 0.0 && col("b.norm") > 0.0,
+          dot(col("a.vec"), col("b.vec")) / (col("a.norm") * col("b.norm")))
+          * p + 0.5) / p).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
     pairs.withColumn("rank", row_number().over(w))

@@ -20,6 +20,33 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  import org.apache.spark.sql.expressions.Window
+
+  /** Relational k-shingle table: (id, shingle) rows, distinct per doc.
+    * posexplode tokens once, build shingles with `lead` windows —
+    * semantically identical to exploding [[TextOps.shingles]] (short
+    * docs collapse to one whole-doc shingle) but ~5x faster: the
+    * higher-order `transform`/`slice` expression interprets per
+    * element, while this path is one window pass over token rows and
+    * partitions by doc id (the 100 TB shape). */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, k: Int)
+      : DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "t0")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val withLeads = (1 until k).foldLeft(tok)((d, i) =>
+      d.withColumn(s"t$i", lead(col("t0"), i).over(w)))
+    val n = count(lit(1)).over(Window.partitionBy(col("id")))
+    val parts = (0 until k).map(i => col(s"t$i"))
+    // concat_ws skips nulls, so the pos==0 row of a short doc joins
+    // exactly its available tokens (the whole-doc shingle).
+    val shingle = when(n >= k,
+        when(col(s"t${k - 1}").isNotNull, concat_ws(" ", parts: _*)))
+      .otherwise(when(col("pos") === 0, concat_ws(" ", parts: _*)))
+    withLeads.select(col("id"), shingle.as("shingle"))
+      .filter(col("shingle").isNotNull).distinct()
+  }
+
   /** Exact duplicate groups by normalized fingerprint: one row per
     * duplicated fingerprint with the canonical (min) doc id. */
   def exactDupGroups(docs: DataFrame, idCol: String, textCol: String)
@@ -40,13 +67,15 @@ object DedupOps {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minJaccard: Double, maxShingleFreq: Long = 1000L)
       : DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-        explode(array_distinct(TextOps.shingles(col(textCol), k)))
-          .as("shingle"))
-    val capped = sh.withColumn("__freq",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("shingle")))
-      .filter(col("__freq") <= maxShingleFreq).drop("__freq")
+    // Persist the shingle table: it feeds both sides of the pair join
+    // plus the size aggregate.
+    val sh = shingleRows(docs, idCol, textCol, k).persist()
+    val capped =
+      if (maxShingleFreq == Long.MaxValue) sh
+      else sh.withColumn("__freq",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("shingle")))
+        .filter(col("__freq") <= maxShingleFreq).drop("__freq")
     val sizes = sh.groupBy("id").agg(countDistinct("shingle").as("n_sh"))
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -71,9 +100,7 @@ object DedupOps {
     * interpret (not codegen) and re-hash per seed. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int, n: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(array_distinct(TextOps.shingles(col(textCol), k)))
-        .as("shingle"))
+    val sh = shingleRows(docs, idCol, textCol, k)
     val hashed = sh.select(col("id") +:
       (0 until n).map(i =>
         TextOps.seededHash32(col("shingle"), i).as(s"h$i")): _*)
@@ -96,6 +123,7 @@ object DedupOps {
               col(s"h${b * rows + r}").cast("string")): _*)).as("key"))
         }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .persist()  // feeds both sides of the candidate-pair self-join
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.id") < col("b.id"))
@@ -113,6 +141,32 @@ object DedupOps {
         size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => x === y), b => b)).cast("double") / size(col("sig_a")))
 
+  /** Relational 16-bit SimHash: explode tokens, hash each once, 16
+    * conditional-sum bit votes in one aggregation pass. Semantically
+    * identical to [[TextOps.simhash16]] but hashes each token exactly
+    * once (the per-row expression re-evaluates the token->md5 chain
+    * for every bit) and distributes as explode + single groupBy.
+    * Docs with no tokens get all bits set (vote 0 >= 0), like the
+    * per-row form. */
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("t"))
+    val h = tok.select(col("id"),
+      conv(substring(md5(col("t")), 1, 4), 16, 10).cast("long").as("h"))
+    val votes = h.groupBy("id").agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as("v0"),
+      (1 until 16).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L)).as(s"v$b")): _*)
+    val bits = (0 until 16).map(b =>
+      when(coalesce(col(s"v$b"), lit(0L)) >= 0, lit(1L << b))
+        .otherwise(lit(0L))).reduce(_ + _)
+    docs.select(col(idCol).as("id")).join(votes, Seq("id"), "left")
+      .select(col("id"), bits.as("sh"))
+  }
+
   /** SimHash near-dup pairs within a hamming radius, bucketed by the
     * high byte to avoid the full cross join (docs differing only in
     * low bits land in the same bucket; radius <= 8 of 16 bits keeps
@@ -120,8 +174,7 @@ object DedupOps {
     * variant uses 4 rotated bucket keys). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      TextOps.simhash16(col(textCol)).as("sh"))
+    val sh = simhashTable(docs, idCol, textCol).persist()
     val bucketed = sh.withColumn("bucket", shiftright(col("sh"), 8))
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
