@@ -409,6 +409,40 @@ object SparkEntry {
       .orderBy("hour_ts")
   }
 
+  /** F26 FP2 decode via the custom Catalyst expression, oracle-checked
+    * against the equivalent bit arithmetic in SQL. Sentinel raws are
+    * filtered (inf/NaN don't hash-compare). */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val raw = (col("l_partkey") % 65536).cast("int")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), raw.as("raw"))
+      .filter(!col("raw").isin(0x1fff, 0x9fff, 0x9ffe))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.functions.Fp2.fp2(col("raw")).as("fp2_val"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** S8 TOB1 binary round-trip: events encoded to a TOB1 file
+    * (1990-epoch SECONDS/NANOSECONDS + IEEE4 value), decoded back by
+    * the distributed binary source; hash-matches the plain projection
+    * oracle iff timestamps and float payloads survive bit-exactly. */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("ts"), col("value"))
+      .orderBy("ts").collect()
+    val rows = ev.toSeq.map { r =>
+      (r.getTimestamp(0).getTime * 1000L +
+        (r.getTimestamp(0).getNanos / 1000L) % 1000L,
+        Seq(r.getDouble(1).toFloat))
+    }
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q36/ev.dat"
+    graft.sources.Tob.writeTob1(path,
+      Seq("TOB1", "EventsSite", "CR3000", "1", "os", "prog", "1", "t"),
+      Seq("value"), rows)
+    graft.sources.Tob.read(s, path).data
+      .select(col("DATETIME"), col("value").cast("double").as("value"))
+      .orderBy("DATETIME")
+  }
+
   // ---------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -447,6 +481,8 @@ object SparkEntry {
     "q32_cosine_topk"      -> (q32 _),
     "q33_lsh_ann"          -> (q33 _),
     "q34_toa5_roundtrip"   -> (q34 _),
+    "q35_fp2_decode"       -> (q35 _),
+    "q36_tob1_roundtrip"   -> (q36 _),
   )
 
   /** Shared DuckDB CTE: normalized token list per document, mirroring
@@ -764,5 +800,16 @@ object SparkEntry {
              floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS avg_value,
              count(*)::DOUBLE AS n
       FROM events GROUP BY 1 ORDER BY 1""",
+    "q35_fp2_decode" -> """
+      WITH r AS (SELECT l_orderkey, l_linenumber,
+                        (l_partkey % 65536)::INTEGER AS raw FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             (CASE WHEN (raw & 32768) != 0 THEN -1.0 ELSE 1.0 END)
+               * (raw & 8191) * power(10.0, -((raw & 24576) >> 13)) AS fp2_val
+      FROM r WHERE raw NOT IN (8191, 40959, 40958)
+      ORDER BY l_orderkey, l_linenumber""",
+    "q36_tob1_roundtrip" -> """
+      SELECT ts AS DATETIME, value::FLOAT::DOUBLE AS value
+      FROM events ORDER BY DATETIME""",
   )
 }

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.TableMeta
+import graft.operators.TimeSeriesOps
+import graft.sources.Toa5
+
+/** E4 fast-data pipeline: 10 Hz TOB3 decode -> per-averaging-interval
+  * TOA5 shards (reference: code/utils/fast_file_io.py:444-596 and
+  * code/data_constructors/fast_file_converters.py:64-128).
+  *
+  * Window convention matches the reference: a record at time t belongs
+  * to the window (start, start+step] — i.e. end-labelled intervals —
+  * so the bucket key is ceil(t / step) * step.
+  */
+object FastData {
+
+  /** F28: round timestamps to 100 ms ticks (+500 us then truncate to
+    * tenths) — reference code/utils/fast_file_io.py:646-654. */
+  def round100ms(ts: Column): Column =
+    timestamp_micros(((unix_micros(ts) + 500L).cast("long"))
+      .minus((unix_micros(ts) + 500L) % 100000L))
+
+  /** A14 bucket key: end-labelled window of `stepMin` minutes —
+    * ceil(t/step)*step, so a record exactly on a boundary labels its
+    * own window ((start, end] convention). */
+  def windowEnd(ts: Column, stepMin: Int): Column = {
+    val stepUs = stepMin * 60L * 1000000L
+    timestamp_micros(-floorDiv0(-unix_micros(ts), stepUs) * stepUs)
+  }
+  // ceil(x/step)*step via -floor(-x/step)*step; expressed without udf
+  private def floorDiv0(x: Column, step: Long): Column =
+    floor(x.cast("double") / lit(step.toDouble)).cast("long")
+
+  /** Rows-per-window completeness stats: expected = step*freq*60. */
+  def windowStats(df: DataFrame, tsCol: String, stepMin: Int,
+      freqHz: Double): DataFrame = {
+    val expected = (stepMin * freqHz * 60).toLong
+    df.groupBy(windowEnd(col(tsCol), stepMin).as("window_end"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("n_expected", lit(expected))
+      .withColumn("pct_complete",
+        col("n_rows").cast("double") / expected * 100.0)
+  }
+
+  /** Partition a decoded fast frame into per-window TOA5 shard files
+    * named `<prefix>_YYYY_MM_DD_HHMM.dat`. Windows are enumerated
+    * driver-side (48/day at 30 min — tiny); each shard's rows are
+    * written by the ordered single-file TOA5 writer. The heavy decode
+    * stays distributed; only the final per-shard collect is driver-side
+    * (18k rows per shard at 10 Hz / 30 min). */
+  def writeShards(df: DataFrame, meta: TableMeta, tsCol: String,
+      stepMin: Int, outDir: String, prefix: String): Seq[String] = {
+    val bucketed = df.withColumn("__w", windowEnd(col(tsCol), stepMin))
+      .persist()
+    val windows = bucketed.select("__w").distinct()
+      .orderBy("__w").collect().map(_.getTimestamp(0))
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy_MM_dd_HHmm")
+    windows.toSeq.map { w =>
+      val shard = bucketed.filter(col("__w") === lit(w)).drop("__w")
+      val name = s"${prefix}_${w.toLocalDateTime.format(fmt)}.dat"
+      Toa5.write(shard, meta, s"$outDir/$name", tsCol)
+      name
+    }
+  }
+
+  /** Integer-preserving downcast check (D8): true when every non-null
+    * value of the column is integral (within 1e-9), i.e. safe to write
+    * as int (reference: fast_file_io.py:615-619). */
+  def isIntegral(df: DataFrame, colName: String): Boolean = {
+    val r = df.agg(max(abs(col(colName) - round(col(colName))))).head()
+    r.isNullAt(0) || r.getDouble(0) < 1e-9
+  }
+}
