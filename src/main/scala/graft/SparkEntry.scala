@@ -443,6 +443,25 @@ object SparkEntry {
       .orderBy("DATETIME")
   }
 
+  /** Multimodal plumbing: documents as opaque binary payloads through
+    * the per-partition feature extractor (deterministic md5-derived
+    * stub decoder — the Spark-side batch shape is what's exercised).
+    * Oracle mirrors the md5-derived features byte-for-byte. */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = t(s, dir, "documents").select(
+      col("doc_id").as("media_id"), lit("utf8").as("format"),
+      col("text").cast("binary").as("payload"))
+    Multimodal.extractFeatures(media,
+        Multimodal.MediaDecoder.Deterministic(8))
+      .select(col("media_id").as("doc_id"), col("payload_bytes"),
+        element_at(col("features"), 1).as("f0"),
+        element_at(col("features"), 2).as("f1"),
+        element_at(col("features"), 3).as("f2"),
+        element_at(col("features"), 4).as("f3"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -483,6 +502,7 @@ object SparkEntry {
     "q34_toa5_roundtrip"   -> (q34 _),
     "q35_fp2_decode"       -> (q35 _),
     "q36_tob1_roundtrip"   -> (q36 _),
+    "q37_multimodal"       -> (q37 _),
   )
 
   /** Shared DuckDB CTE: normalized token list per document, mirroring
@@ -811,5 +831,12 @@ object SparkEntry {
     "q36_tob1_roundtrip" -> """
       SELECT ts AS DATETIME, value::FLOAT::DOUBLE AS value
       FROM events ORDER BY DATETIME""",
+    "q37_multimodal" -> """
+      SELECT doc_id, octet_length(text::BLOB)::INT AS payload_bytes,
+             (('0x' || substr(md5(text), 1, 2))::INT / 255.0)::FLOAT AS f0,
+             (('0x' || substr(md5(text), 3, 2))::INT / 255.0)::FLOAT AS f1,
+             (('0x' || substr(md5(text), 5, 2))::INT / 255.0)::FLOAT AS f2,
+             (('0x' || substr(md5(text), 7, 2))::INT / 255.0)::FLOAT AS f3
+      FROM documents ORDER BY doc_id""",
   )
 }

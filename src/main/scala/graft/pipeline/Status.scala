@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** E3 network-status products (reference:
+  * code/network_monitoring/network_status.py): per-site/per-variable
+  * staleness stats rendered to geojson (K7) and JSON (K8). The stats
+  * are the A9 aggregates (TimeSeriesOps.variableStatus); these sinks
+  * collect the tiny result set driver-side and render text.
+  */
+object Status {
+
+  /** F32: staleness days -> reporting bucket (reference colour
+    * categories, network_status.py:815-851). */
+  def stalenessBucket(days: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(days < 1, "ok")
+      .when(days < 3, "warning_1_3")
+      .when(days < 5, "warning_3_5")
+      .when(days < 7, "warning_5_7")
+      .otherwise("stale_7_plus")
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** K7: geojson FeatureCollection — one Point feature per site row.
+    * `df` must have siteCol/latCol/lonCol; all other columns become
+    * feature properties. */
+  def writeGeojson(df: DataFrame, path: String, siteCol: String,
+      latCol: String, lonCol: String): Unit = {
+    val cols = df.columns.toSeq
+    val propCols = cols.filterNot(Seq(latCol, lonCol).contains)
+    val features = df.collect().map { r =>
+      val props = propCols.map { c =>
+        val v = r.get(cols.indexOf(c))
+        val rendered = v match {
+          case null => "null"
+          case n: Number => n.toString
+          case b: Boolean => b.toString
+          case other => "\"" + esc(other.toString) + "\""
+        }
+        "\"" + esc(c) + "\": " + rendered
+      }.mkString(", ")
+      val lon = r.get(cols.indexOf(lonCol))
+      val lat = r.get(cols.indexOf(latCol))
+      s"""{"type": "Feature", "geometry": {"type": "Point", "coordinates": [$lon, $lat]}, "properties": {$props}}"""
+    }
+    val json =
+      s"""{"type": "FeatureCollection", "features": [${features.mkString(", ")}]}"""
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path).getParent)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** K8: site-details JSON array — each row rendered as an object. */
+  def writeJsonArray(df: DataFrame, path: String): Unit = {
+    val cols = df.columns.toSeq
+    val rows = df.collect().map { r =>
+      cols.zipWithIndex.map { case (c, i) =>
+        val v = r.get(i)
+        val rendered = v match {
+          case null => "null"
+          case n: Number => n.toString
+          case b: Boolean => b.toString
+          case other => "\"" + esc(other.toString) + "\""
+        }
+        "\"" + esc(c) + "\": " + rendered
+      }.mkString("{", ", ", "}")
+    }
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path).getParent)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      rows.mkString("[", ", ", "]")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+}

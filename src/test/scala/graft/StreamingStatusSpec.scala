@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Status
+import graft.streaming.IncrementalAppend
+
+class StreamingStatusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("J6 incremental append drains new files per run and dedups") {
+    val in = Files.createTempDirectory("stream_in").toString
+    val out = Files.createTempDirectory("stream_out").toString
+    val ckpt = Files.createTempDirectory("stream_ckpt").toString
+    val schema = Seq((ts("2024-01-01 00:30:00"), "s1", 1.0))
+      .toDF("DATETIME", "site", "v").schema
+
+    def addBatch(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("b").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(java.nio.file.Path.of(tmp)).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          Files.move(p, java.nio.file.Path.of(s"$in/$name.parquet"))
+          moved = true
+        }
+      }
+      assert(moved, "no parquet part file produced")
+    }
+
+    addBatch(Seq((ts("2024-01-01 00:30:00"), "s1", 1.0),
+        (ts("2024-01-01 00:30:00"), "s1", 1.0),  // dup within batch
+        (ts("2024-01-01 01:00:00"), "s1", 2.0))
+      .toDF("DATETIME", "site", "v"), "batch1")
+    IncrementalAppend.appendRun(spark, in, out, ckpt, schema,
+      "DATETIME", Seq("site"))
+    assert(spark.read.parquet(out).count() == 2)
+
+    // second run: only the new file is ingested
+    addBatch(Seq((ts("2024-01-01 01:30:00"), "s1", 3.0))
+      .toDF("DATETIME", "site", "v"), "batch2")
+    IncrementalAppend.appendRun(spark, in, out, ckpt, schema,
+      "DATETIME", Seq("site"))
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 3)
+    assert(rows.agg(max("DATETIME")).head().getTimestamp(0)
+      == ts("2024-01-01 01:30:00"))
+  }
+
+  test("K7/K8 status sinks render geojson and JSON array") {
+    val df = Seq(
+      ("SiteA", -34.0, 140.5, 0.4, "ok"),
+      ("SiteB", -35.1, 141.0, 9.9, "stale_7_plus"))
+      .toDF("site", "lat", "lon", "days_since_last", "bucket")
+    val dir = Files.createTempDirectory("status")
+    Status.writeGeojson(df, s"$dir/status.geojson", "site", "lat", "lon")
+    val gj = Files.readString(java.nio.file.Path.of(s"$dir/status.geojson"))
+    assert(gj.contains("\"FeatureCollection\""))
+    assert(gj.contains("[140.5, -34.0]"))
+    assert(gj.contains("\"site\": \"SiteA\""))
+
+    Status.writeJsonArray(df, s"$dir/details.json")
+    val ja = Files.readString(java.nio.file.Path.of(s"$dir/details.json"))
+    assert(ja.startsWith("[") && ja.contains("\"days_since_last\": 9.9"))
+    // both parse as JSON
+    assert(ujsonParses(gj) && ujsonParses(ja))
+  }
+
+  private def ujsonParses(s: String): Boolean =
+    try {
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      true
+    } catch { case _: Exception => false }
+
+  test("F32 staleness buckets") {
+    val out = Seq(0.5, 2.0, 4.0, 6.0, 10.0).toDF("d")
+      .select(Status.stalenessBucket(col("d"))).as[String].collect()
+    assert(out.toSeq == Seq("ok", "warning_1_3", "warning_3_5",
+      "warning_5_7", "stale_7_plus"))
+  }
+
+  test("multimodal feature extraction batch shape") {
+    import graft.multimodal.Multimodal
+    val media = Seq((1L, "utf8", "hello".getBytes),
+        (2L, "utf8", null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "format", "payload")
+    val out = Multimodal.extractFeatures(media,
+      Multimodal.MediaDecoder.Deterministic(4)).orderBy("media_id").collect()
+    assert(out(0).getInt(out(0).fieldIndex("payload_bytes")) == 5)
+    assert(out(0).getSeq[Float](out(0).fieldIndex("features")).length == 4)
+    assert(out(1).isNullAt(out(1).fieldIndex("features"))) // null payload
+  }
+}
