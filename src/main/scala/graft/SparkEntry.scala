@@ -462,6 +462,36 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** A10/A11/W1 profile storage-flux pipeline: events shaped into a
+    * (time, height) concentration profile, then layer means (bottom
+    * intake + adjacent-height averages), per-layer time derivative
+    * scaled by layer depth, and the strict any-null-nulls sum. */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ProfileOps
+    val profile = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("DATETIME"),
+        (lit(0.5) + (col("user_id") % 4).cast("double") * 2.0).as("height"))
+      .agg(rnd(avg(col("value")), 6).as("co2"))
+    val layers = ProfileOps.layerMeans(profile, "DATETIME", "height", "co2")
+    val storage = ProfileOps.layerStorage(layers, "DATETIME", "height", 3600)
+    // Fixed-order sum over the 4 known heights: summation order is
+    // engine-dependent inside sum(), and a 4-term float sum can land
+    // exactly on a rounding half-boundary; s1+s2+s3+s4 is
+    // bit-deterministic and null-propagating (= strict sum).
+    val hs = Seq(0.5, 2.5, 4.5, 6.5)
+    storage.groupBy(col("DATETIME")).agg(
+        max(when(col("height") === hs(0), col("layer_storage"))).as("s1"),
+        max(when(col("height") === hs(1), col("layer_storage"))).as("s2"),
+        max(when(col("height") === hs(2), col("layer_storage"))).as("s3"),
+        max(when(col("height") === hs(3), col("layer_storage"))).as("s4"),
+        count(lit(1)).as("n_layers"))
+      .select(col("DATETIME"),
+        rnd(col("s1") + col("s2") + col("s3") + col("s4"), 6)
+          .as("storage_flux"),
+        col("n_layers"))
+      .orderBy("DATETIME")
+  }
+
   // ---------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -503,6 +533,7 @@ object SparkEntry {
     "q35_fp2_decode"       -> (q35 _),
     "q36_tob1_roundtrip"   -> (q36 _),
     "q37_multimodal"       -> (q37 _),
+    "q38_profile_storage"  -> (q38 _),
   )
 
   /** Shared DuckDB CTE: normalized token list per document, mirroring
@@ -838,5 +869,36 @@ object SparkEntry {
              (('0x' || substr(md5(text), 5, 2))::INT / 255.0)::FLOAT AS f2,
              (('0x' || substr(md5(text), 7, 2))::INT / 255.0)::FLOAT AS f3
       FROM documents ORDER BY doc_id""",
+    "q38_profile_storage" -> """
+      WITH profile AS (
+        SELECT date_trunc('hour', ts) AS dt,
+               0.5 + (user_id % 4)::DOUBLE * 2.0 AS height,
+               floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS co2
+        FROM events GROUP BY 1, 2),
+      layers AS (
+        SELECT dt, height,
+               CASE WHEN lag(co2) OVER w IS NULL THEN co2
+                    ELSE (co2 + lag(co2) OVER w) / 2.0 END AS layer_value,
+               CASE WHEN lag(height) OVER w IS NULL THEN height
+                    ELSE height - lag(height) OVER w END AS layer_depth
+        FROM profile WINDOW w AS (PARTITION BY dt ORDER BY height)),
+      storage AS (
+        SELECT dt, height,
+               (layer_value - lag(layer_value) OVER
+                 (PARTITION BY height ORDER BY dt)) / 3600.0
+                 * layer_depth AS layer_storage
+        FROM layers)
+      SELECT dt AS DATETIME,
+             floor((s1 + s2 + s3 + s4) * 1000000.0 + 0.5)
+               / 1000000.0 AS storage_flux,
+             n_layers
+      FROM (SELECT dt,
+              max(CASE WHEN height = 0.5 THEN layer_storage END) AS s1,
+              max(CASE WHEN height = 2.5 THEN layer_storage END) AS s2,
+              max(CASE WHEN height = 4.5 THEN layer_storage END) AS s3,
+              max(CASE WHEN height = 6.5 THEN layer_storage END) AS s4,
+              count(*) AS n_layers
+            FROM storage GROUP BY dt)
+      ORDER BY DATETIME""",
   )
 }

@@ -1,0 +1,114 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{SiteCatalog, VariableCatalog}
+import graft.core.VariableMeta
+import graft.functions.Solar
+import graft.operators.ProfileOps
+
+class CatalogProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vm(n: String) = VariableMeta(n, "arb", "Avg")
+
+  test("P6/J7 nearest-height selection with instrument preference") {
+    val entries = VariableCatalog.parse(Seq(
+      vm("Ta_HMP_2m_Av"), vm("Ta_HMP_10m_Av"), vm("Ta_RTD_4m_Av")))
+    val pick = VariableCatalog.nearestHeight(entries, "Ta", 5.0,
+      Some("HMP"))
+    assert(pick.map(_.name).contains("Ta_HMP_2m_Av")) // same-inst wins
+    val any = VariableCatalog.nearestHeight(entries, "Ta", 5.0, None)
+    assert(any.map(_.name).contains("Ta_RTD_4m_Av"))  // global argmin
+  }
+
+  test("P8 suffix normalisation strips systems/process/heights") {
+    val entries = VariableCatalog.parse(Seq(
+      vm("Fco2_EP"), vm("Ta_HMP_2m_Av"), vm("Wd_SONIC_Av"),
+      vm("Sws_30cm_Av")))
+    val r = VariableCatalog.normalisationRenames(entries)
+    assert(r("Fco2_EP") == "Fco2")
+    assert(r("Ta_HMP_2m_Av") == "Ta_HMP")
+    assert(r("Wd_SONIC_Av") == "Wd")
+    assert(r("Sws_30cm_Av") == "Sws_30cm")  // soil keeps depth
+  }
+
+  test("P9 generic names index height-sorted replicate groups") {
+    val entries = VariableCatalog.parse(Seq(
+      vm("Sws_30cm_Av"), vm("Sws_10cm_Av"), vm("Ts_5cm_Av")))
+    val g = VariableCatalog.genericNames(entries, Set("Sws", "Ts"))
+    assert(g("Sws_10cm_Av") == "Sws_1") // shallower first
+    assert(g("Sws_30cm_Av") == "Sws_2")
+    assert(g("Ts_5cm_Av") == "Ts")      // singleton keeps bare quantity
+  }
+
+  test("S13 site catalog YAML mirror parse + F24 offset") {
+    val yaml =
+      """# mirror
+        |AliceSpringsMulga:
+        |  latitude: -22.283
+        |  longitude: 133.249
+        |  elevation: 606.0
+        |  time_step: 30
+        |  freq_hz: 10
+        |  timezone: Australia/Darwin
+        |  UTC_offset: 9.5
+        |Boyagin:
+        |  latitude: -32.477
+        |  longitude: 116.939
+        |  time_step: 30
+        |""".stripMargin
+    val sites = SiteCatalog.fromYaml(yaml)
+    assert(sites.map(_.name) == Seq("AliceSpringsMulga", "Boyagin"))
+    val alice = sites.head
+    assert(alice.latitude == -22.283 && alice.utcOffsetHours == 9.5)
+    assert(SiteCatalog.standardUtcOffsetHours("Australia/Darwin") == 9.5)
+  }
+
+  test("F25 NOAA sunrise/sunset sanity for a known site/date") {
+    // Alice Springs (UTC+9.5), 2024-01-15: NOAA gives 06:05 / 19:26
+    // (cross-checked against an independent implementation of the
+    // NOAA spreadsheet formulas).
+    val r = Solar.sunriseSunset(LocalDate.of(2024, 1, 15),
+      -22.283, 133.249, 9.5)
+    assert(r.isDefined)
+    val (rise, set) = r.get
+    assert(rise.getHour == 6 && math.abs(rise.getMinute - 5) <= 3)
+    assert(set.getHour == 19 && math.abs(set.getMinute - 26) <= 3)
+    // polar night: Svalbard mid-winter has no sunrise
+    assert(Solar.sunriseSunset(LocalDate.of(2024, 1, 1),
+      78.2, 15.6, 1.0).isEmpty)
+  }
+
+  test("A10/A11/W1 profile layer means, storage, strict flux sum") {
+    val t0 = Timestamp.valueOf("2024-01-01 00:30:00")
+    val t1 = Timestamp.valueOf("2024-01-01 01:00:00")
+    val profile = Seq(
+      (t0, 0.5, 20.0), (t0, 2.0, 16.0), (t0, 8.0, 12.0),
+      (t1, 0.5, 22.0), (t1, 2.0, 18.0), (t1, 8.0, 12.0)
+    ).toDF("DATETIME", "height", "co2")
+    val layers = ProfileOps.layerMeans(profile, "DATETIME", "height", "co2")
+    val l0 = layers.filter($"DATETIME" === t0).orderBy("height").collect()
+    assert(l0(0).getAs[Double]("layer_value") == 20.0)    // bottom intake
+    assert(l0(1).getAs[Double]("layer_value") == 18.0)    // (20+16)/2
+    assert(l0(2).getAs[Double]("layer_depth") == 6.0)     // 8 - 2
+
+    val storage = ProfileOps.layerStorage(layers, "DATETIME", "height", 1800)
+    val flux = ProfileOps.storageFlux(
+      storage.filter($"DATETIME" === t1), "DATETIME").head()
+    // layer values t0: [20, 18, 14]; t1: [22, 20, 15]
+    // layer storages at t1: (2/1800)*0.5, (2/1800)*1.5, (1/1800)*6
+    val expected = 2.0 / 1800 * 0.5 + 2.0 / 1800 * 1.5 + 1.0 / 1800 * 6.0
+    assert(math.abs(flux.getAs[Double]("storage_flux") - expected) < 1e-12)
+
+    // strict sum: null layer -> null total
+    val withNull = storage.withColumn("layer_storage",
+      when($"height" === 8.0, lit(null)).otherwise($"layer_storage"))
+    val strict = ProfileOps.storageFlux(
+      withNull.filter($"DATETIME" === t1), "DATETIME").head()
+    assert(strict.isNullAt(strict.fieldIndex("storage_flux")))
+  }
+}
