@@ -492,6 +492,23 @@ object SparkEntry {
       .orderBy("DATETIME")
   }
 
+  /** As-of join (backward): for each event, the latest purchase event
+    * of the same user at-or-before it — single window pass via the
+    * union trick (one shuffle on (user, ts)), checked against DuckDB's
+    * native ASOF JOIN. */
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events").select("event_id", "user_id", "ts")
+    val purchases = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+      .withColumn("last_purchase_ts", col("p_ts"))
+    graft.operators.JoinOps.asofJoinBackward(
+        events, purchases, Seq("user_id"), "ts", "p_ts",
+        Seq("last_purchase_ts"))
+      .select("event_id", "user_id", "last_purchase_ts")
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -534,6 +551,7 @@ object SparkEntry {
     "q36_tob1_roundtrip"   -> (q36 _),
     "q37_multimodal"       -> (q37 _),
     "q38_profile_storage"  -> (q38 _),
+    "q39_asof_join"        -> (q39 _),
   )
 
   /** Shared DuckDB CTE: normalized token list per document, mirroring
@@ -900,5 +918,11 @@ object SparkEntry {
               count(*) AS n_layers
             FROM storage GROUP BY dt)
       ORDER BY DATETIME""",
+    "q39_asof_join" -> """
+      SELECT e.event_id, e.user_id, p.ts AS last_purchase_ts
+      FROM events e ASOF LEFT JOIN
+        (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        ON e.user_id = p.user_id AND e.ts >= p.ts
+      ORDER BY e.event_id""",
   )
 }

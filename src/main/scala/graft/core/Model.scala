@@ -83,8 +83,8 @@ object FileFormat {
     nonNumericCols = Seq("TIMESTAMP"), quoteNonNumeric = true)
 
   val EddyPro: FileFormat = FileFormat(
-    name = "EddyPro", separator = "\t", naToken = "NaN", headerLines = 3,
-    namesLine = 1, unitsLine = Some(2), samplingLine = None,
+    name = "EddyPro", separator = "\t", naToken = "NaN", headerLines = 2,
+    namesLine = 0, unitsLine = Some(1), samplingLine = None,
     infoLine = None, uniqueFileId = "DATAH",
     nonNumericCols = Seq("DATAH", "filename", "date", "time"),
     quoteNonNumeric = false)

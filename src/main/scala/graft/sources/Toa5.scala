@@ -188,6 +188,41 @@ object Toa5 {
       sb.toString.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** K3: EddyPro summary writer — tab-separated, 2 header lines
+    * (names with leading DATAH/filename/date/time; units line led by
+    * DATAU with bracketed date/time formats), NA token `NaN`, rows
+    * prefixed DATA + filename + split date/time columns (reference:
+    * code/file_handling/file_io.py:721-841). */
+  def writeEddyPro(df: DataFrame, meta: TableMeta, path: String,
+      filename: String, tsCol: String = "DATETIME"): Unit = {
+    val dataCols = df.columns.filter(_ != tsCol).toSeq
+    val byName = meta.variables.map(v => v.name -> v).toMap
+    val namesLine = (Seq("DATAH", "filename", "date", "time") ++ dataCols)
+      .mkString("\t")
+    val unitsLine = (Seq("DATAU", "", "[yyyy-mm-dd]", "[HH:MM]") ++
+      dataCols.map(n => byName.get(n).map(_.units).getOrElse("")))
+      .mkString("\t")
+    val rows = df.orderBy(col(tsCol))
+      .select((col(tsCol) +: dataCols.map(col)): _*).collect()
+    val dFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+    val tFmt = java.time.format.DateTimeFormatter.ofPattern("HH:mm")
+    val sb = new StringBuilder
+    sb.append(namesLine).append("\r\n").append(unitsLine).append("\r\n")
+    rows.foreach { r =>
+      val ldt = r.getTimestamp(0).toLocalDateTime
+      sb.append(Seq("DATA", filename, ldt.format(dFmt), ldt.format(tFmt))
+        .mkString("\t"))
+      dataCols.indices.foreach { i =>
+        val v = r.get(i + 1)
+        sb.append("\t").append(if (v == null) "NaN" else formatNum(v))
+      }
+      sb.append("\r\n")
+    }
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.write(Paths.get(path),
+      sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
   /** Numeric rendering: integral doubles without trailing .0 kept as
     * pandas does ("1.0" stays "1.0"); we render shortest repr. */
   private def formatNum(v: Any): String = v match {

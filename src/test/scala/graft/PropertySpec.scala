@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.Conversions
+import graft.operators.TimeSeriesOps
+
+/** Property-based invariants (SURVEY §5.2) via raw ScalaCheck. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def holds(p: Prop, n: Int = 30): Boolean =
+    SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(n), p).passed
+
+  test("A1: regularize emits exactly the grid row count") {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val gen = Gen.nonEmptyListOf(Gen.choose(0, 200)).map(_.distinct)
+    val p = Prop.forAll(gen) { ticks =>
+      val df = ticks.map(t =>
+        (new Timestamp(base + t * 1800000L), t.toDouble)).toDF("ts", "v")
+      val out = TimeSeriesOps.regularize(df, "ts", 1800)
+      val expected = ticks.max - ticks.min + 1
+      out.count() == expected
+    }
+    assert(holds(p, 10))  // each trial runs a Spark job; keep few
+  }
+
+  test("P5: masking never changes row count") {
+    val gen = Gen.listOf(Gen.choose(-100.0, 100.0))
+    val p = Prop.forAll(gen) { vs =>
+      vs.isEmpty || {
+        val df = vs.toDF("v")
+          .withColumn("m", TimeSeriesOps.maskRange(col("v"), -10.0, 10.0))
+        df.count() == vs.length
+      }
+    }
+    assert(holds(p, 10))
+  }
+
+  test("F9: sqrt of square is identity on nonnegatives") {
+    val p = Prop.forAll(Gen.choose(0.0, 1e6)) { v =>
+      val out = Seq(v).toDF("v")
+        .select(Conversions.varianceToStdev(
+          Conversions.stdevToVariance(col("v")))).head().getDouble(0)
+      math.abs(out - v) <= 1e-9 * math.max(1.0, v)
+    }
+    assert(holds(p, 20))
+  }
+
+  test("F16/F17: AH<->RH round-trip within tolerance") {
+    val gen = for {
+      ta <- Gen.choose(-20.0, 45.0)
+      rh <- Gen.choose(1.0, 100.0)
+      ps <- Gen.choose(80.0, 105.0)
+    } yield (ta, rh, ps)
+    val p = Prop.forAll(gen) { case (ta, rh, ps) =>
+      val out = Seq((ta, rh, ps)).toDF("ta", "rh", "ps")
+        .select(Conversions.rhFromAh(col("ta"),
+          Conversions.ahFromRh(col("ta"), col("rh"), col("ps")),
+          col("ps"))).head().getDouble(0)
+      math.abs(out - rh) < 1e-6
+    }
+    assert(holds(p, 20))
+  }
+
+  test("D1: dedup is idempotent and never increases rows") {
+    val gen = Gen.listOf(Gen.choose(0, 5).map(i => (i, i * 2.0)))
+    val p = Prop.forAll(gen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("k", "v")
+        val once = TimeSeriesOps.dropExactDuplicates(df)
+        val twice = TimeSeriesOps.dropExactDuplicates(once)
+        val (n0, n1, n2) = (df.count(), once.count(), twice.count())
+        n1 <= n0 && n1 == n2 && n1 == rows.distinct.length
+      }
+    }
+    assert(holds(p, 10))
+  }
+
+  test("FP2: decode of encodable values round-trips mantissa/exponent") {
+    val gen = for {
+      m <- Gen.choose(0, 8191)
+      e <- Gen.choose(0, 3)
+      neg <- Gen.oneOf(true, false)
+    } yield (m, e, neg)
+    val p = Prop.forAll(gen) { case (m, e, neg) =>
+      val raw = (if (neg) 0x8000 else 0) | (e << 13) | m
+      val sentinels = Set(0x1fff, 0x9fff, 0x9ffe)
+      sentinels.contains(raw) || {
+        val d = graft.functions.Fp2.decode(raw)
+        math.abs(math.abs(d) - m * math.pow(10, -e)) < 1e-12 &&
+          (d == 0.0 || (d < 0) == neg)
+      }
+    }
+    assert(holds(p, 200))
+  }
+}

@@ -79,6 +79,23 @@ class Toa5Spec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("Fco2_EP"))) // NAN survives round-trip
   }
 
+  test("EddyPro write/read round-trip (S2/K3)") {
+    val f = writeFixture()
+    val parsed = Toa5.read(spark, f.toString)
+    val frame = parsed.data.dropDuplicates().drop("TIMESTAMP")
+    val out = Files.createTempDirectory("ep").resolve("x_EP-Summary.txt")
+    Toa5.writeEddyPro(frame, parsed.meta, out.toString, "x_EP-Summary.txt")
+    val lines = Files.readAllLines(out)
+    assert(lines.get(0).startsWith("DATAH\tfilename\tdate\ttime\t"))
+    assert(lines.get(1).startsWith("DATAU\t"))
+    val back = Toa5.read(spark, out.toString)
+    assert(back.meta.info == graft.core.FileInfo.dummy) // no info line
+    assert(back.data.count() == 3)
+    val r = back.data.orderBy("DATETIME").collect()(1)
+    assert(r.isNullAt(r.fieldIndex("Fco2_EP"))) // NaN token round-trips
+    assert(r.getDouble(r.fieldIndex("RH_HMP_Avg")) == 46.0)
+  }
+
   test("writer enforces header/data consistency (D6)") {
     val f = writeFixture()
     val parsed = Toa5.read(spark, f.toString)
