@@ -509,6 +509,26 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Trailing-24h rolling mean per user via a RANGE frame on the
+    * microsecond axis. Values are snapped to exact integer cents
+    * before summing (floor(v*100+0.5) -> long), so the rolling sum is
+    * integer-exact in both engines and needs no output rounding. */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"))
+      .rangeBetween(-86400000000L, 0L)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("sum_cents", sum(col("cents")).over(w))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"),
+        (col("sum_cents").cast("double")
+          / (col("n_24h") * 100.0)).as("avg_24h"),
+        col("n_24h"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -552,6 +572,7 @@ object SparkEntry {
     "q37_multimodal"       -> (q37 _),
     "q38_profile_storage"  -> (q38 _),
     "q39_asof_join"        -> (q39 _),
+    "q40_rolling_24h"      -> (q40 _),
   )
 
   /** Shared DuckDB CTE: normalized token list per document, mirroring
@@ -924,5 +945,18 @@ object SparkEntry {
         (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
         ON e.user_id = p.user_id AND e.ts >= p.ts
       ORDER BY e.event_id""",
+    "q40_rolling_24h" -> """
+      WITH c AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us,
+               floor(value * 100.0 + 0.5)::BIGINT AS cents
+        FROM events)
+      SELECT event_id, user_id,
+             (sum(cents) OVER w)::DOUBLE
+               / ((count(*) OVER w) * 100.0) AS avg_24h,
+             count(*) OVER w AS n_24h
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+        RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""",
   )
 }
