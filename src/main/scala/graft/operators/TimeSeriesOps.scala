@@ -78,11 +78,25 @@ object TimeSeriesOps {
     * later window ops reuse.
     */
   def regularize(df: DataFrame, tsCol: String, intervalSec: Long,
-      keys: Seq[String] = Nil): DataFrame = {
+      keys: Seq[String] = Nil, ticksPerChunk: Int = 65536): DataFrame = {
     val k = keys.map(col)
-    val grid = df.groupBy(k: _*)
+    val stepUs = intervalSec * 1000000L
+    // Two-level grid: explode chunk starts, then ticks within each
+    // chunk. A single sequence() would materialize the whole span as
+    // one array per group — fine for 30-min data, but a year of 10 Hz
+    // is 3e8 ticks and blows the array limit; chunking keeps every
+    // array <= ticksPerChunk and lets ticks distribute across tasks.
+    val bounds = df.groupBy(k: _*)
       .agg(min(col(tsCol)).as("__t0"), max(col(tsCol)).as("__t1"))
-      .select(k :+ explode(sequence(col("__t0"), col("__t1"),
+    val chunks = bounds.select(k :+ col("__t1") :+
+      explode(sequence(col("__t0"), col("__t1"),
+        expr(s"INTERVAL ${intervalSec * ticksPerChunk} SECONDS")))
+        .as("__c"): _*)
+    val grid = chunks.select(k :+
+      explode(sequence(col("__c"),
+        least(col("__t1"),
+          timestamp_micros(unix_micros(col("__c"))
+            + lit(stepUs * ticksPerChunk - stepUs))),
         expr(s"INTERVAL $intervalSec SECONDS"))).as(tsCol): _*)
     grid.join(df, keys :+ tsCol, "left")
   }
