@@ -529,6 +529,19 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Dedup clustering: connected components over the MinHash candidate
+    * pairs — every doc labeled with its cluster's canonical (min) doc
+    * id. Oracle = recursive-CTE transitive closure over the same
+    * pairs in DuckDB. */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id").as("id"))
+    val pairs = graft.text.DedupOps.minhashCandidatePairs(
+      t(s, dir, "documents"), "doc_id", "text", 3, 4, 2)
+    graft.text.DedupOps.connectedComponents(docs, pairs)
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -573,6 +586,7 @@ object SparkEntry {
     "q38_profile_storage"  -> (q38 _),
     "q39_asof_join"        -> (q39 _),
     "q40_rolling_24h"      -> (q40 _),
+    "q41_dedup_components" -> (q41 _),
   )
 
   /** Shared DuckDB CTE: normalized token list per document, mirroring
@@ -958,5 +972,25 @@ object SparkEntry {
       WINDOW w AS (PARTITION BY user_id ORDER BY us
         RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
       ORDER BY event_id""",
+    "q41_dedup_components" ->
+      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+      mins AS (SELECT doc_id, j,
+          min(('0x' || substr(md5(j::VARCHAR || ':' || shingle), 1, 8))::BIGINT) AS h
+        FROM sh CROSS JOIN range(0, 8) t(j) GROUP BY doc_id, j),
+      bands AS (SELECT doc_id, j // 2 AS band,
+          md5(string_agg(h::VARCHAR, ',' ORDER BY j)) AS key
+        FROM mins GROUP BY doc_id, j // 2),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+      SELECT id AS doc_id, min(r) AS component
+      FROM reach GROUP BY id ORDER BY doc_id"""),
   )
 }

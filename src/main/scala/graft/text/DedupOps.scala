@@ -70,12 +70,17 @@ object DedupOps {
     // Persist the shingle table: it feeds both sides of the pair join
     // plus the size aggregate.
     val sh = shingleRows(docs, idCol, textCol, k).persist()
-    val capped =
-      if (maxShingleFreq == Long.MaxValue) sh
-      else sh.withColumn("__freq",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy("shingle")))
-        .filter(col("__freq") <= maxShingleFreq).drop("__freq")
+    // Pair-join prune: a shingle held by a single doc cannot produce a
+    // pair, and most shingles are singletons — dropping them up front
+    // shrinks the self-join input without changing the result. The
+    // shared-shingle set comes from a partial-aggregated groupBy (map-
+    // side combine, only distinct keys shuffle) and is applied as a
+    // semi join (AQE broadcasts it when small). Same pass applies the
+    // frequency cap.
+    val shared = sh.groupBy("shingle").agg(count(lit(1)).as("__freq"))
+      .filter(col("__freq") >= 2 && col("__freq") <= maxShingleFreq)
+      .select("shingle")
+    val capped = sh.join(shared, Seq("shingle"), "left_semi")
     val sizes = sh.groupBy("id").agg(countDistinct("shingle").as("n_sh"))
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -140,6 +145,52 @@ object DedupOps {
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => x === y), b => b)).cast("double") / size(col("sig_a")))
+
+  /** Connected components over candidate pairs: every doc is labeled
+    * with the minimum doc id reachable through the pair graph (its
+    * dedup cluster's canonical id). Iterative min-label propagation —
+    * each round joins labels to the (undirected) edge list and takes
+    * the min neighbor label; converges in O(diameter) rounds. Near-dup
+    * graphs are unions of small cliques, so a handful of rounds
+    * suffices; `maxIters` bounds pathological chains (at extreme scale
+    * swap in the large-star/small-star variant — same contract).
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = nodes.select(col("id"), col("id").as("component"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("component", "n_comp"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("n_comp")).as("n_comp"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("n_comp"), col("component")))
+            .as("component"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("component", "old"),
+        Seq("id")).filter(col("component") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Canonical-document selection: keep the minimum-id doc of every
+    * dedup cluster (the standard "drop near-duplicates" step). */
+  def canonicalDocs(nodes: DataFrame, pairs: DataFrame): DataFrame =
+    connectedComponents(nodes, pairs)
+      .filter(col("id") === col("component"))
+      .select(col("id"))
 
   /** Relational 16-bit SimHash: explode tokens, hash each once, 16
     * conditional-sum bit votes in one aggregation pass. Semantically

@@ -38,6 +38,24 @@ class TobSpec extends SparkSpec {
     assert(viaSql.toSeq == vals.map(Fp2.decode))
   }
 
+  test("GraftExtensions injects fp2_decode for SQL sessions") {
+    val S = org.apache.spark.sql.SparkSession
+    val prev = spark // ensure shared context exists
+    S.clearActiveSession(); S.clearDefaultSession()
+    try {
+      // with no active/default session, getOrCreate builds a fresh
+      // session (same context) and applies the extensions
+      val s2 = S.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val out = s2.sql("SELECT fp2_decode(8205)").head().getDouble(0)
+      assert(out == 1.3) // 0x200d
+    } finally {
+      S.setActiveSession(prev); S.setDefaultSession(prev)
+    }
+  }
+
   // ---- fixture builders ----
 
   private def quoted(fields: String*): String =
