@@ -179,9 +179,9 @@ object TimeSeriesOps {
     * `endLabel`). */
   def downsampleMean(df: DataFrame, tsCol: String, valueCols: Seq[String],
       intervalSec: Long, keys: Seq[String] = Nil): DataFrame = {
+    val us = unix_micros(col(tsCol))
     val bucket = timestamp_micros(
-      (unix_micros(col(tsCol)) / lit(intervalSec * 1000000L))
-        * lit(intervalSec * 1000000L)).as("bucket_ts")
+      us - pmod(us, lit(intervalSec * 1000000L))).as("bucket_ts")
     df.groupBy((keys.map(col) :+ bucket): _*)
       .agg(avg(valueCols.head).as(valueCols.head),
         valueCols.tail.map(c => avg(c).as(c)): _*)

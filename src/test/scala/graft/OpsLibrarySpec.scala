@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{JoinOps, SkewOps, TimeSeriesOps}
+
+/** Direct specs for library operators whose query-level coverage is
+  * indirect (inline equivalents in SparkEntry). */
+class OpsLibrarySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("A9 variableStatus: last valid value, staleness, trailing window") {
+    val now = Timestamp.valueOf("2024-01-03 00:00:00")
+    val df = Seq(
+      ("s1", ts("2024-01-01 00:00:00"), Some(5.0)),
+      ("s1", ts("2024-01-02 12:00:00"), Some(7.0)),
+      ("s1", ts("2024-01-02 18:00:00"), None),      // trailing, invalid
+      ("s2", ts("2024-01-01 06:00:00"), Some(1.0))
+    ).toDF("site", "ts", "v")
+    val out = TimeSeriesOps.variableStatus(df, "ts", "v", now, Seq("site"))
+      .orderBy("site").collect()
+    val s1 = out(0)
+    assert(s1.getAs[Double]("last_valid_value") == 7.0)
+    assert(s1.getTimestamp(s1.fieldIndex("last_ts"))
+      == ts("2024-01-02 18:00:00"))
+    assert(s1.getAs[Long]("n_24h") == 2 && s1.getAs[Long]("n_valid_24h") == 1)
+    assert(math.abs(s1.getAs[Double]("days_since_last") - 0.25) < 1e-9)
+    val s2 = out(1)
+    assert(s2.getAs[Long]("n_24h") == 0)
+    assert(math.abs(s2.getAs[Double]("days_since_last") - 1.75) < 1e-9)
+  }
+
+  test("A3/A4 downsampleMean and dielMean bin correctly") {
+    val df = Seq(
+      (ts("2024-01-01 00:10:00"), 1.0), (ts("2024-01-01 00:20:00"), 3.0),
+      (ts("2024-01-01 01:10:00"), 5.0), (ts("2024-01-02 00:15:00"), 7.0)
+    ).toDF("ts", "v")
+    val down = TimeSeriesOps.downsampleMean(df, "ts", Seq("v"), 3600)
+      .orderBy("bucket_ts").collect()
+    assert(down.map(_.getAs[Double]("v")).toSeq == Seq(2.0, 5.0, 7.0))
+    val diel = TimeSeriesOps.dielMean(df, "ts", Seq("v"))
+      .orderBy("hh", "mm").collect()
+    // hour 0 bins: (0,10)->1, (0,15)->7, (0,20)->3; hour 1: (1,10)->5
+    assert(diel.length == 4)
+    assert(diel.head.getAs[Double]("v") == 1.0)
+  }
+
+  test("A5 missingStats expected/missing counts") {
+    val df = Seq(ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"),
+      ts("2024-01-01 03:00:00")).map((_, 1)).toDF("ts", "v")
+    val r = TimeSeriesOps.missingStats(df, "ts", 3600).head()
+    assert(r.getAs[Long]("n_expected") == 4)
+    assert(r.getAs[Long]("n_missing") == 1)
+  }
+
+  test("J1 concatWithPrecedence keeps master rows on key conflicts") {
+    val master = Seq((ts("2024-01-01 00:30:00"), 1.0))
+      .toDF("ts", "v")
+    val backup = Seq((ts("2024-01-01 00:30:00"), 99.0),
+      (ts("2024-01-01 01:00:00"), 2.0)).toDF("ts", "v")
+    val out = JoinOps.concatWithPrecedence(Seq(master, backup), Seq("ts"))
+      .orderBy("ts").collect()
+    assert(out.length == 2)
+    assert(out(0).getDouble(1) == 1.0)  // master wins the conflict
+    assert(out(1).getDouble(1) == 2.0)  // backup contributes new ts
+  }
+
+  test("D7 assertHeadersEqual rejects mismatched file sets") {
+    import java.nio.file.Files
+    import java.nio.charset.StandardCharsets.UTF_8
+    val dir = Files.createTempDirectory("hdr")
+    val h1 = "\"TOA5\",\"S\",\"L\",\"1\",\"o\",\"p\",\"1\",\"t\"\r\n" +
+      "\"TIMESTAMP\",\"A\"\r\n\"TS\",\"u\"\r\n\"\",\"Avg\"\r\n"
+    val h2 = h1.replace("\"A\"", "\"B\"")
+    Files.write(dir.resolve("a.dat"), (h1 + "\"2024-01-01 00:30:00\",1\r\n").getBytes(UTF_8))
+    Files.write(dir.resolve("b.dat"), (h2 + "\"2024-01-01 01:00:00\",2\r\n").getBytes(UTF_8))
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.Toa5.assertHeadersEqual(
+        Seq(dir.resolve("a.dat").toString, dir.resolve("b.dat").toString))
+    }
+    assert(ex.getMessage.contains("b.dat"))
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val df = (1 to 1000).map(i => (i % 3, i.toLong, i.toDouble))
+      .toDF("k", "id", "v")
+    val salted = SkewOps.saltedAggregate(df, Seq("k"),
+        Seq(("v", "sum"), ("v", "count"), ("v", "min"), ("v", "max")),
+        Seq("id"), salts = 8)
+      .orderBy("k").collect()
+    val plain = df.groupBy("k").agg(sum("v"), count("v"), min("v"), max("v"))
+      .orderBy("k").collect()
+    salted.zip(plain).foreach { case (s, p) =>
+      assert(s.getDouble(1) == p.getDouble(1))  // sums exact: ints
+      assert(s.getLong(2) == p.getLong(2))
+      assert(s.getDouble(3) == p.getDouble(3))
+      assert(s.getDouble(4) == p.getDouble(4))
+    }
+  }
+
+  test("salted join equals plain join") {
+    val left = (1 to 500).map(i => (i % 5, i)).toDF("k", "lid")
+    val right = Seq((0, "a"), (1, "b"), (2, "c"), (3, "d"), (4, "e"))
+      .toDF("k", "tag")
+    val salted = SkewOps.saltedJoin(left, right, Seq("k"), Seq("lid"), 4)
+    val plain = left.join(right, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "lid", "tag").except(
+      plain.select("k", "lid", "tag")).count() == 0)
+  }
+}
