@@ -157,11 +157,19 @@ object DedupOps {
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       maxIters: Int = 10): DataFrame = {
+    // localCheckpoint (eager) rather than persist: an iterative
+    // dataflow must CUT LINEAGE each round, or each round's plan
+    // embeds the previous round's twice over and Catalyst re-analysis
+    // grows exponentially with the iteration count. Checkpointed
+    // frames here are sliver-sized (edges + their endpoints only —
+    // docs in no candidate pair keep component = id and never enter
+    // the loop), so materializing them is cheap even at corpus scale.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
-    var labels = nodes.select(col("id"), col("id").as("component"))
-      .persist()
+      .localCheckpoint(eager = true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint(eager = true)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -170,19 +178,26 @@ object DedupOps {
           .withColumnRenamed("component", "n_comp"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("n_comp")).as("n_comp"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("n_comp"), col("component")))
-            .as("component"))
-        .persist()
-      val changed = next.join(labels.withColumnRenamed("component", "old"),
-        Seq("id")).filter(col("component") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
+      // One materialized pass yields the next labels and the
+      // convergence signal (any strictly-smaller neighbor label ⇒
+      // not converged).
+      val joined = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), col("component"),
+          coalesce(col("n_comp"), col("component")).as("n_comp"))
+        .localCheckpoint(eager = true)
+      val changed = joined.filter(col("n_comp") < col("component"))
+        .limit(1).count()
+      labels = joined
+        .select(col("id"), least(col("component"), col("n_comp"))
+          .as("component"))
       converged = changed == 0
       iter += 1
     }
-    labels
+    // Relabel the full node set lazily — the big table is never
+    // materialized here.
+    nodes.select(col("id"))
+      .join(labels.withColumnRenamed("component", "c"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("c"), col("id")).as("component"))
   }
 
   /** Canonical-document selection: keep the minimum-id doc of every
