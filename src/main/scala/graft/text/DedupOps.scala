@@ -36,13 +36,14 @@ object DedupOps {
     val w = Window.partitionBy("id").orderBy("pos")
     val withLeads = (1 until k).foldLeft(tok)((d, i) =>
       d.withColumn(s"t$i", lead(col("t0"), i).over(w)))
-    val n = count(lit(1)).over(Window.partitionBy(col("id")))
     val parts = (0 until k).map(i => col(s"t$i"))
-    // concat_ws skips nulls, so the pos==0 row of a short doc joins
-    // exactly its available tokens (the whole-doc shingle).
-    val shingle = when(n >= k,
-        when(col(s"t${k - 1}").isNotNull, concat_ws(" ", parts: _*)))
-      .otherwise(when(col("pos") === 0, concat_ws(" ", parts: _*)))
+    // A row carries a shingle iff it starts a full k-window (last
+    // lead non-null) or it is the head of a short doc (pos 0 with no
+    // full window — concat_ws skips nulls, giving the whole-doc
+    // shingle). One window pass; no per-doc count needed.
+    val shingle = when(
+      col(s"t${k - 1}").isNotNull || col("pos") === 0,
+      concat_ws(" ", parts: _*))
     withLeads.select(col("id"), shingle.as("shingle"))
       .filter(col("shingle").isNotNull).distinct()
   }
