@@ -542,6 +542,16 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Embedding-cosine near-dup pairs: banded random-hyperplane LSH
+    * candidates, exact-cosine rescore, 0.35 rounded-cosine cut.
+    * Oracle replicates the plane literals, band keys, and rounding in
+    * DuckDB SQL, so the approximate candidate set itself is checked
+    * exactly — not just the rescore. */
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Similarity.cosineNearDupPairs(
+        t(s, dir, "embeddings"), 0.35)
+      .orderBy("id_a", "id_b")
+
   // ---------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -587,7 +597,38 @@ object SparkEntry {
     "q39_asof_join"        -> (q39 _),
     "q40_rolling_24h"      -> (q40 _),
     "q41_dedup_components" -> (q41 _),
+    "q42_embed_neardup"    -> (q42 _),
   )
+
+  /** DuckDB mirror of [[graft.sim.Similarity.cosineNearDupPairs]]
+    * with the default 4 bands × 4 planes: plane literals are inlined
+    * from the same seeded generator the Spark side uses. */
+  private def neardupOracle: String = {
+    val bands = 4; val rowsPerBand = 4
+    val hp = graft.sim.Similarity.hyperplanes(bands * rowsPerBand, 64)
+    def planeLit(p: Array[Double]): String =
+      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until rowsPerBand).map { r =>
+        s"(CASE WHEN list_inner_product(v, ${planeLit(hp(b * rowsPerBand + r))}::DOUBLE[]) >= 0.0 THEN ${1L << r} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT id, v, nrm, $b AS band, $key AS key FROM n"
+    }.mkString("\n      UNION ALL ")
+    s"""
+      WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      bk AS ($bandSelects),
+      cand AS (SELECT a.id AS id_a, b.id AS id_b,
+          min(CASE WHEN a.nrm > 0.0 AND b.nrm > 0.0
+            THEN floor(list_inner_product(a.v, b.v) / (a.nrm * b.nrm)
+                   * 1000000.0 + 0.5) / 1000000.0 END) AS cos
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, cos FROM cand WHERE cos >= 0.35
+      ORDER BY id_a, id_b"""
+  }
 
   /** Shared DuckDB CTE: normalized token list per document, mirroring
     * [[graft.text.TextOps.tokens]] exactly. */
@@ -992,5 +1033,6 @@ object SparkEntry {
         SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
       SELECT id AS doc_id, min(r) AS component
       FROM reach GROUP BY id ORDER BY doc_id"""),
+    "q42_embed_neardup" -> neardupOracle,
   )
 }

@@ -75,6 +75,53 @@ object Similarity {
       when(d >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Per-band LSH keys: bands × rowsPerBand hyperplanes; band b's key
+    * packs the sign bits of its rowsPerBand planes. Two vectors are
+    * candidates iff they share a key in ANY band (OR-amplification —
+    * recall rises with bands, candidate volume with key collisions). */
+  def bandKeys(vec: Column, planes: Array[Array[Double]], bands: Int,
+      rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        (0 until rowsPerBand).map { r =>
+          val plane = array(planes(b * rowsPerBand + r).map(lit): _*)
+          when(dot(vec, plane) >= 0.0, lit(1L << r)).otherwise(lit(0L))
+        }.reduce(_ + _).as("key"))
+    }: _*)
+
+  /** Embedding-cosine near-duplicate pairs: banded random-hyperplane
+    * LSH prunes the pair space (same key in ≥1 band), then candidates
+    * are rescored with exact cosine and thresholded. The scale path
+    * for corpus dedup by embedding: the corpus is never cross-joined,
+    * only same-key slivers meet in the equi-join; dedup the multi-band
+    * collisions AFTER scoring so each candidate pair is shuffled once.
+    * Cosine is rounded to `roundScale` decimals before the threshold
+    * so the cut is reproducible across engines. */
+  def cosineNearDupPairs(df: DataFrame, threshold: Double,
+      bands: Int = 4, rowsPerBand: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Int = 64, seed: Long = 42L,
+      roundScale: Int = 6): DataFrame = {
+    val p = math.pow(10.0, roundScale)
+    val hp = hyperplanes(bands * rowsPerBand, dim, seed)
+    val banded = df
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("norm", sqrt(dot(col("vec"), col("vec"))))
+      .select(col("id"), col("vec"), col("norm"),
+        explode(bandKeys(col("vec"), hp, bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("vec"), col("norm"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .persist()
+    val scored = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (floor(when(col("a.norm") > 0.0 && col("b.norm") > 0.0,
+          dot(col("a.vec"), col("b.vec")) / (col("a.norm") * col("b.norm")))
+          * p + 0.5) / p).as("cos"))
+    scored.groupBy("id_a", "id_b").agg(min("cos").as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** LSH-bucketed ANN: score only same-bucket pairs. Trades recall for
     * a corpus-sized equi-join instead of a cross join — the 100 TB
     * path. Bucket count 2^planes; tune planes to corpus density. */

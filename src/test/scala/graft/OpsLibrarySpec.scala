@@ -102,6 +102,47 @@ class OpsLibrarySpec extends SparkSpec {
     }
   }
 
+  test("cosineNearDupPairs finds identical vectors, skips orthogonal") {
+    import graft.sim.Similarity
+    val dim = 64
+    def vec(f: Int => Float) = (0 until dim).map(f).toArray
+    val a = vec(i => (i % 7 + 1).toFloat)          // dup of b
+    val c = vec(i => if (i == 0) 1f else 0f)       // orthogonal to d
+    val d = vec(i => if (i == 1) 1f else 0f)
+    val df = Seq((1L, a), (2L, a), (3L, c), (4L, d))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineNearDupPairs(df, 0.9, dim = dim).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+    assert(out.head.getDouble(2) == 1.0)
+  }
+
+  test("cosineNearDupPairs is a subset of brute-force threshold pairs") {
+    import graft.sim.Similarity
+    val dim = 64
+    val rng = new scala.util.Random(7)
+    val base = Array.fill(dim)(rng.nextFloat() - 0.5f)
+    // near-dups of base plus random noise vectors
+    val rows = (1L to 20L).map { i =>
+      val v =
+        if (i <= 5) base.map(_ + (rng.nextFloat() - 0.5f) * 0.05f)
+        else Array.fill(dim)(rng.nextFloat() - 0.5f)
+      (i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val lsh = Similarity.cosineNearDupPairs(df, 0.8, dim = dim)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = df.as("x").join(df.as("y"),
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id"), col("y.vec_id"),
+        Similarity.cosine(col("x.embedding"), col("y.embedding")).as("c"))
+      .filter(col("c") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty && lsh.toSet.subsetOf(brute))
+    // the 5 near-dup clones of base should largely collide in ≥1 band
+    assert(lsh.count { case (x, y) => x <= 5 && y <= 5 } >= 5)
+  }
+
   test("salted join equals plain join") {
     val left = (1 to 500).map(i => (i % 5, i)).toDF("k", "lid")
     val right = Seq((0, "a"), (1, "b"), (2, "c"), (3, "d"), (4, "e"))
