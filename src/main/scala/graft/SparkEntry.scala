@@ -552,6 +552,16 @@ object SparkEntry {
         t(s, dir, "embeddings"), 0.35)
       .orderBy("id_a", "id_b")
 
+  /** IVF ANN: deterministic coarse quantizer (every 25th vector is a
+    * centroid), nProbe=2 probed lists, exact cosine rescore, top-5.
+    * Oracle replicates quantizer, probe ranking, and rescore. */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.sim.Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5,
+        centroidStride = 25L, nProbe = 2)
+      .orderBy("q_id", "rank")
+  }
+
   // ---------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -598,6 +608,7 @@ object SparkEntry {
     "q40_rolling_24h"      -> (q40 _),
     "q41_dedup_components" -> (q41 _),
     "q42_embed_neardup"    -> (q42 _),
+    "q43_ivf_ann"          -> (q43 _),
   )
 
   /** DuckDB mirror of [[graft.sim.Similarity.cosineNearDupPairs]]
@@ -1034,5 +1045,40 @@ object SparkEntry {
       SELECT id AS doc_id, min(r) AS component
       FROM reach GROUP BY id ORDER BY doc_id"""),
     "q42_embed_neardup" -> neardupOracle,
+    "q43_ivf_ann" -> """
+      WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      cent AS (SELECT id AS c_id, v AS cv, nrm AS cnrm FROM n
+               WHERE id % 25 = 0),
+      assign AS (SELECT n.id AS n_id, n.v AS nv, n.nrm AS nnrm, c_id,
+          row_number() OVER (PARTITION BY n.id ORDER BY
+            (CASE WHEN n.nrm > 0.0 AND cnrm > 0.0
+              THEN floor(list_inner_product(n.v, cv) / (n.nrm * cnrm)
+                     * 1000000.0 + 0.5) / 1000000.0 END) DESC,
+            c_id ASC) AS r
+        FROM n CROSS JOIN cent),
+      lists AS (SELECT c_id AS list_id, n_id, nv, nnrm
+                FROM assign WHERE r = 1),
+      q AS (SELECT id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE id < 10),
+      probe AS (SELECT q_id, qv, qnrm, c_id AS list_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY
+            (CASE WHEN qnrm > 0.0 AND cnrm > 0.0
+              THEN floor(list_inner_product(qv, cv) / (qnrm * cnrm)
+                     * 1000000.0 + 0.5) / 1000000.0 END) DESC,
+            c_id ASC) AS r
+        FROM q CROSS JOIN cent),
+      sc AS (SELECT q_id, n_id,
+          CASE WHEN qnrm > 0.0 AND nnrm > 0.0
+            THEN floor(list_inner_product(qv, nv) / (qnrm * nnrm)
+                   * 1000000.0 + 0.5) / 1000000.0 END AS cos
+        FROM (SELECT * FROM probe WHERE r <= 2) p
+        JOIN lists USING (list_id) WHERE q_id <> n_id),
+      rk AS (SELECT q_id, n_id, cos,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, n_id ASC) AS rank
+        FROM sc)
+      SELECT q_id, rank, n_id, cos FROM rk WHERE rank <= 5
+      ORDER BY q_id, rank""",
   )
 }

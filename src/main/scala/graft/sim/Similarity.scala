@@ -122,6 +122,67 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** IVF (inverted-file) ANN: the corpus is coarse-quantized into
+    * lists by nearest centroid; a query scores only the rows of its
+    * `nProbe` nearest lists, so corpus work per query drops from N to
+    * ~N·nProbe/C. Centroids here are every `centroidStride`-th corpus
+    * row — deterministic (no RNG, reproducible plans); swap in k-means
+    * centroids for better list balance without touching the dataflow.
+    * The centroid set must stay broadcast-small (its assignment join
+    * is a broadcast against the full corpus — the 100 TB side never
+    * shuffles for it).
+    *
+    * Ranking everywhere on (rounded cosine DESC, id ASC) — total
+    * order, engine-portable. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroidStride: Long = 100L, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundScale: Int = 6): DataFrame = {
+    val p = math.pow(10.0, roundScale)
+    def rcos(v: Column, nv: Column, c: Column, nc: Column): Column =
+      floor(when(nv > 0.0 && nc > 0.0, dot(v, c) / (nv * nc))
+        * p + 0.5) / p
+    val cent = corpus.filter(pmod(col(idCol), lit(centroidStride)) === 0)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", sqrt(dot(col("c_vec"), col("c_vec"))))
+    // invert: every corpus row keyed by its nearest centroid. argmax
+    // as max_by over a total-order key (cos, -c_id) rather than a
+    // window: partial aggregation combines map-side, so the shuffle
+    // carries N rows, not N×C.
+    val cN = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("n_norm", sqrt(dot(col("n_vec"), col("n_vec"))))
+    val lists = cN.crossJoin(broadcast(cent))
+      .withColumn("a_cos",
+        rcos(col("n_vec"), col("n_norm"), col("c_vec"), col("c_norm")))
+      .groupBy(col("n_id"))
+      .agg(max_by(
+        struct(col("c_id"), col("n_vec"), col("n_norm")),
+        struct(col("a_cos"), (-col("c_id")).as("neg_c"))).as("m"))
+      .select(col("m.c_id").as("list_id"), col("n_id"),
+        col("m.n_vec").as("n_vec"), col("m.n_norm").as("n_norm"))
+    // probe: each query scores its nProbe nearest centroid lists
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", sqrt(dot(col("q_vec"), col("q_vec"))))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("p_cos").desc, col("c_id").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("p_cos",
+        rcos(col("q_vec"), col("q_norm"), col("c_vec"), col("c_norm")))
+      .withColumn("p_rank", row_number().over(wProbe))
+      .filter(col("p_rank") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
+        col("c_id").as("list_id"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    probes.join(lists, "list_id")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        rcos(col("q_vec"), col("q_norm"), col("n_vec"), col("n_norm")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos")
+  }
+
   /** LSH-bucketed ANN: score only same-bucket pairs. Trades recall for
     * a corpus-sized equi-join instead of a cross join — the 100 TB
     * path. Bucket count 2^planes; tune planes to corpus density. */
