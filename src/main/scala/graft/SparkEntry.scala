@@ -562,6 +562,30 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
+  /** DSv2 TOA5 scan (SURVEY §7.3 phase-2): the q34 product read back
+    * through `format("toa5")` with a projection + DATETIME filter —
+    * column pruning and best-effort file pruning on the V2 path,
+    * oracle-checked like any other query. */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{FileInfo, TableMeta, VariableMeta}
+    val agg = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("DATETIME"))
+      .agg(rnd(avg(col("value")), 6).as("avg_value"),
+           count(lit(1)).cast("double").as("n"))
+    val meta = TableMeta(
+      FileInfo("TOA5", "EventsSite", "CR1000X", "1", "os", "prog", "1", "hourly"),
+      Seq(VariableMeta("TIMESTAMP", "TS", ""),
+        VariableMeta("avg_value", "arb", "Avg"),
+        VariableMeta("n", "samples", "Tot")))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q44/hourly.dat"
+    graft.sources.Toa5.write(agg, meta, path)
+    s.read.format("toa5").load(path)
+      .filter(col("DATETIME") >=
+        lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+      .select(col("DATETIME").as("hour_ts"), col("avg_value"))
+      .orderBy("hour_ts")
+  }
+
   // ---------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -609,6 +633,7 @@ object SparkEntry {
     "q41_dedup_components" -> (q41 _),
     "q42_embed_neardup"    -> (q42 _),
     "q43_ivf_ann"          -> (q43 _),
+    "q44_toa5_v2_scan"     -> (q44 _),
   )
 
   /** DuckDB mirror of [[graft.sim.Similarity.cosineNearDupPairs]]
@@ -1080,5 +1105,11 @@ object SparkEntry {
         FROM sc)
       SELECT q_id, rank, n_id, cos FROM rk WHERE rank <= 5
       ORDER BY q_id, rank""",
+    "q44_toa5_v2_scan" -> """
+      SELECT date_trunc('hour', ts) AS hour_ts,
+             floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS avg_value
+      FROM events GROUP BY 1
+      HAVING date_trunc('hour', ts) >= TIMESTAMP '2024-01-15 00:00:00'
+      ORDER BY 1""",
   )
 }
