@@ -20,21 +20,15 @@ object Similarity {
   /** Cosine similarity of two array<float|double> columns (double math,
     * sequential summation). 0-norm vectors yield null. */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) =>
-        p.cast("double") * q.cast("double")), lit(0.0), (acc, v) => acc + v)
     val d = dot(a, b); val na = sqrt(dot(a, a)); val nb = sqrt(dot(b, b))
     when(na > 0.0 && nb > 0.0, d / (na * nb))
   }
 
-  /** Brute-force cosine top-k: for every query row, the k nearest
-    * corpus rows (excluding self), ranked by (rounded cosine desc,
-    * corpus id asc) for determinism. The query side should be small
-    * enough to broadcast; the corpus streams through one scan. */
-  /** Dot product with sequential (deterministic) summation. */
+  /** Dot product with sequential (deterministic) summation — the
+    * codegen [[graft.functions.ArrayDot]] expression (the composed
+    * zip_with+aggregate form is interpreted and allocates per row). */
   def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) =>
-      p.cast("double") * q.cast("double")), lit(0.0), (acc, v) => acc + v)
+    graft.functions.ArrayDot.dot(x, y)
 
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -70,8 +64,7 @@ object Similarity {
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
       val planeCol = array(plane.map(lit): _*)
-      val d = aggregate(zip_with(vec, planeCol,
-        (x, w) => x.cast("double") * w), lit(0.0), (acc, v) => acc + v)
+      val d = dot(vec, planeCol)
       when(d >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -102,6 +102,31 @@ class OpsLibrarySpec extends SparkSpec {
     }
   }
 
+  test("ArrayDot matches the composed zip_with form bit-for-bit") {
+    import graft.functions.ArrayDot
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 50).map { i =>
+      (i.toLong, Array.fill(64)(rng.nextFloat() - 0.5f),
+        Array.fill(64)(rng.nextFloat() - 0.5f))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val composed = aggregate(zip_with(col("a"), col("b"),
+      (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val out = df.select(col("id"), ArrayDot.dot(col("a"), col("b")).as("fast"),
+      composed.as("ref")).collect()
+    out.foreach(r => assert(r.getDouble(1) == r.getDouble(2)))
+    // null array, length mismatch, null element -> null (zip_with parity)
+    val edge = Seq(
+      (1L, Array(1.0f, 2.0f), null.asInstanceOf[Array[Float]]),
+      (2L, Array(1.0f, 2.0f), Array(1.0f)),
+      (3L, Array(1.0f), Array(1.0f))
+    ).toDF("id", "a", "b")
+    val e = edge.select(col("id"), ArrayDot.dot(col("a"), col("b")).as("d"))
+      .orderBy("id").collect()
+    assert(e(0).isNullAt(1) && e(1).isNullAt(1) && e(2).getDouble(1) == 1.0)
+  }
+
   test("cosineNearDupPairs finds identical vectors, skips orthogonal") {
     import graft.sim.Similarity
     val dim = 64
