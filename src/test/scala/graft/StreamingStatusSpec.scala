@@ -54,6 +54,51 @@ class StreamingStatusSpec extends SparkSpec {
       == ts("2024-01-01 01:30:00"))
   }
 
+  test("stateful gap detection spans runs via checkpointed state") {
+    import graft.streaming.StatefulGaps
+    val in = Files.createTempDirectory("gap_in").toString
+    val out = Files.createTempDirectory("gap_out").toString
+    val ckpt = Files.createTempDirectory("gap_ckpt").toString
+    val schema = Seq((ts("2024-01-01 00:00:00"), "s1", 0.0))
+      .toDF("DATETIME", "site", "v").schema
+
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("gb").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(java.nio.file.Path.of(tmp)).iterator()
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          Files.move(p, java.nio.file.Path.of(s"$in/$name.parquet"))
+      }
+    }
+
+    // run 1: within-batch gap 01:00 -> 03:30 (> 1h threshold)
+    addFile(Seq(
+      (ts("2024-01-01 00:30:00"), "s1", 1.0),
+      (ts("2024-01-01 01:00:00"), "s1", 2.0),
+      (ts("2024-01-01 03:30:00"), "s1", 3.0),
+      (ts("2024-01-01 00:30:00"), "s2", 1.0))
+      .toDF("DATETIME", "site", "v"), "b1")
+    StatefulGaps.gapRun(spark, in, out, ckpt, schema, 3600L)
+    val r1 = spark.read.parquet(out).collect()
+    assert(r1.length == 1)
+    assert(r1.head.getAs[String]("site") == "s1")
+    assert(r1.head.getAs[Long]("gap_seconds") == 9000L)
+
+    // run 2: s2 resumes after 6h — the gap SPANS the two runs and is
+    // only detectable through the checkpointed per-site state
+    addFile(Seq((ts("2024-01-01 06:30:00"), "s2", 2.0))
+      .toDF("DATETIME", "site", "v"), "b2")
+    StatefulGaps.gapRun(spark, in, out, ckpt, schema, 3600L)
+    val r2 = spark.read.parquet(out)
+      .filter(col("site") === "s2").collect()
+    assert(r2.length == 1)
+    assert(r2.head.getTimestamp(1) == ts("2024-01-01 00:30:00"))
+    assert(r2.head.getTimestamp(2) == ts("2024-01-01 06:30:00"))
+    assert(r2.head.getAs[Long]("gap_seconds") == 21600L)
+  }
+
   test("K7/K8 status sinks render geojson and JSON array") {
     val df = Seq(
       ("SiteA", -34.0, 140.5, 0.4, "ok"),
