@@ -1,24 +1,26 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-/** SparkSessionExtensions entry point: registers the engine's custom
-  * Catalyst functions so SQL users get them without touching the
-  * Scala API. Wire with either
-  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
-  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
-  *
-  * Kept to function injection on purpose: SURVEY §4 verified that no
-  * custom optimizer Rule or SparkStrategy is required for the
-  * reference's operator inventory — the seam is here when one is.
+import graft.functions.{ArrayDotExpr, Fp2Decode}
+
+/** Session-extension entry point: registers graft's native Catalyst
+  * expressions into every session built with
+  * `spark.sql.extensions=graft.GraftExtensions` (cluster-wide deploy:
+  * set it once in spark-defaults, every SQL user gets `fp2_decode` and
+  * `array_dot` with codegen — no per-session registration calls).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("fp2_decode"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[graft.functions.Fp2Decode].getName, "fp2_decode"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          graft.functions.Fp2Decode(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("fp2_decode"),
+      new ExpressionInfo(classOf[Fp2Decode].getName, "fp2_decode"),
+      (exprs: Seq[Expression]) => Fp2Decode(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDotExpr].getName, "array_dot"),
+      (exprs: Seq[Expression]) => ArrayDotExpr(exprs(0), exprs(1))))
   }
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -54,10 +54,20 @@ object ArrayDot {
 }
 
 case class ArrayDotExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "array_dot"
+
+  /** Float arrays are consumed natively (no per-row array copy); any
+    * other numeric element type is implicitly cast to array<double>
+    * (so SQL decimal/int literals just work). */
+  override def inputTypes: Seq[ColumnBridge.AbsDataType] = Seq(left, right).map {
+    e => e.dataType match {
+      case ArrayType(FloatType, _) => ArrayType(FloatType)
+      case _ => ArrayType(DoubleType)
+    }
+  }
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true

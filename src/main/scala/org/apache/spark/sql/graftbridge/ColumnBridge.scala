@@ -12,4 +12,9 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` is `private[sql]` in Spark 4; expressions
+    * outside the sql package that implement `inputTypes` reference it
+    * through this alias. */
+  type AbsDataType = org.apache.spark.sql.types.AbstractDataType
 }

@@ -102,6 +102,15 @@ class OpsLibrarySpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions registers native functions for plain SQL") {
+    // session built with spark.sql.extensions=graft.GraftExtensions —
+    // no per-session register() calls
+    val r = spark.sql(
+      "SELECT fp2_decode(12288) AS f, array_dot(array(1.0, 2.0), array(3.0, 4.0)) AS d")
+      .head()
+    assert(r.getDouble(0) == 409.6 && r.getDouble(1) == 11.0)
+  }
+
   test("ArrayDot matches the composed zip_with form bit-for-bit") {
     import graft.functions.ArrayDot
     val rng = new scala.util.Random(11)
