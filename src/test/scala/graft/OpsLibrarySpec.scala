@@ -85,6 +85,31 @@ class OpsLibrarySpec extends SparkSpec {
     assert(ex.getMessage.contains("b.dat"))
   }
 
+  test("bucketed tables join without a shuffle") {
+    import graft.pipeline.Bucketing
+    val a = (1 to 1000).map(i => (i.toLong % 50, i.toDouble))
+      .toDF("site_id", "v")
+    val b = (1 to 200).map(i => (i.toLong % 50, s"site_$i"))
+      .toDF("site_id", "name")
+    Bucketing.writeBucketed(a, "bkt_a", Seq("site_id"), 8)
+    Bucketing.writeBucketed(b, "bkt_b", Seq("site_id"), 8)
+    // disable broadcast so the co-location (not broadcast) kills the
+    // shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.colocatedJoin(spark, "bkt_a", "bkt_b",
+        Seq("site_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() ==
+        a.join(b, Seq("site_id")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("salted aggregation equals plain aggregation") {
     val df = (1 to 1000).map(i => (i % 3, i.toLong, i.toDouble))
       .toDF("k", "id", "v")
