@@ -81,8 +81,11 @@ object DedupOps {
     val shared = sh.groupBy("shingle").agg(count(lit(1)).as("__freq"))
       .filter(col("__freq") >= 2 && col("__freq") <= maxShingleFreq)
       .select("shingle")
-    val capped = sh.join(shared, Seq("shingle"), "left_semi")
-    val sizes = sh.groupBy("id").agg(countDistinct("shingle").as("n_sh"))
+    val capped = sh.join(shared, Seq("shingle"), "left_semi").persist()
+    // sh is distinct per (id, shingle) by construction, so plain count
+    // (map-side combinable) equals countDistinct without its extra
+    // dedup shuffle.
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
