@@ -168,9 +168,12 @@ object DedupOps {
     // frames here are sliver-sized (edges + their endpoints only —
     // docs in no candidate pair keep component = id and never enter
     // the loop), so materializing them is cheap even at corpus scale.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the (expensive) pair pipeline once, then symmetrize
+    // the checkpointed sliver by unioning with its own swap
+    val half = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint(eager = true)
+    val edges = half.union(
+      half.select(col("dst").as("src"), col("src").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint(eager = true)
