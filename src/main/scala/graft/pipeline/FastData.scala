@@ -17,6 +17,26 @@ import graft.sources.Toa5
   */
 object FastData {
 
+  /** Duplicate-file hash guard (reference: fast_file_converters.py
+    * :228-235 — a destination name colliding with DIFFERENT content
+    * is an error; identical content is a benign re-send). Input is a
+    * binaryFile-style frame (`fileName`, `content` columns); returns
+    * the conflict report as data, one row per name carried by more
+    * than one distinct sha256, with the distinct hashes listed.
+    * Distributed: per-file hashing maps over executors, the conflict
+    * check is one count-distinct aggregation on (name, hash). */
+  def fileHashConflicts(files: DataFrame,
+      nameCol: String = "fileName", contentCol: String = "content")
+      : DataFrame =
+    files
+      .select(col(nameCol).as("file_name"),
+        sha2(col(contentCol), 256).as("sha256"))
+      .groupBy("file_name", "sha256").agg(count(lit(1)).as("n_copies"))
+      .groupBy("file_name")
+      .agg(collect_set(col("sha256")).as("hashes"),
+        sum(col("n_copies")).as("n_files"))
+      .filter(size(col("hashes")) > 1)
+
   /** F28: round timestamps to 100 ms ticks (+500 us then truncate to
     * tenths) — reference code/utils/fast_file_io.py:646-654. */
   def round100ms(ts: Column): Column =

@@ -21,6 +21,30 @@ object Status {
       .when(days < 7, "warning_5_7")
       .otherwise("stale_7_plus")
 
+  /** Logger clock-drift status (reference: network_status.py:273-310
+    * `check_sites_online`): each row carries a site's self-reported
+    * clock time (naive site-local standard time) and the site's UTC
+    * offset; drift is the reported clock vs the reference instant
+    * after removing the expected offset. `online` is false for null
+    * reported times (no response). The HTTP pull that produces
+    * `reported_ts` is out of engine scope (zero-egress); this is the
+    * collation analytic over its results. */
+  def clockStatus(df: DataFrame, refTimeUtc: java.sql.Timestamp,
+      tsCol: String = "reported_ts",
+      offsetHoursCol: String = "utc_offset_hours",
+      driftToleranceSec: Long = 300L): DataFrame = {
+    val refUs = refTimeUtc.getTime * 1000L
+    val reportedUtcUs = unix_micros(col(tsCol)) -
+      (col(offsetHoursCol) * 3600000000L).cast("long")
+    df.withColumn("online", col(tsCol).isNotNull)
+      .withColumn("drift_seconds",
+        when(col(tsCol).isNotNull,
+          (lit(refUs) - reportedUtcUs).cast("double") / 1000000.0))
+      .withColumn("clock_ok",
+        when(col(tsCol).isNotNull,
+          abs(col("drift_seconds")) <= driftToleranceSec.toDouble))
+  }
+
   private def esc(s: String): String =
     s.flatMap {
       case '"' => "\\\""

@@ -118,6 +118,40 @@ class StreamingStatusSpec extends SparkSpec {
     assert(ujsonParses(gj) && ujsonParses(ja))
   }
 
+  test("clockStatus flags drift and offline loggers") {
+    val ref = ts("2024-06-01 00:00:00")  // UTC reference instant
+    val df = Seq(
+      // site-local 10:00 at +10h == 00:00 UTC -> drift 0
+      ("s1", Some(ts("2024-06-01 10:00:00")), 10.0),
+      // reports 09:49 local -> 11 min slow
+      ("s2", Some(ts("2024-06-01 09:49:00")), 10.0),
+      ("s3", None, 9.5))                 // no response
+      .toDF("site", "reported_ts", "utc_offset_hours")
+    val out = graft.pipeline.Status.clockStatus(df, ref)
+      .orderBy("site").collect()
+    assert(out(0).getAs[Boolean]("online")
+      && out(0).getAs[Double]("drift_seconds") == 0.0
+      && out(0).getAs[Boolean]("clock_ok"))
+    assert(out(1).getAs[Double]("drift_seconds") == 660.0
+      && !out(1).getAs[Boolean]("clock_ok"))
+    assert(!out(2).getAs[Boolean]("online") && out(2).isNullAt(
+      out(2).fieldIndex("clock_ok")))
+  }
+
+  test("fileHashConflicts reports same-name different-content files") {
+    val files = Seq(
+      ("TOB3_a.dat", "samecontent"), ("TOB3_a.dat", "samecontent"),
+      ("TOB3_b.dat", "v1"), ("TOB3_b.dat", "v2"),
+      ("TOB3_c.dat", "only"))
+      .map { case (n, c) => (n, c.getBytes("UTF-8")) }
+      .toDF("fileName", "content")
+    val conflicts = graft.pipeline.FastData.fileHashConflicts(files)
+      .collect()
+    assert(conflicts.length == 1)
+    assert(conflicts.head.getAs[String]("file_name") == "TOB3_b.dat")
+    assert(conflicts.head.getAs[Long]("n_files") == 2L)
+  }
+
   private def ujsonParses(s: String): Boolean =
     try {
       new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
