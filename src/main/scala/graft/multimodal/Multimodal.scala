@@ -83,6 +83,46 @@ object Multimodal {
     }
   }
 
+  /** Payload->payload kernel contract (resize, re-encode, resample):
+    * same per-partition batching as [[MediaDecoder]]. Real kernels
+    * wrap an image/audio library; the stub is deterministic. */
+  trait MediaTransform extends Serializable {
+    def apply(format: String, payload: Array[Byte]): Array[Byte]
+  }
+
+  object MediaTransform {
+    /** Deterministic stand-in for a resize/downsample: keep every
+      * `stride`-th byte up to `maxBytes` (shape-correct, content-fake:
+      * output is smaller and a pure function of the input). */
+    final case class DownsampleStub(maxBytes: Int, stride: Int = 2)
+        extends MediaTransform {
+      def apply(format: String, payload: Array[Byte]): Array[Byte] = {
+        val out = payload.indices.collect {
+          case i if i % stride == 0 => payload(i) }
+        out.take(maxBytes).toArray
+      }
+    }
+  }
+
+  /** Resize/re-encode over partitions: payload is replaced in place
+    * (schema and metadata untouched), kernel instantiated per
+    * partition. The 100 TB contract: media bytes stream through one
+    * task each, never shuffled — pair with [[repartitionByBytes]] to
+    * bound per-task memory. */
+  def transformPayload(df: DataFrame, t: MediaTransform): DataFrame = {
+    implicit val enc: Encoder[Row] = Encoders.row(df.schema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val formatIdx = df.schema.fieldIndex("format")
+    df.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val out = if (payload == null) null else
+          t(r.getAs[String](formatIdx), payload)
+        Row.fromSeq(r.toSeq.updated(payloadIdx, out))
+      }
+    }
+  }
+
   /** Partition a media frame by cumulative byte budget so each task
     * holds ~`targetBytes` of payload — media rows are wildly skewed
     * and default row-count splits OOM on video partitions. */

@@ -176,4 +176,19 @@ class StreamingStatusSpec extends SparkSpec {
     assert(out(0).getSeq[Float](out(0).fieldIndex("features")).length == 4)
     assert(out(1).isNullAt(out(1).fieldIndex("features"))) // null payload
   }
+
+  test("multimodal payload transform keeps schema, shrinks payload") {
+    import graft.multimodal.Multimodal
+    val media = Seq((1L, "utf8", "hello world payload".getBytes),
+        (2L, "utf8", null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "format", "payload")
+    val out = Multimodal.transformPayload(media,
+        Multimodal.MediaTransform.DownsampleStub(maxBytes = 4))
+      .orderBy("media_id").collect()
+    assert(out(0).schema.fields.map(f => (f.name, f.dataType)).toSeq
+      == media.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val p = out(0).getAs[Array[Byte]]("payload")
+    assert(p.toSeq == "hlow".getBytes.toSeq)
+    assert(out(1).isNullAt(out(1).fieldIndex("payload")))
+  }
 }
