@@ -200,6 +200,13 @@ object DedupOps {
       converged = changed == 0
       iter += 1
     }
+    // Propagation covers one hop per round, so a component of diameter
+    // > maxIters would be silently mislabeled — fail loudly instead
+    // (near-dup graphs are clique unions, so hitting this means the
+    // graph isn't the expected shape: raise maxIters or switch to the
+    // large-star/small-star variant).
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds")
     // Relabel the full node set lazily — the big table is never
     // materialized here.
     nodes.select(col("id"))

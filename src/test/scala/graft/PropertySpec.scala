@@ -29,6 +29,33 @@ class PropertySpec extends SparkSpec {
     assert(holds(p, 10))  // each trial runs a Spark job; keep few
   }
 
+  test("connected components matches driver union-find on random graphs") {
+    import graft.text.DedupOps
+    val genEdges = Gen.listOf(for {
+      a <- Gen.choose(0L, 19L); b <- Gen.choose(0L, 19L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    val p = Prop.forAll(genEdges) { edges =>
+      val nodes = (0L until 20L).toDF("id")
+      val pairs = if (edges.isEmpty)
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+      else edges.toDF("id_a", "id_b")
+      // maxIters >= max possible diameter (19) so chains converge
+      val got = DedupOps.connectedComponents(nodes, pairs, maxIters = 25)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: driver-side union-find with min-label roots
+      val parent = Array.tabulate(20)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+          parent(hi) = lo }
+      }
+      (0 until 20).forall(i => got(i.toLong) == find(i).toLong)
+    }
+    assert(holds(p, 10))
+  }
+
   test("P5: masking never changes row count") {
     val gen = Gen.listOf(Gen.choose(-100.0, 100.0))
     val p = Prop.forAll(gen) { vs =>
