@@ -125,15 +125,14 @@ private[v2] class Toa5ReaderFactory(fullSchema: StructType,
 private[v2] class Toa5PartitionReader(file: String,
     fullSchema: StructType, required: StructType)
     extends PartitionReader[InternalRow] {
-  private val fmt = Toa5V2.formatOf(file)
+  private val (fmt, tsSpec) = Toa5V2.tsSpecOf(file)
   private val sep = Pattern.compile(Pattern.quote(fmt.separator))
   // full-schema index of each required output column (DATETIME is
-  // derived, parsed from the TIMESTAMP source field)
+  // derived: TIMESTAMP for TOA5, date+time for EddyPro)
   private val srcIdx: Array[Int] = required.fields.map {
     case f if f.name == "DATETIME" => -1
     case f => fullSchema.fieldIndex(f.name)
   }
-  private val tsIdx = fullSchema.fieldIndex("TIMESTAMP")
   private val reader = Files.newBufferedReader(
     Paths.get(file), StandardCharsets.UTF_8)
   (0 until fmt.headerLines).foreach(_ => reader.readLine())
@@ -145,7 +144,7 @@ private[v2] class Toa5PartitionReader(file: String,
     while (line != null) {
       if (line.nonEmpty) {
         val cells = sep.split(line, -1)
-        val ts = Toa5V2.parseTsMicros(Toa5V2.unquote(cells(tsIdx)))
+        val ts = Toa5V2.cellsTsMicros(tsSpec, cells)
         if (ts != Long.MinValue) {          // D4: bad timestamp -> drop
           val out = new GenericInternalRow(srcIdx.length)
           var i = 0
@@ -181,6 +180,40 @@ private[v2] class Toa5PartitionReader(file: String,
 object Toa5V2 {
   val Unbounded: (Long, Long) = (Long.MinValue, Long.MaxValue)
   private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  /** Which cells carry the event time, and their joined pattern —
+    * TOA5 has a TIMESTAMP column, EddyPro splits date and time. */
+  final case class TsSpec(idxs: Array[Int], pattern: String)
+      extends Serializable
+
+  def tsSpecOf(file: String): (FileFormat, TsSpec) = {
+    val (fmt, header) = Toa5.probeHeader(file)
+    val names = Toa5.parseHeader(fmt, header).variableNames
+    fmt.name match {
+      case "TOA5" =>
+        (fmt, TsSpec(Array(names.indexOf("TIMESTAMP")), "yyyy-MM-dd HH:mm:ss"))
+      case "EddyPro" =>
+        (fmt, TsSpec(Array(names.indexOf("date"), names.indexOf("time")),
+          "yyyy-MM-dd HH:mm"))
+      case other => throw new IllegalArgumentException(other)
+    }
+  }
+
+  /** Event-time micros of a split row, Long.MinValue if unparseable. */
+  def cellsTsMicros(spec: TsSpec, cells: Array[String]): Long = {
+    if (spec.idxs.exists(i => i < 0 || i >= cells.length))
+      return Long.MinValue
+    parseTsMicros(spec.idxs.map(i => unquote(cells(i))).mkString(" "),
+      spec.pattern)
+  }
+
+  def parseTsMicros(s: String, pattern: String): Long =
+    try {
+      val ldt = LocalDateTime.parse(s,
+        DateTimeFormatter.ofPattern(pattern))
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L
+    } catch { case _: Exception => Long.MinValue }
 
   def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -251,7 +284,7 @@ object Toa5V2 {
 
   def fileTimeSpan(file: String): Option[(Long, Long)] =
     try {
-      val fmt = formatOf(file)
+      val (fmt, spec) = tsSpecOf(file)
       val reader = Files.newBufferedReader(
         Paths.get(file), StandardCharsets.UTF_8)
       val firstData =
@@ -261,12 +294,11 @@ object Toa5V2 {
             .takeWhile(_ != null).find(_.nonEmpty)
         } finally reader.close()
       val lastData = lastNonEmptyLine(file)
+      def ts(line: String): Long =
+        cellsTsMicros(spec, line.split(Pattern.quote(fmt.separator), -1))
       for {
         f <- firstData; l <- lastData
-        lo = parseTsMicros(unquote(f.split(
-          Pattern.quote(fmt.separator), -1)(0)))
-        hi = parseTsMicros(unquote(l.split(
-          Pattern.quote(fmt.separator), -1)(0)))
+        lo = ts(f); hi = ts(l)
         if lo != Long.MinValue && hi != Long.MinValue
       } yield (math.min(lo, hi), math.max(lo, hi))
     } catch { case _: Exception => None }

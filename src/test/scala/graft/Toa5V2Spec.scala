@@ -72,6 +72,26 @@ class Toa5V2Spec extends SparkSpec {
     assert(df.agg(min("Ta")).head().getDouble(0) == 3.0)
   }
 
+  test("v2 scan reads EddyPro files (date+time DATETIME)") {
+    val dir = Files.createTempDirectory("toa5v2e")
+    val content =
+      "DATAH\tfilename\tdate\ttime\tco2_flux\n" +
+      "DATAU\t\t[yyyy-mm-dd]\t[HH:MM]\tumol+1m-2s-1\n" +
+      "DATA\tf.txt\t2024-01-01\t10:30\t1.25\n" +
+      "DATA\tf.txt\tbad-date\t99:99\t2.0\n" +
+      "DATA\tf.txt\t2024-01-01\t11:00\tNaN\n"
+    Files.write(dir.resolve("ep.txt"), content.getBytes(UTF_8))
+    val v2 = spark.read.format("toa5").load(dir.toString)
+      .select("DATETIME", "co2_flux").orderBy("DATETIME")
+    val codec = graft.sources.Toa5.read(spark, dir.toString).data
+      .select("DATETIME", "co2_flux").orderBy("DATETIME")
+    assert(v2.collect().toSeq == codec.collect().toSeq)
+    val rows = v2.collect()
+    assert(rows.length == 2)             // bad date/time row dropped
+    assert(rows(0).getDouble(1) == 1.25)
+    assert(rows(1).isNullAt(1))          // NaN token -> null
+  }
+
   test("filters remain correct when probe keeps extra files") {
     val dir = Files.createTempDirectory("toa5v2f")
     writeFile(dir, "a.dat", Seq(
