@@ -586,6 +586,16 @@ object SparkEntry {
       .orderBy("hour_ts")
   }
 
+  /** BPE-ish token counting next to whitespace counting — the
+    * LLM-corpus cost estimate, oracle-exact because the regex uses
+    * only constructs Java and RE2 interpret identically. */
+  private def q45(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.text.TextOps.tokenCount(col("text")).as("n_ws_tokens"),
+        graft.text.TextOps.bpeishTokenCount(col("text")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -634,6 +644,7 @@ object SparkEntry {
     "q42_embed_neardup"    -> (q42 _),
     "q43_ivf_ann"          -> (q43 _),
     "q44_toa5_v2_scan"     -> (q44 _),
+    "q45_bpeish_tokens"    -> (q45 _),
   )
 
   /** DuckDB mirror of [[graft.sim.Similarity.cosineNearDupPairs]]
@@ -1111,5 +1122,14 @@ object SparkEntry {
       FROM events GROUP BY 1
       HAVING date_trunc('hour', ts) >= TIMESTAMP '2024-01-15 00:00:00'
       ORDER BY 1""",
+    "q45_bpeish_tokens" -> """
+      SELECT doc_id,
+             len(list_filter(string_split_regex(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+               x -> x <> '')) AS n_ws_tokens,
+             len(list_filter(regexp_extract_all(text,
+               '''(?:ll|ve|re|[sdmt])| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|\s+'),
+               x -> NOT regexp_full_match(x, '\s+'))) AS n_bpe_tokens
+      FROM documents ORDER BY doc_id""",
   )
 }

@@ -31,6 +31,21 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-style pre-tokenizer pattern (contraction suffixes, space-
+    * prefixed letter/digit runs, punctuation runs, whitespace).
+    * ASCII classes only, no lookarounds — the pattern means the same
+    * thing to Java regex and RE2/DuckDB, so counts are oracle-exact. */
+  val bpeishPattern: String =
+    "'(?:ll|ve|re|[sdmt])| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+|\\s+"
+
+  /** BPE-ish token count: raw-text matches of [[bpeishPattern]] minus
+    * pure-whitespace runs — the standard LLM-corpus "token estimate"
+    * (a real BPE merges within these pre-tokens, so this upper-bounds
+    * vocabulary-dependent counts deterministically). */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(regexp_extract_all(text, lit(bpeishPattern), lit(0)),
+      t => !t.rlike("^\\s+$")))
+
   /** Punctuation ratio: fraction of chars that are not [a-z0-9\s]
     * after lowercasing. */
   def punctRatio(text: Column): Column =
