@@ -647,14 +647,41 @@ object SparkEntry {
     "q45_bpeish_tokens"    -> (q45 _),
   )
 
+  private def planeLit(p: Array[Double]): String =
+    p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+
+  /** DuckDB mirror of [[graft.sim.Similarity.lshTopK]] (8 planes):
+    * bucket sign bits computed from the same seeded plane literals,
+    * so the approximate candidate set is hash-checked exactly. */
+  private def lshAnnOracle: String = {
+    val hp = graft.sim.Similarity.hyperplanes(8, 64)
+    val bucket = (0 until 8).map { p =>
+      s"(CASE WHEN list_inner_product(v, ${planeLit(hp(p))}::DOUBLE[]) >= 0.0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""
+      WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      bk AS (SELECT id, v, nrm, $bucket AS bucket FROM n),
+      sc AS (SELECT a.id AS q_id, b.id AS n_id,
+          CASE WHEN a.nrm > 0.0 AND b.nrm > 0.0
+            THEN floor(list_inner_product(a.v, b.v) / (a.nrm * b.nrm)
+                   * 1000000.0 + 0.5) / 1000000.0 END AS cos
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id <> b.id),
+      rk AS (SELECT q_id, n_id, cos,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, n_id ASC) AS rank
+        FROM sc)
+      SELECT q_id, n_id, cos, rank FROM rk WHERE rank <= 5
+      ORDER BY q_id, rank"""
+  }
+
   /** DuckDB mirror of [[graft.sim.Similarity.cosineNearDupPairs]]
     * with the default 4 bands × 4 planes: plane literals are inlined
     * from the same seeded generator the Spark side uses. */
   private def neardupOracle: String = {
     val bands = 4; val rowsPerBand = 4
     val hp = graft.sim.Similarity.hyperplanes(bands * rowsPerBand, 64)
-    def planeLit(p: Array[Double]): String =
-      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
     val bandSelects = (0 until bands).map { b =>
       val key = (0 until rowsPerBand).map { r =>
         s"(CASE WHEN list_inner_product(v, ${planeLit(hp(b * rowsPerBand + r))}::DOUBLE[]) >= 0.0 THEN ${1L << r} ELSE 0 END)"
@@ -1080,6 +1107,7 @@ object SparkEntry {
         SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
       SELECT id AS doc_id, min(r) AS component
       FROM reach GROUP BY id ORDER BY doc_id"""),
+    "q33_lsh_ann" -> lshAnnOracle,
     "q42_embed_neardup" -> neardupOracle,
     "q43_ivf_ann" -> """
       WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
