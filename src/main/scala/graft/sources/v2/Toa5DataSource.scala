@@ -223,7 +223,14 @@ object Toa5V2 {
 
   def listFiles(path: String): Seq[String] = {
     val p = Paths.get(path)
-    if (Files.isDirectory(p))
+    val name = Option(p.getFileName).map(_.toString).getOrElse("")
+    if (name.exists(c => c == '*' || c == '?' || c == '[')) {
+      // glob leaf (dir/*.dat): match within the parent directory
+      val stream = Files.newDirectoryStream(p.getParent, name)
+      try stream.iterator().asScala
+        .filter(f => !Files.isDirectory(f)).map(_.toString).toSeq.sorted
+      finally stream.close()
+    } else if (Files.isDirectory(p))
       Files.list(p).iterator().asScala
         .filter(f => !Files.isDirectory(f)).map(_.toString).toSeq.sorted
     else Seq(path)

@@ -72,6 +72,17 @@ class Toa5V2Spec extends SparkSpec {
     assert(df.agg(min("Ta")).head().getDouble(0) == 3.0)
   }
 
+  test("v2 scan accepts glob paths") {
+    val dir = Files.createTempDirectory("toa5v2g")
+    writeFile(dir, "a.dat", Seq("\"2024-01-01 00:30:00\",1,1"))
+    writeFile(dir, "b.dat", Seq("\"2024-01-01 01:00:00\",2,2"))
+    Files.write(dir.resolve("notes.txt"), "not a toa5".getBytes(UTF_8))
+    val df = spark.read.format("toa5").load(s"$dir/*.dat")
+    assert(df.count() == 2)
+    assert(Toa5V2.listFiles(s"$dir/*.dat").map(
+      p => p.substring(p.lastIndexOf('/') + 1)) == Seq("a.dat", "b.dat"))
+  }
+
   test("v2 scan reads EddyPro files (date+time DATETIME)") {
     val dir = Files.createTempDirectory("toa5v2e")
     val content =
