@@ -122,6 +122,6 @@ object L1Pipeline {
     val df = spark.read.parquet(s"$outDir/data")
     val pruned = if (years.nonEmpty) df.filter(col("year").isin(years: _*))
       else df
-    pruned.drop(pruned.columns.filter(_.endsWith("_QCFlag")): _*)
+    pruned.drop(pruned.columns.filter(_.endsWith("_QCFlag")).toIndexedSeq: _*)
   }
 }

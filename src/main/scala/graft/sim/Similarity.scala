@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * hyperplanes are derived from a deterministic seeded generator at
   * plan time (no runtime RNG), so results are reproducible.
   *
-  * Dot products use `zip_with` + `aggregate` over double-cast values —
-  * sequential left-to-right summation, deterministic bit-for-bit.
+  * Dot products use the codegen [[graft.functions.ArrayDot]]
+  * expression — double math, sequential left-to-right summation,
+  * deterministic bit-for-bit (and oracle-portable: DuckDB's
+  * list_inner_product matches exactly).
   */
 object Similarity {
 
@@ -63,7 +65,7 @@ object Similarity {
     * >= 0. Vectors in the same bucket are candidate neighbors. */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
-      val planeCol = array(plane.map(lit): _*)
+      val planeCol = array(plane.toIndexedSeq.map(lit): _*)
       val d = dot(vec, planeCol)
       when(d >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -77,7 +79,7 @@ object Similarity {
     array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         (0 until rowsPerBand).map { r =>
-          val plane = array(planes(b * rowsPerBand + r).map(lit): _*)
+          val plane = array(planes(b * rowsPerBand + r).toIndexedSeq.map(lit): _*)
           when(dot(vec, plane) >= 0.0, lit(1L << r)).otherwise(lit(0L))
         }.reduce(_ + _).as("key"))
     }: _*)
