@@ -596,6 +596,26 @@ object SparkEntry {
         graft.text.TextOps.bpeishTokenCount(col("text")).as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** TOB binary DSv2 (SURVEY §7.3 phase-2): the q36 TOB1 product read
+    * back through `format("tob")` — frame decode inside the V2
+    * partition reader, oracle-checked. */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("ts"), col("value"))
+      .orderBy("ts").collect()
+    val rows = ev.toSeq.map { r =>
+      (r.getTimestamp(0).getTime * 1000L +
+        (r.getTimestamp(0).getNanos / 1000L) % 1000L,
+        Seq(r.getDouble(1).toFloat))
+    }
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q46/ev.dat"
+    graft.sources.Tob.writeTob1(path,
+      Seq("TOB1", "EventsSite", "CR3000", "1", "os", "prog", "1", "t"),
+      Seq("value"), rows)
+    s.read.format("tob").load(path)
+      .select(col("DATETIME"), col("value").cast("double").as("value"))
+      .orderBy("DATETIME")
+  }
+
   // ---------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -645,6 +665,7 @@ object SparkEntry {
     "q43_ivf_ann"          -> (q43 _),
     "q44_toa5_v2_scan"     -> (q44 _),
     "q45_bpeish_tokens"    -> (q45 _),
+    "q46_tob_v2_scan"      -> (q46 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -1159,5 +1180,8 @@ object SparkEntry {
                '''(?:ll|ve|re|[sdmt])| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|\s+'),
                x -> NOT regexp_full_match(x, '\s+'))) AS n_bpe_tokens
       FROM documents ORDER BY doc_id""",
+    "q46_tob_v2_scan" -> """
+      SELECT ts AS DATETIME, value::FLOAT::DOUBLE AS value
+      FROM events ORDER BY DATETIME""",
   )
 }

@@ -288,7 +288,7 @@ object Tob {
 
   // --- Spark sources --------------------------------------------------
 
-  private def sparkSchema(h: TobHeader): StructType = {
+  private[sources] def sparkSchema(h: TobHeader): StructType = {
     val chans = h.types.map(channel(_, h.format == "TOB1"))
     val fields = h.names.zip(chans).map { case (n, c) =>
       StructField(n, c.dataType, nullable = true) }

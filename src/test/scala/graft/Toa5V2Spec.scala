@@ -103,6 +103,25 @@ class Toa5V2Spec extends SparkSpec {
     assert(rows(1).isNullAt(1))          // NaN token -> null
   }
 
+  test("tob v2 scan equals codec-path read and prunes columns") {
+    val dir = Files.createTempDirectory("tobv2")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    graft.sources.Tob.writeTob1(s"$dir/a.dat",
+      Seq("TOB1", "Site", "CR6", "1", "os", "prog", "1", "Fast"),
+      Seq("Ux", "Uy"),
+      (0 until 100).map(i => (base + i * 100000L,
+        Seq(i.toFloat, -i.toFloat))))
+    val v2 = spark.read.format("tob").load(dir.toString)
+      .select("DATETIME", "Ux", "Uy").orderBy("DATETIME")
+    val codec = graft.sources.Tob.read(spark, dir.toString).data
+      .select("DATETIME", "Ux", "Uy").orderBy("DATETIME")
+    assert(v2.collect().toSeq == codec.collect().toSeq)
+    val pruned = spark.read.format("tob").load(dir.toString).select("Uy")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*BatchScan[^\\[]*\\[Uy#\\d+\\].*"), plan)
+    assert(pruned.agg(min("Uy")).head().getFloat(0) == -99.0f)
+  }
+
   test("filters remain correct when probe keeps extra files") {
     val dir = Files.createTempDirectory("toa5v2f")
     writeFile(dir, "a.dat", Seq(
