@@ -885,7 +885,7 @@ object SparkEntry {
       ORDER BY n_name""",
     "q20_sessionize" -> """
       WITH g AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN (epoch_us(ts) - lag(epoch_us(ts)) OVER
                  (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
                  > 21600 OR lag(ts) OVER
@@ -894,7 +894,7 @@ object SparkEntry {
         FROM events),
       s AS (
         SELECT user_id, ts,
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS session_id
         FROM g)
       SELECT user_id, session_id, min(ts) AS start_ts, max(ts) AS end_ts,

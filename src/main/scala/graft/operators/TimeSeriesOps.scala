@@ -225,13 +225,17 @@ object TimeSeriesOps {
       keys: Seq[String] = Nil, tieBreak: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((tsCol +: tieBreak).map(col): _*)
-    df.withColumn("__gap",
-        (unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)))
-          / lit(1000000L))
+    // Integer gap seconds via `div` (floor for the non-negative ordered
+    // gaps), matching gaps() and the DuckDB `//` operator — Column `/`
+    // would coerce to double and open a session on a 21600.000001 s gap
+    // that the integer semantics does not.
+    df.withColumn("__gap_us",
+        unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)))
+      .withColumn("__gap", expr("__gap_us div 1000000"))
       .withColumn("__new", when(col("__gap").isNull
         || col("__gap") > gapSec, 1).otherwise(0))
       .withColumn("session_id", sum(col("__new")).over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
-      .drop("__gap", "__new")
+      .drop("__gap_us", "__gap", "__new")
   }
 }
