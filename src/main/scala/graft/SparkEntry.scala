@@ -374,6 +374,14 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", 3)
       .orderBy("id_a", "id_b")
 
+  /** 64-bit SimHash near-dup pairs via the 4-rotated-16-bit-word
+    * banding (the corpus-scale variant: exact recall at radius <= 3
+    * by pigeonhole, in-bucket work O(n²/2¹⁶) per band). */
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    graft.text.DedupOps.simhashPairs64(
+        t(s, dir, "documents"), "doc_id", "text", 3)
+      .orderBy("id_a", "id_b")
+
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
   private def q32(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -382,10 +390,10 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
-  /** LSH-bucketed ANN (8 deterministic hyperplanes) — scale path for
-    * q32; no SQL oracle (rows-only check). */
+  /** LSH-bucketed ANN at the library default (auto plane count —
+    * resolves to 8 below 256k vectors, which the oracle inlines). */
   private def q33(s: SparkSession, dir: String): DataFrame =
-    graft.sim.Similarity.lshTopK(t(s, dir, "embeddings"), 5, planes = 8)
+    graft.sim.Similarity.lshTopK(t(s, dir, "embeddings"), 5)
       .orderBy("q_id", "rank")
 
   /** TOA5 codec round-trip (S1/S4/K1/K2/D6): hourly event means ->
@@ -548,17 +556,32 @@ object SparkEntry {
     * DuckDB SQL, so the approximate candidate set itself is checked
     * exactly — not just the rescore. */
   private def q42(s: SparkSession, dir: String): DataFrame =
+    // Demo-recall banding (4 bands × 4 bits): on the 500-vector
+    // fixture most near pairs should collide so the rescore path gets
+    // exercised; the library default is the scale shape (see q51).
+    graft.sim.Similarity.cosineNearDupPairs(
+        t(s, dir, "embeddings"), 0.35, bands = 4, rowsPerBand = 4)
+      .orderBy("id_a", "id_b")
+
+  /** Embedding near-dup at the library's corpus-scale defaults
+    * (8 bands × 16 sign bits — 65536 keys per band, bucket cap):
+    * candidate recall is deliberately LSH-approximate; the oracle
+    * replicates the banding bit-for-bit so the result is still
+    * hash-exact. */
+  private def q51(s: SparkSession, dir: String): DataFrame =
     graft.sim.Similarity.cosineNearDupPairs(
         t(s, dir, "embeddings"), 0.35)
       .orderBy("id_a", "id_b")
 
-  /** IVF ANN: deterministic coarse quantizer (every 25th vector is a
-    * centroid), nProbe=2 probed lists, exact cosine rescore, top-5.
-    * Oracle replicates quantizer, probe ranking, and rescore. */
+  /** IVF ANN: deterministic coarse quantizer targeting 20 centroids
+    * (stride = n/20, derived — NOT a fixed stride, so |C| stays
+    * broadcast-small at any corpus size), nProbe=2 probed lists,
+    * exact cosine rescore, top-5. Oracle replicates quantizer
+    * (including the count-derived stride), probe ranking, rescore. */
   private def q43(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     graft.sim.Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5,
-        centroidStride = 25L, nProbe = 2)
+        numCentroids = 20, nProbe = 2)
       .orderBy("q_id", "rank")
   }
 
@@ -665,15 +688,20 @@ object SparkEntry {
     "q43_ivf_ann"          -> (q43 _),
     "q44_toa5_v2_scan"     -> (q44 _),
     "q45_bpeish_tokens"    -> (q45 _),
+    "q50_simhash64_pairs"  -> (q50 _),
+    "q51_neardup_scaled"   -> (q51 _),
     "q46_tob_v2_scan"      -> (q46 _),
   )
 
   private def planeLit(p: Array[Double]): String =
     p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
 
-  /** DuckDB mirror of [[graft.sim.Similarity.lshTopK]] (8 planes):
-    * bucket sign bits computed from the same seeded plane literals,
-    * so the approximate candidate set is hash-checked exactly. */
+  /** DuckDB mirror of [[graft.sim.Similarity.lshTopK]] (8 planes —
+    * what `autoPlanes` resolves to for any corpus below 256k rows, so
+    * the default-parameter Spark call matches this oracle at every
+    * test SF): bucket sign bits computed from the same seeded plane
+    * literals, and the same oversize-bucket cap, so the approximate
+    * candidate set is hash-checked exactly. */
   private def lshAnnOracle: String = {
     val hp = graft.sim.Similarity.hyperplanes(8, 64)
     val bucket = (0 until 8).map { p =>
@@ -683,7 +711,10 @@ object SparkEntry {
       WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
                  FROM embeddings),
       n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-      bk AS (SELECT id, v, nrm, $bucket AS bucket FROM n),
+      bk0 AS (SELECT id, v, nrm, $bucket AS bucket FROM n),
+      ok AS (SELECT bucket FROM bk0 GROUP BY bucket
+             HAVING count(*) <= 100000),
+      bk AS (SELECT bk0.* FROM bk0 JOIN ok USING (bucket)),
       sc AS (SELECT a.id AS q_id, b.id AS n_id,
           CASE WHEN a.nrm > 0.0 AND b.nrm > 0.0
             THEN floor(list_inner_product(a.v, b.v) / (a.nrm * b.nrm)
@@ -697,11 +728,12 @@ object SparkEntry {
       ORDER BY q_id, rank"""
   }
 
-  /** DuckDB mirror of [[graft.sim.Similarity.cosineNearDupPairs]]
-    * with the default 4 bands × 4 planes: plane literals are inlined
-    * from the same seeded generator the Spark side uses. */
-  private def neardupOracle: String = {
-    val bands = 4; val rowsPerBand = 4
+  /** DuckDB mirror of [[graft.sim.Similarity.cosineNearDupPairs]] for
+    * given banding parameters: plane literals are inlined from the
+    * same seeded generator the Spark side uses, and the oversize-
+    * bucket cap is applied identically (HAVING over the band keys). */
+  private def neardupOracle(bands: Int, rowsPerBand: Int,
+      threshold: Double): String = {
     val hp = graft.sim.Similarity.hyperplanes(bands * rowsPerBand, 64)
     val bandSelects = (0 until bands).map { b =>
       val key = (0 until rowsPerBand).map { r =>
@@ -713,7 +745,10 @@ object SparkEntry {
       WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
                  FROM embeddings),
       n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-      bk AS ($bandSelects),
+      bk0 AS ($bandSelects),
+      ok AS (SELECT band, key FROM bk0 GROUP BY band, key
+             HAVING count(*) <= 100000),
+      bk AS (SELECT bk0.* FROM bk0 JOIN ok USING (band, key)),
       cand AS (SELECT a.id AS id_a, b.id AS id_b,
           min(CASE WHEN a.nrm > 0.0 AND b.nrm > 0.0
             THEN floor(list_inner_product(a.v, b.v) / (a.nrm * b.nrm)
@@ -721,7 +756,7 @@ object SparkEntry {
         FROM bk a JOIN bk b
           ON a.band = b.band AND a.key = b.key AND a.id < b.id
         GROUP BY 1, 2)
-      SELECT id_a, id_b, cos FROM cand WHERE cos >= 0.35
+      SELECT id_a, id_b, cos FROM cand WHERE cos >= $threshold
       ORDER BY id_a, id_b"""
   }
 
@@ -1019,6 +1054,40 @@ object SparkEntry {
       FROM s a JOIN s b ON (a.sh >> 8) = (b.sh >> 8) AND a.doc_id < b.doc_id
       WHERE bit_count(xor(a.sh, b.sh)) <= 3
       ORDER BY id_a, id_b"""),
+    "q50_simhash64_pairs" -> (tokCte + """,
+      tkn AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+      hv AS (SELECT doc_id, t.j,
+          ('0x' || substr(md5(tok), 1 + 4 * (t.j // 16), 4))::BIGINT AS hw
+        FROM tkn CROSS JOIN range(0, 64) t(j)),
+      bits AS (SELECT tk.doc_id, t.j,
+          CASE WHEN coalesce(sum(CASE WHEN (hv.hw >> (t.j % 16)) & 1 = 1
+                 THEN 1 ELSE -1 END), 0) >= 0
+               THEN 1 << (t.j % 16) ELSE 0 END AS bv
+        FROM tk CROSS JOIN range(0, 64) t(j)
+        LEFT JOIN hv ON tk.doc_id = hv.doc_id AND hv.j = t.j
+        GROUP BY tk.doc_id, t.j),
+      words AS (SELECT doc_id, j // 16 AS w, sum(bv)::BIGINT AS wv
+        FROM bits GROUP BY doc_id, j // 16),
+      s AS (SELECT doc_id,
+          max(CASE WHEN w = 0 THEN wv END) AS w0,
+          max(CASE WHEN w = 1 THEN wv END) AS w1,
+          max(CASE WHEN w = 2 THEN wv END) AS w2,
+          max(CASE WHEN w = 3 THEN wv END) AS w3
+        FROM words GROUP BY doc_id),
+      bk AS (
+        SELECT doc_id, w0, w1, w2, w3, 0 AS band, w0 AS key FROM s
+        UNION ALL SELECT doc_id, w0, w1, w2, w3, 1, w1 FROM s
+        UNION ALL SELECT doc_id, w0, w1, w2, w3, 2, w2 FROM s
+        UNION ALL SELECT doc_id, w0, w1, w2, w3, 3, w3 FROM s),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          min(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+            + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)))
+            AS hamming
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+      ORDER BY id_a, id_b"""),
     "q32_cosine_topk" -> """
       WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
                  FROM embeddings WHERE vec_id < 10),
@@ -1129,13 +1198,15 @@ object SparkEntry {
       SELECT id AS doc_id, min(r) AS component
       FROM reach GROUP BY id ORDER BY doc_id"""),
     "q33_lsh_ann" -> lshAnnOracle,
-    "q42_embed_neardup" -> neardupOracle,
+    "q42_embed_neardup" -> neardupOracle(4, 4, 0.35),
+    "q51_neardup_scaled" -> neardupOracle(8, 16, 0.35),
     "q43_ivf_ann" -> """
       WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
                  FROM embeddings),
       n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
       cent AS (SELECT id AS c_id, v AS cv, nrm AS cnrm FROM n
-               WHERE id % 25 = 0),
+               WHERE id % greatest(1,
+                 (SELECT count(*) FROM embeddings) // 20) = 0),
       assign AS (SELECT n.id AS n_id, n.v AS nv, n.nrm AS nnrm, c_id,
           row_number() OVER (PARTITION BY n.id ORDER BY
             (CASE WHEN n.nrm > 0.0 AND cnrm > 0.0

@@ -84,6 +84,19 @@ object Similarity {
         }.reduce(_ + _).as("key"))
     }: _*)
 
+  /** Keys-below-cap filter: drops (band, key) buckets holding more
+    * than `maxBucketSize` rows BEFORE the self-join, the same posting-
+    * list cap production near-dup pipelines apply (a degenerate bucket
+    * — e.g. the all-zero region of the embedding space — would
+    * otherwise contribute O(bucket²) candidate pairs on its own). */
+  private def capBuckets(banded: DataFrame, maxBucketSize: Long): DataFrame = {
+    val ok = banded.groupBy("band", "key")
+      .agg(count(lit(1)).as("__freq"))
+      .filter(col("__freq") <= maxBucketSize)
+      .select("band", "key")
+    banded.join(ok, Seq("band", "key"), "left_semi")
+  }
+
   /** Embedding-cosine near-duplicate pairs: banded random-hyperplane
     * LSH prunes the pair space (same key in ≥1 band), then candidates
     * are rescored with exact cosine and thresholded. The scale path
@@ -91,21 +104,33 @@ object Similarity {
     * only same-key slivers meet in the equi-join; dedup the multi-band
     * collisions AFTER scoring so each candidate pair is shuffled once.
     * Cosine is rounded to `roundScale` decimals before the threshold
-    * so the cut is reproducible across engines. */
+    * so the cut is reproducible across engines.
+    *
+    * Defaults are the corpus-scale shape: 16 sign bits per band give
+    * 65536 distinct keys per band (expected in-bucket work O(n²/2¹⁶)
+    * per band before the cap), 8 bands for recall ≈ 1−(1−p¹⁶)⁸ — at
+    * cosine 0.95 about 0.8. For small dense demo corpora where most
+    * pairs should collide, pass wider buckets (e.g. bands=4,
+    * rowsPerBand=4). `maxBucketSize` bounds any residual degenerate
+    * bucket so candidate volume stays ≤ bands·cap·n. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
-      bands: Int = 4, rowsPerBand: Int = 4, idCol: String = "vec_id",
+      bands: Int = 8, rowsPerBand: Int = 16, idCol: String = "vec_id",
       vecCol: String = "embedding", dim: Int = 64, seed: Long = 42L,
-      roundScale: Int = 6): DataFrame = {
+      roundScale: Int = 6, maxBucketSize: Long = 100000L): DataFrame = {
     val p = math.pow(10.0, roundScale)
     val hp = hyperplanes(bands * rowsPerBand, dim, seed)
-    val banded = df
+    // localCheckpoint (eager) rather than persist: the banded sliver
+    // feeds both sides of the self-join — checkpointing materializes
+    // it once, cuts the (wide) hyperplane-expression lineage out of
+    // the join plan, and leaves no CacheManager entry behind.
+    val banded = capBuckets(df
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("norm", sqrt(dot(col("vec"), col("vec"))))
       .select(col("id"), col("vec"), col("norm"),
         explode(bandKeys(col("vec"), hp, bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("vec"), col("norm"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-      .persist()
+      .localCheckpoint(eager = true), maxBucketSize)
     val scored = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.id") < col("b.id"))
@@ -120,24 +145,34 @@ object Similarity {
   /** IVF (inverted-file) ANN: the corpus is coarse-quantized into
     * lists by nearest centroid; a query scores only the rows of its
     * `nProbe` nearest lists, so corpus work per query drops from N to
-    * ~N·nProbe/C. Centroids here are every `centroidStride`-th corpus
-    * row — deterministic (no RNG, reproducible plans); swap in k-means
-    * centroids for better list balance without touching the dataflow.
-    * The centroid set must stay broadcast-small (its assignment join
-    * is a broadcast against the full corpus — the 100 TB side never
-    * shuffles for it).
+    * ~N·nProbe/C. Centroids are a deterministic id-modulo sample of
+    * `numCentroids` corpus rows (no RNG, reproducible plans); swap in
+    * k-means centroids for better list balance without touching the
+    * dataflow. The centroid set must stay broadcast-small (its
+    * assignment join is a broadcast against the full corpus — the
+    * 100 TB side never shuffles for it), which is why the COUNT is the
+    * parameter: a fixed stride would grow |C| linearly with the
+    * corpus and break that invariant.
     *
     * Ranking everywhere on (rounded cosine DESC, id ASC) — total
     * order, engine-portable. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      centroidStride: Long = 100L, nProbe: Int = 2,
+      numCentroids: Int = 256, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      roundScale: Int = 6): DataFrame = {
+      roundScale: Int = 6, centroidStride: Long = 0L): DataFrame = {
     val p = math.pow(10.0, roundScale)
     def rcos(v: Column, nv: Column, c: Column, nc: Column): Column =
       floor(when(nv > 0.0 && nc > 0.0, dot(v, c) / (nv * nc))
         * p + 0.5) / p
-    val cent = corpus.filter(pmod(col(idCol), lit(centroidStride)) === 0)
+    // Centroid COUNT is the invariant, not the stride: |C| must stay
+    // broadcast-small however big the corpus grows, so the stride is
+    // derived from the corpus size (one cheap metadata-backed count)
+    // unless the caller pins it. The id-modulo sample stays fully
+    // deterministic and oracle-expressible (`id % stride = 0`).
+    val stride =
+      if (centroidStride > 0L) centroidStride
+      else math.max(1L, corpus.count() / math.max(1, numCentroids))
+    val cent = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       .withColumn("c_norm", sqrt(dot(col("c_vec"), col("c_vec"))))
     // invert: every corpus row keyed by its nearest centroid. argmax
@@ -178,18 +213,38 @@ object Similarity {
       .select("q_id", "rank", "n_id", "cos")
   }
 
+  /** Plane count for [[lshTopK]] when the caller doesn't pin one:
+    * grows with corpus size so the expected bucket occupancy stays
+    * ~`targetBucket` (in-bucket work O(n·targetBucket), not O(n²/2^c)
+    * for a constant c). Floor of 8 keeps small corpora from
+    * degenerating into a handful of buckets with no selectivity. */
+  def autoPlanes(n: Long, targetBucket: Long = 1000L): Int =
+    math.max(8, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)
+    ).toInt)
+
   /** LSH-bucketed ANN: score only same-bucket pairs. Trades recall for
     * a corpus-sized equi-join instead of a cross join — the 100 TB
-    * path. Bucket count 2^planes; tune planes to corpus density. */
-  def lshTopK(df: DataFrame, k: Int, planes: Int = 8,
+    * path. Bucket count 2^planes; `planes = 0` (default) derives
+    * planes from the corpus size via [[autoPlanes]] so bucket
+    * occupancy — and with it the in-bucket quadratic term — stays
+    * bounded as the corpus grows. `maxBucketSize` drops any residual
+    * oversize bucket before the self-join. */
+  def lshTopK(df: DataFrame, k: Int, planes: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = 64, roundScale: Int = 6): DataFrame = {
+      dim: Int = 64, roundScale: Int = 6,
+      maxBucketSize: Long = 100000L): DataFrame = {
     val p = math.pow(10.0, roundScale)
-    val hp = hyperplanes(planes, dim)
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", lshBucket(col("vec"), hp))
-      .withColumn("norm", sqrt(dot(col("vec"), col("vec"))))
-      .persist()
+    val nPlanes = if (planes > 0) planes else autoPlanes(df.count())
+    val hp = hyperplanes(nPlanes, dim)
+    val bucketed = capBuckets(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .withColumn("bucket", lshBucket(col("vec"), hp))
+        .withColumn("norm", sqrt(dot(col("vec"), col("vec"))))
+        .withColumn("band", lit(0))
+        .withColumnRenamed("bucket", "key")
+        .localCheckpoint(eager = true), maxBucketSize)
+      .withColumnRenamed("key", "bucket").drop("band")
     val pairs = bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("q_id"), col("b.id").as("n_id"),

@@ -68,9 +68,11 @@ object DedupOps {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minJaccard: Double, maxShingleFreq: Long = 1000L)
       : DataFrame = {
-    // Persist the shingle table: it feeds both sides of the pair join
-    // plus the size aggregate.
-    val sh = shingleRows(docs, idCol, textCol, k).persist()
+    // Checkpoint the shingle table: it feeds both sides of the pair
+    // join plus the size aggregate — localCheckpoint materializes it
+    // once and cuts the window-function lineage out of the self-join
+    // plan (no CacheManager entry to leak across calls).
+    val sh = shingleRows(docs, idCol, textCol, k).localCheckpoint(eager = true)
     // Pair-join prune: a shingle held by a single doc cannot produce a
     // pair, and most shingles are singletons — dropping them up front
     // shrinks the self-join input without changing the result. The
@@ -81,7 +83,8 @@ object DedupOps {
     val shared = sh.groupBy("shingle").agg(count(lit(1)).as("__freq"))
       .filter(col("__freq") >= 2 && col("__freq") <= maxShingleFreq)
       .select("shingle")
-    val capped = sh.join(shared, Seq("shingle"), "left_semi").persist()
+    val capped = sh.join(shared, Seq("shingle"), "left_semi")
+      .localCheckpoint(eager = true)
     // sh is distinct per (id, shingle) by construction, so plain count
     // (map-side combinable) equals countDistinct without its extra
     // dedup shuffle.
@@ -132,7 +135,8 @@ object DedupOps {
               col(s"h${b * rows + r}").cast("string")): _*)).as("key"))
         }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .persist()  // feeds both sides of the candidate-pair self-join
+      // feeds both sides of the candidate-pair self-join
+      .localCheckpoint(eager = true)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.id") < col("b.id"))
@@ -250,16 +254,79 @@ object DedupOps {
   /** SimHash near-dup pairs within a hamming radius, bucketed by the
     * high byte to avoid the full cross join (docs differing only in
     * low bits land in the same bucket; radius <= 8 of 16 bits keeps
-    * recall reasonable for the 16-bit demo; the 64-bit production
-    * variant uses 4 rotated bucket keys). */
+    * recall reasonable for the 16-bit demo). The fixed 256-bucket
+    * split makes this demo-scale only — the corpus-scale variant is
+    * [[simhashPairs64]], whose bucket count grows with the key space
+    * (4 × 2¹⁶ keys) and whose recall within the radius is exact. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
-    val sh = simhashTable(docs, idCol, textCol).persist()
+    val sh = simhashTable(docs, idCol, textCol).localCheckpoint(eager = true)
     val bucketed = sh.withColumn("bucket", shiftright(col("sh"), 8))
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         TextOps.hammingDistance(col("a.sh"), col("b.sh")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** 64-bit relational SimHash as four 16-bit words (w0..w3): word j's
+    * bit b votes on bit b of hex digits [4j+1, 4j+4] of md5(token).
+    * Storing the signature as four words keeps every value within
+    * 16-bit range (portable long math — no unsigned-64 overflow
+    * anywhere) and the words double as the rotated-table bucket keys
+    * of [[simhashPairs64]]. w0 equals [[simhashTable]]'s 16-bit
+    * signature. Token-less docs get all-ones words (vote 0 >= 0). */
+  def simhashTable64(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("t"))
+    val h = tok.select(col("id") +: (0 until 4).map(j =>
+      conv(substring(md5(col("t")), 1 + 4 * j, 4), 16, 10)
+        .cast("long").as(s"hw$j")): _*)
+    // One aggregation pass: 64 conditional-sum bit votes (codegen'd,
+    // map-side combinable) — each token row is hashed once per word.
+    val voteCols = for (j <- 0 until 4; b <- 0 until 16) yield
+      sum(when(shiftright(col(s"hw$j"), b).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"v${j}_$b")
+    val votes = h.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+    val words = (0 until 4).map { j =>
+      (0 until 16).map(b =>
+        when(coalesce(col(s"v${j}_$b"), lit(0L)) >= 0, lit(1L << b))
+          .otherwise(lit(0L))).reduce(_ + _).as(s"w$j")
+    }
+    docs.select(col(idCol).as("id")).join(votes, Seq("id"), "left")
+      .select(col("id") +: words: _*)
+  }
+
+  /** 64-bit SimHash near-dup pairs — the corpus-scale rotated-table
+    * scheme (Manku et al., WWW'07): a pair within hamming radius <= 3
+    * over 64 bits must agree exactly on at least one of the four
+    * 16-bit words (pigeonhole), so bucketing each doc under its four
+    * words and equi-joining on (band, word) finds every such pair
+    * with NO radius-candidate loss, while in-bucket work is
+    * O(n²/2¹⁶) per band instead of O(n²/256). Multi-band collisions
+    * dedup in one groupBy after the (cheap) hamming evaluation. */
+  def simhashPairs64(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      s"simhashPairs64 guarantees recall only for radius <= 3 over 4 " +
+      s"bands (pigeonhole); got $maxHamming")
+    val sh = simhashTable64(docs, idCol, textCol)
+      .localCheckpoint(eager = true)
+    val banded = sh.select(
+      (col("id") +: (0 until 4).map(j => col(s"w$j"))) :+
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), col(s"w$b").as("key"))): _*)).as("bk"): _*)
+      .select((col("id") +: (0 until 4).map(j => col(s"w$j"))) :+
+        col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
+    val ham = (0 until 4).map(j =>
+      TextOps.hammingDistance(col(s"a.w$j"), col(s"b.w$j"))).reduce(_ + _)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        ham.as("hamming"))
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

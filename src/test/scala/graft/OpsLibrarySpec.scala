@@ -202,6 +202,61 @@ class OpsLibrarySpec extends SparkSpec {
     assert(lsh.count { case (x, y) => x <= 5 && y <= 5 } >= 5)
   }
 
+  test("cosineNearDupPairs candidate volume stays linear at defaults") {
+    import graft.sim.Similarity
+    val dim = 64
+    val rng = new scala.util.Random(13)
+    val n = 200
+    val df = (1L to n.toLong)
+      .map(i => (i, Array.fill(dim)(rng.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    // threshold -1 keeps every scored candidate pair, so the count IS
+    // the candidate volume. With 16-bit band keys random vectors
+    // almost never collide — the volume must be O(n), not O(n²).
+    val cand = Similarity.cosineNearDupPairs(df, -1.0, dim = dim).count()
+    assert(cand <= 2L * n, s"candidate volume $cand not linear in n=$n")
+  }
+
+  test("oversize buckets are dropped by maxBucketSize") {
+    import graft.sim.Similarity
+    val dim = 64
+    val v = Array.fill(dim)(1.0f)
+    // 20 identical vectors: one bucket per band holds all 20 rows
+    val df = (1L to 20L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val capped = Similarity.cosineNearDupPairs(df, 0.9, dim = dim,
+      maxBucketSize = 5L).count()
+    assert(capped == 0L)
+    val uncapped = Similarity.cosineNearDupPairs(df, 0.9, dim = dim).count()
+    assert(uncapped == 20L * 19L / 2L)
+    // same cap contract on the single-table ANN path
+    val ann = Similarity.lshTopK(df, 3, maxBucketSize = 5L).count()
+    assert(ann == 0L)
+  }
+
+  test("autoPlanes grows with corpus size, floored at 8") {
+    import graft.sim.Similarity
+    assert(Similarity.autoPlanes(500) == 8)
+    assert(Similarity.autoPlanes(256000) == 8)
+    assert(Similarity.autoPlanes(1000L * (1L << 20)) == 20)
+    assert(Similarity.autoPlanes(1000L * (1L << 30)) == 30)
+  }
+
+  test("ivfTopK derives the stride from the target centroid count") {
+    import graft.sim.Similarity
+    val dim = 8
+    val rng = new scala.util.Random(3)
+    val corpus = (0L until 50L)
+      .map(i => (i, Array.fill(dim)(rng.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 3)
+    // numCentroids=10 over n=50 must behave exactly like stride=5
+    val derived = Similarity.ivfTopK(q, corpus, 3,
+      numCentroids = 10).collect().toSeq
+    val pinned = Similarity.ivfTopK(q, corpus, 3,
+      centroidStride = 5L).collect().toSeq
+    assert(derived == pinned)
+  }
+
   test("salted join equals plain join") {
     val left = (1 to 500).map(i => (i % 5, i)).toDF("k", "lid")
     val right = Seq((0, "a"), (1, "b"), (2, "c"), (3, "d"), (4, "e"))

@@ -69,6 +69,57 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs.length == 1 && pairs(0).getAs[Int]("hamming") == 0)
   }
 
+  test("simhash64 word0 equals the 16-bit simhash; identical docs pair at 0") {
+    val docs = Seq(
+      (1L, "spark scala engine for large corpora"),
+      (2L, "spark scala engine for large corpora"),
+      (3L, "completely different words entirely elsewhere"),
+      (4L, "")).toDF("doc_id", "text")
+    val t64 = DedupOps.simhashTable64(docs, "doc_id", "text")
+    val t16 = DedupOps.simhashTable(docs, "doc_id", "text")
+    val joined = t64.join(t16, "id")
+      .filter(col("w0") =!= col("sh")).count()
+    assert(joined == 0)
+    // empty doc: all four words all-ones
+    val empty = t64.filter(col("id") === 4L).head()
+    (1 to 4).foreach(i => assert(empty.getLong(i) == 0xFFFFL))
+    val pairs = DedupOps.simhashPairs64(docs, "doc_id", "text", 0).collect()
+    assert(pairs.length == 1 && pairs(0).getAs[Long]("id_a") == 1L
+      && pairs(0).getAs[Long]("id_b") == 2L)
+  }
+
+  test("simhash64 banding has exact recall at radius 3 (pigeonhole)") {
+    // Compare the banded pair set against the exhaustive cross join
+    // over the same signatures: every pair within hamming <= 3 must
+    // be found by the 4-word rotated-table scheme.
+    val rng = new scala.util.Random(5)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val common = Seq.tabulate(30)(i => words(i % words.length)).mkString(" ")
+    val docs = ((1L to 40L).map { i =>
+      (i, Seq.fill(8)(words(rng.nextInt(words.length))).mkString(" "))
+    } ++ Seq( // planted near-identical cluster: guaranteed small radii
+      (41L, common), (42L, common),
+      (43L, common + " nu"), (44L, common + " xi omicron")))
+      .toDF("doc_id", "text")
+    val banded = DedupOps.simhashPairs64(docs, "doc_id", "text", 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t = DedupOps.simhashTable64(docs, "doc_id", "text")
+    val ham = (0 until 4).map(j =>
+      TextOps.hammingDistance(col(s"a.w$j"), col(s"b.w$j"))).reduce(_ + _)
+    val brute = t.as("a").crossJoin(t.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"), ham.as("h"))
+      .filter(col("h") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty) // fixture actually exercises the radius
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashPairs64(docs, "doc_id", "text", 4)
+    }
+  }
+
   test("langId picks the language with most stopword hits") {
     val guess = Seq("der hund und die katze ist nicht hier")
       .toDF("text").select(TextOps.langId(col("text"))).head().getString(0)
