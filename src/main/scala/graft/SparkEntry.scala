@@ -434,18 +434,30 @@ object SparkEntry {
     * (1990-epoch SECONDS/NANOSECONDS + IEEE4 value), decoded back by
     * the distributed binary source; hash-matches the plain projection
     * oracle iff timestamps and float payloads survive bit-exactly. */
-  private def q36(s: SparkSession, dir: String): DataFrame = {
+  /** TOB1 roundtrip fixtures are single logger files written by the
+    * (local) codec, so the event slice necessarily passes through the
+    * driver — capped at a deterministic (ts, event_id)-ordered prefix
+    * so the collect is bounded regardless of SF (a logger file is a
+    * bounded artifact; bulk frames belong in parquet). */
+  private val TobFixtureCap = 20000
+
+  private def tobFixture(s: SparkSession, dir: String, sub: String): String = {
     val ev = t(s, dir, "events").select(col("ts"), col("value"))
-      .orderBy("ts").collect()
+      .orderBy(col("ts"), col("event_id")).limit(TobFixtureCap).collect()
     val rows = ev.toSeq.map { r =>
       (r.getTimestamp(0).getTime * 1000L +
         (r.getTimestamp(0).getNanos / 1000L) % 1000L,
         Seq(r.getDouble(1).toFloat))
     }
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q36/ev.dat"
+    val path = s"${System.getProperty("java.io.tmpdir")}/$sub/ev.dat"
     graft.sources.Tob.writeTob1(path,
       Seq("TOB1", "EventsSite", "CR3000", "1", "os", "prog", "1", "t"),
       Seq("value"), rows)
+    path
+  }
+
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val path = tobFixture(s, dir, "graft_q36")
     graft.sources.Tob.read(s, path).data
       .select(col("DATETIME"), col("value").cast("double").as("value"))
       .orderBy("DATETIME")
@@ -623,17 +635,7 @@ object SparkEntry {
     * back through `format("tob")` — frame decode inside the V2
     * partition reader, oracle-checked. */
   private def q46(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events").select(col("ts"), col("value"))
-      .orderBy("ts").collect()
-    val rows = ev.toSeq.map { r =>
-      (r.getTimestamp(0).getTime * 1000L +
-        (r.getTimestamp(0).getNanos / 1000L) % 1000L,
-        Seq(r.getDouble(1).toFloat))
-    }
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q46/ev.dat"
-    graft.sources.Tob.writeTob1(path,
-      Seq("TOB1", "EventsSite", "CR3000", "1", "os", "prog", "1", "t"),
-      Seq("value"), rows)
+    val path = tobFixture(s, dir, "graft_q46")
     s.read.format("tob").load(path)
       .select(col("DATETIME"), col("value").cast("double").as("value"))
       .orderBy("DATETIME")
@@ -1119,7 +1121,9 @@ object SparkEntry {
       ORDER BY l_orderkey, l_linenumber""",
     "q36_tob1_roundtrip" -> """
       SELECT ts AS DATETIME, value::FLOAT::DOUBLE AS value
-      FROM events ORDER BY DATETIME""",
+      FROM (SELECT ts, value FROM events
+            ORDER BY ts, event_id LIMIT 20000)
+      ORDER BY DATETIME""",
     "q37_multimodal" -> """
       SELECT doc_id, octet_length(text::BLOB)::INT AS payload_bytes,
              (('0x' || substr(md5(text), 1, 2))::INT / 255.0)::FLOAT AS f0,
@@ -1253,6 +1257,8 @@ object SparkEntry {
       FROM documents ORDER BY doc_id""",
     "q46_tob_v2_scan" -> """
       SELECT ts AS DATETIME, value::FLOAT::DOUBLE AS value
-      FROM events ORDER BY DATETIME""",
+      FROM (SELECT ts, value FROM events
+            ORDER BY ts, event_id LIMIT 20000)
+      ORDER BY DATETIME""",
   )
 }

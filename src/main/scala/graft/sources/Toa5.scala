@@ -162,9 +162,8 @@ object Toa5 {
 
     val stringCols = df.schema.fields.collect {
       case f if f.dataType == StringType => f.name }.toSet
-    val rows = df.orderBy(col(tsCol))
-      .select((col(tsCol) +: dataCols.map(col)): _*)
-      .collect()
+    val rows = collectBounded(df.orderBy(col(tsCol))
+      .select((col(tsCol) +: dataCols.map(col)): _*), path)
     val sb = new StringBuilder
     Seq(infoLine, namesLine, unitsLine, samplingLine)
       .foreach(l => sb.append(l).append("\r\n"))
@@ -202,8 +201,8 @@ object Toa5 {
     val unitsLine = (Seq("DATAU", "", "[yyyy-mm-dd]", "[HH:MM]") ++
       dataCols.map(n => byName.get(n).map(_.units).getOrElse("")))
       .mkString("\t")
-    val rows = df.orderBy(col(tsCol))
-      .select((col(tsCol) +: dataCols.map(col)): _*).collect()
+    val rows = collectBounded(df.orderBy(col(tsCol))
+      .select((col(tsCol) +: dataCols.map(col)): _*), path)
     val dFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
     val tFmt = java.time.format.DateTimeFormatter.ofPattern("HH:mm")
     val sb = new StringBuilder
@@ -221,6 +220,22 @@ object Toa5 {
     Files.createDirectories(Paths.get(path).getParent)
     Files.write(Paths.get(path),
       sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Single-file logger products are driver-assembled by design (a
+    * TOA5/EddyPro site-year is ~17.5k rows; byte-stable output needs
+    * one ordered writer) — but a misuse with a bulk frame must fail
+    * loudly BEFORE the driver tries to materialize it, not OOM. */
+  private val MaxWriterRows = 2000000L
+
+  private def collectBounded(df: DataFrame, path: String)
+      : Array[org.apache.spark.sql.Row] = {
+    val n = df.limit((MaxWriterRows + 1).toInt).count()
+    require(n <= MaxWriterRows,
+      s"refusing to write $path: frame exceeds $MaxWriterRows rows — " +
+      "single-file TOA5/EddyPro output is a driver-side artifact; " +
+      "write bulk frames to parquet instead")
+    df.collect()
   }
 
   /** Numeric rendering: integral doubles without trailing .0 kept as
