@@ -641,6 +641,62 @@ object SparkEntry {
       .orderBy("DATETIME")
   }
 
+  /** S9 TOB3 frame roundtrip: 997 event values laid out 10 records
+    * per frame at 100 ms (reference frame semantics:
+    * read_cs_files.py:312-500) — frame 3 carries an invalid
+    * validation stamp (decoder must skip its 10 records) and the
+    * trailing 7-record frame is minor (footer word0 = used bytes).
+    * The oracle recomputes the surviving (DATETIME, RECORD) grid
+    * arithmetically, so stamp validation, minor-frame record counts,
+    * and sub-record timestamping are all hash-checked. */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val vals = t(s, dir, "events")
+      .select(col("ts"), col("value"), col("event_id"))
+      .orderBy(col("ts"), col("event_id")).limit(997).collect()
+      .map(r => Seq(r.getDouble(1).toFloat)).toSeq
+    val baseUs = java.time.LocalDateTime.of(2024, 6, 1, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q47/fast.dat"
+    graft.sources.Tob.writeTob3(path,
+      Seq("TOB3", "EventsSite", "CR3000", "1", "os", "prog", "1"),
+      "fast", Seq("value"), vals, baseUs, 100000L, 10,
+      corruptFrames = Set(3))
+    graft.sources.Tob.read(s, path).data
+      .select(col("DATETIME"), col("RECORD"),
+        col("value").cast("double").as("value"))
+      .orderBy("RECORD")
+  }
+
+  /** K3 EddyPro writer roundtrip: hourly event means through the
+    * tab-separated DATAH/DATAU summary format (file_io.py:721-841)
+    * and back via the format-sniffing reader; hash-matches the direct
+    * aggregation oracle, proving the writer/reader pair is
+    * value-stable (numbers, NaN token, date/time split columns). */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{TableMeta, VariableMeta, FileInfo}
+    val agg = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("DATETIME"))
+      .agg(rnd(avg(col("value")), 6).as("avg_value"),
+           count(lit(1)).cast("double").as("n"))
+    val meta = TableMeta(FileInfo.dummy,
+      Seq(VariableMeta("avg_value", "arb", "Avg"),
+        VariableMeta("n", "samples", "Tot")))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q48/ep.txt"
+    graft.sources.Toa5.writeEddyPro(agg, meta, path, "ep.txt")
+    graft.sources.Toa5.read(s, path).data
+      .select(col("DATETIME").as("hour_ts"), col("avg_value"), col("n"))
+      .orderBy("hour_ts")
+  }
+
+  /** A14 fast-file window partitioning: end-labelled 30-min buckets
+    * ((start, end] per fast_file_io.py:444-596) with completeness
+    * stats — the bucket arithmetic behind shard naming, oracle-checked
+    * in pure integer time math. */
+  private def q49(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.FastData.windowStats(
+        t(s, dir, "events").select(col("ts")), "ts", 30, 0.1)
+      .orderBy("window_end")
+
   // ---------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -690,6 +746,9 @@ object SparkEntry {
     "q43_ivf_ann"          -> (q43 _),
     "q44_toa5_v2_scan"     -> (q44 _),
     "q45_bpeish_tokens"    -> (q45 _),
+    "q47_tob3_roundtrip"   -> (q47 _),
+    "q48_eddypro_roundtrip"-> (q48 _),
+    "q49_fastdata_windows" -> (q49 _),
     "q50_simhash64_pairs"  -> (q50 _),
     "q51_neardup_scaled"   -> (q51 _),
     "q46_tob_v2_scan"      -> (q46 _),
@@ -1260,5 +1319,29 @@ object SparkEntry {
       FROM (SELECT ts, value FROM events
             ORDER BY ts, event_id LIMIT 20000)
       ORDER BY DATETIME""",
+    "q47_tob3_roundtrip" -> """
+      WITH o AS (SELECT ts, event_id, value FROM events
+                 ORDER BY ts, event_id LIMIT 997),
+      v AS (SELECT value::FLOAT::DOUBLE AS value,
+              row_number() OVER (ORDER BY ts, event_id) - 1 AS r
+            FROM o)
+      SELECT make_timestamp(1717200000000000 + r * 100000) AS DATETIME,
+             r AS RECORD, value
+      FROM v WHERE r // 10 <> 3
+      ORDER BY RECORD""",
+    "q48_eddypro_roundtrip" -> """
+      SELECT date_trunc('hour', ts) AS hour_ts,
+             floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS avg_value,
+             count(*)::DOUBLE AS n
+      FROM events GROUP BY 1 ORDER BY 1""",
+    "q49_fastdata_windows" -> """
+      WITH b AS (SELECT epoch_us(ts)
+            + ((1800000000 - epoch_us(ts) % 1800000000) % 1800000000)
+            AS wus
+          FROM events)
+      SELECT make_timestamp(wus) AS window_end, count(*) AS n_rows,
+             180 AS n_expected,
+             count(*)::DOUBLE / 180 * 100.0 AS pct_complete
+      FROM b GROUP BY wus ORDER BY window_end""",
   )
 }

@@ -48,11 +48,12 @@ object FastData {
     * own window ((start, end] convention). */
   def windowEnd(ts: Column, stepMin: Int): Column = {
     val stepUs = stepMin * 60L * 1000000L
-    timestamp_micros(-floorDiv0(-unix_micros(ts), stepUs) * stepUs)
+    // ceil-to-step in pure integer math (pmod of the negated value is
+    // the distance up to the next boundary; 0 on a boundary) — no
+    // double division, so the bucket is exact at any epoch magnitude.
+    val us = unix_micros(ts)
+    timestamp_micros(us + pmod(-us, lit(stepUs)))
   }
-  // ceil(x/step)*step via -floor(-x/step)*step; expressed without udf
-  private def floorDiv0(x: Column, step: Long): Column =
-    floor(x.cast("double") / lit(step.toDouble)).cast("long")
 
   /** Rows-per-window completeness stats: expected = step*freq*60. */
   def windowStats(df: DataFrame, tsCol: String, stepMin: Int,

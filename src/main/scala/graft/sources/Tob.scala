@@ -286,6 +286,68 @@ object Tob {
       header ++ body.array())
   }
 
+  /** TOB3 encoder (test/round-trip utility): `values` laid out
+    * `recsPerFrame` records per frame under a single IEEE4 channel
+    * set, 12-byte LE frame header (seconds, subseconds=0, begin
+    * record), 4-byte footer. Frame f starts at `baseUs + f*frameSec`
+    * whole seconds, records step `intervalUs` within the frame
+    * (`recsPerFrame * intervalUs` must equal a whole second times
+    * frameSec so header seconds stay integral). Frames listed in
+    * `corruptFrames` get an invalid validation stamp (decoder must
+    * skip them); a trailing partial frame is written as a minor frame
+    * (footer word0 = used byte count). */
+  def writeTob3(path: String, info: Seq[String], tableName: String,
+      valueNames: Seq[String], values: Seq[Seq[Float]],
+      baseUs: Long, intervalUs: Long, recsPerFrame: Int,
+      corruptFrames: Set[Int] = Set.empty): Unit = {
+    val recSize = 4 * valueNames.length
+    val hdrSize = 12; val footSize = 4
+    val frameSize = hdrSize + recsPerFrame * recSize + footSize
+    val frameUs = recsPerFrame * intervalUs
+    require(frameUs % 1000000L == 0,
+      s"frame span ${frameUs}us must be whole seconds")
+    require((baseUs - Epoch1990Us) % 1000000L == 0 && baseUs >= Epoch1990Us,
+      "baseUs must be whole seconds after 1990-01-01")
+    val validation = 43981 // 0xABCD
+    def quoted(fs: Seq[String]) = fs.map(f => "\"" + f + "\"").mkString(",")
+    val intervalStr =
+      if (intervalUs % 1000 == 0) s"${intervalUs / 1000} MSEC"
+      else s"$intervalUs USEC"
+    val header = Seq(
+      quoted(info.padTo(8, "").take(8)),
+      quoted(Seq(tableName, intervalStr, frameSize.toString, "0",
+        validation.toString, "SecMsec")),
+      quoted(valueNames),
+      quoted(valueNames.map(_ => "arb")),
+      quoted(valueNames.map(_ => "Smp")),
+      quoted(valueNames.map(_ => "IEEE4"))
+    ).mkString("", "\r\n", "\r\n").getBytes(StandardCharsets.US_ASCII)
+
+    val nFrames = (values.length + recsPerFrame - 1) / recsPerFrame
+    val body = ByteBuffer.allocate(nFrames * frameSize)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    for (f <- 0 until nFrames) {
+      val recs = values.slice(f * recsPerFrame, (f + 1) * recsPerFrame)
+      val frameStart = body.position()
+      body.putInt(((baseUs - Epoch1990Us) / 1000000L
+        + f.toLong * (frameUs / 1000000L)).toInt) // seconds since 1990
+      body.putInt(0)                              // subseconds
+      body.putInt(f * recsPerFrame)               // begin record no
+      recs.foreach(_.foreach(body.putFloat))
+      body.position(frameStart + hdrSize + recsPerFrame * recSize)
+      val minor = recs.length < recsPerFrame
+      val word0 =
+        if (minor) hdrSize + recs.length * recSize + footSize else 0
+      body.putShort(word0.toShort)
+      val stamp = if (corruptFrames.contains(f)) 1 else validation
+      body.putShort(stamp.toShort)
+    }
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path).getParent)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      header ++ body.array())
+  }
+
   // --- Spark sources --------------------------------------------------
 
   private[sources] def sparkSchema(h: TobHeader): StructType = {
