@@ -55,6 +55,22 @@ object TimeSeriesOps {
     (mode, min)
   }
 
+  /** A2 enforcement: the reference refuses to proceed when the
+    * minimum timestamp difference disagrees with the mode — that
+    * means duplicate-ish or sub-interval rows survived conditioning
+    * (file_io.py:1079-1087). Returns the confirmed interval or
+    * throws. Use this (not [[inferIntervalSeconds]]) on any path
+    * that goes on to regularize against the inferred grid. */
+  def requireUniformInterval(df: DataFrame, tsCol: String,
+      keys: Seq[String] = Nil): Long = {
+    val (mode, min) = inferIntervalSeconds(df, tsCol, keys)
+    require(min == mode,
+      s"minimum timestamp difference (${min}s) does not equal the " +
+      s"modal interval (${mode}s) — sub-interval or duplicate rows " +
+      "present; dedup/condition the frame before grid operations")
+    mode
+  }
+
   /** A2 substrate: histogram of successive-timestamp differences in
     * seconds (one row per distinct delta, with occurrence count).
     */

@@ -20,7 +20,11 @@ object L1Pipeline {
   /** Condition one source frame (reference DataHandler
     * get_conditioned_data, file_handler.py:21-125): subset+rename
     * (P1), exact dedup (D1), drop dup-timestamp rows (D2, keep-first
-    * policy), regularize to the site interval (A1). */
+    * policy), regularize to the site interval (A1). An `intervalSec`
+    * <= 0 means "infer": the interval is taken from the data via
+    * [[TimeSeriesOps.requireUniformInterval]], which enforces the
+    * reference's min==mode policy (file_io.py:1079-1087) and throws
+    * when sub-interval rows survive the dedup. */
   def condition(c: Conditioned, tsCol: String, intervalSec: Long,
       usecols: Map[String, String]): Conditioned = {
     val selected = c.df.select(
@@ -28,7 +32,10 @@ object L1Pipeline {
         case (from, to) => col(from).as(to) }: _*)
     val deduped = selected.dropDuplicates()
       .dropDuplicates(tsCol)    // D2 keep-one policy
-    val regular = TimeSeriesOps.regularize(deduped, tsCol, intervalSec)
+    val step =
+      if (intervalSec > 0) intervalSec
+      else TimeSeriesOps.requireUniformInterval(deduped, tsCol)
+    val regular = TimeSeriesOps.regularize(deduped, tsCol, step)
     Conditioned(regular,
       c.meta.subset(usecols.keys.toSeq).withRenames(usecols))
   }

@@ -82,4 +82,33 @@ class TimeSeriesOpsSpec extends SparkSpec {
     val v = spark.range(1).select(lbl.as("t")).head().getTimestamp(0)
     assert(v == ts("2024-01-01 00:30:00"))
   }
+
+  test("requireUniformInterval enforces min == mode (A2 policy)") {
+    val good = Seq(
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 00:05:00"),
+      ts("2024-01-01 00:10:00"), ts("2024-01-01 00:15:00")
+    ).toDF("DATETIME")
+    assert(TimeSeriesOps.requireUniformInterval(good, "DATETIME") == 300L)
+    // one sub-interval straggler: min (60s) != mode (300s) -> raise,
+    // like the reference's file_io.py:1079-1087
+    val bad = Seq(
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 00:05:00"),
+      ts("2024-01-01 00:10:00"), ts("2024-01-01 00:15:00"),
+      ts("2024-01-01 00:16:00")
+    ).toDF("DATETIME")
+    val e = intercept[IllegalArgumentException] {
+      TimeSeriesOps.requireUniformInterval(bad, "DATETIME")
+    }
+    assert(e.getMessage.contains("modal interval"))
+    // the L1 condition path infers-and-enforces when interval <= 0
+    import graft.pipeline.L1Pipeline
+    import graft.core.{TableMeta, FileInfo, VariableMeta}
+    val meta = TableMeta(FileInfo.dummy,
+      Seq(VariableMeta("DATETIME", "TS", ""), VariableMeta("v", "arb", "")))
+    val frame = good.withColumn("v", lit(1.0))
+    val out = L1Pipeline.condition(
+      L1Pipeline.Conditioned(frame, meta), "DATETIME", 0L,
+      Map("v" -> "v"))
+    assert(out.df.count() == 4)
+  }
 }
