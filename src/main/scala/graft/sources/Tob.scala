@@ -379,8 +379,21 @@ object Tob {
     implicit val enc: Encoder[Row] = Encoders.row(decodeSchema)
 
     val isTob1 = h.format == "TOB1"
-    val decoded = bin.select("content").flatMap { r =>
-      val bytes = r.getAs[Array[Byte]](0)
+    // Every file decodes under ITS OWN header (decodeTob1/3 parse it),
+    // but the frame's schema comes from the single probe file — a
+    // directory mixing formats or channel lists would mis-bind columns
+    // silently. Validate each file's header against the probe and
+    // fail loudly with the offending path.
+    val (pFormat, pNames, pTypes) = (h.format, h.names, h.types)
+    val decoded = bin.select("path", "content").flatMap { r =>
+      val path = r.getString(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val (fh, _) = parseHeader(bytes)
+      require(fh.format == pFormat && fh.names == pNames
+          && fh.types == pTypes,
+        s"TOB header mismatch in $path: format=${fh.format} " +
+        s"names=${fh.names} types=${fh.types} differ from probed " +
+        s"($pFormat/$pNames/$pTypes) — decode a homogeneous directory")
       if (isTob1) decodeTob1(bytes)._1 else decodeTob3(bytes)._1
     }
     val df = decoded.withColumn("DATETIME",

@@ -33,13 +33,19 @@ import graft.sources.Toa5
   *    2-column projection over a 200-column logger table does ~1% of
   *    the conversion work.
   *  - '''File-level time-range pruning''': TOA5 files are appended in
-  *    time order, so [first row, last row] bounds the file's span.
-  *    DATETIME range filters prune whole files at planning time by
-  *    probing ~2 lines per file — the file-granular analog of parquet
-  *    row-group stats, and exactly how the reference's date-named
-  *    file layout is used (SURVEY §2.1 S6/S7). Filters are still
-  *    re-applied by Spark above the scan (best-effort pushdown), so
-  *    correctness never depends on the probe.
+  *    time order, so first/mid/last row samples bound the file's
+  *    span. DATETIME range filters prune whole files at planning time
+  *    by probing ~3 lines per file — the file-granular analog of
+  *    parquet row-group stats, and exactly how the reference's
+  *    date-named file layout is used (SURVEY §2.1 S6/S7).
+  *    PRECONDITION: pruning assumes per-file timestamps are (near-)
+  *    monotonic — the normal append-only logger case. A file whose
+  *    interior excursions (clock stepped backward/forward) escape all
+  *    three probe samples can have matching rows pruned with the
+  *    file; for such data pass `.option("spanPruning", false)` to
+  *    disable the probe (filters still apply row-level — Spark
+  *    re-evaluates them above the scan either way, so within a kept
+  *    file correctness never depends on the probe).
   *  - '''One partition per file''': a site-year is hundreds of daily
   *    files — natural parallelism across executors with no shuffle.
   *
@@ -68,10 +74,12 @@ private[v2] class Toa5Table(tableSchema: StructType, path: String)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new Toa5ScanBuilder(tableSchema, Toa5V2.pathOf(options))
+    new Toa5ScanBuilder(tableSchema, Toa5V2.pathOf(options),
+      options.getBoolean("spanPruning", true))
 }
 
-private[v2] class Toa5ScanBuilder(fullSchema: StructType, path: String)
+private[v2] class Toa5ScanBuilder(fullSchema: StructType, path: String,
+    spanPruning: Boolean)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = fullSchema
@@ -91,7 +99,7 @@ private[v2] class Toa5ScanBuilder(fullSchema: StructType, path: String)
 
   override def build(): Scan =
     new Toa5Scan(path, fullSchema, required,
-      Toa5V2.boundsOf(pushed))
+      if (spanPruning) Toa5V2.boundsOf(pushed) else Toa5V2.Unbounded)
 }
 
 private[v2] case class Toa5InputPartition(file: String) extends InputPartition
@@ -301,14 +309,35 @@ object Toa5V2 {
             .takeWhile(_ != null).find(_.nonEmpty)
         } finally reader.close()
       val lastData = lastNonEmptyLine(file)
+      // A third sample from the middle of the file widens the span
+      // for mildly non-monotonic files (logger clock stepped back):
+      // if the mid row falls outside [first, last] the probe catches
+      // it. An interior excursion that misses all three samples can
+      // still be pruned away — hence the monotonic-file precondition
+      // and the spanPruning=false escape hatch.
+      val midData = lineAtOffset(file, fmt)
       def ts(line: String): Long =
         cellsTsMicros(spec, line.split(Pattern.quote(fmt.separator), -1))
       for {
         f <- firstData; l <- lastData
-        lo = ts(f); hi = ts(l)
-        if lo != Long.MinValue && hi != Long.MinValue
-      } yield (math.min(lo, hi), math.max(lo, hi))
+        samples = (Seq(ts(f), ts(l)) ++ midData.map(ts))
+          .filter(_ != Long.MinValue)
+        if samples.nonEmpty
+      } yield (samples.min, samples.max)
     } catch { case _: Exception => None }
+
+  /** First complete non-empty line at/after the file's byte midpoint
+    * (None for small files where the tail read already covers it). */
+  private def lineAtOffset(file: String, fmt: FileFormat): Option[String] = {
+    val raf = new RandomAccessFile(file, "r")
+    try {
+      val len = raf.length()
+      if (len < 32768) return None
+      raf.seek(len / 2)
+      raf.readLine() // discard the (likely partial) current line
+      Option(raf.readLine()).filter(_.nonEmpty)
+    } finally raf.close()
+  }
 
   /** Last complete non-empty line via a bounded tail read. */
   private def lastNonEmptyLine(file: String, tailBytes: Int = 8192): Option[String] = {

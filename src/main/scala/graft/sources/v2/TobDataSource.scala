@@ -83,10 +83,15 @@ private[v2] class TobPartitionReader(file: String,
     extends PartitionReader[InternalRow] {
   private val rows: Iterator[org.apache.spark.sql.Row] = {
     val bytes = Files.readAllBytes(Paths.get(file))
-    val fmt = new String(bytes, 0, math.min(6, bytes.length),
-      java.nio.charset.StandardCharsets.US_ASCII)
+    val (fh, _) = Tob.parseHeader(bytes)
+    // the scan's schema came from a single probe file: a file whose
+    // own header disagrees would mis-bind columns — fail loudly
+    val own = Tob.sparkSchema(fh)
+    require(own == fullSchema,
+      s"TOB header mismatch in $file: decoded schema $own differs " +
+      s"from probed $fullSchema — decode a homogeneous directory")
     val decoded =
-      if (fmt.startsWith("\"TOB1\"")) Tob.decodeTob1(bytes)._1
+      if (fh.format == "TOB1") Tob.decodeTob1(bytes)._1
       else Tob.decodeTob3(bytes)._1
     decoded.iterator
   }

@@ -70,6 +70,28 @@ class Toa5V2Spec extends SparkSpec {
       .filter(col("DATETIME") >= lit(java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
     assert(df.count() == 2)
     assert(df.agg(min("Ta")).head().getDouble(0) == 3.0)
+    // spanPruning=false disables the probe: same rows, no file pruned
+    val noPrune = spark.read.format("toa5")
+      .option("spanPruning", "false").load(dir.toString)
+      .filter(col("DATETIME") >= lit(java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
+    assert(noPrune.count() == 2)
+  }
+
+  test("non-monotonic file: mid-row excursion survives via spanPruning=false") {
+    val dir = Files.createTempDirectory("toa5v2nm")
+    // logger clock stepped back mid-file: an interior March row inside
+    // a January-spanning file
+    writeFile(dir, "odd.dat", Seq(
+      "\"2024-01-01 00:30:00\",1,1",
+      "\"2024-03-15 12:00:00\",9,9",
+      "\"2024-01-31 23:30:00\",2,2"))
+    val marchOnly = col("DATETIME") >=
+      lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
+    val noPrune = spark.read.format("toa5")
+      .option("spanPruning", "false").load(dir.toString)
+      .filter(marchOnly)
+    assert(noPrune.count() == 1)
+    assert(noPrune.head().getDouble(1) == 9.0)
   }
 
   test("v2 scan accepts glob paths") {

@@ -165,6 +165,23 @@ class TobSpec extends SparkSpec {
     assert(parsed.meta.info.stationName == "Site")
   }
 
+  test("mixed-header TOB directory fails loudly, not silently misdecoded") {
+    val dir = Files.createTempDirectory("tobmix")
+    Files.write(dir.resolve("a.dat"), tob1Fixture())
+    Files.write(dir.resolve("b.dat"), tob3Fixture())
+    val e = intercept[Exception] {
+      Tob.read(spark, dir.toString).data.count()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" "))
+    assert(rootMsg(e).contains("header mismatch"))
+    val e2 = intercept[Exception] {
+      spark.read.format("tob").load(dir.toString).count()
+    }
+    assert(rootMsg(e2).contains("header mismatch"))
+  }
+
   test("fast-data window stats and shard writing (A14/E4/F28)") {
     import org.apache.spark.sql.functions._
     import graft.pipeline.FastData
