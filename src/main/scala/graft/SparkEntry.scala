@@ -688,6 +688,30 @@ object SparkEntry {
       .orderBy("hour_ts")
   }
 
+  /** K4/S11 netCDF product roundtrip: hourly event means through the
+    * lake -> a real classic-format .nc (CF time since 1800-01-01,
+    * crs + QC flag variables, recomputed global attrs) -> the netCDF
+    * scan seam. Hash-matching the direct aggregation oracle proves
+    * the .nc byte path is value-stable end-to-end. */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{TableMeta, VariableMeta, FileInfo}
+    import graft.pipeline.L1Pipeline
+    val agg = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("DATETIME"))
+      .agg(rnd(avg(col("value")), 6).as("avg_value"))
+    val meta = TableMeta(FileInfo.dummy,
+      Seq(VariableMeta("avg_value", "arb", "Avg")))
+    val lake = s"${System.getProperty("java.io.tmpdir")}/graft_q52"
+    L1Pipeline.writeLake(L1Pipeline.Conditioned(agg, meta),
+      "DATETIME", 3600, lake, "EventsSite")
+    val nc = s"$lake/EventsSite_2024_L1.nc"
+    L1Pipeline.writeNetCdfYear(s, lake, 2024, "EventsSite",
+      -35.5, 148.25, 3600, nc)
+    L1Pipeline.readNetCdf(s, nc)
+      .select(col("DATETIME"), col("avg_value"), col("avg_value_QCFlag"))
+      .orderBy("DATETIME")
+  }
+
   /** A14 fast-file window partitioning: end-labelled 30-min buckets
     * ((start, end] per fast_file_io.py:444-596) with completeness
     * stats — the bucket arithmetic behind shard naming, oracle-checked
@@ -751,6 +775,7 @@ object SparkEntry {
     "q49_fastdata_windows" -> (q49 _),
     "q50_simhash64_pairs"  -> (q50 _),
     "q51_neardup_scaled"   -> (q51 _),
+    "q52_netcdf_roundtrip" -> (q52 _),
     "q46_tob_v2_scan"      -> (q46 _),
   )
 
@@ -1334,6 +1359,18 @@ object SparkEntry {
              floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS avg_value,
              count(*)::DOUBLE AS n
       FROM events GROUP BY 1 ORDER BY 1""",
+    "q52_netcdf_roundtrip" -> """
+      WITH h AS (
+        SELECT date_trunc('hour', ts) AS DATETIME,
+               floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0
+                 AS avg_value
+        FROM events GROUP BY 1)
+      SELECT DATETIME, avg_value,
+             CASE WHEN avg_value IS NULL THEN 1 ELSE 0 END
+               AS avg_value_QCFlag
+      FROM h
+      WHERE year(DATETIME - INTERVAL 1 HOUR) = 2024
+      ORDER BY DATETIME""",
     "q49_fastdata_windows" -> """
       WITH b AS (SELECT epoch_us(ts)
             + ((1800000000 - epoch_us(ts) % 1800000000) % 1800000000)

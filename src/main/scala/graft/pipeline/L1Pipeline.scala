@@ -122,6 +122,134 @@ object L1Pipeline {
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** K4 real-netCDF product (the reference's flagship output,
+    * nc_constructors.py:433-530): one classic-format `.nc` per year
+    * from the lake — dims (time=unlimited, latitude=1, longitude=1),
+    * CF time encoded as seconds since 1800-01-01, a NaN-valued `crs`
+    * variable carrying the coordinate reference attrs, per-variable
+    * attrs, int QC-flag variables, and recomputed global attrs
+    * (title / nc_nrecs / time coverage, nc_constructors.py:557-719).
+    *
+    * A site-year is a bounded artifact (~17.5k rows at 30 min), so
+    * the assembly is a driver-side collect by design — the same
+    * contract as the TOA5 writer; the yearly partition scan feeding
+    * it stays distributed. */
+  def writeNetCdfYear(spark: SparkSession, lakeDir: String, year: Int,
+      site: String, latitude: Double, longitude: Double,
+      intervalSec: Long, outPath: String, tsCol: String = "DATETIME",
+      varAttrs: Map[String, Seq[(String, graft.sources.NetCdf.AttrVal)]] =
+        Map.empty): Unit = {
+    import graft.sources.NetCdf
+    import graft.sources.NetCdf._
+    val df = spark.read.parquet(s"$lakeDir/data")
+      .filter(col("year") === year).drop("year")
+      .orderBy(col(tsCol))
+    val cols = df.columns.filter(_ != tsCol).toSeq
+    val rows = df.limit(2000001).collect()
+    require(rows.length <= 2000000,
+      s"year $year exceeds 2M rows — not a site-year product")
+    val n = rows.length
+    require(n > 0, s"no lake rows for year $year")
+
+    val time = rows.map { r =>
+      val t = r.getTimestamp(r.fieldIndex(tsCol))
+      (t.getTime / 1000.0) - NetCdf.Epoch1800Sec.toDouble
+    }
+    def series(name: String): Array[Double] = rows.map { r =>
+      val i = r.fieldIndex(name)
+      if (r.isNullAt(i)) Double.NaN
+      else r.get(i) match {
+        case d: java.lang.Double => d.doubleValue
+        case x: java.lang.Number => x.doubleValue
+      }
+    }
+    val dims = Seq(Dim("time", 0), Dim("latitude", 1), Dim("longitude", 1))
+    val allDims = Seq(0, 1, 2)
+    val tcFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    def tsStr(i: Int): String =
+      rows(i).getTimestamp(rows(i).fieldIndex(tsCol))
+        .toLocalDateTime.format(tcFmt)
+    val globals = Seq(
+      "title" -> TextAttr(
+        s"Flux tower data set from the $site site for the calendar year $year"),
+      "site" -> TextAttr(site),
+      "nc_nrecs" -> IntAttr(Seq(n)),
+      "time_coverage_start" -> TextAttr(tsStr(0)),
+      "time_coverage_end" -> TextAttr(tsStr(n - 1)),
+      "time_step" -> IntAttr(Seq((intervalSec / 60).toInt)),
+      "latitude" -> DoubleAttr(Seq(latitude)),
+      "longitude" -> DoubleAttr(Seq(longitude)))
+    val crsAttrs = Seq(
+      "grid_mapping_name" -> TextAttr("latitude_longitude"),
+      "long_name" -> TextAttr("WGS 1984 datum"),
+      "longitude_of_prime_meridian" -> DoubleAttr(Seq(0.0)),
+      "semi_major_axis" -> DoubleAttr(Seq(6378137.0)),
+      "inverse_flattening" -> DoubleAttr(Seq(298.257223563)))
+    val vars =
+      Var("time", Seq(0), NcDouble, Seq(
+        "long_name" -> TextAttr("time"),
+        "standard_name" -> TextAttr("time"),
+        "units" -> TextAttr("seconds since 1800-01-01 00:00:00.0")),
+        time) +:
+      Var("latitude", Seq(1), NcDouble, Seq(
+        "long_name" -> TextAttr("latitude"),
+        "standard_name" -> TextAttr("latitude"),
+        "units" -> TextAttr("degrees north")), Array(latitude)) +:
+      Var("longitude", Seq(2), NcDouble, Seq(
+        "long_name" -> TextAttr("longitude"),
+        "standard_name" -> TextAttr("longitude"),
+        "units" -> TextAttr("degrees east")), Array(longitude)) +:
+      Var("crs", allDims, NcDouble, crsAttrs,
+        Array.fill(n)(Double.NaN)) +:
+      cols.map { c =>
+        val t = if (c.endsWith("_QCFlag")) NcInt else NcDouble
+        val attrs = varAttrs.getOrElse(c,
+          if (c.endsWith("_QCFlag"))
+            Seq("long_name" -> TextAttr(
+              s"${c.stripSuffix("_QCFlag")}QC flag"),
+              "units" -> TextAttr("1"))
+          else Nil)
+        Var(c, allDims, t, attrs, series(c))
+      }
+    NetCdf.write(outPath, Dataset(dims, globals, vars))
+  }
+
+  /** S11 netCDF scan seam: one yearly product file back to a frame
+    * (DATETIME + data/flag columns; NaN -> null). Product files are
+    * driver-readable by construction; a multi-year directory fans out
+    * per file upstream of this call. */
+  def readNetCdf(spark: SparkSession, path: String): DataFrame = {
+    import graft.sources.NetCdf
+    val ds = NetCdf.read(path)
+    val recId = ds.dims.indexWhere(_.length == 0)
+    val time = ds.vars.find(_.name == "time")
+      .getOrElse(throw new IllegalArgumentException(s"no time var in $path"))
+    val dataVars = ds.vars.filter(v =>
+      v.name != "time" && v.name != "crs" &&
+      v.dimIds.headOption.contains(recId))
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("DATETIME",
+        org.apache.spark.sql.types.TimestampType) +:
+      dataVars.map(v => org.apache.spark.sql.types.StructField(v.name,
+        if (v.ncType == NetCdf.NcInt)
+          org.apache.spark.sql.types.IntegerType
+        else org.apache.spark.sql.types.DoubleType)))
+    val rows: Seq[org.apache.spark.sql.Row] =
+      time.data.indices.map { i =>
+        val ts = new java.sql.Timestamp(
+          ((time.data(i) + NetCdf.Epoch1800Sec) * 1000.0).toLong)
+        org.apache.spark.sql.Row.fromSeq(ts +: dataVars.map { v =>
+          val d = v.data(i)
+          if (v.ncType == NetCdf.NcInt) d.toInt
+          else if (d.isNaN) null else d
+        })
+      }
+    val list = new java.util.ArrayList[org.apache.spark.sql.Row](rows.size)
+    rows.foreach(list.add)
+    spark.createDataFrame(list, schema)
+  }
+
   /** J4 multi-year read-back: partitioned parquet scan (year pruning
     * is free); QC flag columns dropped for analysis reads. */
   def readLake(spark: SparkSession, outDir: String,

@@ -78,6 +78,83 @@ class L1PipelineSpec extends SparkSpec {
       .contains("TestSite"))
   }
 
+  test("netCDF-3 classic roundtrip: header, attrs, record interleave (K4)") {
+    import graft.sources.NetCdf
+    import graft.sources.NetCdf._
+    val dir = Files.createTempDirectory("nc").toString
+    val ds = Dataset(
+      Seq(Dim("time", 0), Dim("latitude", 1), Dim("longitude", 1)),
+      Seq("title" -> TextAttr("t"), "nc_nrecs" -> IntAttr(Seq(3)),
+        "latitude" -> DoubleAttr(Seq(-35.5))),
+      Seq(
+        Var("time", Seq(0), NcDouble,
+          Seq("units" -> TextAttr("seconds since 1800-01-01 00:00:00.0")),
+          Array(1.0, 2.0, 3.0)),
+        Var("latitude", Seq(1), NcDouble, Nil, Array(-35.5)),
+        Var("Ta", Seq(0, 1, 2), NcDouble,
+          Seq("units" -> TextAttr("degC")),
+          Array(20.5, Double.NaN, 21.25)),
+        Var("Ta_QCFlag", Seq(0, 1, 2), NcInt,
+          Seq("units" -> TextAttr("1")), Array(0.0, 1.0, 0.0))))
+    NetCdf.write(s"$dir/t.nc", ds)
+    val bytes = Files.readAllBytes(java.nio.file.Path.of(s"$dir/t.nc"))
+    assert(bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F'
+      && bytes(3) == 1)
+    val back = NetCdf.read(s"$dir/t.nc")
+    assert(back.dims == ds.dims)
+    assert(back.globalAttrs == ds.globalAttrs)
+    assert(back.vars.map(_.name) == ds.vars.map(_.name))
+    val ta = back.vars.find(_.name == "Ta").get
+    assert(ta.attrs == Seq("units" -> TextAttr("degC")))
+    assert(ta.data(0) == 20.5 && ta.data(1).isNaN && ta.data(2) == 21.25)
+    assert(back.vars.find(_.name == "Ta_QCFlag").get.data.toSeq ==
+      Seq(0.0, 1.0, 0.0))
+    assert(back.numRecs == 3)
+  }
+
+  test("yearly netCDF product from the lake + scan seam (K4/S11)") {
+    val c = Conditioned(Seq(
+      (ts("2024-01-01 00:30:00"), 1.5),
+      (ts("2024-01-01 01:00:00"), Double.NaN),
+      (ts("2024-01-01 01:30:00"), 3.25)
+    ).toDF("DATETIME", "Ta")
+      .withColumn("Ta", when(isnan(col("Ta")), lit(null)).otherwise(col("Ta"))),
+      meta(("Ta", "degC")))
+    val dir = Files.createTempDirectory("ncy").toString
+    L1Pipeline.writeLake(c, "DATETIME", 1800, dir, "TestSite")
+    val nc = s"$dir/TestSite_2024_L1.nc"
+    L1Pipeline.writeNetCdfYear(spark, dir, 2024, "TestSite",
+      -35.5, 148.25, 1800, nc,
+      varAttrs = Map("Ta" -> Seq(
+        "long_name" -> graft.sources.NetCdf.TextAttr("Air temperature"),
+        "units" -> graft.sources.NetCdf.TextAttr("degC"))))
+    import graft.sources.NetCdf
+    val ds = NetCdf.read(nc)
+    assert(ds.numRecs == 3)
+    val g = ds.globalAttrs.toMap
+    assert(g("title") == NetCdf.TextAttr(
+      "Flux tower data set from the TestSite site for the calendar year 2024"))
+    assert(g("nc_nrecs") == NetCdf.IntAttr(Seq(3)))
+    assert(g("time_coverage_start") == NetCdf.TextAttr("2024-01-01 00:30:00"))
+    assert(ds.vars.map(_.name).take(4) ==
+      Seq("time", "latitude", "longitude", "crs"))
+    val timeVar = ds.vars.find(_.name == "time").get
+    assert(timeVar.attrs.toMap.apply("units") ==
+      NetCdf.TextAttr("seconds since 1800-01-01 00:00:00.0"))
+    // time value: 2024-01-01 00:30 UTC in seconds since 1800
+    val expect0 = ts("2024-01-01 00:30:00").getTime / 1000.0 -
+      NetCdf.Epoch1800Sec
+    assert(timeVar.data(0) == expect0)
+    // scan seam back to a frame: values and flags round-trip
+    val back = L1Pipeline.readNetCdf(spark, nc)
+      .orderBy("DATETIME").collect()
+    assert(back.length == 3)
+    assert(back(0).getDouble(back(0).fieldIndex("Ta")) == 1.5)
+    assert(back(1).isNullAt(back(1).fieldIndex("Ta")))
+    assert(back(1).getInt(back(1).fieldIndex("Ta_QCFlag")) == 1)
+    assert(back(2).getDouble(back(2).fieldIndex("Ta")) == 3.25)
+  }
+
   test("merge legality: unit aliases ok, conflicts flagged (J2)") {
     val master = Conditioned(
       Seq((ts("2024-01-01 00:30:00"), 1.0), (ts("2024-01-01 01:00:00"), 2.0))
