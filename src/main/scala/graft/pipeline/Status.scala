@@ -45,6 +45,80 @@ object Status {
           abs(col("drift_seconds")) <= driftToleranceSec.toDouble))
   }
 
+  /** K6 xlsx staleness palette (reference `_get_colour`,
+    * network_status.py:815-851): <1 green, <3 blue, <5 magenta,
+    * <7 orange, else red. Index is 1-based into [[StatusFills]]
+    * (0 = unstyled, for null staleness). */
+  val StatusFills: Seq[String] = Seq(
+    "FF008000", "FF0000FF", "FFFF00FF", "FFFFA500", "FFFF0000")
+
+  private[pipeline] def fillFor(days: Any): Int = days match {
+    case null => 0
+    case n: Number =>
+      val d = n.doubleValue
+      if (d.isNaN) 0
+      else if (d < 1) 1 else if (d < 3) 2 else if (d < 5) 3
+      else if (d < 7) 4 else 5
+    case _ => 5 // non-numeric staleness = red, like the reference
+  }
+
+  /** K6: the network-status workbook (network_status.py:634-884):
+    * a file-status sheet, one data-status sheet per site, and the
+    * colour Key sheet. Every sheet leads with a `RUN date/time:` line
+    * then the header row; the staleness column is colour-filled per
+    * [[fillFor]]; column widths fit max(header, content) + 2.
+    * Status frames are tiny (sites × variables) — collected and
+    * rendered driver-side like the geojson/JSON sinks. */
+  def writeStatusWorkbook(path: String, fileStatus: DataFrame,
+      siteDataStatus: Seq[(String, DataFrame)],
+      runTime: java.sql.Timestamp,
+      fileDaysCol: String = "days_since_last_record",
+      dataDaysCol: String = "days_since_last_valid_record"): Unit = {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm")
+    val runLine =
+      s"RUN date/time: ${runTime.toLocalDateTime.format(fmt)} "
+
+    def statusSheet(name: String, df: DataFrame, daysCol: String)
+        : Xlsx.Sheet = {
+      val cols = df.columns.toSeq
+      val daysIdx = cols.indexOf(daysCol)
+      val rows = df.collect().toSeq
+      val header = cols.map(c => Xlsx.Cell(c))
+      val body = rows.map { r =>
+        cols.indices.map { i =>
+          val v = r.get(i)
+          Xlsx.Cell(v, if (i == daysIdx) fillFor(v) else 0)
+        }
+      }
+      val widths = cols.indices.map { i =>
+        val content = rows.map(r => String.valueOf(r.get(i)).length)
+        math.max(cols(i).length, if (content.isEmpty) 0 else content.max) + 2
+      }
+      Xlsx.Sheet(name,
+        Seq(Seq(Xlsx.Cell(runLine))) ++ (header +: body), widths)
+    }
+
+    val keySheet = {
+      val entries = Seq(
+        ("green", "< 1 day", 1), ("blue", "1 <= day(s) < 3", 2),
+        ("magenta", "3 <= days < 5", 3), ("orange", "5 <= days < 7", 4),
+        ("red", "days >= 7", 5))
+      Xlsx.Sheet("Key",
+        Seq(Xlsx.Cell("colour"), Xlsx.Cell("interval")) +:
+          entries.map { case (c, l, f) =>
+            Seq(Xlsx.Cell(c, f), Xlsx.Cell(l)) },
+        Seq(9, 17))
+    }
+
+    val sheets =
+      statusSheet("File_status", fileStatus, fileDaysCol) +:
+      siteDataStatus.map { case (site, df) =>
+        statusSheet(site, df, dataDaysCol) } :+
+      keySheet
+    Xlsx.write(path, sheets, StatusFills)
+  }
+
   private def esc(s: String): String =
     s.flatMap {
       case '"' => "\\\""

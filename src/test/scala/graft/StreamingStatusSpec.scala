@@ -158,6 +158,50 @@ class StreamingStatusSpec extends SparkSpec {
       true
     } catch { case _: Exception => false }
 
+  test("K6 status workbook: sheets, run line, staleness fills, widths") {
+    import graft.pipeline.{Status, Xlsx}
+    import java.util.zip.ZipFile
+    val files = Seq(
+      ("SiteA", "met.dat", 0.5), ("SiteA", "flux.dat", 8.0)
+    ).toDF("site", "file_name", "days_since_last_record")
+    val siteA = Seq(
+      ("Ta", 0.2), ("Fco2", 4.0)
+    ).toDF("variable", "days_since_last_valid_record")
+    val dir = java.nio.file.Files.createTempDirectory("xlsx")
+    val path = dir.resolve("network_status.xlsx").toString
+    Status.writeStatusWorkbook(path, files, Seq("SiteA" -> siteA),
+      java.sql.Timestamp.valueOf("2026-08-12 10:00:00"))
+
+    val zf = new ZipFile(path)
+    def read(name: String): String = {
+      val in = zf.getInputStream(zf.getEntry(name))
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    }
+    try {
+      val wb = read("xl/workbook.xml")
+      assert(wb.contains("\"File_status\"") && wb.contains("\"SiteA\"")
+        && wb.contains("\"Key\""))
+      val s1 = read("xl/worksheets/sheet1.xml")
+      assert(s1.contains("RUN date/time: 2026-08-12 10:00"))
+      assert(s1.contains("days_since_last_record"))
+      // 0.5 days -> green (style 1); 8.0 days -> red (style 5)
+      assert(s1.contains("""<c r="C3" s="1"><v>0.5</v></c>"""))
+      assert(s1.contains("""<c r="C4" s="5"><v>8.0</v></c>"""))
+      assert(s1.contains("customWidth"))
+      val s2 = read("xl/worksheets/sheet2.xml")
+      // 4.0 days -> magenta (style 3) in the site data sheet
+      assert(s2.contains("""s="3""""))
+      val styles = read("xl/styles.xml")
+      Status.StatusFills.foreach(c => assert(styles.contains(c)))
+      val key = read("xl/worksheets/sheet3.xml")
+      assert(key.contains("magenta") && key.contains("days &gt;= 7"))
+      // column letters
+      assert(Xlsx.colLetter(0) == "A" && Xlsx.colLetter(25) == "Z"
+        && Xlsx.colLetter(26) == "AA" && Xlsx.colLetter(27 * 26) == "AAA")
+    } finally zf.close()
+  }
+
   test("F32 staleness buckets") {
     val out = Seq(0.5, 2.0, 4.0, 6.0, 10.0).toDF("d")
       .select(Status.stalenessBucket(col("d"))).as[String].collect()
