@@ -71,6 +71,34 @@ object VariableCatalog {
       case (_, group) => group.take(1)
     }
 
+  /** L1 variance -> standard-deviation amendment over a whole catalog
+    * (SURVEY §7.4#9): every `_Vr` variable is renamed `_Sd` with its
+    * units converted back from variance units and its statistic set
+    * to `Sd` — metadata moves in lockstep with the data-plane rename.
+    * Returns (amended metas, rename map for the frame columns).
+    * Reference: metadata.py:676-690 + convert_variance_units
+    * (metadata.py:1299-1324). */
+  def varianceToStdev(vars: Seq[VariableMeta])
+      : (Seq[VariableMeta], Map[String, String]) = {
+    val amended = vars.map(PfpName.varianceToStdev)
+    val renames = vars.zip(amended).collect {
+      case (before, after) if before.name != after.name =>
+        before.name -> after.name
+    }.toMap
+    (amended, renames)
+  }
+
+  /** Process-suffix attribute rewrites applied catalog-wide: each
+    * variable's attrs amended per its parsed process suffix
+    * (Vr/Ct/QCFlag — metadata.py:1057-1065, 1327-1364). */
+  def rewriteProcessAttrs(vars: Seq[VariableMeta]): Seq[VariableMeta] =
+    vars.map { v =>
+      PfpName.parse(v.name) match {
+        case Right(p) => PfpName.rewriteProcessAttrs(v, p.process)
+        case Left(_) => v
+      }
+    }
+
   /** P9: generic (dashboard) name mapping — quantity + indexed
     * replicate across height-sorted groups, e.g. soil sensors become
     * `Sws_1..n` ordered by depth then replicate (reference:

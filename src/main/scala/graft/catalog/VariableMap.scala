@@ -67,7 +67,7 @@ object VariableMap {
       val name =
         if (e.longName.isDefined) Nil // custom-variable escape hatch
         else PfpName.parse(e.standardName) match {
-          case Left(reason) => Seq(BadName(e.standardName, reason))
+          case Left(reason) => Seq(BadName(e.standardName, reason.message))
           case Right(_) => Nil
         }
       missing ++ src ++ name

@@ -48,4 +48,65 @@ class PfpNameSpec extends AnyFunSuite {
     assert(PfpName.depthCmToM("Sws_100cm_Av") == "Sws_1m_Av")
     assert(PfpName.depthCmToM("Ta_HMP_2m_Av") == "Ta_HMP_2m_Av") // no-op
   }
+
+  test("typed error taxonomy mirrors the reference error classes") {
+    import PfpName._
+    assert(parse("") == Left(EmptyName))
+    assert(parse("Ta__Av") == Left(EmptyComponent("Ta__Av")))
+    assert(parse("Ta_2m_3m") == Left(DuplicateComponent("location", "Ta_2m_3m")))
+    assert(parse("Fco2_EP_EF") == Left(DuplicateComponent("system", "Fco2_EP_EF")))
+    // vocabulary membership (metadata.py:1098-1101)
+    assert(parse("Xx_2m", Set("Ta", "RH")) == Left(InvalidQuantity("Xx")))
+    assert(parse("Ta_2m", Set("Ta", "RH")).isRight)
+    // location error classes (metadata.py:1201-1227)
+    assert(parse("Sws_0-30-60cm_Av") ==
+      Left(TooManyHeightIdentifiers("0-30-60cm")))
+    assert(parse("Sws_HMP_abccm_Av") == Left(NonNumericHeight("abccm")))
+    assert(parse("Ta_HMP_2m$_Av") == Left(NonAlphaHorizontal("$")))
+    // like the reference, a digit straight after the units is a
+    // replicate with no horizontal id (metadata.py:1252-1283)
+    assert(parse("Ta_HMP_2m3_Av").toOption.get.replicate.contains(3))
+    // every error renders the reference-style message
+    assert(parse("Sws_0-30-60cm").swap.toOption.get.message
+      .contains("maximum of two height / depth identifiers"))
+  }
+
+  test("variance/count/QC attr rewrites (metadata.py:1299-1364)") {
+    import graft.core.VariableMeta
+    assert(PfpName.convertVarianceUnits("degC") == "degC^2")
+    assert(PfpName.convertVarianceUnits("m^2/s^2", toVariance = false)
+      == "m/s")
+    intercept[NoSuchElementException] {
+      PfpName.convertVarianceUnits("furlongs")
+    }
+    val base = VariableMeta("CO2_IRGA_Ct", "mg/m^3", "Ct",
+      longName = Some("CO2 concentration"),
+      standardName = Some("mass_concentration_of_co2"),
+      plausibleMin = Some(300.0), plausibleMax = Some(900.0))
+    val ct = PfpName.rewriteProcessAttrs(base, Some("Ct"))
+    assert(ct.units == "1"
+      && ct.longName.contains("Number of samples of CO2 concentration")
+      && ct.standardName.isEmpty
+      && ct.plausibleMin.contains(0.0) && ct.plausibleMax.isEmpty)
+    val qc = PfpName.rewriteProcessAttrs(
+      base.copy(name = "CO2_IRGA_QCFlag"), Some("QCFlag"))
+    assert(qc.units == "1"
+      && qc.longName.contains("QC flag value of CO2 concentration"))
+    val vr = PfpName.rewriteProcessAttrs(
+      base.copy(name = "CO2_IRGA_Vr"), Some("Vr"))
+    assert(vr.units == "mg^2/m^6")
+  }
+
+  test("Vr -> Sd catalog amendment keeps metadata in lockstep") {
+    import graft.core.VariableMeta
+    import graft.catalog.VariableCatalog
+    val vars = Seq(
+      VariableMeta("Ux_SONIC_Vr", "m^2/s^2", "Vr"),
+      VariableMeta("Ta_HMP_2m_Av", "degC", "Av"))
+    val (amended, renames) = VariableCatalog.varianceToStdev(vars)
+    assert(renames == Map("Ux_SONIC_Vr" -> "Ux_SONIC_Sd"))
+    val sd = amended.find(_.name == "Ux_SONIC_Sd").get
+    assert(sd.units == "m/s" && sd.sampling == "Sd")
+    assert(amended.exists(_.name == "Ta_HMP_2m_Av")) // untouched
+  }
 }
