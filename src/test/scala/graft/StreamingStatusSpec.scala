@@ -158,6 +158,66 @@ class StreamingStatusSpec extends SparkSpec {
       true
     } catch { case _: Exception => false }
 
+  test("S14 logger HTTP adapter: command grammar + payload wrangle") {
+    import graft.sources.LoggerHttp
+    import graft.sources.LoggerHttp._
+    val payload = """{
+      "head": {"fields": [
+        {"name": "Ta", "type": "xsd:float", "units": "degC",
+         "process": "Smp", "settable": false},
+        {"name": "RH", "type": "xsd:float", "units": "percent",
+         "process": "Smp", "settable": false}]},
+      "data": [
+        {"time": "2024-06-01T10:00:00", "no": 41, "vals": [21.5, 55.0]},
+        {"time": "2024-06-01T10:30:00", "no": 42, "vals": [22.0, null]}]}"""
+    val url = "http://10.0.0.1/?command=dataquery&uri=dl:met.Ta" +
+      "&mode=date-range&p1=2024-06-01T00:00:00&p2=2024-06-02T00:00:00" +
+      "&format=json"
+    // exact-URL fixture: a grammar drift fails the lookup loudly
+    val transport = FixtureTransport(Map(url -> payload))
+    val df = LoggerHttp.getDataByDateRange(spark, transport, "10.0.0.1",
+      java.sql.Timestamp.valueOf("2024-06-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-06-02 00:00:00"),
+      "met", Some("Ta"))
+    assert(df.columns.toSeq == Seq("TIMESTAMP", "RECORD", "Ta", "RH"))
+    val rows = df.orderBy("RECORD").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("2024-06-01 10:00:00"))
+    assert(rows(0).getLong(1) == 41 && rows(0).getDouble(2) == 21.5)
+    assert(rows(1).isNullAt(3)) // null val survives as null
+    // since-time and most-recent grammars
+    val sinceUrl = "http://10.0.0.1/?command=dataquery&uri=dl:met" +
+      "&mode=since-time&p1=2024-06-01T00:00:00&format=json"
+    val recentUrl = "http://10.0.0.1/?command=dataquery&uri=dl:met" +
+      "&mode=most-recent&p1=3&format=json"
+    val t2 = FixtureTransport(Map(sinceUrl -> payload, recentUrl -> payload))
+    assert(LoggerHttp.getDataSinceDate(spark, t2, "10.0.0.1",
+      java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), "met")
+      .count() == 2)
+    assert(LoggerHttp.getDataNRecordsBack(spark, t2, "10.0.0.1", "met",
+      recsBack = 3).count() == 2)
+    // clock check
+    val clock = LoggerHttp.clockCheck(spark,
+      FixtureTransport(Map("http://10.0.0.1/?command=ClockCheck&format=json"
+        -> """{"time": "2024-06-01T10:00:05"}""")), "10.0.0.1")
+      .head()
+    assert(clock.getTimestamp(1) ==
+      java.sql.Timestamp.valueOf("2024-06-01 10:00:05"))
+    // fleet poll fans out and carries payloads back per IP
+    val fleet = LoggerHttp.pollFleet(spark,
+      FixtureTransport(Map(
+        "http://10.0.0.1/?command=ClockCheck&format=json" -> "a",
+        "http://10.0.0.2/?command=ClockCheck&format=json" -> "b")),
+      Seq("10.0.0.1", "10.0.0.2"), "ClockCheck")
+      .orderBy("ip_addr").collect()
+    assert(fleet.map(_.getString(1)).toSeq == Seq("a", "b"))
+    // invalid format rejected like the reference
+    intercept[IllegalArgumentException] {
+      LoggerHttp.buildCmdStr("10.0.0.1", "x", Some("csv"))
+    }
+  }
+
   test("K6 status workbook: sheets, run line, staleness fills, widths") {
     import graft.pipeline.{Status, Xlsx}
     import java.util.zip.ZipFile
