@@ -119,17 +119,21 @@ object Similarity {
       roundScale: Int = 6, maxBucketSize: Long = 100000L): DataFrame = {
     val p = math.pow(10.0, roundScale)
     val hp = hyperplanes(bands * rowsPerBand, dim, seed)
+    // All band keys come from ONE fused codegen loop
+    // (HyperplaneBits) — the composed per-plane expression tree is
+    // O(planes·dim) literal nodes and falls out of codegen at the
+    // 128-plane scale default. posexplode supplies the band ordinal.
     // localCheckpoint (eager) rather than persist: the banded sliver
     // feeds both sides of the self-join — checkpointing materializes
-    // it once, cuts the (wide) hyperplane-expression lineage out of
-    // the join plan, and leaves no CacheManager entry behind.
+    // it once, cuts the hyperplane-expression lineage out of the join
+    // plan, and leaves no CacheManager entry behind.
     val banded = capBuckets(df
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("norm", sqrt(dot(col("vec"), col("vec"))))
       .select(col("id"), col("vec"), col("norm"),
-        explode(bandKeys(col("vec"), hp, bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("vec"), col("norm"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+        posexplode(graft.functions.HyperplaneBits.bandKeys(col("vec"),
+          hp.map(_.toIndexedSeq).toIndexedSeq, bands, rowsPerBand))
+          .as(Seq("band", "key")))
       .localCheckpoint(eager = true), maxBucketSize)
     val scored = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
@@ -237,12 +241,14 @@ object Similarity {
     val p = math.pow(10.0, roundScale)
     val nPlanes = if (planes > 0) planes else autoPlanes(df.count())
     val hp = hyperplanes(nPlanes, dim)
+    // single-band HyperplaneBits: the bucket id is band 0's key
     val bucketed = capBuckets(
       df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-        .withColumn("bucket", lshBucket(col("vec"), hp))
+        .withColumn("key", element_at(
+          graft.functions.HyperplaneBits.bandKeys(col("vec"),
+            hp.map(_.toIndexedSeq).toIndexedSeq, 1, nPlanes), 1))
         .withColumn("norm", sqrt(dot(col("vec"), col("vec"))))
         .withColumn("band", lit(0))
-        .withColumnRenamed("bucket", "key")
         .localCheckpoint(eager = true), maxBucketSize)
       .withColumnRenamed("key", "bucket").drop("band")
     val pairs = bucketed.as("a").join(bucketed.as("b"),

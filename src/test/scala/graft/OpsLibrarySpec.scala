@@ -202,6 +202,41 @@ class OpsLibrarySpec extends SparkSpec {
     assert(lsh.count { case (x, y) => x <= 5 && y <= 5 } >= 5)
   }
 
+  test("HyperplaneBits matches the composed per-plane band keys") {
+    import graft.sim.Similarity
+    import graft.functions.HyperplaneBits
+    val dim = 16; val bands = 4; val rows = 8
+    val hp = Similarity.hyperplanes(bands * rows, dim, seed = 7L)
+    val hpSeq = hp.map(_.toIndexedSeq).toIndexedSeq
+    val rng = new scala.util.Random(21)
+    val vecs = (1L to 30L).map(i =>
+      (i, Array.fill(dim)(rng.nextFloat() - 0.5f))) ++ Seq(
+      (31L, Array.fill(3)(1.0f)),                  // wrong length
+      (32L, null.asInstanceOf[Array[Float]]))      // null vector
+    val df = vecs.toDF("id", "vec")
+    val fused = df.select(col("id"),
+      HyperplaneBits.bandKeys(col("vec"), hpSeq, bands, rows).as("keys"))
+    val composed = df.select(col("id"),
+      Similarity.bandKeys(col("vec"), hp, bands, rows).as("bk"))
+      .select(col("id"), expr("transform(bk, x -> x.key)").as("keys"))
+    val joined = fused.as("f").join(composed.as("c"), "id")
+      .select(col("id"), col("f.keys").as("fk"), col("c.keys").as("ck"))
+      .collect()
+    joined.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"id=${r.getLong(0)}")
+    }
+    // degenerate vectors key to all-zero buckets, never null
+    val edge = fused.filter(col("id") >= 31L).collect()
+    edge.foreach(r => assert(r.getSeq[Long](1) == Seq.fill(bands)(0L)))
+    // single-band variant equals lshBucket
+    val oneBand = df.filter(col("id") <= 30L).select(col("id"),
+      element_at(HyperplaneBits.bandKeys(col("vec"), hpSeq.take(8), 1, 8), 1)
+        .as("b1"),
+      Similarity.lshBucket(col("vec"), hp.take(8)).as("b2"))
+      .collect()
+    oneBand.foreach(r => assert(r.getLong(1) == r.getLong(2)))
+  }
+
   test("cosineNearDupPairs candidate volume stays linear at defaults") {
     import graft.sim.Similarity
     val dim = 64
