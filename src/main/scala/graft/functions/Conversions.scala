@@ -58,6 +58,16 @@ object Conversions {
   def varianceToStdev(c: Column): Column = sqrt(c)
   def stdevToVariance(c: Column): Column = c * c
 
+  /** F11: convert a VARIANCE column whose base quantity needs a unit
+    * conversion: sqrt to stdev, convert in standard units, square back
+    * to variance (the reference applies base conversions to variance
+    * variables this way — convert_calc_filter.py:157-274 with the
+    * variance-unit bookkeeping of metadata.py:1299-1324). Returns the
+    * converted variance column; pair with
+    * [[graft.pfp.PfpName.convertVarianceUnits]] for the units string. */
+  def convertVariance(c: Column, baseConversion: Column => Column): Column =
+    stdevToVariance(baseConversion(varianceToStdev(c)))
+
   /** F10: diagnostic valid-count -> invalid-count, n = freq_hz*step*60. */
   def diagnosticValidToInvalid(c: Column, freqHz: Double, stepMin: Double): Column =
     lit(freqHz * stepMin * 60.0) - c

@@ -53,6 +53,17 @@ class ConversionsSpec extends SparkSpec {
       eval(stdevToVariance(varianceToStdev(lit(v)))) - v) < 1e-12)
   }
 
+  test("F11 variance conversion = square of converted stdev") {
+    // variance in mmol^2/m^6 -> mg^2/m^6: sqrt, F2 base conversion,
+    // square — against the hand-computed value
+    val varMmol = 4.0 // stdev 2 mmol/m^3
+    val out = eval(convertVariance(lit(varMmol), co2DensityMmolToMg))
+    val expected = math.pow(2.0 * 44.0, 2)
+    assert(math.abs(out - expected) < 1e-9)
+    // units bookkeeping goes through the PFP variance-units map
+    assert(graft.pfp.PfpName.convertVarianceUnits("mmol/m^3") == "mmol^2/m^6")
+  }
+
   test("F20 CO2 mole fraction <-> density round-trip") {
     val co2 = 650.0; val ps = 98.0; val ta = 12.0
     val dens = eval(co2DensityFromMoleFraction(lit(co2), lit(ps), lit(ta)))

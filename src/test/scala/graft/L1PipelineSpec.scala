@@ -155,6 +155,43 @@ class L1PipelineSpec extends SparkSpec {
     assert(back(2).getDouble(back(2).fieldIndex("Ta")) == 3.25)
   }
 
+  test("task registry: matrix queries, dispatch, failure capture") {
+    import graft.pipeline.TaskRegistry
+    val csv =
+      """Site,generate_L1,write_status
+        |Calperum,True,True
+        |Boyagin,False,True
+        |""".stripMargin
+    val m = TaskRegistry.fromCsv(csv)
+    assert(m.siteList == Seq("Calperum", "Boyagin"))
+    assert(m.sitesForTask("generate_L1") == Seq("Calperum"))
+    assert(m.sitesForTask("generate_L1", disabled = true) == Seq("Boyagin"))
+    assert(m.tasksForSite("Boyagin") == Seq("write_status"))
+    val m2 = m.withStatus("Boyagin", "generate_L1", status = true)
+    assert(m2.sitesForTask("generate_L1") == Seq("Calperum", "Boyagin"))
+    assert(TaskRegistry.fromCsv(m2.toCsv) == m2)
+    intercept[IllegalArgumentException] { m.sitesForTask("nope") }
+
+    // dispatch: site task fans over enabled sites, failures captured
+    var ran = List.empty[String]
+    val outcomes = TaskRegistry.runTask(m2, "generate_L1",
+      siteTasks = Map("generate_L1" -> { site: String =>
+        if (site == "Boyagin") sys.error("no data") else ran ::= site
+      }))
+    assert(ran == List("Calperum"))
+    assert(outcomes.map(o => (o.site.get, o.ok)) ==
+      Seq(("Calperum", true), ("Boyagin", false)))
+    assert(outcomes(1).error.get.contains("no data"))
+    // network task runs once; unknown task refuses
+    val net = TaskRegistry.runTask(m2, "rebuild_index",
+      siteTasks = Map.empty,
+      networkTasks = Map("rebuild_index" -> (() => ())))
+    assert(net == Seq(TaskRegistry.Outcome(None, "rebuild_index", true, None)))
+    intercept[NotImplementedError] {
+      TaskRegistry.runTask(m2, "nope", Map.empty)
+    }
+  }
+
   test("merge legality: unit aliases ok, conflicts flagged (J2)") {
     val master = Conditioned(
       Seq((ts("2024-01-01 00:30:00"), 1.0), (ts("2024-01-01 01:00:00"), 2.0))
