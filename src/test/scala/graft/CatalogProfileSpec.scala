@@ -111,4 +111,38 @@ class CatalogProfileSpec extends SparkSpec {
       withNull.filter($"DATETIME" === t1), "DATETIME").head()
     assert(strict.isNullAt(strict.fieldIndex("storage_flux")))
   }
+
+  test("S15 SPARQL source: bindings wrangle, site labels, typing") {
+    import graft.catalog.Sparql
+    val fixture = """{
+      "head": {"vars": ["label", "latitude", "longitude", "time_step",
+                        "vegetation", "date_commissioned"]},
+      "results": {"bindings": [
+        {"label": {"type": "literal", "value": "Alice Mulga Flux Station"},
+         "latitude": {"type": "literal", "value": "-22.283"},
+         "longitude": {"type": "literal", "value": "133.249"},
+         "time_step": {"type": "literal", "value": "30"},
+         "vegetation": {"type": "literal", "value": "Mulga woodland"},
+         "date_commissioned": {"type": "literal", "value": "2010-09-03"}},
+        {"label": {"type": "literal", "value": "Calperum Flux Station"},
+         "latitude": {"type": "literal", "value": "-34.003"},
+         "longitude": {"type": "literal", "value": "140.588"},
+         "time_step": {"type": "literal", "value": "30"}}
+      ]}}"""
+    val df = Sparql.siteDetails(spark, Sparql.FixtureTransport(fixture),
+      "http://example.invalid/sparql", "SELECT ...",
+      aliases = Map("Alice Mulga" -> "AliceSprings"))
+    val rows = df.orderBy("Site").collect()
+    assert(rows.map(_.getAs[String]("Site")).toSeq ==
+      Seq("AliceSprings", "Calperum"))
+    val alice = rows(0)
+    assert(alice.getDouble(alice.fieldIndex("latitude")) == -22.283)
+    assert(alice.getInt(alice.fieldIndex("time_step")) == 30)
+    assert(alice.getDate(alice.fieldIndex("date_commissioned")).toString
+      == "2010-09-03")
+    // absent binding: string column coalesces to '', typed stays null
+    val calperum = rows(1)
+    assert(calperum.getAs[String]("vegetation") == "")
+    assert(calperum.isNullAt(calperum.fieldIndex("date_commissioned")))
+  }
 }
