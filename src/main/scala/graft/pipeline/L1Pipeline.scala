@@ -215,39 +215,84 @@ object L1Pipeline {
     NetCdf.write(outPath, Dataset(dims, globals, vars))
   }
 
-  /** S11 netCDF scan seam: one yearly product file back to a frame
-    * (DATETIME + data/flag columns; NaN -> null). Product files are
-    * driver-readable by construction; a multi-year directory fans out
-    * per file upstream of this call. */
-  def readNetCdf(spark: SparkSession, path: String): DataFrame = {
-    import graft.sources.NetCdf
-    val ds = NetCdf.read(path)
+  /** Record variables of an L1 product (everything over the record
+    * dim except the time coordinate and crs). */
+  private def ncDataVars(ds: graft.sources.NetCdf.Dataset)
+      : Seq[graft.sources.NetCdf.Var] = {
     val recId = ds.dims.indexWhere(_.length == 0)
-    val time = ds.vars.find(_.name == "time")
-      .getOrElse(throw new IllegalArgumentException(s"no time var in $path"))
-    val dataVars = ds.vars.filter(v =>
-      v.name != "time" && v.name != "crs" &&
+    ds.vars.filter(v => v.name != "time" && v.name != "crs" &&
       v.dimIds.headOption.contains(recId))
-    val schema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("DATETIME",
-        org.apache.spark.sql.types.TimestampType) +:
-      dataVars.map(v => org.apache.spark.sql.types.StructField(v.name,
-        if (v.ncType == NetCdf.NcInt)
-          org.apache.spark.sql.types.IntegerType
-        else org.apache.spark.sql.types.DoubleType)))
-    val rows: Seq[org.apache.spark.sql.Row] =
-      time.data.indices.map { i =>
-        val ts = new java.sql.Timestamp(
-          ((time.data(i) + NetCdf.Epoch1800Sec) * 1000.0).toLong)
-        org.apache.spark.sql.Row.fromSeq(ts +: dataVars.map { v =>
-          val d = v.data(i)
-          if (v.ncType == NetCdf.NcInt) d.toInt
-          else if (d.isNaN) null else d
-        })
-      }
+  }
+
+  private def ncSchema(ds: graft.sources.NetCdf.Dataset)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(StructField("DATETIME", TimestampType) +:
+      ncDataVars(ds).map(v => StructField(v.name,
+        if (v.ncType == graft.sources.NetCdf.NcInt) IntegerType
+        else DoubleType)))
+  }
+
+  /** Rows of (epoch micros, values...) for one decoded product. */
+  private def ncRows(ds: graft.sources.NetCdf.Dataset)
+      : Seq[org.apache.spark.sql.Row] = {
+    import graft.sources.NetCdf
+    val time = ds.vars.find(_.name == "time")
+      .getOrElse(throw new IllegalArgumentException("no time var"))
+    val dataVars = ncDataVars(ds)
+    time.data.indices.map { i =>
+      val us = ((time.data(i) + NetCdf.Epoch1800Sec) * 1000.0).toLong * 1000L
+      org.apache.spark.sql.Row.fromSeq(us +: dataVars.map { v =>
+        val d = v.data(i)
+        if (v.ncType == NetCdf.NcInt) d.toInt
+        else if (d.isNaN) null else d
+      })
+    }
+  }
+
+  /** S11 netCDF scan seam: one yearly product file back to a frame
+    * (DATETIME + data/flag columns; NaN -> null). Driver-side decode
+    * for the single-file case; use [[readNetCdfDir]] for a multi-year
+    * directory. */
+  def readNetCdf(spark: SparkSession, path: String): DataFrame = {
+    val ds = graft.sources.NetCdf.read(path)
+    val rows = ncRows(ds)
     val list = new java.util.ArrayList[org.apache.spark.sql.Row](rows.size)
     rows.foreach(list.add)
-    spark.createDataFrame(list, schema)
+    val longSchema = org.apache.spark.sql.types.StructType(
+      ncSchema(ds).fields.map(f => if (f.name == "DATETIME")
+        f.copy(dataType = org.apache.spark.sql.types.LongType) else f))
+    spark.createDataFrame(list, longSchema)
+      .withColumn("DATETIME", timestamp_micros(col("DATETIME")))
+  }
+
+  /** J4/S11 at scale: a DIRECTORY of yearly products decoded one file
+    * per task (binaryFile source — the same fan-out shape as the TOB
+    * scans): a decade of site-years parallelizes across executors
+    * with no driver materialization. Every file must carry the probe
+    * file's schema (mismatches fail loudly with the decoded schema). */
+  def readNetCdfDir(spark: SparkSession, path: String): DataFrame = {
+    import graft.sources.NetCdf
+    val bin = spark.read.format("binaryFile").load(path)
+      .select("path", "content")
+    val probe = NetCdf.parse(bin.select("content").head()
+      .getAs[Array[Byte]](0))
+    val schema = ncSchema(probe)
+    val decodeSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.map(f => if (f.name == "DATETIME")
+        f.copy(dataType = org.apache.spark.sql.types.LongType) else f))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(decodeSchema)
+    val expectCols = schema.fieldNames.toSeq
+    val decoded = bin.flatMap { r =>
+      val ds = NetCdf.parse(r.getAs[Array[Byte]](1))
+      val cols = "DATETIME" +: ncDataVars(ds).map(_.name)
+      require(cols == expectCols,
+        s"netCDF schema mismatch in ${r.getString(0)}: $cols vs probe " +
+        s"$expectCols — decode a homogeneous directory")
+      ncRows(ds)
+    }
+    decoded.withColumn("DATETIME", timestamp_micros(col("DATETIME")))
   }
 
   /** J4 multi-year read-back: partitioned parquet scan (year pruning

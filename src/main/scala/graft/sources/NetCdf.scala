@@ -199,12 +199,14 @@ object NetCdf {
 
   // --- reader ---------------------------------------------------------
 
-  def read(path: String): Dataset = {
-    val bytes = Files.readAllBytes(Paths.get(path))
+  def read(path: String): Dataset =
+    parse(Files.readAllBytes(Paths.get(path)))
+
+  def parse(bytes: Array[Byte]): Dataset = {
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val magic = new Array[Byte](3); b.get(magic)
     require(new String(magic, StandardCharsets.US_ASCII) == "CDF",
-      s"not a netCDF classic file: $path")
+      "not a netCDF classic byte stream")
     val version = b.get()
     require(version == 1 || version == 2, s"unsupported CDF version $version")
     val numRecs = b.getInt

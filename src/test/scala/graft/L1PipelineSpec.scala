@@ -153,6 +153,16 @@ class L1PipelineSpec extends SparkSpec {
     assert(back(1).isNullAt(back(1).fieldIndex("Ta")))
     assert(back(1).getInt(back(1).fieldIndex("Ta_QCFlag")) == 1)
     assert(back(2).getDouble(back(2).fieldIndex("Ta")) == 3.25)
+    // distributed directory read: per-file decode, union of years
+    val ncDir = s"$dir/products"
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of(ncDir))
+    java.nio.file.Files.copy(java.nio.file.Path.of(nc),
+      java.nio.file.Path.of(s"$ncDir/y2024.nc"))
+    java.nio.file.Files.copy(java.nio.file.Path.of(nc),
+      java.nio.file.Path.of(s"$ncDir/y2024b.nc"))
+    val multi = L1Pipeline.readNetCdfDir(spark, ncDir)
+    assert(multi.count() == 6)
+    assert(multi.filter(col("Ta").isNull).count() == 2)
   }
 
   test("task registry: matrix queries, dispatch, failure capture") {
