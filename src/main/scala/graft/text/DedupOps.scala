@@ -184,23 +184,27 @@ object DedupOps {
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
+      // One round = one aggregation: each node's next label is the min
+      // over {its own label} ∪ {neighbors' labels}. Unioning the self
+      // labels into the neighbor stream replaces the old
+      // join+groupBy+left-join round with a single shuffle on id
+      // (map-side combinable), and the same materialized pass carries
+      // the convergence signal (min(neighbor) < own ⇒ not converged).
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("component", "n_comp"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("n_comp")).as("n_comp"))
-      // One materialized pass yields the next labels and the
-      // convergence signal (any strictly-smaller neighbor label ⇒
-      // not converged).
-      val joined = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), col("component"),
-          coalesce(col("n_comp"), col("component")).as("n_comp"))
+        .select(col("src").as("id"), col("n_comp"),
+          lit(null).cast(labels.schema("component").dataType).as("own"))
+      val self = labels.select(col("id"),
+        col("component").as("n_comp"), col("component").as("own"))
+      val next = viaNeighbors.union(self)
+        .groupBy("id")
+        .agg(min(col("n_comp")).as("component"),
+             min(col("own")).as("own"))
         .localCheckpoint(eager = true)
-      val changed = joined.filter(col("n_comp") < col("component"))
+      val changed = next.filter(col("component") < col("own"))
         .limit(1).count()
-      labels = joined
-        .select(col("id"), least(col("component"), col("n_comp"))
-          .as("component"))
+      labels = next.select(col("id"), col("component"))
       converged = changed == 0
       iter += 1
     }
