@@ -202,6 +202,35 @@ class OpsLibrarySpec extends SparkSpec {
     assert(lsh.count { case (x, y) => x <= 5 && y <= 5 } >= 5)
   }
 
+  test("similarity plans: equi-joins on keys, broadcast centroids, no cartesian") {
+    import graft.sim.Similarity
+    val dim = 64
+    val rng = new scala.util.Random(17)
+    val emb = (0L until 200L)
+      .map(i => (i, Array.fill(dim)(rng.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    // near-dup candidates meet in a (band, key) equi-join — a plan
+    // with a cartesian/nested-loop join would be the O(n^2) shape the
+    // banding exists to avoid
+    val nd = Similarity.cosineNearDupPairs(emb, 0.9, dim = dim)
+    val ndPlan = nd.queryExecution.executedPlan.toString
+    assert(!ndPlan.contains("CartesianProduct")
+      && !ndPlan.contains("BroadcastNestedLoop"), ndPlan)
+    // IVF: both the assignment and probe sides must see the centroid
+    // set as a BROADCAST nested loop (corpus/query never shuffles for
+    // it) — a non-broadcast cartesian would ship the corpus
+    val ivf = Similarity.ivfTopK(emb.filter(col("vec_id") < 3), emb, 3,
+      numCentroids = 10)
+    val ivfPlan = ivf.queryExecution.executedPlan.toString
+    assert(ivfPlan.contains("BroadcastNestedLoopJoin"), ivfPlan)
+    assert(!ivfPlan.contains("CartesianProduct"), ivfPlan)
+    // LSH ANN: same-bucket pairs via equi-join, never cartesian
+    val ann = Similarity.lshTopK(emb, 3)
+    val annPlan = ann.queryExecution.executedPlan.toString
+    assert(!annPlan.contains("CartesianProduct")
+      && !annPlan.contains("BroadcastNestedLoop"), annPlan)
+  }
+
   test("HyperplaneBits matches the composed per-plane band keys") {
     import graft.sim.Similarity
     import graft.functions.HyperplaneBits
