@@ -82,6 +82,140 @@ object Xlsx {
 </styleSheet>"""
   }
 
+  // --- reader (S12: read_excel passthrough, file_io.py:421-446) ------
+
+  private def colIndexOf(ref: String): Int = {
+    var i = 0; var n = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      n = n * 26 + (ref.charAt(i) - 'A' + 1); i += 1
+    }
+    n - 1
+  }
+
+  private def textOf(n: org.w3c.dom.Node): String = {
+    val sb = new StringBuilder
+    val kids = n.getChildNodes
+    (0 until kids.getLength).foreach { i =>
+      val k = kids.item(i)
+      if (k.getNodeName == "t") sb.append(k.getTextContent)
+      else if (k.hasChildNodes) sb.append(textOf(k))
+    }
+    sb.toString
+  }
+
+  /** Read one sheet of an xlsx workbook: rows of raw cell values
+    * (Double for numeric, String for shared/inline strings, Boolean),
+    * None for absent cells. Supports shared strings AND inline
+    * strings, so both external workbooks and [[write]] output parse.
+    * Driver-side: config workbooks are tiny. */
+  def readRaw(path: String, sheetName: String): Seq[Seq[Option[Any]]] = {
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val db = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      db.setNamespaceAware(false)
+      def parse(name: String): org.w3c.dom.Document = {
+        val e = zf.getEntry(name)
+        require(e != null, s"missing workbook part $name in $path")
+        val in = zf.getInputStream(e)
+        try db.newDocumentBuilder().parse(in) finally in.close()
+      }
+      // sheet name -> rId -> worksheet part
+      val wb = parse("xl/workbook.xml")
+      val sheets = wb.getElementsByTagName("sheet")
+      val rid = (0 until sheets.getLength).map(sheets.item(_))
+        .collectFirst {
+          case s if s.getAttributes.getNamedItem("name")
+              .getNodeValue == sheetName =>
+            s.getAttributes.getNamedItem("r:id").getNodeValue
+        }.getOrElse(throw new NoSuchElementException(
+          s"no sheet '$sheetName' in $path"))
+      val rels = parse("xl/_rels/workbook.xml.rels")
+      val relNodes = rels.getElementsByTagName("Relationship")
+      val target = (0 until relNodes.getLength).map(relNodes.item(_))
+        .collectFirst {
+          case r if r.getAttributes.getNamedItem("Id")
+              .getNodeValue == rid =>
+            r.getAttributes.getNamedItem("Target").getNodeValue
+        }.get
+      val shared: IndexedSeq[String] =
+        if (zf.getEntry("xl/sharedStrings.xml") == null) IndexedSeq.empty
+        else {
+          val ss = parse("xl/sharedStrings.xml")
+          val sis = ss.getElementsByTagName("si")
+          (0 until sis.getLength).map(i => textOf(sis.item(i)))
+        }
+      val ws = parse(s"xl/${target.stripPrefix("/xl/").stripPrefix("xl/")}")
+      val rowNodes = ws.getElementsByTagName("row")
+      (0 until rowNodes.getLength).map { ri =>
+        val row = rowNodes.item(ri)
+        val cells = row.getChildNodes
+        val byCol = scala.collection.mutable.Map[Int, Any]()
+        (0 until cells.getLength).foreach { ci =>
+          val c = cells.item(ci)
+          if (c.getNodeName == "c") {
+            val attrs = c.getAttributes
+            val ref = Option(attrs.getNamedItem("r")).map(_.getNodeValue)
+            val colIdx = ref.map(colIndexOf).getOrElse(byCol.size)
+            val t = Option(attrs.getNamedItem("t")).map(_.getNodeValue)
+              .getOrElse("n")
+            def v: Option[String] = {
+              val kids = c.getChildNodes
+              (0 until kids.getLength).map(kids.item(_))
+                .find(_.getNodeName == "v").map(_.getTextContent)
+            }
+            val value: Option[Any] = t match {
+              case "inlineStr" => Some(textOf(c))
+              case "s" => v.map(i => shared(i.toInt))
+              case "str" => v
+              case "b" => v.map(_ == "1")
+              case _ => v.map(_.toDouble)
+            }
+            value.foreach(byCol(colIdx) = _)
+          }
+        }
+        if (byCol.isEmpty) IndexedSeq.empty
+        else (0 to byCol.keys.max).map(byCol.get)
+      }
+    } finally zf.close()
+  }
+
+  /** read_excel equivalent: sheet -> DataFrame with the given header
+    * row (0-based), optional `usecols` projection. Column type is
+    * double when every present value is numeric, else string. */
+  def readSheet(spark: org.apache.spark.sql.SparkSession, path: String,
+      sheetName: String, usecols: Seq[String] = Nil,
+      headerRow: Int = 0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val raw = readRaw(path, sheetName)
+    require(raw.length > headerRow, s"no header row $headerRow in $sheetName")
+    val header = raw(headerRow).map(_.map(_.toString).getOrElse(""))
+    val body = raw.drop(headerRow + 1)
+    val keep = header.zipWithIndex.filter { case (h, _) =>
+      usecols.isEmpty || usecols.contains(h) }
+    val cols = keep.map(_._1)
+    val idxs = keep.map(_._2)
+    val numeric = idxs.map { i =>
+      val vals = body.flatMap(_.lift(i).flatten)
+      vals.nonEmpty && vals.forall(_.isInstanceOf[Double])
+    }
+    val schema = StructType(cols.zip(numeric).map { case (c, isNum) =>
+      StructField(c, if (isNum) DoubleType else StringType)
+    }.toSeq)
+    val rows = body.map { r =>
+      org.apache.spark.sql.Row.fromSeq(idxs.zip(numeric).map {
+        case (i, isNum) =>
+          r.lift(i).flatten match {
+            case None => null
+            case Some(d: Double) if isNum => d
+            case Some(v) => v.toString
+          }
+      }.toSeq)
+    }
+    val list = new java.util.ArrayList[org.apache.spark.sql.Row](rows.size)
+    rows.foreach(list.add)
+    spark.createDataFrame(list, schema)
+  }
+
   def write(path: String, sheets: Seq[Sheet],
       fillColors: Seq[String]): Unit = {
     require(sheets.nonEmpty, "workbook needs at least one sheet")

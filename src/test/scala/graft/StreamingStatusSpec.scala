@@ -262,6 +262,53 @@ class StreamingStatusSpec extends SparkSpec {
     } finally zf.close()
   }
 
+  test("S12 xlsx read: writer roundtrip, header row, usecols, typing") {
+    import graft.pipeline.Xlsx
+    val dir = java.nio.file.Files.createTempDirectory("xlsxr")
+    val path = dir.resolve("config.xlsx").toString
+    Xlsx.write(path, Seq(Xlsx.Sheet("Sites", Seq(
+      Seq(Xlsx.Cell("Site"), Xlsx.Cell("latitude"), Xlsx.Cell("active")),
+      Seq(Xlsx.Cell("Calperum"), Xlsx.Cell(-34.003), Xlsx.Cell(true)),
+      Seq(Xlsx.Cell("Boyagin"), Xlsx.Cell(-32.477), Xlsx.Cell(false))))),
+      Nil)
+    val df = Xlsx.readSheet(spark, path, "Sites")
+    assert(df.columns.toSeq == Seq("Site", "latitude", "active"))
+    assert(df.schema("latitude").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    val rows = df.orderBy("Site").collect()
+    assert(rows(0).getString(0) == "Boyagin"
+      && rows(0).getDouble(1) == -32.477
+      && rows(0).getString(2) == "false")
+    // usecols projection
+    val slim = Xlsx.readSheet(spark, path, "Sites",
+      usecols = Seq("Site", "active"))
+    assert(slim.columns.toSeq == Seq("Site", "active"))
+    intercept[NoSuchElementException] {
+      Xlsx.readSheet(spark, path, "Nope")
+    }
+    // external-workbook shape: shared strings + unquoted cell order
+    val ext = dir.resolve("external.xlsx").toString
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(ext))
+    def part(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    part("xl/workbook.xml",
+      """<workbook xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    part("xl/_rels/workbook.xml.rels",
+      """<Relationships><Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>""")
+    part("xl/sharedStrings.xml",
+      """<sst><si><t>name</t></si><si><t>v</t></si><si><t>tower A</t></si></sst>""")
+    part("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData><row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row><row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>7.5</v></c></row></sheetData></worksheet>""")
+    zos.close()
+    val edf = Xlsx.readSheet(spark, ext, "S")
+    val er = edf.head()
+    assert(edf.columns.toSeq == Seq("name", "v"))
+    assert(er.getString(0) == "tower A" && er.getDouble(1) == 7.5)
+  }
+
   test("F32 staleness buckets") {
     val out = Seq(0.5, 2.0, 4.0, 6.0, 10.0).toDF("d")
       .select(Status.stalenessBucket(col("d"))).as[String].collect()
