@@ -164,10 +164,6 @@ object Similarity {
       numCentroids: Int = 256, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
       roundScale: Int = 6, centroidStride: Long = 0L): DataFrame = {
-    val p = math.pow(10.0, roundScale)
-    def rcos(v: Column, nv: Column, c: Column, nc: Column): Column =
-      floor(when(nv > 0.0 && nc > 0.0, dot(v, c) / (nv * nc))
-        * p + 0.5) / p
     // Centroid COUNT is the invariant, not the stride: |C| must stay
     // broadcast-small however big the corpus grows, so the stride is
     // derived from the corpus size (one cheap metadata-backed count)
@@ -178,6 +174,26 @@ object Similarity {
       else math.max(1L, corpus.count() / math.max(1, numCentroids))
     val cent = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    ivfTopKWithCentroids(queries, corpus, k, cent, nProbe, idCol,
+      vecCol, roundScale)
+  }
+
+  /** IVF with a caller-supplied coarse quantizer — e.g.
+    * [[kmeansCentroids]] output — `centroids` = (id, vector) in its
+    * first two columns. Same dataflow as [[ivfTopK]]: the centroid
+    * frame is broadcast against corpus and queries; the big side
+    * never shuffles for the assignment. */
+  def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroids: DataFrame, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundScale: Int = 6): DataFrame = {
+    val p = math.pow(10.0, roundScale)
+    def rcos(v: Column, nv: Column, c: Column, nc: Column): Column =
+      floor(when(nv > 0.0 && nc > 0.0, dot(v, c) / (nv * nc))
+        * p + 0.5) / p
+    val cCols = centroids.columns
+    val cent = centroids
+      .select(col(cCols(0)).as("c_id"), col(cCols(1)).as("c_vec"))
       .withColumn("c_norm", sqrt(dot(col("c_vec"), col("c_vec"))))
     // invert: every corpus row keyed by its nearest centroid. argmax
     // as max_by over a total-order key (cos, -c_id) rather than a
@@ -215,6 +231,58 @@ object Similarity {
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "n_id", "cos")
+  }
+
+  /** Deterministic Lloyd refinement for IVF coarse quantizers: start
+    * from the id-modulo sample (the same seed [[ivfTopK]] uses) and
+    * run `iters` assignment/mean rounds as plain DataFrame ops —
+    * corpus × broadcast(centroids) assignment with map-side `max_by`,
+    * then one groupBy mean per round. No RNG anywhere, so the
+    * centroids are reproducible plan constants. Returns
+    * (centroid_id, centroid) with centroid_id = the 0-based index of
+    * the cluster (dense, stable ordering by seed id).
+    *
+    * Balance matters at scale: modulo-sampled centroids inherit the
+    * corpus density, so popular regions get oversized lists (probe
+    * cost ∝ list size). A couple of Lloyd rounds evens list
+    * occupancy without touching the ivf dataflow — pass the result
+    * as a pre-built centroid frame to a custom IVF assembly, or use
+    * it to pick a better `centroidStride` seed set. */
+  def kmeansCentroids(corpus: DataFrame, numCentroids: Int, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = corpus.count()
+    val stride = math.max(1L, n / math.max(1, numCentroids))
+    val vecs = corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .localCheckpoint(eager = true)
+    var cent = vecs.filter(pmod(col("id"), lit(stride)) === 0)
+      .orderBy("id").select(col("vec").as("c_vec")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val centDf = broadcast(
+        cent.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+          .toDF("c_id", "c_vec"))
+      val assigned = vecs.crossJoin(centDf)
+        .withColumn("d", dot(col("vec"), col("c_vec")) * -2.0
+          + dot(col("c_vec"), col("c_vec")))
+        .groupBy(col("id"), col("vec"))
+        .agg(max_by(col("c_id"), struct((-col("d")).as("nd"),
+          (-col("c_id")).as("nc"))).as("c_id"))
+      val means = assigned
+        .select(col("c_id"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy("c_id", "pos").agg(avg("x").as("m"))
+        .groupBy("c_id").agg(array_sort(collect_list(struct(col("pos"),
+          col("m")))).as("pm"))
+        .select(col("c_id"), expr("transform(pm, e -> e.m)").as("c_vec"))
+        .orderBy("c_id").collect()
+      val byId = means.map(r =>
+        r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      cent = cent.indices.map(i => byId.getOrElse(i, cent(i))).toArray
+    }
+    cent.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("centroid_id", "centroid")
   }
 
   /** Plane count for [[lshTopK]] when the caller doesn't pin one:

@@ -305,6 +305,40 @@ class OpsLibrarySpec extends SparkSpec {
     assert(Similarity.autoPlanes(1000L * (1L << 30)) == 30)
   }
 
+  test("kmeansCentroids converges to the planted cluster means") {
+    import graft.sim.Similarity
+    val dim = 4
+    // two tight planted clusters around distinct centers
+    def around(c: Array[Double], eps: Double, k: Int) =
+      (0 until k).map(i => c.zipWithIndex.map { case (v, j) =>
+        v + (((i + j) % 3) - 1) * eps })
+    val a = Array(10.0, 0.0, 0.0, 0.0)
+    val b = Array(0.0, 10.0, 0.0, 0.0)
+    val vecs = (around(a, 0.1, 10) ++ around(b, 0.1, 10))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(df, 2, iters = 3)
+      .orderBy("centroid_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    assert(cents.length == 2)
+    // each planted center is within eps of some refined centroid
+    def near(c: Array[Double]) = cents.exists(x =>
+      math.sqrt(x.zip(c).map { case (p, q) => (p - q) * (p - q) }.sum) < 0.2)
+    assert(near(a) && near(b))
+    // determinism: same inputs, same centroids
+    val again = Similarity.kmeansCentroids(df, 2, iters = 3)
+      .orderBy("centroid_id").collect().map(_.getSeq[Double](1))
+    assert(again.toSeq == cents.map(_.toSeq).toSeq)
+    // the refined quantizer drops into the same IVF dataflow and
+    // finds each query's own cluster-mates
+    val centDf = Similarity.kmeansCentroids(df, 2, iters = 3)
+    val topk = Similarity.ivfTopKWithCentroids(
+      df.filter(col("vec_id") === 0L), df, 3, centDf, nProbe = 1)
+      .collect()
+    assert(topk.length == 3)
+    assert(topk.forall(_.getLong(2) < 10L)) // neighbors from cluster a
+  }
+
   test("ivfTopK derives the stride from the target centroid count") {
     import graft.sim.Similarity
     val dim = 8
