@@ -40,6 +40,12 @@ object Xlsx {
     val s = if (c.fill > 0) s""" s="${c.fill}"""" else ""
     c.value match {
       case null => ""
+      // non-finite doubles have no valid xlsx numeric form — emit a
+      // valueless (blank) cell, keeping any style, like pandas does
+      case n: java.lang.Double if n.isNaN || n.isInfinite =>
+        s"""<c r="$ref"$s/>"""
+      case n: java.lang.Float if n.isNaN || n.isInfinite =>
+        s"""<c r="$ref"$s/>"""
       case n: Number =>
         s"""<c r="$ref"$s><v>$n</v></c>"""
       case b: Boolean =>
@@ -146,37 +152,53 @@ object Xlsx {
         }
       val ws = parse(s"xl/${target.stripPrefix("/xl/").stripPrefix("xl/")}")
       val rowNodes = ws.getElementsByTagName("row")
-      (0 until rowNodes.getLength).map { ri =>
+      // honor each row's r attribute: writers omit empty rows, and
+      // positional indexing would silently shift later rows up
+      val byRowIdx = (0 until rowNodes.getLength).map { ri =>
         val row = rowNodes.item(ri)
-        val cells = row.getChildNodes
-        val byCol = scala.collection.mutable.Map[Int, Any]()
-        (0 until cells.getLength).foreach { ci =>
-          val c = cells.item(ci)
-          if (c.getNodeName == "c") {
-            val attrs = c.getAttributes
-            val ref = Option(attrs.getNamedItem("r")).map(_.getNodeValue)
-            val colIdx = ref.map(colIndexOf).getOrElse(byCol.size)
-            val t = Option(attrs.getNamedItem("t")).map(_.getNodeValue)
-              .getOrElse("n")
-            def v: Option[String] = {
-              val kids = c.getChildNodes
-              (0 until kids.getLength).map(kids.item(_))
-                .find(_.getNodeName == "v").map(_.getTextContent)
-            }
-            val value: Option[Any] = t match {
-              case "inlineStr" => Some(textOf(c))
-              case "s" => v.map(i => shared(i.toInt))
-              case "str" => v
-              case "b" => v.map(_ == "1")
-              case _ => v.map(_.toDouble)
-            }
-            value.foreach(byCol(colIdx) = _)
-          }
+        val idx = Option(row.getAttributes.getNamedItem("r"))
+          .map(_.getNodeValue.toInt - 1).getOrElse(ri)
+        idx -> row
+      }.toMap
+      val maxRow = if (byRowIdx.isEmpty) -1 else byRowIdx.keys.max
+      (0 to maxRow).map { ri =>
+        byRowIdx.get(ri) match {
+          case None => IndexedSeq.empty
+          case Some(row) => readRow(row, shared)
         }
-        if (byCol.isEmpty) IndexedSeq.empty
-        else (0 to byCol.keys.max).map(byCol.get)
       }
     } finally zf.close()
+  }
+
+  private def readRow(row: org.w3c.dom.Node,
+      shared: IndexedSeq[String]): IndexedSeq[Option[Any]] = {
+    val cells = row.getChildNodes
+    val byCol = scala.collection.mutable.Map[Int, Any]()
+    (0 until cells.getLength).foreach { ci =>
+      val c = cells.item(ci)
+      if (c.getNodeName == "c") {
+        val attrs = c.getAttributes
+        val ref = Option(attrs.getNamedItem("r")).map(_.getNodeValue)
+        val colIdx = ref.map(colIndexOf).getOrElse(byCol.size)
+        val t = Option(attrs.getNamedItem("t")).map(_.getNodeValue)
+          .getOrElse("n")
+        def v: Option[String] = {
+          val kids = c.getChildNodes
+          (0 until kids.getLength).map(kids.item(_))
+            .find(_.getNodeName == "v").map(_.getTextContent)
+        }
+        val value: Option[Any] = t match {
+          case "inlineStr" => Some(textOf(c))
+          case "s" => v.map(i => shared(i.toInt))
+          case "str" => v
+          case "b" => v.map(_ == "1")
+          case _ => v.map(_.toDouble)
+        }
+        value.foreach(byCol(colIdx) = _)
+      }
+    }
+    if (byCol.isEmpty) IndexedSeq.empty
+    else (0 to byCol.keys.max).map(byCol.get)
   }
 
   /** read_excel equivalent: sheet -> DataFrame with the given header

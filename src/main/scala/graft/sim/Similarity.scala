@@ -237,8 +237,12 @@ object Similarity {
     * from the id-modulo sample (the same seed [[ivfTopK]] uses) and
     * run `iters` assignment/mean rounds as plain DataFrame ops —
     * corpus × broadcast(centroids) assignment with map-side `max_by`,
-    * then one groupBy mean per round. No RNG anywhere, so the
-    * centroids are reproducible plan constants. Returns
+    * then one groupBy mean per round. No RNG anywhere: the SEED set
+    * is a plan constant, and the refinement is reproducible up to
+    * floating-point summation order in the distributed means (ULP-
+    * level variation across different partitionings can flip a
+    * boundary vector's list — use the raw id-modulo quantizer, not
+    * this, wherever bit-exact replication matters). Returns
     * (centroid_id, centroid) with centroid_id = the 0-based index of
     * the cluster (dense, stable ordering by seed id).
     *

@@ -169,6 +169,8 @@ object LoggerHttp {
   def pollFleet(spark: SparkSession, transport: Transport,
       ipAddrs: Seq[String], cmdSubstr: String): DataFrame = {
     import spark.implicits._
+    if (ipAddrs.isEmpty)
+      return Seq.empty[(String, String)].toDF("ip_addr", "payload")
     ipAddrs.toDF("ip_addr")
       .repartition(math.min(ipAddrs.size, 32))
       .map { r =>

@@ -209,7 +209,7 @@ object NetCdf {
       "not a netCDF classic byte stream")
     val version = b.get()
     require(version == 1 || version == 2, s"unsupported CDF version $version")
-    val numRecs = b.getInt
+    val numRecsRaw = b.getInt // -1 = STREAMING: derive from file size
     val dims = readTagged(b, 0x0A) { _ =>
       Dim(readName(b), b.getInt)
     }
@@ -228,16 +228,22 @@ object NetCdf {
     val ds0 = Dataset(dims, gattrs,
       raws.map(r => Var(r.name, r.dimIds, r.ncType, r.attrs,
         Array.empty[Double])))
+    val recRaws = raws.filter(
+      _.dimIds.headOption.exists(dims(_).length == 0))
+    val recSlabBytes = recRaws.map(_.vsize.toLong).sum
+    // STREAMING marker (numrecs = 0xFFFFFFFF): the record count is
+    // implied by the bytes past the record section's start.
+    val numRecs =
+      if (numRecsRaw >= 0) numRecsRaw
+      else if (recRaws.isEmpty || recSlabBytes == 0) 0
+      else ((bytes.length - recRaws.map(_.begin).min) / recSlabBytes).toInt
     val vars = raws.map { r =>
       val v = Var(r.name, r.dimIds, r.ncType, r.attrs, Array.empty)
       val slab = slabElems(ds0, v)
       val rec = r.dimIds.headOption.exists(dims(_).length == 0)
       val nSlabs = if (rec) numRecs else 1
       val out = new Array[Double](slab * nSlabs)
-      val stride = if (rec)
-        raws.filter(x => x.dimIds.headOption.exists(dims(_).length == 0))
-          .map(_.vsize.toLong).sum
-      else 0L
+      val stride = if (rec) recSlabBytes else 0L
       for (s <- 0 until nSlabs) {
         val base = r.begin + s * stride
         for (i <- 0 until slab) {

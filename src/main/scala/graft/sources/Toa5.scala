@@ -230,12 +230,14 @@ object Toa5 {
 
   private def collectBounded(df: DataFrame, path: String)
       : Array[org.apache.spark.sql.Row] = {
-    val n = df.limit((MaxWriterRows + 1).toInt).count()
-    require(n <= MaxWriterRows,
+    // one job: collect at most cap+1 rows, then check — no second
+    // pass over the ordered frame
+    val rows = df.limit((MaxWriterRows + 1).toInt).collect()
+    require(rows.length <= MaxWriterRows,
       s"refusing to write $path: frame exceeds $MaxWriterRows rows — " +
       "single-file TOA5/EddyPro output is a driver-side artifact; " +
       "write bulk frames to parquet instead")
-    df.collect()
+    rows
   }
 
   /** Numeric rendering: integral doubles without trailing .0 kept as

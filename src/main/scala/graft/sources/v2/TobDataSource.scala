@@ -85,11 +85,14 @@ private[v2] class TobPartitionReader(file: String,
     val bytes = Files.readAllBytes(Paths.get(file))
     val (fh, _) = Tob.parseHeader(bytes)
     // the scan's schema came from a single probe file: a file whose
-    // own header disagrees would mis-bind columns — fail loudly
+    // own header disagrees would mis-bind columns — fail loudly.
+    // Compare names + types only: a user-supplied schema (external
+    // metadata) may legitimately differ in nullability/metadata.
     val own = Tob.sparkSchema(fh)
-    require(own == fullSchema,
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    require(shape(own) == shape(fullSchema),
       s"TOB header mismatch in $file: decoded schema $own differs " +
-      s"from probed $fullSchema — decode a homogeneous directory")
+      s"from probed/declared $fullSchema — decode a homogeneous directory")
     val decoded =
       if (fh.format == "TOB1") Tob.decodeTob1(bytes)._1
       else Tob.decodeTob3(bytes)._1

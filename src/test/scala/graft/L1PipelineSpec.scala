@@ -110,6 +110,13 @@ class L1PipelineSpec extends SparkSpec {
     assert(back.vars.find(_.name == "Ta_QCFlag").get.data.toSeq ==
       Seq(0.0, 1.0, 0.0))
     assert(back.numRecs == 3)
+    // STREAMING marker: numrecs = 0xFFFFFFFF derives the count from
+    // the file size instead of crashing
+    val bytes2 = Files.readAllBytes(java.nio.file.Path.of(s"$dir/t.nc"))
+    bytes2(4) = -1; bytes2(5) = -1; bytes2(6) = -1; bytes2(7) = -1
+    val streamed = NetCdf.parse(bytes2)
+    assert(streamed.vars.find(_.name == "Ta").get.data.length == 3)
+    assert(streamed.vars.find(_.name == "Ta").get.data(2) == 21.25)
   }
 
   test("yearly netCDF product from the lake + scan seam (K4/S11)") {

@@ -216,6 +216,11 @@ class StreamingStatusSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       LoggerHttp.buildCmdStr("10.0.0.1", "x", Some("csv"))
     }
+    // zero enabled loggers -> empty frame, not a repartition(0) crash
+    val none = LoggerHttp.pollFleet(spark,
+      FixtureTransport(Map.empty), Nil, "ClockCheck")
+    assert(none.count() == 0
+      && none.columns.toSeq == Seq("ip_addr", "payload"))
   }
 
   test("K6 status workbook: sheets, run line, staleness fills, widths") {
@@ -307,6 +312,30 @@ class StreamingStatusSpec extends SparkSpec {
     val er = edf.head()
     assert(edf.columns.toSeq == Seq("name", "v"))
     assert(er.getString(0) == "tower A" && er.getDouble(1) == 7.5)
+    // omitted empty row must NOT shift later rows up (row r attr)
+    val gap = dir.resolve("gap.xlsx").toString
+    val z2 = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(gap))
+    def part2(name: String, body: String): Unit = {
+      z2.putNextEntry(new java.util.zip.ZipEntry(name))
+      z2.write(body.getBytes("UTF-8")); z2.closeEntry()
+    }
+    part2("xl/workbook.xml",
+      """<workbook xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    part2("xl/_rels/workbook.xml.rels",
+      """<Relationships><Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>""")
+    part2("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row><row r="3"><c r="A3"><v>9.5</v></c></row></sheetData></worksheet>""")
+    z2.close()
+    val graw = Xlsx.readRaw(gap, "S")
+    assert(graw.length == 3 && graw(1).isEmpty)
+    assert(graw(2)(0).contains(9.5))
+    // NaN numeric cells write as blank (valid xlsx), read back absent
+    val nanPath = dir.resolve("nan.xlsx").toString
+    Xlsx.write(nanPath, Seq(Xlsx.Sheet("N", Seq(
+      Seq(Xlsx.Cell("d")), Seq(Xlsx.Cell(Double.NaN, fill = 0))))), Nil)
+    val nraw = Xlsx.readRaw(nanPath, "N")
+    assert(nraw(1).forall(_.isEmpty))
   }
 
   test("F32 staleness buckets") {
