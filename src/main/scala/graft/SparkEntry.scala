@@ -712,6 +712,28 @@ object SparkEntry {
       .orderBy("DATETIME")
   }
 
+  /** K6/S12 xlsx roundtrip: hourly event means through the OOXML
+    * writer and back through the sheet reader — hash-matching the
+    * direct aggregation oracle proves cell values (numbers as
+    * shortest-repr doubles, strings) survive the workbook byte path
+    * exactly. */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Xlsx
+    val agg = t(s, dir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hour_ts"))
+      .agg(rnd(avg(col("value")), 6).as("avg_value"),
+           count(lit(1)).cast("double").as("n"))
+      .orderBy("hour_ts")
+    val rows = agg.collect()
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q53/st.xlsx"
+    Xlsx.write(path, Seq(Xlsx.Sheet("Data",
+      Seq(Xlsx.Cell("hour_ts"), Xlsx.Cell("avg_value"), Xlsx.Cell("n")) +:
+        rows.toSeq.map(r => Seq(Xlsx.Cell(r.getString(0)),
+          Xlsx.Cell(r.getDouble(1)), Xlsx.Cell(r.getDouble(2)))))), Nil)
+    Xlsx.readSheet(s, path, "Data").orderBy("hour_ts")
+  }
+
   /** A14 fast-file window partitioning: end-labelled 30-min buckets
     * ((start, end] per fast_file_io.py:444-596) with completeness
     * stats — the bucket arithmetic behind shard naming, oracle-checked
@@ -776,6 +798,7 @@ object SparkEntry {
     "q50_simhash64_pairs"  -> (q50 _),
     "q51_neardup_scaled"   -> (q51 _),
     "q52_netcdf_roundtrip" -> (q52 _),
+    "q53_xlsx_roundtrip"   -> (q53 _),
     "q46_tob_v2_scan"      -> (q46 _),
   )
 
@@ -1371,6 +1394,13 @@ object SparkEntry {
       FROM h
       WHERE year(DATETIME - INTERVAL 1 HOUR) = 2024
       ORDER BY DATETIME""",
+    "q53_xlsx_roundtrip" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS hour_ts,
+             floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0
+               AS avg_value,
+             count(*)::DOUBLE AS n
+      FROM events GROUP BY 1 ORDER BY 1""",
     "q49_fastdata_windows" -> """
       WITH b AS (SELECT epoch_us(ts)
             + ((1800000000 - epoch_us(ts) % 1800000000) % 1800000000)
