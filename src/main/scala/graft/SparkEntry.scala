@@ -1128,7 +1128,8 @@ object SparkEntry {
       ORDER BY id_a, id_b"""),
     "q29_minhash_bands" -> (shingleCte + """,
       mins AS (SELECT doc_id, j,
-          min(('0x' || substr(md5(j::VARCHAR || ':' || shingle), 1, 8))::BIGINT) AS h
+          min(('0x' || substr(md5((j // 4)::VARCHAR || ':' || shingle),
+            1 + 8 * (j % 4), 8))::BIGINT) AS h
         FROM sh CROSS JOIN range(0, 8) t(j) GROUP BY doc_id, j),
       bands AS (SELECT doc_id, j // 2 AS band,
           md5(string_agg(h::VARCHAR, ',' ORDER BY j)) AS key
@@ -1291,7 +1292,8 @@ object SparkEntry {
     "q41_dedup_components" ->
       (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
       mins AS (SELECT doc_id, j,
-          min(('0x' || substr(md5(j::VARCHAR || ':' || shingle), 1, 8))::BIGINT) AS h
+          min(('0x' || substr(md5((j // 4)::VARCHAR || ':' || shingle),
+            1 + 8 * (j % 4), 8))::BIGINT) AS h
         FROM sh CROSS JOIN range(0, 8) t(j) GROUP BY doc_id, j),
       bands AS (SELECT doc_id, j // 2 AS band,
           md5(string_agg(h::VARCHAR, ',' ORDER BY j)) AS key

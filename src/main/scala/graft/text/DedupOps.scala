@@ -113,9 +113,10 @@ object DedupOps {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int, n: Int): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, k)
+    // packed hashing: 4 signature positions per md5 evaluation
     val hashed = sh.select(col("id") +:
       (0 until n).map(i =>
-        TextOps.seededHash32(col("shingle"), i).as(s"h$i")): _*)
+        TextOps.seededHash32Packed(col("shingle"), i).as(s"h$i")): _*)
     hashed.groupBy("id").agg(
       min(col("h0")).as("h0"),
       (1 until n).map(i => min(col(s"h$i")).as(s"h$i")): _*)

@@ -135,6 +135,15 @@ object TextOps {
     conv(substring(md5(concat(lit(seed.toString), lit(":"), s)), 1, 8),
       16, 10).cast("long")
 
+  /** Packed variant: one md5 yields 32 hex chars = FOUR independent
+    * 32-bit hashes, so seed `i` reads 8 hex chars at offset
+    * `8·(i mod 4)` of md5((i div 4) + ":" + s) — 4x fewer md5
+    * evaluations for an n-seed MinHash signature, still md5-derived
+    * and engine-portable (DuckDB: substr(md5(...), 1 + 8*(i%4), 8)). */
+  def seededHash32Packed(s: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit((seed / 4).toString), lit(":"), s)),
+      1 + 8 * (seed % 4), 8), 16, 10).cast("long")
+
   /** MinHash signature: for each of n seeds, min over the doc's
     * distinct shingles of seededHash32. Returns array<long> length n. */
   def minhashSignature(shingleArr: Column, n: Int): Column =
