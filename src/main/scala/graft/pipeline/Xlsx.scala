@@ -153,14 +153,26 @@ object Xlsx {
       val ws = parse(s"xl/${target.stripPrefix("/xl/").stripPrefix("xl/")}")
       val rowNodes = ws.getElementsByTagName("row")
       // honor each row's r attribute: writers omit empty rows, and
-      // positional indexing would silently shift later rows up
-      val byRowIdx = (0 until rowNodes.getLength).map { ri =>
+      // positional indexing would silently shift later rows up. A row
+      // WITHOUT r is implied to follow the previous row (OOXML rule),
+      // not to sit at its DOM position.
+      var lastIdx = -1
+      val indexed = (0 until rowNodes.getLength).map { ri =>
         val row = rowNodes.item(ri)
         val idx = Option(row.getAttributes.getNamedItem("r"))
-          .map(_.getNodeValue.toInt - 1).getOrElse(ri)
+          .map(_.getNodeValue.toInt - 1).getOrElse(lastIdx + 1)
+        lastIdx = idx
         idx -> row
-      }.toMap
+      }
+      val byRowIdx = indexed.toMap
+      require(byRowIdx.size == indexed.size,
+        s"duplicate row indices in sheet '$sheetName' of $path")
       val maxRow = if (byRowIdx.isEmpty) -1 else byRowIdx.keys.max
+      // gap rows materialize as empty — bound the dense fill so one
+      // stray far-away cell can't balloon into millions of rows
+      require(maxRow < 200000,
+        s"sheet '$sheetName' of $path spans ${maxRow + 1} rows — too " +
+        "large/sparse for the config-workbook reader")
       (0 to maxRow).map { ri =>
         byRowIdx.get(ri) match {
           case None => IndexedSeq.empty

@@ -230,14 +230,16 @@ object Toa5 {
 
   private def collectBounded(df: DataFrame, path: String)
       : Array[org.apache.spark.sql.Row] = {
-    // one job: collect at most cap+1 rows, then check — no second
-    // pass over the ordered frame
-    val rows = df.limit((MaxWriterRows + 1).toInt).collect()
-    require(rows.length <= MaxWriterRows,
+    // Two jobs on purpose: the count runs WITHOUT materializing rows
+    // on the driver, so a bulk-frame misuse fails loudly before any
+    // multi-GB collect. The duplicated sort only costs legitimate
+    // (<= cap) writes one extra pass over a bounded frame.
+    val n = df.limit((MaxWriterRows + 1).toInt).count()
+    require(n <= MaxWriterRows,
       s"refusing to write $path: frame exceeds $MaxWriterRows rows — " +
       "single-file TOA5/EddyPro output is a driver-side artifact; " +
       "write bulk frames to parquet instead")
-    rows
+    df.collect()
   }
 
   /** Numeric rendering: integral doubles without trailing .0 kept as

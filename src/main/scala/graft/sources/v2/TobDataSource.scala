@@ -86,13 +86,20 @@ private[v2] class TobPartitionReader(file: String,
     val (fh, _) = Tob.parseHeader(bytes)
     // the scan's schema came from a single probe file: a file whose
     // own header disagrees would mis-bind columns — fail loudly.
-    // Compare names + types only: a user-supplied schema (external
-    // metadata) may legitimately differ in nullability/metadata.
+    // Names + types must match exactly; a user-declared schema
+    // (external metadata) may differ in metadata, but must not
+    // declare non-nullable where the decoder can emit null (FP2 NaN
+    // -> null) — codegen would read garbage instead of failing.
     val own = Tob.sparkSchema(fh)
     def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
     require(shape(own) == shape(fullSchema),
       s"TOB header mismatch in $file: decoded schema $own differs " +
       s"from probed/declared $fullSchema — decode a homogeneous directory")
+    own.fields.zip(fullSchema.fields).foreach { case (o, d) =>
+      require(d.nullable || !o.nullable,
+        s"declared schema marks ${d.name} non-nullable but the TOB " +
+        s"decoder can emit nulls for it in $file")
+    }
     val decoded =
       if (fh.format == "TOB1") Tob.decodeTob1(bytes)._1
       else Tob.decodeTob3(bytes)._1

@@ -105,11 +105,12 @@ object DedupOps {
   }
 
   /** MinHash signatures in relational form: explode distinct shingles,
-    * hash each row under all n seeds (independent columns, one md5
-    * pass each), min-aggregate per doc. Scales as a single shuffle on
-    * the doc id with map-side partial mins — unlike a per-row
-    * higher-order-function signature, whose repeated array traversals
-    * interpret (not codegen) and re-hash per seed. */
+    * hash each row under all n seeds (independent columns; seeds are
+    * PACKED four per md5 evaluation — [[TextOps.seededHash32Packed]]),
+    * min-aggregate per doc. Scales as a single shuffle on the doc id
+    * with map-side partial mins — unlike a per-row higher-order-
+    * function signature, whose repeated array traversals interpret
+    * (not codegen) and re-hash per seed. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int, n: Int): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, k)

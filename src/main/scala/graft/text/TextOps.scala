@@ -145,11 +145,14 @@ object TextOps {
       1 + 8 * (seed % 4), 8), 16, 10).cast("long")
 
   /** MinHash signature: for each of n seeds, min over the doc's
-    * distinct shingles of seededHash32. Returns array<long> length n. */
+    * distinct shingles of [[seededHash32Packed]] — the SAME seed
+    * family as [[DedupOps.minhashSignatures]], so array-form and
+    * relational-form signatures stay interchangeable. Returns
+    * array<long> length n. */
   def minhashSignature(shingleArr: Column, n: Int): Column =
     array((0 until n).map { i =>
       array_min(transform(array_distinct(shingleArr),
-        s => seededHash32(s, i)))
+        s => seededHash32Packed(s, i)))
     }: _*)
 
   /** LSH band keys: split an n-length signature into bands of `rows`

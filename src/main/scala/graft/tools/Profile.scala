@@ -31,7 +31,7 @@ object Profile {
     val sh = docs.select(col("doc_id").as("id"),
       explode(array_distinct(TextOps.shingles(col("text"), 3))).as("shingle"))
     time("hash8")(sh.select((0 until 8).map(i =>
-      TextOps.seededHash32(col("shingle"), i).as(s"h$i")): _*).count())
+      TextOps.seededHash32Packed(col("shingle"), i).as(s"h$i")): _*).count())
     time("selfjoin_shingle")(sh.as("a").join(sh.as("b"),
       col("a.shingle") === col("b.shingle")
         && col("a.id") < col("b.id")).count())
