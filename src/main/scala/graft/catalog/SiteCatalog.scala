@@ -77,4 +77,41 @@ object SiteCatalog {
     val std = rules.getStandardOffset(now)
     std.getTotalSeconds / 3600.0
   }
+
+  /** F24: lat/lon -> IANA zone for the network's domain (Australia) —
+    * the reference resolves this with the timezonefinder polygon
+    * library (site_details.py:66,186-210); offline, the state-border
+    * approximation below covers the flux network's footprint with
+    * deterministic, documented rules:
+    *
+    *  - lon < 129 (WA):                      Australia/Perth
+    *  - 129-138, lat > -26 (NT):             Australia/Darwin
+    *  - 129-138, lat <= -26 (SA west):       Australia/Adelaide
+    *  - 138-141, lat > -26 (QLD southwest):  Australia/Brisbane
+    *  - 138-141, lat <= -26 (SA east):       Australia/Adelaide
+    *  - lon >= 141, lat > -29 (QLD):         Australia/Brisbane
+    *  - lon >= 141, -39.2..-29 (NSW/VIC):    Australia/Sydney
+    *  - lat < -39.2 (TAS):                   Australia/Hobart
+    *
+    * Near-border sites (e.g. the Broken Hill pocket, which keeps
+    * Adelaide time inside NSW) should pin `time_zone` in the site
+    * catalog — a catalog value always wins over this lookup. None
+    * outside the Australian bounding box. */
+  def auTimeZone(lat: Double, lon: Double): Option[String] = {
+    if (lat > -9.0 || lat < -44.5 || lon < 112.0 || lon > 154.5) None
+    else if (lat < -39.2) Some("Australia/Hobart")
+    else if (lon < 129.0) Some("Australia/Perth")
+    else if (lon < 138.0)
+      Some(if (lat > -26.0) "Australia/Darwin" else "Australia/Adelaide")
+    else if (lon < 141.0)
+      Some(if (lat > -26.0) "Australia/Brisbane" else "Australia/Adelaide")
+    else if (lat > -29.0) Some("Australia/Brisbane")
+    else Some("Australia/Sydney")
+  }
+
+  /** Catalog-first timezone resolution: an explicit site `time_zone`
+    * wins; otherwise the coordinate lookup. */
+  def resolveTimeZone(catalogTz: Option[String], lat: Double,
+      lon: Double): Option[String] =
+    catalogTz.filter(_.nonEmpty).orElse(auTimeZone(lat, lon))
 }

@@ -68,6 +68,32 @@ class CatalogProfileSpec extends SparkSpec {
     assert(SiteCatalog.standardUtcOffsetHours("Australia/Darwin") == 9.5)
   }
 
+  test("F24 lat/lon -> timezone lookup across the AU footprint") {
+    import SiteCatalog.auTimeZone
+    // one coordinate per jurisdiction (capitals / well-inside points)
+    assert(auTimeZone(-31.95, 115.86).contains("Australia/Perth"))
+    assert(auTimeZone(-12.46, 130.84).contains("Australia/Darwin"))
+    assert(auTimeZone(-23.70, 133.88).contains("Australia/Darwin"))
+    assert(auTimeZone(-34.93, 138.60).contains("Australia/Adelaide"))
+    assert(auTimeZone(-27.47, 153.03).contains("Australia/Brisbane"))
+    assert(auTimeZone(-25.0, 139.5).contains("Australia/Brisbane")) // QLD SW
+    assert(auTimeZone(-33.87, 151.21).contains("Australia/Sydney"))
+    assert(auTimeZone(-37.81, 144.96).contains("Australia/Sydney")) // VIC
+    assert(auTimeZone(-42.88, 147.33).contains("Australia/Hobart"))
+    assert(auTimeZone(51.5, -0.1).isEmpty) // outside the domain
+    // the standard offsets of every returned zone resolve via F24
+    Seq("Australia/Perth" -> 8.0, "Australia/Darwin" -> 9.5,
+      "Australia/Adelaide" -> 9.5, "Australia/Brisbane" -> 10.0,
+      "Australia/Sydney" -> 10.0, "Australia/Hobart" -> 10.0)
+      .foreach { case (z, off) =>
+        assert(SiteCatalog.standardUtcOffsetHours(z) == off) }
+    // catalog value wins over the coordinate lookup
+    assert(SiteCatalog.resolveTimeZone(Some("Australia/Broken_Hill"),
+      -31.95, 141.46).contains("Australia/Broken_Hill"))
+    assert(SiteCatalog.resolveTimeZone(None, -31.95, 115.86)
+      .contains("Australia/Perth"))
+  }
+
   test("F25 NOAA sunrise/sunset sanity for a known site/date") {
     // Alice Springs (UTC+9.5), 2024-01-15: NOAA gives 06:05 / 19:26
     // (cross-checked against an independent implementation of the
