@@ -1038,8 +1038,8 @@ object SparkEntry {
         FROM events),
       s AS (
         SELECT user_id, ts,
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM g)
       SELECT user_id, session_id, min(ts) AS start_ts, max(ts) AS end_ts,
              count(*) AS n_events

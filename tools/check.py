@@ -36,13 +36,35 @@ for name in sorted(oracle):
     if not files:
         print(f"FAIL {name}: no spark output"); n_fail += 1; continue
     try:
-        got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
-        exp = con.sql(oracle[name]).df()
+        grel = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
+        erel = con.sql(oracle[name])
+        gtypes = dict(zip(grel.columns, map(str, grel.types)))
+        etypes = dict(zip(erel.columns, map(str, erel.types)))
+        got, exp = grel.df(), erel.df()
     except Exception as ex:
         print(f"FAIL {name}: oracle error: {ex}"); n_fail += 1; continue
     gc, ec = sorted(got.columns), sorted(exp.columns)
     if gc != ec:
         print(f"FAIL {name}: columns {gc} vs {ec}"); n_fail += 1; continue
+    # Any HUGEINT/DECIMAL oracle output is a latent driver-hash failure:
+    # Spark has no HUGEINT, and the driver's value hash is dtype-sensitive.
+    bad_types = [f"{c}:{etypes[c]}" for c in ec
+                 if etypes[c] == "HUGEINT" or etypes[c].startswith("DECIMAL")]
+    if bad_types:
+        print(f"FAIL {name}: oracle emits engine-mismatched type(s) "
+              f"{bad_types} — cast to BIGINT/DOUBLE in the oracle SQL")
+        n_fail += 1; continue
+    # Type-strict at the level the driver hash enforces: the pandas VALUE
+    # representation must agree. Integer widths are benign (INTEGER vs
+    # BIGINT both hash as ints; driver passed q45/q49/q50), but a kind
+    # flip is fatal (HUGEINT converts to float64 — exactly how q20 was
+    # value-identical yet hash-red for two rounds).
+    kmis = [f"{c}: spark={got[c].dtype}({gtypes[c]}) "
+            f"oracle={exp[c].dtype}({etypes[c]})"
+            for c in ec if got[c].dtype.kind != exp[c].dtype.kind]
+    if kmis:
+        print(f"FAIL {name}: dtype-kind mismatch {kmis}")
+        n_fail += 1; continue
     got, exp = got[gc], exp[gc]
     if len(got) != len(exp):
         print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1
@@ -50,6 +72,8 @@ for name in sorted(oracle):
     g = got.sort_values(gc, kind="mergesort").reset_index(drop=True)
     e = exp.sort_values(gc, kind="mergesort").reset_index(drop=True)
     try:
+        # check_dtype=False here is safe: dtype KIND was already enforced
+        # above; only benign int/float widths remain.
         pd.testing.assert_frame_equal(g, e, check_dtype=False,
                                       check_exact=True)
         print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
