@@ -66,26 +66,66 @@ object FastData {
         col("n_rows").cast("double") / expected * 100.0)
   }
 
-  /** Partition a decoded fast frame into per-window TOA5 shard files
-    * named `<prefix>_YYYY_MM_DD_HHMM.dat`. Windows are enumerated
-    * driver-side (48/day at 30 min — tiny); each shard's rows are
-    * written by the ordered single-file TOA5 writer. The heavy decode
-    * stays distributed; only the final per-shard collect is driver-side
-    * (18k rows per shard at 10 Hz / 30 min). */
-  def writeShards(df: DataFrame, meta: TableMeta, tsCol: String,
-      stepMin: Int, outDir: String, prefix: String): Seq[String] = {
-    val bucketed = df.withColumn("__w", windowEnd(col(tsCol), stepMin))
-      .persist()
-    val windows = bucketed.select("__w").distinct()
-      .orderBy("__w").collect().map(_.getTimestamp(0))
+  private def shardName(w: java.sql.Timestamp, prefix: String): String = {
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyy_MM_dd_HHmm")
-    windows.toSeq.map { w =>
-      val shard = bucketed.filter(col("__w") === lit(w)).drop("__w")
-      val name = s"${prefix}_${w.toLocalDateTime.format(fmt)}.dat"
-      Toa5.write(shard, meta, s"$outDir/$name", tsCol)
-      name
-    }
+    s"${prefix}_${w.toLocalDateTime.format(fmt)}.dat"
+  }
+
+  /** Partition a decoded fast frame into per-window TOA5 shard files
+    * named `<prefix>_YYYY_MM_DD_HHMM.dat`, byte-identical to running
+    * the single-file TOA5 writer per window (for unique timestamps —
+    * ties within a window have no defined order in either shape).
+    *
+    * Scale shape: ONE shuffle and ONE write job for every shard — hash-
+    * partition on the window key so each window's rows land in exactly
+    * one task, sort within partitions so windows are contiguous and
+    * rows time-ordered, then stream each partition straight to its
+    * shard files. Job count is independent of the window count (the
+    * previous shape ran one filter+collect job per window — ~17.5k
+    * sequential driver-side jobs for a year of 30-min fast data — and
+    * leaked a `persist()`). `outDir` must be a filesystem every
+    * executor can reach (shared mount on a cluster; trivially true on
+    * local[n]); re-execution of a task rewrites the same bytes, so
+    * speculative retries are idempotent. */
+  def writeShards(df: DataFrame, meta: TableMeta, tsCol: String,
+      stepMin: Int, outDir: String, prefix: String): Seq[String] = {
+    val dataCols = df.columns.filter(_ != tsCol).toSeq
+    val headerVars = meta.variableNames.filter(_ != "TIMESTAMP")
+    require(dataCols == headerVars,
+      s"header/data mismatch: data-only=${dataCols.diff(headerVars)} " +
+      s"header-only=${headerVars.diff(dataCols)}")
+    val header = Toa5.headerText(meta)
+    val stringIdx = Toa5.stringColumnIndices(df, dataCols)
+    val naToken = graft.core.FileFormat.Toa5.naToken
+    val nData = dataCols.length
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+
+    val projected = df.withColumn("__w", windowEnd(col(tsCol), stepMin))
+      .select((col("__w") +: col(tsCol) +: dataCols.map(col)): _*)
+    projected.repartition(col("__w"))
+      .sortWithinPartitions(col("__w"), col(tsCol))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        var cur: java.sql.Timestamp = null
+        var out: java.io.Writer = null
+        try {
+          it.foreach { r =>
+            val w = r.getTimestamp(0)
+            if (cur == null || !w.equals(cur)) {
+              if (out != null) out.close()
+              cur = w
+              out = java.nio.file.Files.newBufferedWriter(
+                java.nio.file.Paths.get(outDir, shardName(w, prefix)))
+              out.write(header)
+            }
+            out.write(Toa5.bodyLine(r.getTimestamp(1),
+              (0 until nData).map(i => r.get(i + 2)), stringIdx, naToken))
+          }
+        } finally if (out != null) out.close()
+      }
+    // tiny second job: the ordered shard-name list (window keys only)
+    projected.select("__w").distinct().orderBy("__w").collect()
+      .map(r => shardName(r.getTimestamp(0), prefix)).toSeq
   }
 
   /** Integer-preserving downcast check (D8): true when every non-null

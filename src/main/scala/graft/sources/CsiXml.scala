@@ -77,6 +77,60 @@ object CsiXml {
     }
   }
 
+  private def xmlEscape(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
+      case '"' => "&quot;"; case c => c.toString
+    }
+
+  /** CSIXML writer — emits the head/environment/fields + data/r/v
+    * document shape the reader (and the reference's
+    * read_cs_files.py:204-243) consumes: ISO `%Y-%m-%dT%H:%M:%S` time
+    * attribute, integer record-no attribute, one <v> element per field
+    * (empty element for null). Doubles render shortest-repr, so a
+    * write-then-read roundtrip is value-exact. Driver-side by design:
+    * CSIXML files are small logger pulls, like the TOA5 single-file
+    * writer. `rows` are (timestamp, record-no, field values in meta
+    * order after TIMESTAMP/RECORD). */
+  def write(path: String, meta: TableMeta,
+      rows: Seq[(java.time.LocalDateTime, Long, Seq[Any])]): Unit = {
+    val valueVars = meta.variables
+      .filterNot(v => v.name == "TIMESTAMP" || v.name == "RECORD")
+    val tFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+    val i = meta.info
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\" standalone=\"yes\"?>\n")
+    sb.append("<csixml version=\"1.0\">\n <head>\n  <environment>\n")
+    Seq("station-name" -> i.stationName, "table-name" -> i.tableName,
+        "model" -> i.loggerType, "serial-no" -> i.serialNum,
+        "os-version" -> i.osVersion, "dld-name" -> i.programName)
+      .foreach { case (tag, v) =>
+        sb.append(s"   <$tag>${xmlEscape(v)}</$tag>\n") }
+    sb.append("  </environment>\n  <fields>\n")
+    valueVars.foreach { v =>
+      sb.append("   <field name=\"").append(xmlEscape(v.name))
+        .append("\" type=\"xsd:double\" units=\"").append(xmlEscape(v.units))
+        .append("\" process=\"").append(xmlEscape(v.sampling))
+        .append("\"/>\n")
+    }
+    sb.append("  </fields>\n </head>\n <data>\n")
+    rows.foreach { case (ts, no, vals) =>
+      sb.append("  <r time=\"").append(ts.format(tFmt))
+        .append("\" no=\"").append(no).append("\">")
+      vals.foreach {
+        case null => sb.append("<v/>")
+        case v    => sb.append("<v>").append(v.toString).append("</v>")
+      }
+      sb.append("</r>\n")
+    }
+    sb.append(" </data>\n</csixml>\n")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path).getParent)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   def read(spark: SparkSession, path: String): Parsed = {
     val bin = spark.read.format("binaryFile").load(path)
       .select("content")

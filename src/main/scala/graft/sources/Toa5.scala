@@ -144,47 +144,72 @@ object Toa5 {
       s"header/data mismatch: data-only=${dataCols.diff(headerVars)} " +
       s"header-only=${headerVars.diff(dataCols)}")
 
-    val fmt = FileFormat.Toa5
-    def q(s: String) = "\"" + s + "\""
-    val infoLine = {
-      val i = meta.info
-      Seq(i.format, i.stationName, i.loggerType, i.serialNum,
-        i.osVersion, i.programName, i.programSig, i.tableName)
-        .map(q).mkString(",")
-    }
-    val vars = "TIMESTAMP" +: headerVars
-    val byName = meta.variables.map(v => v.name -> v).toMap
-    val namesLine = vars.map(q).mkString(",")
-    val unitsLine = ("TS" +: headerVars.map(n =>
-      byName.get(n).map(_.units).getOrElse(""))).map(q).mkString(",")
-    val samplingLine = ("" +: headerVars.map(n =>
-      byName.get(n).map(_.sampling).getOrElse(""))).map(q).mkString(",")
-
-    val stringCols = df.schema.fields.collect {
-      case f if f.dataType == StringType => f.name }.toSet
+    val stringIdx = stringColumnIndices(df, dataCols)
     val rows = collectBounded(df.orderBy(col(tsCol))
       .select((col(tsCol) +: dataCols.map(col)): _*), path)
-    val sb = new StringBuilder
-    Seq(infoLine, namesLine, unitsLine, samplingLine)
-      .foreach(l => sb.append(l).append("\r\n"))
-    val tsFmt = java.time.format.DateTimeFormatter
-      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    val sb = new StringBuilder(headerText(meta))
     rows.foreach { r =>
-      val ts = r.getTimestamp(0).toLocalDateTime.format(tsFmt)
-      sb.append(q(ts))
-      dataCols.zipWithIndex.foreach { case (c, i) =>
-        val v = r.get(i + 1)
-        val cell =
-          if (v == null) fmt.naToken
-          else if (stringCols.contains(c)) q(v.toString)
-          else formatNum(v)
-        sb.append(",").append(cell)
-      }
-      sb.append("\r\n")
+      sb.append(bodyLine(r.getTimestamp(0),
+        dataCols.indices.map(i => r.get(i + 1)), stringIdx,
+        FileFormat.Toa5.naToken))
     }
     Files.createDirectories(Paths.get(path).getParent)
     Files.write(Paths.get(path),
       sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def quoteCell(s: String) = "\"" + s + "\""
+
+  /** The 4-line TOA5 header block (info, names, units, sampling), each
+    * line CRLF-terminated — shared by the driver-side [[write]] and the
+    * distributed [[graft.pipeline.FastData.writeShards]] so the two
+    * paths are byte-identical by construction. */
+  private[graft] def headerText(meta: TableMeta): String = {
+    val headerVars = meta.variableNames.filter(_ != "TIMESTAMP")
+    val i = meta.info
+    val infoLine = Seq(i.format, i.stationName, i.loggerType, i.serialNum,
+      i.osVersion, i.programName, i.programSig, i.tableName)
+      .map(quoteCell).mkString(",")
+    val byName = meta.variables.map(v => v.name -> v).toMap
+    val namesLine = ("TIMESTAMP" +: headerVars).map(quoteCell).mkString(",")
+    val unitsLine = ("TS" +: headerVars.map(n =>
+      byName.get(n).map(_.units).getOrElse(""))).map(quoteCell).mkString(",")
+    val samplingLine = ("" +: headerVars.map(n =>
+      byName.get(n).map(_.sampling).getOrElse(""))).map(quoteCell).mkString(",")
+    Seq(infoLine, namesLine, unitsLine, samplingLine)
+      .mkString("", "\r\n", "\r\n")
+  }
+
+  /** Data-column indices holding strings (quoted on write). */
+  private[graft] def stringColumnIndices(df: DataFrame,
+      dataCols: Seq[String]): Set[Int] = {
+    val stringCols = df.schema.fields.collect {
+      case f if f.dataType == StringType => f.name }.toSet
+    dataCols.zipWithIndex.collect {
+      case (c, i) if stringCols(c) => i }.toSet
+  }
+
+  // immutable + thread-safe; shared across driver and executor callers
+  private val tsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  /** One CRLF-terminated TOA5 body line: quoted timestamp then cells in
+    * header order (QUOTE_NONNUMERIC — strings quoted, numbers bare, NA
+    * token for nulls). Pure function of its arguments so executors can
+    * call it from a distributed shard writer. */
+  private[graft] def bodyLine(ts: java.sql.Timestamp, values: Seq[Any],
+      stringIdx: Set[Int], naToken: String): String = {
+    val sb = new StringBuilder
+    sb.append(quoteCell(ts.toLocalDateTime.format(tsFmt)))
+    values.zipWithIndex.foreach { case (v, i) =>
+      val cell =
+        if (v == null) naToken
+        else if (stringIdx.contains(i)) quoteCell(v.toString)
+        else formatNum(v)
+      sb.append(",").append(cell)
+    }
+    sb.append("\r\n")
+    sb.toString
   }
 
   /** K3: EddyPro summary writer — tab-separated, 2 header lines
