@@ -18,7 +18,9 @@ object Bench {
     // plan codegen + JIT for that query's generated classes (±40%
     // noise run-to-run); the min is the steady-state per-query cost a
     // warm cluster pays.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => SparkEntry.benchExclude(name) }
+      .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

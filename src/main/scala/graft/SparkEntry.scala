@@ -743,7 +743,146 @@ object SparkEntry {
         t(s, dir, "events").select(col("ts")), "ts", 30, 0.1)
       .orderBy("window_end")
 
+  /** J2+J3: the L1 merge heart (file_concatenators.py:187-455 +
+    * file_handler.py:534-605). A master hourly frame and a
+    * vertically-overlapping candidate run the full legality analysis —
+    * anti-join new-date existence, A2 interval inference on both
+    * sides, variable intersection, and the unit-alias table (degC~C) —
+    * then two variable frames take the horizontal full-outer time
+    * merge. The legality scalars ride on every merged row and the
+    * oracle re-derives them from the data (NOT EXISTS set-diff +
+    * mode-of-deltas SQL), so the verdict itself is hash-checked. */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{FileInfo, TableMeta, VariableMeta}
+    import graft.pipeline.MergeLegality
+    val e = t(s, dir, "events")
+    def hourly(evType: String, from: String, until: String,
+        vName: String, withCount: Boolean): DataFrame = {
+      val sub = e.filter(col("event_type") === evType &&
+          col("ts") >= to_timestamp(lit(from)) &&
+          col("ts") < to_timestamp(lit(until)))
+        .withColumn("hour_ts", date_trunc("hour", col("ts")))
+      val grid = sub.agg(min(col("hour_ts")).as("t0"),
+          max(col("hour_ts")).as("t1"))
+        .select(explode(sequence(col("t0"), col("t1"),
+          expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+      val base = grid.join(sub, Seq("hour_ts"), "left").groupBy("hour_ts")
+      if (withCount)
+        base.agg(rnd(avg(col("value")), 6).as(vName),
+          count(col("value")).as("n_click"))
+      else base.agg(rnd(avg(col("value")), 6).as(vName))
+    }
+    val master = hourly("click", "2024-01-01 00:00:00",
+      "2024-01-21 00:00:00", "v_click", withCount = true)
+    val candidate = hourly("click", "2024-01-15 00:00:00",
+      "2024-01-31 00:00:00", "v_click", withCount = false)
+    val views = hourly("view", "2024-01-15 00:00:00",
+      "2024-01-31 00:00:00", "v_view", withCount = false)
+    val metaMaster = TableMeta(FileInfo.dummy,
+      Seq(VariableMeta("TIMESTAMP", "TS", ""),
+        VariableMeta("v_click", "degC", "Avg"),
+        VariableMeta("n_click", "n", "Tot")))
+    val metaCand = TableMeta(FileInfo.dummy,
+      Seq(VariableMeta("TIMESTAMP", "TS", ""),
+        VariableMeta("v_click", "C", "Avg")))
+    val rep = MergeLegality.analyse(master, metaMaster, candidate,
+      metaCand, "hour_ts")
+    JoinOps.mergeOnTime(
+        Seq(master.select("hour_ts", "v_click"), views), Seq("hour_ts"))
+      .withColumn("contributes_new_dates", lit(rep.contributesNewDates))
+      .withColumn("same_interval", lit(rep.sameInterval))
+      .withColumn("master_interval_sec", lit(rep.masterIntervalSec))
+      .withColumn("candidate_interval_sec", lit(rep.candidateIntervalSec))
+      .withColumn("n_common_vars", lit(rep.commonVariables.length))
+      .withColumn("n_master_only", lit(rep.masterOnlyVariables.length))
+      .withColumn("n_candidate_only",
+        lit(rep.candidateOnlyVariables.length))
+      .withColumn("n_unit_conflicts", lit(rep.unitConflicts.length))
+      .withColumn("legal", lit(rep.legal))
+      .orderBy("hour_ts")
+  }
+
+  /** S10 CSIXML roundtrip: hourly event means written as a CSIXML
+    * document (head/environment/fields + data/r/v shape per
+    * read_cs_files.py:204-243) and decoded back by the distributed
+    * reader — hash-matching the direct aggregation oracle proves the
+    * XML byte path (ISO time attribute, record numbers, shortest-repr
+    * doubles, empty <v/> nulls) is value-exact. Collect is bounded:
+    * one row per hour. */
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{FileInfo, TableMeta, VariableMeta}
+    val agg = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(rnd(avg(col("value")), 6).as("v_mean"),
+           count(lit(1)).cast("double").as("n"))
+      .orderBy("hour_ts")
+    val rows = agg.collect()
+    val meta = TableMeta(
+      FileInfo("CSIXML", "EventsSite", "CR1000X", "1", "os", "prog",
+        "1", "hourly"),
+      Seq(VariableMeta("TIMESTAMP", "TS", ""),
+        VariableMeta("RECORD", "RN", ""),
+        VariableMeta("v_mean", "arb", "Avg"),
+        VariableMeta("n", "samples", "Tot")))
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_q55/hourly.xml"
+    graft.sources.CsiXml.write(path, meta,
+      rows.toSeq.zipWithIndex.map { case (r, i) =>
+        (r.getTimestamp(0).toLocalDateTime, i.toLong,
+          Seq[Any](r.getDouble(1), r.getDouble(2))) })
+    graft.sources.CsiXml.read(s, path).data
+      .select(col("DATETIME").as("hour_ts"), col("RECORD").as("rec_no"),
+        col("v_mean"), col("n"))
+      .orderBy("hour_ts")
+  }
+
+  /** §2.9 streaming completeness: two `Trigger.AvailableNow` runs of
+    * the J6 incremental-append fold — run 1 drains a first-half batch,
+    * run 2 discovers only the newly appended second half (which
+    * includes an exact duplicate file the streaming dedup must drop) —
+    * then the resulting lake is aggregated and hash-compared against
+    * batch SQL over the source table. Equality holds iff run 2
+    * re-read nothing (no double counts), the duplicate file was
+    * deduped, and nothing was dropped as late. */
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.IncrementalAppend
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_q56")
+    // streaming checkpoints remember processed files; stale state from
+    // a previous invocation would corrupt the fold — start clean
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    }
+    val inDir = s"$root/in"; val outDir = s"$root/lake"
+    val ev = t(s, dir, "events")
+      .select("event_id", "ts", "user_id", "value")
+    val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+    ev.filter(col("ts") < cut).write.parquet(inDir)
+    val schema = s.read.parquet(inDir).schema
+    IncrementalAppend.appendRun(s, inDir, outDir, s"$root/ckpt",
+      schema, "ts", Seq("event_id"), lateness = "48 hours")
+    // second half arrives later, plus a byte-duplicate re-send of it
+    ev.filter(col("ts") >= cut).write.mode("append").parquet(inDir)
+    ev.filter(col("ts") >= cut).write.mode("append").parquet(inDir)
+    IncrementalAppend.appendRun(s, inDir, outDir, s"$root/ckpt",
+      schema, "ts", Seq("event_id"), lateness = "48 hours")
+    s.read.parquet(outDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n_events"),
+        rnd(sum(col("value")), 4).as("sum_value"))
+      .orderBy("hour_ts")
+  }
+
   // ---------------------------------------------------------------
+
+  /** Queries excluded from the benchmark's timed set: multi-run
+    * lifecycle fixtures whose cost is dominated by fixture setup
+    * (streaming checkpoint init + temp-lake writes), not by the
+    * operator under test. They still run in Verify's correctness
+    * gate. */
+  val benchExclude: Set[String] = Set("q56_streaming_append")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -800,6 +939,9 @@ object SparkEntry {
     "q52_netcdf_roundtrip" -> (q52 _),
     "q53_xlsx_roundtrip"   -> (q53 _),
     "q46_tob_v2_scan"      -> (q46 _),
+    "q54_merge_legality"   -> (q54 _),
+    "q55_csixml_roundtrip" -> (q55 _),
+    "q56_streaming_append" -> (q56 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -1412,5 +1554,81 @@ object SparkEntry {
              180 AS n_expected,
              count(*)::DOUBLE / 180 * 100.0 AS pct_complete
       FROM b GROUP BY wus ORDER BY window_end""",
+    "q54_merge_legality" -> """
+      WITH mh AS (SELECT date_trunc('hour', ts) AS hour_ts, value
+             FROM events WHERE event_type = 'click'
+               AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+               AND ts <  TIMESTAMP '2024-01-21 00:00:00'),
+      mspan AS (SELECT min(hour_ts) AS t0, max(hour_ts) AS t1 FROM mh),
+      mgrid AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR))
+                  AS hour_ts FROM mspan),
+      m AS (SELECT g.hour_ts,
+              floor((avg(h.value)) * 1000000.0 + 0.5) / 1000000.0
+                AS v_click
+            FROM mgrid g LEFT JOIN mh h ON h.hour_ts = g.hour_ts
+            GROUP BY g.hour_ts),
+      ch AS (SELECT date_trunc('hour', ts) AS hour_ts
+             FROM events WHERE event_type = 'click'
+               AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+               AND ts <  TIMESTAMP '2024-01-31 00:00:00'),
+      cspan AS (SELECT min(hour_ts) AS t0, max(hour_ts) AS t1 FROM ch),
+      c AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR))
+              AS hour_ts FROM cspan),
+      vh AS (SELECT date_trunc('hour', ts) AS hour_ts, value
+             FROM events WHERE event_type = 'view'
+               AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+               AND ts <  TIMESTAMP '2024-01-31 00:00:00'),
+      vspan AS (SELECT min(hour_ts) AS t0, max(hour_ts) AS t1 FROM vh),
+      vgrid AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR))
+                  AS hour_ts FROM vspan),
+      v AS (SELECT g.hour_ts,
+              floor((avg(h.value)) * 1000000.0 + 0.5) / 1000000.0
+                AS v_view
+            FROM vgrid g LEFT JOIN vh h ON h.hour_ts = g.hour_ts
+            GROUP BY g.hour_ts),
+      mint AS (SELECT d FROM (
+                 SELECT (epoch_us(hour_ts) - lag(epoch_us(hour_ts))
+                   OVER (ORDER BY hour_ts)) // 1000000 AS d FROM m)
+               WHERE d IS NOT NULL
+               GROUP BY d ORDER BY count(*) DESC, d ASC LIMIT 1),
+      cint AS (SELECT d FROM (
+                 SELECT (epoch_us(hour_ts) - lag(epoch_us(hour_ts))
+                   OVER (ORDER BY hour_ts)) // 1000000 AS d FROM c)
+               WHERE d IS NOT NULL
+               GROUP BY d ORDER BY count(*) DESC, d ASC LIMIT 1),
+      newd AS (SELECT EXISTS (SELECT 1 FROM c
+                 WHERE NOT EXISTS (SELECT 1 FROM m
+                   WHERE m.hour_ts = c.hour_ts)) AS b)
+      SELECT coalesce(m.hour_ts, v.hour_ts) AS hour_ts,
+             m.v_click, v.v_view,
+             (SELECT b FROM newd) AS contributes_new_dates,
+             ((SELECT d FROM mint) = (SELECT d FROM cint))
+               AS same_interval,
+             (SELECT d FROM mint) AS master_interval_sec,
+             (SELECT d FROM cint) AS candidate_interval_sec,
+             1 AS n_common_vars,
+             1 AS n_master_only,
+             0 AS n_candidate_only,
+             0 AS n_unit_conflicts,
+             ((SELECT b FROM newd)
+               AND (SELECT d FROM mint) = (SELECT d FROM cint)) AS legal
+      FROM m FULL OUTER JOIN v ON m.hour_ts = v.hour_ts
+      ORDER BY hour_ts""",
+    "q55_csixml_roundtrip" -> """
+      WITH a AS (
+        SELECT date_trunc('hour', ts) AS hour_ts,
+               floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0
+                 AS v_mean,
+               count(*)::DOUBLE AS n
+        FROM events GROUP BY 1)
+      SELECT hour_ts,
+             row_number() OVER (ORDER BY hour_ts) - 1 AS rec_no,
+             v_mean, n
+      FROM a ORDER BY hour_ts""",
+    "q56_streaming_append" -> """
+      SELECT date_trunc('hour', ts) AS hour_ts,
+             count(*) AS n_events,
+             floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1""",
   )
 }

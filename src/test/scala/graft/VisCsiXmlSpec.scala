@@ -47,6 +47,35 @@ class VisCsiXmlSpec extends SparkSpec {
     assert(rows(0).getDouble(2) == 21.5)
   }
 
+  test("S10 CSIXML write/read roundtrip: nulls as <v/>, escapes, order") {
+    val meta = TableMeta(
+      FileInfo("CSIXML", "A&B \"Site\"", "CR1000X", "1", "os", "p<g>",
+        "1", "slow"),
+      Seq(VariableMeta("TIMESTAMP", "TS", ""),
+        VariableMeta("RECORD", "RN", ""),
+        VariableMeta("Ta", "degC", "Avg"),
+        VariableMeta("RH", "percent", "Avg")))
+    val t0 = java.time.LocalDateTime.parse("2024-06-01T00:30:00")
+    val rows = Seq(
+      (t0, 7L, Seq[Any](21.5, null)),
+      (t0.plusMinutes(30), 8L, Seq[Any](null, 46.5)),
+      (t0.plusMinutes(60), 9L, Seq[Any](1.0E-7, 100.0)))
+    val dir = Files.createTempDirectory("csixml_w")
+    CsiXml.write(dir.resolve("w.xml").toString, meta, rows)
+    val parsed = CsiXml.read(spark, dir.toString)
+    assert(parsed.meta.info.stationName == "A&B \"Site\"")
+    assert(parsed.meta.variableNames ==
+      Seq("TIMESTAMP", "RECORD", "Ta", "RH"))
+    val got = parsed.data.orderBy("RECORD").collect()
+    assert(got.length == 3)
+    assert(got(0).getLong(1) == 7L && got(0).getDouble(2) == 21.5
+      && got(0).isNullAt(3))
+    assert(got(1).isNullAt(2) && got(1).getDouble(3) == 46.5)
+    assert(got(2).getDouble(2) == 1.0E-7)
+    assert(got(2).getTimestamp(0) ==
+      Timestamp.valueOf("2024-06-01 01:30:00"))
+  }
+
   test("E2 vis pipeline: select nearest, normalise, mask, derive, write") {
     val df = Seq(
       (Timestamp.valueOf("2024-01-01 00:30:00"), 21.5, 18.0, 45.0, 101.3, 9999.0),
