@@ -83,6 +83,11 @@ object DedupOps {
     val shared = sh.groupBy("shingle").agg(count(lit(1)).as("__freq"))
       .filter(col("__freq") >= 2 && col("__freq") <= maxShingleFreq)
       .select("shingle")
+    // Second checkpoint adjudicated by a warm-JVM alternating A/B at
+    // sf0.1 (4 rounds each, same session): with it min 2.64 s / median
+    // 2.75 s, without it 2.71 / 2.82 — materializing the semi-joined
+    // table once beats recomputing it for both sides of the self-join,
+    // so it stays.
     val capped = sh.join(shared, Seq("shingle"), "left_semi")
       .localCheckpoint(eager = true)
     // sh is distinct per (id, shingle) by construction, so plain count
