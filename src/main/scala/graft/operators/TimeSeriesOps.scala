@@ -15,10 +15,143 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: every operator takes `keys` (e.g. site/user id) and
   * partitions its windows/joins by them, so work distributes across
-  * executors by key at 100 TB — no global single-partition window is
-  * ever used unless `keys` is empty (small single-site frames only).
+  * executors by key at 100 TB. The keyless (`keys = Nil`) paths of
+  * [[intervalHistogram]] and [[gaps]] do NOT fall back to a global
+  * single-partition window: they range-shuffle the timestamp column,
+  * difference within each sorted partition in one pass, and stitch the
+  * per-partition boundary rows (a frame bounded by the shuffle
+  * partition count) on the driver — so interval inference over a year
+  * of 10 Hz fast data distributes like any keyed op. Keyless
+  * [[islands]]/[[sessionize]] still use a global window (their output
+  * is per-row, so a boundary stitch needs a second pass); they remain
+  * documented as small-single-site-frame operators.
   */
 object TimeSeriesOps {
+
+  /** Keyless substrate: the timestamp column as unix micros,
+    * range-partitioned and sorted within partitions. Equal values hash
+    * to the same range bucket, so inline per-partition dedup of
+    * consecutive equal values is globally exact. */
+  private def rangedMicros(df: DataFrame, tsCol: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    df.select(unix_micros(col(tsCol)).as("us"))
+      .filter(col("us").isNotNull).as[Long]
+      .repartitionByRange(n, col("us")).sortWithinPartitions("us")
+  }
+
+  /** Per-partition boundary rows of [[rangedMicros]] output collected
+    * to the driver: (pid, firstUs, lastUs), ascending pid. Bounded by
+    * the shuffle-partition count, so the collect is safe at any data
+    * scale. Range partitions are id-ordered, so consecutive non-empty
+    * pids are time-adjacent. */
+  private def boundaryPairs(bounds: Array[(Long, Long, Long)])
+      : Seq[(Long, Long)] =
+    bounds.sortBy(_._1).sliding(2).collect {
+      case Array((_, _, lastPrev), (_, firstNext, _)) =>
+        (lastPrev, firstNext)
+    }.toSeq
+
+  /** Distributed keyless A2 substrate: histogram of successive
+    * first-differences over the *distinct sorted* timestamps, with no
+    * single-partition window. One range shuffle; each partition is
+    * scanned once, emitting its partial delta histogram plus one
+    * boundary row; boundaries are stitched on the driver (≤ one pair
+    * per partition). Replaces the old keyless shape (distinct shuffle
+    * + global-window sort on one core) with strictly less work. */
+  private def keylessIntervalHistogram(df: DataFrame, tsCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // kind 0 rows: (delta_sec, count) partial histogram entries.
+    // kind 1 rows: (firstUs, lastUs) partition boundary.
+    val partial = rangedMicros(df, tsCol).mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        val h = scala.collection.mutable.LongMap.empty[Long]
+        var prev = it.next(); val first = prev
+        while (it.hasNext) {
+          val c = it.next()
+          if (c != prev) { // distinct() semantics: skip equal values
+            val d = Math.floorDiv(c - prev, 1000000L)
+            h.update(d, h.getOrElse(d, 0L) + 1L)
+            prev = c
+          }
+        }
+        h.iterator.map { case (d, n) => (0, pid, d, n) } ++
+          Iterator((1, pid, first, prev))
+      }
+    }.toDF("kind", "pid", "a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bounds = partial.filter(col("kind") === 1)
+        .select("pid", "a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val boundary = boundaryPairs(bounds)
+        .map { case (p, c) => (Math.floorDiv(c - p, 1000000L), 1L) }
+      val hist = partial.filter(col("kind") === 0)
+        .select(col("a").as("delta_sec"), col("b").as("n"))
+        .unionAll(boundary.toDF("delta_sec", "n"))
+        .groupBy("delta_sec").agg(sum("n").as("n"))
+      // Eagerly materialize (tiny: one row per distinct delta) so the
+      // persisted partial can be released before returning.
+      hist.localCheckpoint()
+    } finally partial.unpersist()
+  }
+
+  /** Distributed keyless A6/A7 substrate: same shape as
+    * [[keylessIntervalHistogram]] but emitting the gap bound rows
+    * (prev_ts, ts) whose step exceeds the nominal interval. Output is
+    * bounded by the gap count (the operator's own result size). */
+  private def keylessGaps(df: DataFrame, tsCol: String,
+      intervalSec: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // kind 0 rows: (prevUs, us) pairs with gap > intervalSec.
+    // kind 1 rows: (firstUs, lastUs) partition boundary.
+    val partial = rangedMicros(df, tsCol).mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        var prev = it.next(); val first = prev
+        val pairs = new Iterator[(Int, Long, Long, Long)] {
+          private var pending: (Int, Long, Long, Long) = null
+          private def advance(): Unit =
+            while (pending == null && it.hasNext) {
+              val c = it.next()
+              if (Math.floorDiv(c - prev, 1000000L) > intervalSec)
+                pending = (0, pid, prev, c)
+              prev = c
+            }
+          def hasNext = { advance(); pending != null }
+          def next() = { advance(); val r = pending; pending = null; r }
+        }
+        // `++` evaluates its operand lazily, so the boundary row reads
+        // the final `prev` after the pair scan finishes.
+        pairs ++ Iterator((1, pid, first, prev))
+      }
+    }.toDF("kind", "pid", "a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bounds = partial.filter(col("kind") === 1)
+        .select("pid", "a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val boundary = boundaryPairs(bounds).filter { case (p, c) =>
+        Math.floorDiv(c - p, 1000000L) > intervalSec }
+      val out = partial.filter(col("kind") === 0).select("a", "b")
+        .unionAll(boundary.toDF("a", "b"))
+        .select(
+          timestamp_micros(col("b")).as(tsCol),
+          timestamp_micros(col("a")).as("prev_ts"))
+        .withColumn("gap_sec", expr(
+          s"(unix_micros($tsCol) - unix_micros(prev_ts)) div 1000000"))
+        .withColumn("n_records", expr(s"gap_sec div $intervalSec") - 1)
+      out.localCheckpoint()
+    } finally partial.unpersist()
+  }
 
   /** D1: drop rows that duplicate an earlier row in all columns.
     * Reference: file_handler.py:192-213 (mask + drop).
@@ -48,11 +181,15 @@ object TimeSeriesOps {
   def inferIntervalSeconds(df: DataFrame, tsCol: String,
       keys: Seq[String] = Nil): (Long, Long) = {
     val h = intervalHistogram(df, tsCol, keys)
-    val mode = h.orderBy(col("n").desc, col("delta_sec").asc)
-      .select("delta_sec").head().getLong(0)
-    val min = h.agg(org.apache.spark.sql.functions.min("delta_sec"))
-      .head().getLong(0)
-    (mode, min)
+    // One action for both statistics: mode = delta maximizing
+    // (n, -delta) — i.e. highest count, ties to the smallest delta.
+    val r = h.agg(
+      max_by(col("delta_sec"), struct(col("n"), col("delta_sec") * -1))
+        .as("mode"),
+      org.apache.spark.sql.functions.min("delta_sec").as("min")).head()
+    require(!r.isNullAt(0),
+      s"cannot infer interval of '$tsCol': fewer than two distinct timestamps")
+    (r.getLong(0), r.getLong(1))
   }
 
   /** A2 enforcement: the reference refuses to proceed when the
@@ -75,16 +212,18 @@ object TimeSeriesOps {
     * seconds (one row per distinct delta, with occurrence count).
     */
   def intervalHistogram(df: DataFrame, tsCol: String,
-      keys: Seq[String] = Nil): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
-    df.select((keys :+ tsCol).map(col): _*).distinct()
-      .withColumn("__du",
-        unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)))
-      .withColumn("delta_sec", expr("__du div 1000000"))
-      .drop("__du")
-      .filter(col("delta_sec").isNotNull)
-      .groupBy("delta_sec").agg(count(lit(1)).as("n"))
-  }
+      keys: Seq[String] = Nil): DataFrame =
+    if (keys.isEmpty) keylessIntervalHistogram(df, tsCol)
+    else {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+      df.select((keys :+ tsCol).map(col): _*).distinct()
+        .withColumn("__du",
+          unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)))
+        .withColumn("delta_sec", expr("__du div 1000000"))
+        .drop("__du")
+        .filter(col("delta_sec").isNotNull)
+        .groupBy("delta_sec").agg(count(lit(1)).as("n"))
+    }
 
   /** A1: regularize to a monotonic fixed-interval grid per key group:
     * generate the [min, max] tick sequence per group, left-join the
@@ -135,15 +274,17 @@ object TimeSeriesOps {
     * whole records. Window partitioned by keys -> distributes.
     */
   def gaps(df: DataFrame, tsCol: String, intervalSec: Long,
-      keys: Seq[String] = Nil): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
-    df.select((keys :+ tsCol).map(col): _*)
-      .withColumn("prev_ts", lag(col(tsCol), 1).over(w))
-      .withColumn("gap_sec", expr(
-        s"(unix_micros($tsCol) - unix_micros(prev_ts)) div 1000000"))
-      .filter(col("gap_sec") > intervalSec)
-      .withColumn("n_records", expr(s"gap_sec div $intervalSec") - 1)
-  }
+      keys: Seq[String] = Nil): DataFrame =
+    if (keys.isEmpty) keylessGaps(df, tsCol, intervalSec)
+    else {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+      df.select((keys :+ tsCol).map(col): _*)
+        .withColumn("prev_ts", lag(col(tsCol), 1).over(w))
+        .withColumn("gap_sec", expr(
+          s"(unix_micros($tsCol) - unix_micros(prev_ts)) div 1000000"))
+        .filter(col("gap_sec") > intervalSec)
+        .withColumn("n_records", expr(s"gap_sec div $intervalSec") - 1)
+    }
 
   /** A6: histogram of gap sizes (in records) across key groups. */
   def gapDistribution(df: DataFrame, tsCol: String, intervalSec: Long,

@@ -50,6 +50,38 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(g(1).getAs[Long]("n_records") == 5) // 03:30 -> 06:30
   }
 
+  test("keyless interval/gaps match the keyed single-group answer " +
+      "across many range partitions (A2/A6 distributed path)") {
+    // A stream long enough to span every shuffle partition, with
+    // duplicates (distinct semantics), a sub-interval straggler, and
+    // gaps placed so some MUST straddle range-partition boundaries.
+    val base = ts("2024-01-01 00:00:00").getTime
+    val mins = (0 until 2000).filterNot(i => i % 97 == 0).map(_ * 30) ++
+      Seq(30, 60, 90) /* duplicates */ :+ (7 * 30 + 1) /* straggler */
+    val df = mins.map(m => (new Timestamp(base + m * 60000L), 1.0))
+      .toDF("DATETIME", "v")
+    // Keyed single-group = the old global-window semantics.
+    val keyed = df.withColumn("k", lit(1))
+    val hKeyless = TimeSeriesOps.intervalHistogram(df, "DATETIME")
+      .orderBy("delta_sec").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hKeyed = TimeSeriesOps.intervalHistogram(keyed, "DATETIME", Seq("k"))
+      .orderBy("delta_sec").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hKeyless.toSeq == hKeyed.toSeq)
+    assert(hKeyless.map(_._2).sum == df.select("DATETIME").distinct().count() - 1)
+    val gKeyless = TimeSeriesOps.gaps(df, "DATETIME", 1800)
+      .orderBy("prev_ts").collect()
+      .map(r => (r.getTimestamp(1), r.getTimestamp(0), r.getAs[Long]("n_records")))
+    val gKeyed = TimeSeriesOps.gaps(keyed, "DATETIME", 1800, Seq("k"))
+      .orderBy("prev_ts").collect()
+      .map(r => (r.getTimestamp(2), r.getTimestamp(1), r.getAs[Long]("n_records")))
+    assert(gKeyless.toSeq == gKeyed.toSeq)
+    assert(gKeyless.nonEmpty)
+    // the physical plan must not contain a global (keyless) window
+    val plan = TimeSeriesOps.intervalHistogram(df, "DATETIME")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"keyless path still uses a window:\n$plan")
+  }
+
   test("duplicate-key diagnostics flags only multi-row keys (D2)") {
     val df = Seq((1, "a"), (1, "b"), (2, "a")).toDF("k", "p")
     val d = TimeSeriesOps.duplicateKeyDiagnostics(df, Seq("k"), "p").collect()
