@@ -1,9 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Machine-load sentinel: wall-time of a fixed CPU-bound loop. Run
+    * before and after the timed section; if the two drift by more than
+    * 10% the host was unevenly loaded and the totals are suspect —
+    * the run is flagged (`"loaded":true`), not failed. */
+  private def sentinelOnce(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0L; var i = 0
+    while (i < 1000000000) { x += i * 2654435761L; i += 1 }
+    if (x == 42L) print("") // keep the loop observable (defeat DCE)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Min of three reps: the minimum is the unloaded-machine floor, so
+    * scheduler jitter within a rep doesn't read as load drift. */
+  private def sentinelSec(): Double =
+    (1 to 3).map(_ => sentinelOnce()).min
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,24 +34,36 @@ object Bench {
     // doesn't absorb one-time startup cost.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).collect()
-    // Two runs per query, report the min: the first run pays one-time
-    // plan codegen + JIT for that query's generated classes (±40%
-    // noise run-to-run); the min is the steady-state per-query cost a
-    // warm cluster pays.
+    sentinelSec() // JIT-warm the sentinel loop itself
+    val sentinelBefore = sentinelSec()
+    // `runs` timed executions per query, report the min: the first run
+    // pays one-time plan codegen + JIT for that query's generated
+    // classes (±40% noise run-to-run); the min is the steady-state
+    // per-query cost a warm cluster pays. min/median/max are all
+    // emitted so a reader can tell noise from regression.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => SparkEntry.benchExclude(name) }
       .map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        name -> times
       }
-      name -> times.min
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val sentinelAfter = sentinelSec()
+    val drift = math.abs(sentinelAfter - sentinelBefore) /
+      math.min(sentinelBefore, sentinelAfter) * 100.0
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = results.map { case (k, v) =>
+      val med = v(v.length / 2)
+      s"\"" + k + s"\":[${v.min},$med,${v.max}]"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum
+    val sent = f"""{"before":$sentinelBefore%.3f,"after":$sentinelAfter%.3f,""" +
+      f""""drift_pct":$drift%.1f,"loaded":${drift > 10.0}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"spread":$spread,"sentinel":$sent}""")
     spark.stop()
   }
 }
