@@ -84,10 +84,11 @@ object FastData {
     * shard files. Job count is independent of the window count (the
     * previous shape ran one filter+collect job per window — ~17.5k
     * sequential driver-side jobs for a year of 30-min fast data — and
-    * leaked a `persist()`). `outDir` must be a filesystem every
-    * executor can reach (shared mount on a cluster; trivially true on
-    * local[n]); re-execution of a task rewrites the same bytes, so
-    * speculative retries are idempotent. */
+    * leaked a `persist()`). Shards are opened through the Hadoop
+    * `FileSystem` API, so `outDir` may be any supported scheme
+    * (`file://`, `hdfs://`, `s3a://`, a bare local path); task
+    * re-execution overwrites the same bytes, so speculative retries
+    * are idempotent. */
   def writeShards(df: DataFrame, meta: TableMeta, tsCol: String,
       stepMin: Int, outDir: String, prefix: String): Seq[String] = {
     val dataCols = df.columns.filter(_ != tsCol).toSeq
@@ -99,13 +100,18 @@ object FastData {
     val stringIdx = Toa5.stringColumnIndices(df, dataCols)
     val naToken = graft.core.FileFormat.Toa5.naToken
     val nData = dataCols.length
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    outPath.getFileSystem(hconf.value).mkdirs(outPath)
 
     val projected = df.withColumn("__w", windowEnd(col(tsCol), stepMin))
       .select((col("__w") +: col(tsCol) +: dataCols.map(col)): _*)
     projected.repartition(col("__w"))
       .sortWithinPartitions(col("__w"), col(tsCol))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val dir = new org.apache.hadoop.fs.Path(outDir)
+        val fs = dir.getFileSystem(hconf.value)
         var cur: java.sql.Timestamp = null
         var out: java.io.Writer = null
         try {
@@ -114,8 +120,10 @@ object FastData {
             if (cur == null || !w.equals(cur)) {
               if (out != null) out.close()
               cur = w
-              out = java.nio.file.Files.newBufferedWriter(
-                java.nio.file.Paths.get(outDir, shardName(w, prefix)))
+              out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+                fs.create(new org.apache.hadoop.fs.Path(dir,
+                  shardName(w, prefix)), true),
+                java.nio.charset.StandardCharsets.UTF_8))
               out.write(header)
             }
             out.write(Toa5.bodyLine(r.getTimestamp(1),

@@ -75,6 +75,18 @@ class FastDataSpec extends SparkSpec {
     }
   }
 
+  test("writeShards accepts a file:// URI outDir (Hadoop FileSystem path)") {
+    val dir = Files.createTempDirectory("shards_uri")
+    val uri = dir.toUri.toString // file:///...
+    val names = FastData.writeShards(frame(2), meta, "DATETIME", 1,
+      uri, "Site_fast")
+    assert(names.length == 2)
+    names.foreach { n =>
+      assert(Files.exists(dir.resolve(n)), s"missing shard $n under $uri")
+      assert(Files.size(dir.resolve(n)) > 0)
+    }
+  }
+
   test("writeShards leaves no cached RDDs behind") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = Files.createTempDirectory("shards_leak")
