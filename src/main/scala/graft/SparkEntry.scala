@@ -802,6 +802,70 @@ object SparkEntry {
       .orderBy("hour_ts")
   }
 
+  /** J2 negative-path merge legality with a LOAD-BEARING alias table:
+    * unlike q54 (where the variable-set verdicts are fixture-known
+    * constants in the oracle), every count here is re-derived by the
+    * oracle from the same VALUES metadata — the full-outer variable
+    * join, the unit-alias equivalence (degC~C ok, mm vs degC conflict,
+    * m^3/m^3~fraction ok), and the candidate-only/master-only diffs —
+    * and the candidate's date span sits strictly inside the master's,
+    * so the no-new-dates + unit-conflict ILLEGAL branch is what gets
+    * hash-checked. One row per variable in the union of both metas. */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{FileInfo, TableMeta, VariableMeta}
+    import graft.pipeline.MergeLegality
+    import s.implicits._
+    val e = t(s, dir, "events")
+    def grid(from: String, until: String): DataFrame = {
+      val sub = e.filter(col("event_type") === "click" &&
+          col("ts") >= to_timestamp(lit(from)) &&
+          col("ts") < to_timestamp(lit(until)))
+        .withColumn("hour_ts", date_trunc("hour", col("ts")))
+      sub.agg(min(col("hour_ts")).as("t0"), max(col("hour_ts")).as("t1"))
+        .select(explode(sequence(col("t0"), col("t1"),
+          expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+    }
+    val master = grid("2024-01-01 00:00:00", "2024-01-21 00:00:00")
+    val candidate = grid("2024-01-05 00:00:00", "2024-01-10 00:00:00")
+    val metaMaster = TableMeta(FileInfo.dummy, Seq(
+      VariableMeta("TIMESTAMP", "TS", ""),
+      VariableMeta("Ta", "degC", "Avg"), VariableMeta("RH", "%", "Avg"),
+      VariableMeta("Precip", "mm", "Tot"), VariableMeta("Ws", "m/s", "Avg"),
+      VariableMeta("Sws", "m^3/m^3", "Avg")))
+    val metaCand = TableMeta(FileInfo.dummy, Seq(
+      VariableMeta("TIMESTAMP", "TS", ""),
+      VariableMeta("Ta", "C", "Avg"), VariableMeta("RH", "%", "Avg"),
+      VariableMeta("Precip", "degC", "Tot"),
+      VariableMeta("Sws", "fraction", "Avg"),
+      VariableMeta("Fco2", "umol/m^2/s", "Avg")))
+    val rep = MergeLegality.analyse(master, metaMaster, candidate,
+      metaCand, "hour_ts")
+    val mdf = metaMaster.variables.filterNot(_.name == "TIMESTAMP")
+      .map(v => (v.name, v.units)).toDF("variable", "master_units")
+    val cdf = metaCand.variables.filterNot(_.name == "TIMESTAMP")
+      .map(v => (v.name, v.units)).toDF("variable", "candidate_units")
+    val aliasPairs = MergeLegality.DefaultUnitAliases
+      .flatMap(g => for (a <- g.toSeq; b <- g.toSeq if a != b) yield (a, b))
+      .toDF("ua", "ub")
+    mdf.join(cdf, Seq("variable"), "full_outer")
+      .withColumn("in_common",
+        col("master_units").isNotNull && col("candidate_units").isNotNull)
+      .join(aliasPairs, col("master_units") === col("ua") &&
+        col("candidate_units") === col("ub"), "left")
+      .withColumn("units_conflict", col("in_common") &&
+        col("master_units") =!= col("candidate_units") && col("ua").isNull)
+      .drop("ua", "ub")
+      .withColumn("contributes_new_dates", lit(rep.contributesNewDates))
+      .withColumn("same_interval", lit(rep.sameInterval))
+      .withColumn("n_common_vars", lit(rep.commonVariables.length))
+      .withColumn("n_master_only", lit(rep.masterOnlyVariables.length))
+      .withColumn("n_candidate_only",
+        lit(rep.candidateOnlyVariables.length))
+      .withColumn("n_unit_conflicts", lit(rep.unitConflicts.length))
+      .withColumn("legal", lit(rep.legal))
+      .orderBy("variable")
+  }
+
   /** S10 CSIXML roundtrip: hourly event means written as a CSIXML
     * document (head/environment/fields + data/r/v shape per
     * read_cs_files.py:204-243) and decoded back by the distributed
@@ -942,6 +1006,7 @@ object SparkEntry {
     "q54_merge_legality"   -> (q54 _),
     "q55_csixml_roundtrip" -> (q55 _),
     "q56_streaming_append" -> (q56 _),
+    "q57_merge_units"      -> (q57 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -1614,6 +1679,74 @@ object SparkEntry {
                AND (SELECT d FROM mint) = (SELECT d FROM cint)) AS legal
       FROM m FULL OUTER JOIN v ON m.hour_ts = v.hour_ts
       ORDER BY hour_ts""",
+    "q57_merge_units" -> """
+      WITH mm(variable, units) AS (VALUES
+        ('Ta','degC'),('RH','%'),('Precip','mm'),('Ws','m/s'),
+        ('Sws','m^3/m^3')),
+      cm(variable, units) AS (VALUES
+        ('Ta','C'),('RH','%'),('Precip','degC'),('Sws','fraction'),
+        ('Fco2','umol/m^2/s')),
+      al(ua, ub) AS (VALUES
+        ('degC','C'),('C','degC'),
+        ('n','arb'),('arb','n'),('n','samples'),('samples','n'),
+        ('arb','samples'),('samples','arb'),
+        ('m^3/m^3','fraction'),('fraction','m^3/m^3')),
+      j AS (SELECT coalesce(mm.variable, cm.variable) AS variable,
+              mm.units AS master_units, cm.units AS candidate_units,
+              (mm.variable IS NOT NULL AND cm.variable IS NOT NULL)
+                AS in_common,
+              (mm.variable IS NOT NULL AND cm.variable IS NOT NULL
+                AND mm.units <> cm.units
+                AND NOT EXISTS (SELECT 1 FROM al
+                  WHERE al.ua = mm.units AND al.ub = cm.units))
+                AS units_conflict
+            FROM mm FULL OUTER JOIN cm ON mm.variable = cm.variable),
+      mh AS (SELECT DISTINCT date_trunc('hour', ts) AS hour_ts
+             FROM events WHERE event_type = 'click'
+               AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+               AND ts <  TIMESTAMP '2024-01-21 00:00:00'),
+      mspan AS (SELECT min(hour_ts) AS t0, max(hour_ts) AS t1 FROM mh),
+      mgrid AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR))
+                  AS hour_ts FROM mspan),
+      ch AS (SELECT DISTINCT date_trunc('hour', ts) AS hour_ts
+             FROM events WHERE event_type = 'click'
+               AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+               AND ts <  TIMESTAMP '2024-01-10 00:00:00'),
+      cspan AS (SELECT min(hour_ts) AS t0, max(hour_ts) AS t1 FROM ch),
+      cgrid AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR))
+                  AS hour_ts FROM cspan),
+      mint AS (SELECT d FROM (
+                 SELECT (epoch_us(hour_ts) - lag(epoch_us(hour_ts))
+                   OVER (ORDER BY hour_ts)) // 1000000 AS d FROM mgrid)
+               WHERE d IS NOT NULL
+               GROUP BY d ORDER BY count(*) DESC, d ASC LIMIT 1),
+      cint AS (SELECT d FROM (
+                 SELECT (epoch_us(hour_ts) - lag(epoch_us(hour_ts))
+                   OVER (ORDER BY hour_ts)) // 1000000 AS d FROM cgrid)
+               WHERE d IS NOT NULL
+               GROUP BY d ORDER BY count(*) DESC, d ASC LIMIT 1),
+      newd AS (SELECT EXISTS (SELECT 1 FROM cgrid c
+                 WHERE NOT EXISTS (SELECT 1 FROM mgrid m
+                   WHERE m.hour_ts = c.hour_ts)) AS b)
+      SELECT variable, master_units, candidate_units, in_common,
+             units_conflict,
+             (SELECT b FROM newd) AS contributes_new_dates,
+             ((SELECT d FROM mint) = (SELECT d FROM cint))
+               AS same_interval,
+             (SELECT count(*) FROM j WHERE in_common)::INTEGER
+               AS n_common_vars,
+             (SELECT count(*) FROM j WHERE candidate_units IS NULL)::INTEGER
+               AS n_master_only,
+             (SELECT count(*) FROM j WHERE master_units IS NULL)::INTEGER
+               AS n_candidate_only,
+             (SELECT count(*) FROM j WHERE units_conflict)::INTEGER
+               AS n_unit_conflicts,
+             ((SELECT b FROM newd)
+               AND (SELECT d FROM mint) = (SELECT d FROM cint)
+               AND (SELECT count(*) FROM j WHERE in_common) > 0
+               AND (SELECT count(*) FROM j WHERE units_conflict) = 0)
+               AS legal
+      FROM j ORDER BY variable""",
     "q55_csixml_roundtrip" -> """
       WITH a AS (
         SELECT date_trunc('hour', ts) AS hour_ts,
