@@ -866,6 +866,57 @@ object SparkEntry {
       .orderBy("variable")
   }
 
+  /** K7/K8 parse-back: the per-user A9 status stats render through
+    * BOTH text sinks — the geojson FeatureCollection (properties +
+    * Point coordinates) and the site-details JSON array — then each
+    * file is re-read with Spark's JSON reader and the two parses are
+    * unioned under a `source` tag. Hash-matching the direct-aggregation
+    * oracle (× 2 sources) proves both byte paths (escaping, number
+    * rendering, null handling, coordinate ordering) are value-exact.
+    * Collects are bounded: one row per user/site. */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeSeriesOps
+    import graft.pipeline.Status
+    val now = java.sql.Timestamp.valueOf("2024-01-30 12:00:00")
+    val st = TimeSeriesOps.variableStatus(
+        t(s, dir, "events"), "ts", "value", now, Seq("user_id"))
+      .withColumn("days_since_last", rnd(col("days_since_last"), 6))
+      .withColumn("status_bucket",
+        Status.stalenessBucket(col("days_since_last")))
+      .withColumn("lat",
+        lit(-30.0) - (col("user_id") % 10).cast("double") * 0.5)
+      .withColumn("lon",
+        lit(140.0) + (col("user_id") % 7).cast("double") * 0.25)
+      .select(col("user_id"),
+        date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        col("n_24h"), col("n_valid_24h"), col("days_since_last"),
+        col("status_bucket"), col("lat"), col("lon"))
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_q58")
+    val gj = base.resolve("status.geojson").toString
+    val ja = base.resolve("details.json").toString
+    Status.writeGeojson(st, gj, "user_id", "lat", "lon")
+    Status.writeJsonArray(st, ja)
+    val fromGeo = s.read.option("multiLine", true).json(gj)
+      .select(explode(col("features")).as("f"))
+      .select(
+        col("f.properties.user_id").as("user_id"),
+        col("f.properties.last_ts").as("last_ts"),
+        col("f.properties.n_24h").as("n_24h"),
+        col("f.properties.n_valid_24h").as("n_valid_24h"),
+        col("f.properties.days_since_last").as("days_since_last"),
+        col("f.properties.status_bucket").as("status_bucket"),
+        element_at(col("f.geometry.coordinates"), 2).as("lat"),
+        element_at(col("f.geometry.coordinates"), 1).as("lon"))
+      .withColumn("source", lit("geojson"))
+    val fromArr = s.read.option("multiLine", true).json(ja)
+      .select(col("user_id"), col("last_ts"), col("n_24h"),
+        col("n_valid_24h"), col("days_since_last"), col("status_bucket"),
+        col("lat"), col("lon"))
+      .withColumn("source", lit("json_array"))
+    fromGeo.unionByName(fromArr).orderBy("source", "user_id")
+  }
+
   /** S10 CSIXML roundtrip: hourly event means written as a CSIXML
     * document (head/environment/fields + data/r/v shape per
     * read_cs_files.py:204-243) and decoded back by the distributed
@@ -1007,6 +1058,7 @@ object SparkEntry {
     "q55_csixml_roundtrip" -> (q55 _),
     "q56_streaming_append" -> (q56 _),
     "q57_merge_units"      -> (q57 _),
+    "q58_status_artifacts" -> (q58 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -1747,6 +1799,33 @@ object SparkEntry {
                AND (SELECT count(*) FROM j WHERE units_conflict) = 0)
                AS legal
       FROM j ORDER BY variable""",
+    "q58_status_artifacts" -> """
+      WITH st AS (
+        SELECT user_id,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+               count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-29 12:00:00')
+                 AS n_24h,
+               count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-29 12:00:00'
+                 AND value IS NOT NULL) AS n_valid_24h,
+               floor(((epoch_us(TIMESTAMP '2024-01-30 12:00:00')
+                       - epoch_us(max(ts))) / 86400000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS days_since_last
+        FROM events GROUP BY user_id),
+      enriched AS (
+        SELECT user_id, last_ts, n_24h, n_valid_24h, days_since_last,
+               CASE WHEN days_since_last < 1 THEN 'ok'
+                    WHEN days_since_last < 3 THEN 'warning_1_3'
+                    WHEN days_since_last < 5 THEN 'warning_3_5'
+                    WHEN days_since_last < 7 THEN 'warning_5_7'
+                    ELSE 'stale_7_plus' END AS status_bucket,
+               -30.0 - (user_id % 10)::DOUBLE * 0.5 AS lat,
+               140.0 + (user_id % 7)::DOUBLE * 0.25 AS lon
+        FROM st)
+      SELECT e.user_id, e.last_ts, e.n_24h, e.n_valid_24h,
+             e.days_since_last, e.status_bucket, e.lat, e.lon, s.source
+      FROM enriched e
+      CROSS JOIN (VALUES ('geojson'), ('json_array')) AS s(source)
+      ORDER BY s.source, e.user_id""",
     "q55_csixml_roundtrip" -> """
       WITH a AS (
         SELECT date_trunc('hour', ts) AS hour_ts,
