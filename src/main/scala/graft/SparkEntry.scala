@@ -917,6 +917,60 @@ object SparkEntry {
     fromGeo.unionByName(fromArr).orderBy("source", "user_id")
   }
 
+  /** F30 grammar corpus: every PFP-name component shape (quantity,
+    * instrument, system, vertical location incl. cm ranges, horizontal
+    * letter, replicate digit, process suffix) plus one name per error
+    * class in the typed taxonomy, parsed by `PfpName.parse` as a UDF
+    * (metadata-scale corpus; the grammar guards every catalog load,
+    * not a data-plane hot path). The DuckDB oracle re-dissects each
+    * name with string/list functions — token classification, slot
+    * assignment, error-class derivation, and the F29 height-in-metres
+    * midpoint rule — so the grammar itself is hash-checked, not
+    * fixture constants. */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    import graft.pfp.PfpName
+    import s.implicits._
+    val corpus = Seq(
+      "Fco2", "Fco2_EP", "Ta_HMP_2m_Av", "Sws_0-30cm_Av", "Ts_10cma2_Av",
+      "RH_HMP155_2m", "Fh_EF_Sd", "Precip_Tot", "Ta_2m", "Ws_WS4_10m_Smp",
+      "Sws_10cmb_Vr", "Ta_HMP_QCFlag",
+      "", "Ta__2m", "9Ta_2m", "Fco2_EP_EF", "Ta_2m_3m", "Sws_0-10-30cm",
+      "Ta_HMP_xacm", "Ts_10cm$", "Ts_10cmax", "Ta_HMP_XX")
+    val parse = udf { (name: String) =>
+      PfpName.parse(name) match {
+        case Right(p) => (true, null: String, p.quantity,
+          p.instrument.orNull, p.system.orNull,
+          p.verticalLocation.orNull, p.horizontalLocation.orNull,
+          p.replicate, p.process.orNull, p.heightMetres)
+        case Left(e) =>
+          val cls = e match {
+            case PfpName.EmptyName => "empty_name"
+            case PfpName.EmptyComponent(_) => "empty_component"
+            case PfpName.InvalidQuantity(_) => "invalid_quantity"
+            case PfpName.DuplicateComponent(k, _) => s"duplicate_$k"
+            case PfpName.TooManyHeightIdentifiers(_) =>
+              "too_many_height_identifiers"
+            case PfpName.NonNumericHeight(_) => "non_numeric_height"
+            case PfpName.NonAlphaHorizontal(_) => "non_alpha_horizontal"
+            case PfpName.NonIntegerReplicate(_) => "non_integer_replicate"
+            case PfpName.UnrecognisedElement(_, _) => "unrecognised_element"
+          }
+          (false, cls, null: String, null: String, null: String,
+            null: String, null: String, None: Option[Int], null: String,
+            None: Option[Double])
+      }
+    }
+    corpus.toDF("name")
+      .withColumn("r", parse(col("name")))
+      .select(col("name"), col("r._1").as("ok"),
+        col("r._2").as("error_class"), col("r._3").as("quantity"),
+        col("r._4").as("instrument"), col("r._5").as("system"),
+        col("r._6").as("vloc"), col("r._7").as("hloc"),
+        col("r._8").as("replicate"), col("r._9").as("process"),
+        rnd(col("r._10"), 6).as("height_m"))
+      .orderBy("name")
+  }
+
   /** S10 CSIXML roundtrip: hourly event means written as a CSIXML
     * document (head/environment/fields + data/r/v shape per
     * read_cs_files.py:204-243) and decoded back by the distributed
@@ -1059,6 +1113,7 @@ object SparkEntry {
     "q56_streaming_append" -> (q56 _),
     "q57_merge_units"      -> (q57 _),
     "q58_status_artifacts" -> (q58 _),
+    "q59_pfp_grammar"      -> (q59 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -1799,6 +1854,122 @@ object SparkEntry {
                AND (SELECT count(*) FROM j WHERE units_conflict) = 0)
                AS legal
       FROM j ORDER BY variable""",
+    "q59_pfp_grammar" -> """
+      WITH corpus(name) AS (VALUES
+        ('Fco2'), ('Fco2_EP'), ('Ta_HMP_2m_Av'), ('Sws_0-30cm_Av'),
+        ('Ts_10cma2_Av'), ('RH_HMP155_2m'), ('Fh_EF_Sd'), ('Precip_Tot'),
+        ('Ta_2m'), ('Ws_WS4_10m_Smp'), ('Sws_10cmb_Vr'), ('Ta_HMP_QCFlag'),
+        (''), ('Ta__2m'), ('9Ta_2m'), ('Fco2_EP_EF'), ('Ta_2m_3m'),
+        ('Sws_0-10-30cm'), ('Ta_HMP_xacm'), ('Ts_10cm$'), ('Ts_10cmax'),
+        ('Ta_HMP_XX')),
+      p1 AS (SELECT name, str_split(name, '_') AS parts FROM corpus),
+      p2 AS (SELECT name, parts, parts[1] AS quantity0,
+               CASE WHEN len(parts) > 1 AND list_contains(
+                      ['Av','Sd','Vr','Ct','Tot','Smp','QCFlag'], parts[-1])
+                    THEN parts[-1] END AS process0,
+               CASE WHEN len(parts) > 1 AND list_contains(
+                      ['Av','Sd','Vr','Ct','Tot','Smp','QCFlag'], parts[-1])
+                    THEN list_slice(parts, 2, len(parts) - 1)
+                    ELSE list_slice(parts, 2, len(parts)) END AS mid
+             FROM p1),
+      p3 AS (SELECT *,
+               list_filter(mid, x -> list_contains(['EP','EF','DL'], x))
+                 AS sys_list,
+               list_filter(mid, x -> regexp_full_match(x,
+                 '\d+(\.\d+)?(-\d+(\.\d+)?)?(cm|m)[a-zA-Z]?\d?'))
+                 AS loc_list,
+               list_filter(mid, x ->
+                 NOT list_contains(['EP','EF','DL'], x)
+                 AND NOT regexp_full_match(x,
+                   '\d+(\.\d+)?(-\d+(\.\d+)?)?(cm|m)[a-zA-Z]?\d?')
+                 AND regexp_matches(substr(x, 1, 1), '[A-Za-z]'))
+                 AS inst_list,
+               list_filter(mid, x ->
+                 NOT list_contains(['EP','EF','DL'], x)
+                 AND NOT regexp_full_match(x,
+                   '\d+(\.\d+)?(-\d+(\.\d+)?)?(cm|m)[a-zA-Z]?\d?')
+                 AND NOT regexp_matches(substr(x, 1, 1), '[A-Za-z]'))
+                 AS other_list
+             FROM p2),
+      p4 AS (SELECT *,
+               CASE WHEN len(other_list) > 0 THEN other_list[1]
+                    WHEN len(inst_list) > 1 THEN inst_list[2] END AS bad_tok
+             FROM p3),
+      p5 AS (SELECT *,
+               CASE WHEN bad_tok IS NULL THEN NULL
+                    WHEN strpos(bad_tok, 'cm') > 1 THEN 'cm'
+                    WHEN strpos(bad_tok, 'm') > 1 THEN 'm' END AS bad_unit
+             FROM p4),
+      p6 AS (SELECT *,
+               CASE WHEN bad_unit IS NULL THEN NULL
+                 ELSE substr(bad_tok, 1, strpos(bad_tok, bad_unit) - 1)
+               END AS bad_pre,
+               CASE WHEN bad_unit IS NULL THEN NULL
+                 ELSE substr(bad_tok,
+                   strpos(bad_tok, bad_unit) + len(bad_unit))
+               END AS bad_residue
+             FROM p5),
+      p7 AS (SELECT *,
+               CASE WHEN bad_tok IS NULL THEN NULL
+                    WHEN bad_unit IS NULL THEN 'unrecognised_element'
+                    WHEN len(str_split(bad_pre, '-')) > 2
+                      THEN 'too_many_height_identifiers'
+                    WHEN len(list_filter(str_split(bad_pre, '-'),
+                        x -> NOT regexp_full_match(x, '\d+(\.\d+)?'))) > 0
+                      THEN 'non_numeric_height'
+                    WHEN len(bad_residue) > 0 AND NOT regexp_matches(
+                        substr(bad_residue, 1, 1), '[A-Za-z]')
+                      THEN 'non_alpha_horizontal'
+                    WHEN len(bad_residue) > 1 AND NOT regexp_full_match(
+                        substr(bad_residue, 2), '\d+')
+                      THEN 'non_integer_replicate'
+                    ELSE 'unrecognised_element' END AS bad_class
+             FROM p6),
+      p8 AS (SELECT *,
+               CASE WHEN name = '' THEN 'empty_name'
+                    WHEN list_contains(parts, '') THEN 'empty_component'
+                    WHEN NOT regexp_matches(substr(quantity0, 1, 1),
+                      '[A-Za-z]') THEN 'invalid_quantity'
+                    WHEN len(sys_list) > 1 THEN 'duplicate_system'
+                    WHEN len(loc_list) > 1 THEN 'duplicate_location'
+                    ELSE bad_class END AS error_class
+             FROM p7),
+      p9 AS (SELECT *, (error_class IS NULL) AS ok,
+               CASE WHEN error_class IS NULL THEN loc_list[1] END AS loc_tok
+             FROM p8),
+      p10 AS (SELECT *,
+               nullif(regexp_extract(loc_tok,
+                 '(\d+(\.\d+)?(-\d+(\.\d+)?)?)(cm|m)([a-zA-Z])?(\d)?', 1),
+                 '') AS loc_nums,
+               nullif(regexp_extract(loc_tok,
+                 '(\d+(\.\d+)?(-\d+(\.\d+)?)?)(cm|m)([a-zA-Z])?(\d)?', 5),
+                 '') AS loc_unit,
+               nullif(regexp_extract(loc_tok,
+                 '(\d+(\.\d+)?(-\d+(\.\d+)?)?)(cm|m)([a-zA-Z])?(\d)?', 6),
+                 '') AS hloc,
+               nullif(regexp_extract(loc_tok,
+                 '(\d+(\.\d+)?(-\d+(\.\d+)?)?)(cm|m)([a-zA-Z])?(\d)?', 7),
+                 '') AS rep_s
+              FROM p9),
+      p11 AS (SELECT *,
+               CASE WHEN loc_nums IS NULL THEN NULL
+                    WHEN strpos(loc_nums, '-') > 0 THEN
+                      (str_split(loc_nums, '-')[1]::DOUBLE
+                       + str_split(loc_nums, '-')[2]::DOUBLE) / 2.0
+                    ELSE loc_nums::DOUBLE END AS mid_m
+              FROM p10)
+      SELECT name, ok, error_class,
+             CASE WHEN ok THEN quantity0 END AS quantity,
+             CASE WHEN ok THEN inst_list[1] END AS instrument,
+             CASE WHEN ok THEN sys_list[1] END AS system,
+             CASE WHEN ok THEN loc_nums || loc_unit END AS vloc,
+             CASE WHEN ok THEN hloc END AS hloc,
+             CASE WHEN ok THEN rep_s::INTEGER END AS replicate,
+             CASE WHEN ok THEN process0 END AS process,
+             floor((CASE WHEN loc_unit = 'cm' THEN mid_m / 100.0
+                         ELSE mid_m END) * 1000000.0 + 0.5) / 1000000.0
+               AS height_m
+      FROM p11 ORDER BY name""",
     "q58_status_artifacts" -> """
       WITH st AS (
         SELECT user_id,
