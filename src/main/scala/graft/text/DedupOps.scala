@@ -61,9 +61,13 @@ object DedupOps {
     * similarity over distinct shingle sets. Returns (id_a, id_b,
     * n_shared, n_a, n_b, jaccard) with id_a < id_b.
     *
-    * Scale: the join key is the shingle string; frequency-capped via
-    * `maxShingleFreq` to drop degenerate buckets (stopword shingles)
-    * exactly like production near-dup pipelines cap posting lists.
+    * Scale: the join key is the shingle hashed to an xxhash64 long —
+    * shuffle rows carry 8 bytes instead of a k-word string, and the
+    * set-intersection counts are unchanged short of a 64-bit collision
+    * (probability ~n²/2⁶⁵ — production posting-list pipelines make the
+    * same trade). Frequency-capped via `maxShingleFreq` to drop
+    * degenerate buckets (stopword shingles) exactly like production
+    * near-dup pipelines cap posting lists.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minJaccard: Double, maxShingleFreq: Long = 1000L)
@@ -71,8 +75,12 @@ object DedupOps {
     // Checkpoint the shingle table: it feeds both sides of the pair
     // join plus the size aggregate — localCheckpoint materializes it
     // once and cuts the window-function lineage out of the self-join
-    // plan (no CacheManager entry to leak across calls).
-    val sh = shingleRows(docs, idCol, textCol, k).localCheckpoint(eager = true)
+    // plan (no CacheManager entry to leak across calls). Shingles are
+    // hashed to longs BEFORE the checkpoint, so the materialized table
+    // (and every shuffle fed from it) never carries shingle text.
+    val sh = shingleRows(docs, idCol, textCol, k)
+      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+      .localCheckpoint(eager = true)
     // Pair-join prune: a shingle held by a single doc cannot produce a
     // pair, and most shingles are singletons — dropping them up front
     // shrinks the self-join input without changing the result. The
