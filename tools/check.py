@@ -46,10 +46,13 @@ for name in sorted(oracle):
     gc, ec = sorted(got.columns), sorted(exp.columns)
     if gc != ec:
         print(f"FAIL {name}: columns {gc} vs {ec}"); n_fail += 1; continue
-    # Any HUGEINT/DECIMAL oracle output is a latent driver-hash failure:
-    # Spark has no HUGEINT, and the driver's value hash is dtype-sensitive.
+    # Any HUGEINT/DECIMAL (or unsigned-int) oracle output is a latent
+    # driver-hash failure: Spark has none of these, and the driver's
+    # value hash is dtype-sensitive.
     bad_types = [f"{c}:{etypes[c]}" for c in ec
-                 if etypes[c] == "HUGEINT" or etypes[c].startswith("DECIMAL")]
+                 if etypes[c].endswith("HUGEINT")
+                 or etypes[c] in ("UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT")
+                 or etypes[c].startswith("DECIMAL")]
     if bad_types:
         print(f"FAIL {name}: oracle emits engine-mismatched type(s) "
               f"{bad_types} — cast to BIGINT/DOUBLE in the oracle SQL")
@@ -59,8 +62,19 @@ for name in sorted(oracle):
     # BIGINT both hash as ints; driver passed q45/q49/q50), but a kind
     # flip is fatal (HUGEINT converts to float64 — exactly how q20 was
     # value-identical yet hash-red for two rounds).
+    def null_note(c):
+        # int-vs-float kind flips are usually NULLs on one side only
+        # (pandas promotes a nullable int column to float64) — surface
+        # the per-side null counts so the message points at the real
+        # difference, not a type bug.
+        kinds = {got[c].dtype.kind, exp[c].dtype.kind}
+        if kinds == {"i", "f"}:
+            return (f" [nulls: spark={int(got[c].isna().sum())}"
+                    f" oracle={int(exp[c].isna().sum())} — a one-sided"
+                    f" NULL promotes that side to float64]")
+        return ""
     kmis = [f"{c}: spark={got[c].dtype}({gtypes[c]}) "
-            f"oracle={exp[c].dtype}({etypes[c]})"
+            f"oracle={exp[c].dtype}({etypes[c]})" + null_note(c)
             for c in ec if got[c].dtype.kind != exp[c].dtype.kind]
     if kmis:
         print(f"FAIL {name}: dtype-kind mismatch {kmis}")
