@@ -971,6 +971,15 @@ object SparkEntry {
       .orderBy("name")
   }
 
+  /** A6/A7 keyless path: the distributed first-difference substrate
+    * (range shuffle + per-partition scan + boundary stitch — no global
+    * window) hash-checked against DuckDB's global-window lag over the
+    * whole event stream. Complements q10 (keyless interval histogram)
+    * by pinning the gap-bounds output of the same substrate. */
+  private def q60(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.gaps(t(s, dir, "events").select("ts"), "ts", 600)
+      .orderBy("prev_ts")
+
   /** S10 CSIXML roundtrip: hourly event means written as a CSIXML
     * document (head/environment/fields + data/r/v shape per
     * read_cs_files.py:204-243) and decoded back by the distributed
@@ -1114,6 +1123,7 @@ object SparkEntry {
     "q57_merge_units"      -> (q57 _),
     "q58_status_artifacts" -> (q58 _),
     "q59_pfp_grammar"      -> (q59 _),
+    "q60_keyless_gaps"     -> (q60 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -1854,6 +1864,14 @@ object SparkEntry {
                AND (SELECT count(*) FROM j WHERE units_conflict) = 0)
                AS legal
       FROM j ORDER BY variable""",
+    "q60_keyless_gaps" -> """
+      WITH d AS (SELECT ts, lag(ts) OVER (ORDER BY ts) AS prev_ts
+                 FROM events),
+      g AS (SELECT ts, prev_ts,
+              (epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS gap_sec
+            FROM d WHERE prev_ts IS NOT NULL)
+      SELECT ts, prev_ts, gap_sec, gap_sec // 600 - 1 AS n_records
+      FROM g WHERE gap_sec > 600 ORDER BY prev_ts""",
     "q59_pfp_grammar" -> """
       WITH corpus(name) AS (VALUES
         ('Fco2'), ('Fco2_EP'), ('Ta_HMP_2m_Av'), ('Sws_0-30cm_Av'),
