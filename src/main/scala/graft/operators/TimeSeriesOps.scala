@@ -22,9 +22,15 @@ import org.apache.spark.sql.functions._
   * per-partition boundary rows (a frame bounded by the shuffle
   * partition count) on the driver — so interval inference over a year
   * of 10 Hz fast data distributes like any keyed op. Keyless
-  * [[islands]]/[[sessionize]] still use a global window (their output
-  * is per-row, so a boundary stitch needs a second pass); they remain
-  * documented as small-single-site-frame operators.
+  * [[islands]] distributes the same way (per-partition islands, with
+  * the ≤2-per-partition boundary islands chain-merged on the driver),
+  * and keyless [[sessionize]] uses a two-pass scheme: a summary pass
+  * computes per-partition session counts and boundary timestamps
+  * (bounded by the partition count), the driver derives per-partition
+  * id offsets (adjacent partitions whose boundary gap is within the
+  * session gap share a session), and the labeling pass assigns
+  * `offset + local index`. No operator in this file puts data through
+  * a single-partition window on any path.
   */
 object TimeSeriesOps {
 
@@ -361,7 +367,12 @@ object TimeSeriesOps {
     * `newIslandWhen` supplies a gap predicate instead of label change.
     */
   def islands(df: DataFrame, tsCol: String, labelCol: String,
-      keys: Seq[String] = Nil, tieBreak: Seq[String] = Nil): DataFrame = {
+      keys: Seq[String] = Nil, tieBreak: Seq[String] = Nil): DataFrame =
+    if (keys.isEmpty) keylessIslands(df, tsCol, labelCol, tieBreak)
+    else islandsKeyed(df, tsCol, labelCol, keys, tieBreak)
+
+  private def islandsKeyed(df: DataFrame, tsCol: String, labelCol: String,
+      keys: Seq[String], tieBreak: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((tsCol +: tieBreak).map(col): _*)
     val flagged = df
@@ -379,7 +390,12 @@ object TimeSeriesOps {
   /** Sessionization: split each key's ordered events into sessions
     * wherever the inter-event gap exceeds `gapSec`. */
   def sessionize(df: DataFrame, tsCol: String, gapSec: Long,
-      keys: Seq[String] = Nil, tieBreak: Seq[String] = Nil): DataFrame = {
+      keys: Seq[String] = Nil, tieBreak: Seq[String] = Nil): DataFrame =
+    if (keys.isEmpty) keylessSessionize(df, tsCol, gapSec, tieBreak)
+    else sessionizeKeyed(df, tsCol, gapSec, keys, tieBreak)
+
+  private def sessionizeKeyed(df: DataFrame, tsCol: String, gapSec: Long,
+      keys: Seq[String], tieBreak: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((tsCol +: tieBreak).map(col): _*)
     // Integer gap seconds via `div` (floor for the non-negative ordered
@@ -394,5 +410,178 @@ object TimeSeriesOps {
       .withColumn("session_id", sum(col("__new")).over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
       .drop("__gap_us", "__gap", "__new")
+  }
+
+  /** Globally-ordered (ts ++ tieBreak) range repartition with a `__us`
+    * micros column appended — the substrate both keyless per-row
+    * operators scan. Equal composite keys land in one partition;
+    * partition ids ascend with the key order. */
+  private def rangedRows(df: DataFrame, tsCol: String,
+      tieBreak: Seq[String]): DataFrame = {
+    val n = math.max(1,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val orderCols = (tsCol +: tieBreak).map(col)
+    df.withColumn("__us", unix_micros(col(tsCol)))
+      .repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+  }
+
+  /** Distributed keyless J5: islands computed per range partition in
+    * one pass; interior islands are final where they stand, and the
+    * ≤2 boundary islands per partition (its first and last) are
+    * chain-merged on the driver — a run of one label spanning many
+    * partitions folds left-to-right across the (bounded) boundary
+    * frame. Output matches the keyed single-group semantics exactly:
+    * (label, start_ts, end_ts, n_records). */
+  private def keylessIslands(df: DataFrame, tsCol: String,
+      labelCol: String, tieBreak: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val labelType = df.schema(labelCol).dataType
+    val tagSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pid", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("idx", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_islands", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(labelCol, labelType),
+      org.apache.spark.sql.types.StructField("start_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("end_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_records", org.apache.spark.sql.types.LongType)))
+    val src = rangedRows(
+      df.select(col(tsCol) +: col(labelCol) +: tieBreak.map(col): _*),
+      tsCol, tieBreak)
+    val usIdx = src.columns.indexOf("__us")
+    val lblIdx = src.columns.indexOf(labelCol)
+    // One island row per (partition, label run): local scan, no window.
+    val tagged = src.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Any, Long, Long, Long)] // label, startUs, endUs, n
+        var first = it.next()
+        var lbl = first.get(lblIdx)
+        var start = first.getLong(usIdx); var end = start; var n = 1L
+        it.foreach { r =>
+          val l = r.get(lblIdx); val us = r.getLong(usIdx)
+          if (l == lbl) { end = us; n += 1 }
+          else { out += ((lbl, start, end, n)); lbl = l
+                 start = us; end = us; n = 1 }
+        }
+        out += ((lbl, start, end, n))
+        val total = out.length.toLong
+        out.iterator.zipWithIndex.map { case ((l, s, e, cnt), i) =>
+          org.apache.spark.sql.Row(pid, i.toLong, total, l, s, e, cnt)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(tagSchema))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val interior = tagged
+        .filter(col("idx") > 0 && col("idx") < col("n_islands") - 1)
+      // Boundary frame: first + last island of each partition — at most
+      // 2 rows per partition, so the collect is bounded.
+      val boundary = tagged
+        .filter(col("idx") === 0 || col("idx") === col("n_islands") - 1)
+        .collect()
+        .sortBy(r => (r.getInt(0), r.getLong(1)))
+      val resolved = scala.collection.mutable.ArrayBuffer
+        .empty[(Any, Long, Long, Long)]
+      var pending: (Any, Long, Long, Long) = null
+      def flush(): Unit =
+        if (pending != null) { resolved += pending; pending = null }
+      boundary.foreach { r =>
+        val isl = (r.get(3), r.getLong(4), r.getLong(5), r.getLong(6))
+        val isFirst = r.getLong(1) == 0L
+        val isLast = r.getLong(1) == r.getLong(2) - 1L
+        if (isFirst && pending != null && pending._1 == isl._1) {
+          // continues the chain from the previous partition's last run
+          pending = (pending._1, pending._2, isl._3, pending._4 + isl._4)
+          if (!isLast) flush() // interior islands follow: chain ends
+        } else {
+          flush()
+          if (isLast) pending = isl // may chain into the next partition
+          else resolved += isl // a first island with interiors after it
+        }
+      }
+      flush()
+      val resolvedDf = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(resolved.toSeq.map {
+            case (l, s, e, cnt) =>
+              org.apache.spark.sql.Row(0, 0L, 0L, l, s, e, cnt)
+          }).asJava),
+        tagSchema)
+      val out = interior.unionByName(resolvedDf)
+        .select(col(labelCol),
+          timestamp_micros(col("start_us")).as("start_ts"),
+          timestamp_micros(col("end_us")).as("end_ts"),
+          col("n_records"))
+      out.localCheckpoint()
+    } finally tagged.unpersist()
+  }
+
+  /** Distributed keyless sessionization: pass 1 summarizes each range
+    * partition (first/last micros, session count — bounded output,
+    * one row per partition); the driver turns the summaries into
+    * per-partition id offsets, merging the first session of a
+    * partition into the previous partition's last when the boundary
+    * gap is within `gapSec`; pass 2 re-scans and labels each row
+    * `offset + local session index`. Ids match the keyed single-group
+    * running-sum convention (first session = 1). The range shuffle is
+    * computed twice (summary + label): both passes see identical
+    * partition structure because the range bounds are value-derived
+    * from the same immutable input, and tie order cannot change ids
+    * (tied rows share a session by construction). */
+  private def keylessSessionize(df: DataFrame, tsCol: String,
+      gapSec: Long, tieBreak: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = rangedRows(df, tsCol, tieBreak)
+    val usIdx = src.columns.indexOf("__us")
+    val summary = src.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var prev = it.next().getLong(usIdx)
+        val first = prev
+        var sessions = 1L
+        it.foreach { r =>
+          val us = r.getLong(usIdx)
+          if (Math.floorDiv(us - prev, 1000000L) > gapSec) sessions += 1
+          prev = us
+        }
+        Iterator((pid, first, prev, sessions))
+      }
+    }.collect().sortBy(_._1)
+    val bases = scala.collection.mutable.Map.empty[Int, Long]
+    var running = 0L
+    var prevLast = Long.MinValue
+    summary.foreach { case (pid, first, last, sessions) =>
+      val merges = prevLast != Long.MinValue &&
+        Math.floorDiv(first - prevLast, 1000000L) <= gapSec
+      bases(pid) = if (merges) running - 1 else running
+      running = bases(pid) + sessions
+      prevLast = last
+    }
+    val baseMap = spark.sparkContext.broadcast(bases.toMap)
+    val outSchema = df.schema.add("session_id",
+      org.apache.spark.sql.types.LongType)
+    val labeled = src.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val base = baseMap.value(pid)
+        var local = 1L
+        var prev = Long.MinValue
+        it.map { r =>
+          val us = r.getLong(usIdx)
+          if (prev != Long.MinValue &&
+              Math.floorDiv(us - prev, 1000000L) > gapSec) local += 1
+          prev = us
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq.dropRight(1) :+ (base + local))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    labeled
   }
 }

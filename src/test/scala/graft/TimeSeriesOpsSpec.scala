@@ -82,6 +82,53 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"keyless path still uses a window:\n$plan")
   }
 
+  test("keyless islands/sessionize match the keyed single-group answer " +
+      "across many range partitions (J5 distributed path)") {
+    // Labels arranged so runs MUST span range-partition boundaries,
+    // including one long run covering many partitions, plus
+    // single-record islands and session gaps at varied places.
+    val base = ts("2024-01-01 00:00:00").getTime
+    val rows = (0 until 3000).map { i =>
+      val label =
+        if (i < 1200) "LONG" // one run spanning many partitions
+        else if (i % 7 == 0) s"S$i" // singleton islands
+        else if ((i / 50) % 2 == 0) "A" else "B"
+      // gap pattern: every 97th step jumps 4 h (session break at 1 h)
+      val mins = i * 30 + (i / 97) * 240
+      (new Timestamp(base + mins * 60000L), label)
+    }
+    val df = rows.toDF("DATETIME", "inst")
+    val keyed = df.withColumn("k", lit(1))
+
+    val iKeyless = TimeSeriesOps.islands(df, "DATETIME", "inst")
+      .orderBy("start_ts").collect()
+      .map(r => (r.getAs[String]("inst"), r.getTimestamp(1),
+        r.getTimestamp(2), r.getAs[Long]("n_records")))
+    val iKeyed = TimeSeriesOps.islands(keyed, "DATETIME", "inst", Seq("k"))
+      .orderBy("start_ts").collect()
+      .map(r => (r.getAs[String]("inst"), r.getAs[java.sql.Timestamp]("start_ts"),
+        r.getAs[java.sql.Timestamp]("end_ts"), r.getAs[Long]("n_records")))
+    assert(iKeyless.length == iKeyed.length)
+    assert(iKeyless.toSeq == iKeyed.toSeq)
+    assert(iKeyless.exists(_._4 > 1000)) // the cross-partition run survived
+
+    val sKeyless = TimeSeriesOps.sessionize(df, "DATETIME", 3600)
+      .orderBy("DATETIME").collect()
+      .map(r => (r.getTimestamp(0), r.getAs[Long]("session_id")))
+    val sKeyed = TimeSeriesOps.sessionize(keyed, "DATETIME", 3600, Seq("k"))
+      .orderBy("DATETIME").collect()
+      .map(r => (r.getTimestamp(0), r.getAs[Long]("session_id")))
+    assert(sKeyless.toSeq == sKeyed.toSeq)
+    assert(sKeyless.last._2 > 1) // multiple sessions actually formed
+    // no global window in either keyless plan
+    val plans = Seq(
+      TimeSeriesOps.islands(df, "DATETIME", "inst"),
+      TimeSeriesOps.sessionize(df, "DATETIME", 3600))
+      .map(_.queryExecution.executedPlan.toString)
+    plans.foreach(p =>
+      assert(!p.contains("Window"), s"keyless path still uses a window:\n$p"))
+  }
+
   test("duplicate-key diagnostics flags only multi-row keys (D2)") {
     val df = Seq((1, "a"), (1, "b"), (2, "a")).toDF("k", "p")
     val d = TimeSeriesOps.duplicateKeyDiagnostics(df, Seq("k"), "p").collect()
