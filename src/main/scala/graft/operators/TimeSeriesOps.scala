@@ -365,6 +365,9 @@ object TimeSeriesOps {
     * intervals. Reference: instrument-history merge,
     * nc_constructors.py:828-1004. Also serves sessionization when
     * `newIslandWhen` supplies a gap predicate instead of label change.
+    * Precondition (this and [[sessionize]]): `tsCol` must be non-null —
+    * condition the frame first (D4 bad-timestamp purge), as the
+    * reference pipeline does before any ordered operator.
     */
   def islands(df: DataFrame, tsCol: String, labelCol: String,
       keys: Seq[String] = Nil, tieBreak: Seq[String] = Nil): DataFrame =
