@@ -365,9 +365,13 @@ object TimeSeriesOps {
     * intervals. Reference: instrument-history merge,
     * nc_constructors.py:828-1004. Also serves sessionization when
     * `newIslandWhen` supplies a gap predicate instead of label change.
-    * Precondition (this and [[sessionize]]): `tsCol` must be non-null —
-    * condition the frame first (D4 bad-timestamp purge), as the
-    * reference pipeline does before any ordered operator.
+    * Precondition (this and [[sessionize]], [[gaps]],
+    * [[intervalHistogram]]): `tsCol` must be non-null — condition the
+    * frame first (D4 bad-timestamp purge), as the reference pipeline
+    * does before any ordered operator. If violated, every keyless path
+    * uniformly drops the null-timestamp rows (filtered in the ranged
+    * substrate); keyed paths delegate null placement to the window
+    * sort.
     */
   def islands(df: DataFrame, tsCol: String, labelCol: String,
       keys: Seq[String] = Nil, tieBreak: Seq[String] = Nil): DataFrame =
@@ -418,13 +422,17 @@ object TimeSeriesOps {
   /** Globally-ordered (ts ++ tieBreak) range repartition with a `__us`
     * micros column appended — the substrate both keyless per-row
     * operators scan. Equal composite keys land in one partition;
-    * partition ids ascend with the key order. */
+    * partition ids ascend with the key order. Null-timestamp rows are
+    * dropped here, matching [[rangedMicros]], so every keyless path
+    * handles a violated non-null precondition the same way (silent
+    * filter) instead of an opaque NPE from `Row.getLong`. */
   private def rangedRows(df: DataFrame, tsCol: String,
       tieBreak: Seq[String]): DataFrame = {
     val n = math.max(1,
       df.sparkSession.sessionState.conf.numShufflePartitions)
     val orderCols = (tsCol +: tieBreak).map(col)
-    df.withColumn("__us", unix_micros(col(tsCol)))
+    df.filter(col(tsCol).isNotNull)
+      .withColumn("__us", unix_micros(col(tsCol)))
       .repartitionByRange(n, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
   }
@@ -529,62 +537,70 @@ object TimeSeriesOps {
     * partition into the previous partition's last when the boundary
     * gap is within `gapSec`; pass 2 re-scans and labels each row
     * `offset + local session index`. Ids match the keyed single-group
-    * running-sum convention (first session = 1). The range shuffle is
-    * computed twice (summary + label): both passes see identical
-    * partition structure because the range bounds are value-derived
-    * from the same immutable input, and tie order cannot change ids
-    * (tied rows share a session by construction). */
+    * running-sum convention (first session = 1). The ranged substrate
+    * is persisted before the summary pass and released after the
+    * labeling result is checkpointed: RangePartitioner bounds come
+    * from order-sensitive reservoir sampling, so recomputing the
+    * shuffle for the second pass could see a different partition
+    * structure under nondeterministic upstream row order (cluster
+    * shuffle fetch order) — both passes must read the same
+    * materialized partitions. */
   private def keylessSessionize(df: DataFrame, tsCol: String,
       gapSec: Long, tieBreak: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val src = rangedRows(df, tsCol, tieBreak)
-    val usIdx = src.columns.indexOf("__us")
-    val summary = src.mapPartitions { it =>
-      if (!it.hasNext) Iterator.empty
-      else {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        var prev = it.next().getLong(usIdx)
-        val first = prev
-        var sessions = 1L
-        it.foreach { r =>
-          val us = r.getLong(usIdx)
-          if (Math.floorDiv(us - prev, 1000000L) > gapSec) sessions += 1
-          prev = us
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val usIdx = src.columns.indexOf("__us")
+      val summary = src.mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var prev = it.next().getLong(usIdx)
+          val first = prev
+          var sessions = 1L
+          it.foreach { r =>
+            val us = r.getLong(usIdx)
+            if (Math.floorDiv(us - prev, 1000000L) > gapSec) sessions += 1
+            prev = us
+          }
+          Iterator((pid, first, prev, sessions))
         }
-        Iterator((pid, first, prev, sessions))
+      }.collect().sortBy(_._1)
+      val bases = scala.collection.mutable.Map.empty[Int, Long]
+      var running = 0L
+      var prevLast = Long.MinValue
+      summary.foreach { case (pid, first, last, sessions) =>
+        val merges = prevLast != Long.MinValue &&
+          Math.floorDiv(first - prevLast, 1000000L) <= gapSec
+        bases(pid) = if (merges) running - 1 else running
+        running = bases(pid) + sessions
+        prevLast = last
       }
-    }.collect().sortBy(_._1)
-    val bases = scala.collection.mutable.Map.empty[Int, Long]
-    var running = 0L
-    var prevLast = Long.MinValue
-    summary.foreach { case (pid, first, last, sessions) =>
-      val merges = prevLast != Long.MinValue &&
-        Math.floorDiv(first - prevLast, 1000000L) <= gapSec
-      bases(pid) = if (merges) running - 1 else running
-      running = bases(pid) + sessions
-      prevLast = last
-    }
-    val baseMap = spark.sparkContext.broadcast(bases.toMap)
-    val outSchema = df.schema.add("session_id",
-      org.apache.spark.sql.types.LongType)
-    val labeled = src.mapPartitions { it =>
-      if (!it.hasNext) Iterator.empty
-      else {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val base = baseMap.value(pid)
-        var local = 1L
-        var prev = Long.MinValue
-        it.map { r =>
-          val us = r.getLong(usIdx)
-          if (prev != Long.MinValue &&
-              Math.floorDiv(us - prev, 1000000L) > gapSec) local += 1
-          prev = us
-          org.apache.spark.sql.Row.fromSeq(
-            r.toSeq.dropRight(1) :+ (base + local))
+      val baseMap = spark.sparkContext.broadcast(bases.toMap)
+      val outSchema = df.schema.add("session_id",
+        org.apache.spark.sql.types.LongType)
+      val labeled = src.mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val base = baseMap.value(pid)
+          var local = 1L
+          var prev = Long.MinValue
+          it.map { r =>
+            val us = r.getLong(usIdx)
+            if (prev != Long.MinValue &&
+                Math.floorDiv(us - prev, 1000000L) > gapSec) local += 1
+            prev = us
+            org.apache.spark.sql.Row.fromSeq(
+              r.toSeq.dropRight(1) :+ (base + local))
+          }
         }
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
-    labeled
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      // Eagerly materialize so the persisted substrate can be released
+      // before returning (pattern of keylessIslands/keylessGaps).
+      labeled.localCheckpoint()
+    } finally src.unpersist()
   }
 }
