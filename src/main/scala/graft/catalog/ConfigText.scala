@@ -87,45 +87,76 @@ object ConfigText {
   }
 
   private def stripComment(line: String): String = {
-    // honour '#' only outside quotes
+    // honour '#' only outside quotes; inside a quote, a backslash
+    // escaping the active quote char does not close it
     var inQ: Char = 0
     val out = new StringBuilder
     var done = false
-    line.foreach { c =>
-      if (!done) {
-        if (inQ != 0) { if (c == inQ) inQ = 0; out.append(c) }
-        else if (c == '\'' || c == '"') { inQ = c; out.append(c) }
-        else if (c == '#') done = true
-        else out.append(c)
+    var i = 0
+    while (!done && i < line.length) {
+      val c = line(i)
+      if (inQ != 0) {
+        if (c == '\\' && i + 1 < line.length && line(i + 1) == inQ) {
+          out.append(c).append(inQ); i += 1
+        } else { if (c == inQ) inQ = 0; out.append(c) }
       }
+      else if (c == '\'' || c == '"') { inQ = c; out.append(c) }
+      else if (c == '#') done = true
+      else out.append(c)
+      i += 1
     }
     out.toString
   }
 
-  /** Split a ConfigObj value into its elements: respects quoting; a
-    * value with no top-level comma is a scalar (1-element Vector). A
-    * trailing comma marks a 1-element list (ConfigObj convention) —
-    * both parse to the same Vector here. */
+  /** Split a ConfigObj value into its elements: respects quoting (and
+    * `\'` / `\"` escapes of the active quote char); a value with no
+    * top-level comma is a scalar (1-element Vector). A trailing comma
+    * marks a 1-element list (ConfigObj convention) — both parse to the
+    * same Vector here. Whitespace is trimmed only OUTSIDE quotes:
+    * `' padded '` round-trips with its spaces intact. */
   private def splitList(value: String): Vector[String] = {
-    val parts = mutable.ArrayBuffer.empty[String]
+    // Pass 1: split on top-level commas, keeping quotes/escapes raw.
+    val raw = mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var inQ: Char = 0
-    value.foreach { c =>
-      if (inQ != 0) { if (c == inQ) inQ = 0 else cur.append(c) }
-      else if (c == '\'' || c == '"') inQ = c
-      else if (c == ',') { parts += cur.toString.trim; cur.clear() }
+    var i = 0
+    while (i < value.length) {
+      val c = value(i)
+      if (inQ != 0) {
+        if (c == '\\' && i + 1 < value.length && value(i + 1) == inQ) {
+          cur.append(c).append(inQ); i += 1
+        } else { if (c == inQ) inQ = 0; cur.append(c) }
+      }
+      else if (c == '\'' || c == '"') { inQ = c; cur.append(c) }
+      else if (c == ',') { raw += cur.toString; cur.clear() }
       else cur.append(c)
+      i += 1
     }
-    val last = cur.toString.trim
-    if (last.nonEmpty || parts.isEmpty) parts += last
-    parts.toVector
+    val last = cur.toString
+    if (last.trim.nonEmpty || raw.isEmpty) raw += last
+    raw.map(unquoteElem).toVector
   }
 
+  /** Pass 2 of [[splitList]]: trim the unquoted surround, then strip a
+    * matching quote pair and unescape `\<q>` — the exact inverse of
+    * [[quoteIfNeeded]]. */
+  private def unquoteElem(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && (t.head == '\'' || t.head == '"') && t.last == t.head)
+      t.drop(1).dropRight(1).replace("\\" + t.head, t.head.toString)
+    else t
+  }
+
+  /** Quote with the char the value does NOT contain (ConfigObj's own
+    * convention), so no escaping is needed and backslashes pass through
+    * verbatim; only a value containing BOTH quote chars falls back to
+    * `\'` escaping, which [[unquoteElem]] reverses. */
   private def quoteIfNeeded(v: String): String =
-    if (v.isEmpty || v.exists(c => c == ',' || c == '\'' || c == '"' || c == '#')
-      || v != v.trim)
-      "'" + v.replace("'", "\\'") + "'"
-    else v
+    if (!(v.isEmpty || v.exists(c => c == ',' || c == '\'' || c == '"' || c == '#')
+      || v != v.trim)) v
+    else if (!v.contains('\'')) "'" + v + "'"
+    else if (!v.contains('"')) "\"" + v + "\""
+    else "'" + v.replace("'", "\\'") + "'"
 
   // -------------------------------------------------------------------- YAML
 

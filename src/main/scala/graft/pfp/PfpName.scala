@@ -75,6 +75,25 @@ object PfpName {
   private val LocRe =
     """^(\d+(?:\.\d+)?(?:-\d+(?:\.\d+)?)?)(cm|m)([a-zA-Z])?(\d)?$""".r
 
+  /** The reference toolchain's cm->m rename rstrips trailing zeros but
+    * leaves the decimal point on whole-metre values
+    * (convert_calc_filter.py:417-465 fencepost), emitting `Sws_1.m_Av`.
+    * Accept that `N.m` form on input by dropping a dangling dot before
+    * a unit or range separator (`1.m` -> `1m`, `0.-1.m` -> `0-1m`);
+    * [[Parsed.render]] always emits the clean form. */
+  private def normalizeLoc(tok: String): String =
+    tok.replaceAll("""(\d)\.(?=-|cm|m)""", "$1")
+
+  /** [[LocRe]] over the [[normalizeLoc]]-canonicalised token, so the
+    * stored verticalLocation is always the clean form. */
+  private object NormLoc {
+    def unapply(tok: String): Option[(String, String, String, String)] =
+      normalizeLoc(tok) match {
+        case LocRe(v, unit, h, r) => Some((v, unit, h, r))
+        case _ => None
+      }
+  }
+
   /** Parse a variable name; Left(typed error) on grammar violations.
     * `validQuantities`, when non-empty, enforces the reference's
     * vocabulary membership check (metadata.py:1098-1101). */
@@ -102,7 +121,7 @@ object PfpName {
           if (p.system.isDefined)
             return Left(DuplicateComponent("system", name))
           p = p.copy(system = Some(t))
-        case LocRe(v, unit, h, r) =>
+        case NormLoc(v, unit, h, r) =>
           if (p.verticalLocation.isDefined)
             return Left(DuplicateComponent("location", name))
           p = p.copy(

@@ -292,4 +292,27 @@ class ConfigsEditorSpec extends SparkSpec {
       ConfigText.parseConfigObj("[[TooDeep]]\n")
     }
   }
+
+  test("ConfigObj: quote- and space-bearing values round-trip exactly") {
+    // The value classes quoting exists for: embedded single/double
+    // quotes, both quote types at once, padded whitespace, commas,
+    // hashes, backslashes, and combinations.
+    val hard = Vector(
+      "don't", "say \"hi\"", "both ' and \" here", " padded ",
+      "  lead", "trail  ", "a, b", "x # not a comment", "",
+      "back\\slash", "\\'", "a\\'b\"", "tab\there", "don't, really",
+      "'", "\"", "''", "normal")
+    val root = new ConfigText.Section
+    hard.zipWithIndex.foreach { case (v, i) => root.values(s"k$i") = Vector(v) }
+    root.values("list") = hard // same values as one list
+    val text = ConfigText.writeConfigObj(root)
+    val back = ConfigText.parseConfigObj(text)
+    hard.zipWithIndex.foreach { case (v, i) =>
+      assert(back.scalar(s"k$i") == v, s"scalar k$i corrupted on round-trip")
+    }
+    assert(back.values("list") == hard, "list elements corrupted on round-trip")
+    // idempotence: a second write/parse cycle changes nothing
+    val text2 = ConfigText.writeConfigObj(back)
+    assert(text2 == text)
+  }
 }

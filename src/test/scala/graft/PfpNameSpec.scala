@@ -109,4 +109,25 @@ class PfpNameSpec extends AnyFunSuite {
     assert(sd.units == "m/s" && sd.sampling == "Sd")
     assert(amended.exists(_.name == "Ta_HMP_2m_Av")) // untouched
   }
+
+  test("accepts the reference's N.m dangling-dot depth form on input") {
+    // The reference's cm->m rename rstrips trailing zeros but leaves
+    // the dot on whole-metre values (convert_calc_filter.py:417-465),
+    // emitting e.g. Sws_1.m_Av. We accept it and store the clean form.
+    val p = PfpName.parse("Sws_1.m_Av").toOption.get
+    assert(p.verticalLocation.contains("1m"))
+    assert(p.heightMetres.contains(1.0))
+    assert(p.process.contains("Av"))
+    assert(p.render == "Sws_1m_Av") // emitted clean, never 1.m
+
+    // range + horizontal + replicate variants of the same fencepost
+    val r = PfpName.parse("Sws_0.-1.cmN2_Av").toOption.get
+    assert(r.verticalLocation.contains("0-1cm"))
+    assert(r.horizontalLocation.contains("N") && r.replicate.contains(2))
+
+    // proper decimals are untouched, and a bare dot is still rejected
+    assert(PfpName.parse("Sws_0.3m_Av").toOption.get
+      .verticalLocation.contains("0.3m"))
+    assert(PfpName.parse("Sws_.m_Av").isLeft)
+  }
 }
