@@ -65,5 +65,10 @@ object Bench {
       f""""drift_pct":$drift%.1f,"loaded":${drift > 10.0}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"spread":$spread,"sentinel":$sent}""")
     spark.stop()
+    // The harness that captures this output keeps only a truncated tail
+    // of stdout, so the full line above is often cut mid-JSON. Emit a
+    // compact summary LAST so the tail always contains one complete,
+    // parseable line (total + load flag only).
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","loaded":${drift > 10.0}}""")
   }
 }

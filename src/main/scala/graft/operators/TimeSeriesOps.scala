@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,18 +34,44 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeriesOps {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** D4-precondition telemetry: after a keyless operator's internal
+    * actions have run, read the observed null-timestamp count and warn
+    * if the substrate silently dropped rows (violated non-null
+    * precondition — see [[islands]]). Zero row-path cost: the count
+    * rides Spark's CollectMetrics node during actions the operator
+    * already runs, no extra scan and no codegen break. */
+  private def warnNullDrops(obs: Observation, op: String,
+      tsCol: String): Unit =
+    obs.future.value // non-blocking: empty if no action completed yet
+      .collect { case scala.util.Success(row) if !row.isNullAt(0) =>
+        row.getLong(0) } match {
+      case Some(n) if n > 0 =>
+        log.warn(s"graft $op (keyless): dropped $n row(s) with null " +
+          s"'$tsCol' — the non-null timestamp precondition is violated; " +
+          "purge bad timestamps (D4) before ordered operators")
+      case _ => ()
+    }
+
+  private def nullTsMetric(c: Column): Column =
+    sum(when(c.isNull, 1L).otherwise(0L)).as("null_ts")
+
   /** Keyless substrate: the timestamp column as unix micros,
     * range-partitioned and sorted within partitions. Equal values hash
     * to the same range bucket, so inline per-partition dedup of
     * consecutive equal values is globally exact. */
   private def rangedMicros(df: DataFrame, tsCol: String)
-      : org.apache.spark.sql.Dataset[Long] = {
+      : (org.apache.spark.sql.Dataset[Long], Observation) = {
     val spark = df.sparkSession
     import spark.implicits._
     val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    df.select(unix_micros(col(tsCol)).as("us"))
+    val obs = Observation()
+    val ds = df.select(unix_micros(col(tsCol)).as("us"))
+      .observe(obs, nullTsMetric(col("us")))
       .filter(col("us").isNotNull).as[Long]
       .repartitionByRange(n, col("us")).sortWithinPartitions("us")
+    (ds, obs)
   }
 
   /** Per-partition boundary rows of [[rangedMicros]] output collected
@@ -73,7 +99,8 @@ object TimeSeriesOps {
     import spark.implicits._
     // kind 0 rows: (delta_sec, count) partial histogram entries.
     // kind 1 rows: (firstUs, lastUs) partition boundary.
-    val partial = rangedMicros(df, tsCol).mapPartitions { it =>
+    val (ranged, obs) = rangedMicros(df, tsCol)
+    val partial = ranged.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
         val pid = org.apache.spark.TaskContext.getPartitionId().toLong
@@ -104,7 +131,9 @@ object TimeSeriesOps {
         .groupBy("delta_sec").agg(sum("n").as("n"))
       // Eagerly materialize (tiny: one row per distinct delta) so the
       // persisted partial can be released before returning.
-      hist.localCheckpoint()
+      val out = hist.localCheckpoint()
+      warnNullDrops(obs, "intervalHistogram", tsCol)
+      out
     } finally partial.unpersist()
   }
 
@@ -118,7 +147,8 @@ object TimeSeriesOps {
     import spark.implicits._
     // kind 0 rows: (prevUs, us) pairs with gap > intervalSec.
     // kind 1 rows: (firstUs, lastUs) partition boundary.
-    val partial = rangedMicros(df, tsCol).mapPartitions { it =>
+    val (ranged, obs) = rangedMicros(df, tsCol)
+    val partial = ranged.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
         val pid = org.apache.spark.TaskContext.getPartitionId().toLong
@@ -155,7 +185,9 @@ object TimeSeriesOps {
         .withColumn("gap_sec", expr(
           s"(unix_micros($tsCol) - unix_micros(prev_ts)) div 1000000"))
         .withColumn("n_records", expr(s"gap_sec div $intervalSec") - 1)
-      out.localCheckpoint()
+      val result = out.localCheckpoint()
+      warnNullDrops(obs, "gaps", tsCol)
+      result
     } finally partial.unpersist()
   }
 
@@ -370,8 +402,9 @@ object TimeSeriesOps {
     * frame first (D4 bad-timestamp purge), as the reference pipeline
     * does before any ordered operator. If violated, every keyless path
     * uniformly drops the null-timestamp rows (filtered in the ranged
-    * substrate); keyed paths delegate null placement to the window
-    * sort.
+    * substrate) and logs a warning with the observed drop count —
+    * row loss is counted, never silent; keyed paths delegate null
+    * placement to the window sort.
     */
   def islands(df: DataFrame, tsCol: String, labelCol: String,
       keys: Seq[String] = Nil, tieBreak: Seq[String] = Nil): DataFrame =
@@ -395,10 +428,25 @@ object TimeSeriesOps {
   }
 
   /** Sessionization: split each key's ordered events into sessions
-    * wherever the inter-event gap exceeds `gapSec`. */
+    * wherever the inter-event gap exceeds `gapSec`.
+    *
+    * Scale/durability caveat (keyless path only): the keyless variant
+    * materializes its full row-per-input-row output before returning —
+    * by default via `localCheckpoint`, i.e. NON-replicated executor
+    * storage: an executor lost after return aborts downstream jobs
+    * instead of recomputing, and while the operator runs the input is
+    * transiently resident ~2x (persisted substrate + checkpointed
+    * result). Fine at the sizes keyless sessionization is usually
+    * asked for; for very large keyless inputs set a Spark checkpoint
+    * directory (`sc.setCheckpointDir`) and pass
+    * `reliableCheckpoint = true` to write the result to the
+    * fault-tolerant checkpoint store instead. The keyed path has no
+    * materialization cost at all — it is the 100 TB path. */
   def sessionize(df: DataFrame, tsCol: String, gapSec: Long,
-      keys: Seq[String] = Nil, tieBreak: Seq[String] = Nil): DataFrame =
-    if (keys.isEmpty) keylessSessionize(df, tsCol, gapSec, tieBreak)
+      keys: Seq[String] = Nil, tieBreak: Seq[String] = Nil,
+      reliableCheckpoint: Boolean = false): DataFrame =
+    if (keys.isEmpty)
+      keylessSessionize(df, tsCol, gapSec, tieBreak, reliableCheckpoint)
     else sessionizeKeyed(df, tsCol, gapSec, keys, tieBreak)
 
   private def sessionizeKeyed(df: DataFrame, tsCol: String, gapSec: Long,
@@ -424,17 +472,22 @@ object TimeSeriesOps {
     * operators scan. Equal composite keys land in one partition;
     * partition ids ascend with the key order. Null-timestamp rows are
     * dropped here, matching [[rangedMicros]], so every keyless path
-    * handles a violated non-null precondition the same way (silent
-    * filter) instead of an opaque NPE from `Row.getLong`. */
+    * handles a violated non-null precondition the same way (filter +
+    * observed-count warning) instead of an opaque NPE from
+    * `Row.getLong`; callers surface the count via [[warnNullDrops]]
+    * once their internal actions have run. */
   private def rangedRows(df: DataFrame, tsCol: String,
-      tieBreak: Seq[String]): DataFrame = {
+      tieBreak: Seq[String]): (DataFrame, Observation) = {
     val n = math.max(1,
       df.sparkSession.sessionState.conf.numShufflePartitions)
     val orderCols = (tsCol +: tieBreak).map(col)
-    df.filter(col(tsCol).isNotNull)
+    val obs = Observation()
+    val out = df.observe(obs, nullTsMetric(col(tsCol)))
+      .filter(col(tsCol).isNotNull)
       .withColumn("__us", unix_micros(col(tsCol)))
       .repartitionByRange(n, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
+    (out, obs)
   }
 
   /** Distributed keyless J5: islands computed per range partition in
@@ -456,7 +509,7 @@ object TimeSeriesOps {
       org.apache.spark.sql.types.StructField("start_us", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("end_us", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("n_records", org.apache.spark.sql.types.LongType)))
-    val src = rangedRows(
+    val (src, obs) = rangedRows(
       df.select(col(tsCol) +: col(labelCol) +: tieBreak.map(col): _*),
       tsCol, tieBreak)
     val usIdx = src.columns.indexOf("__us")
@@ -526,7 +579,9 @@ object TimeSeriesOps {
           timestamp_micros(col("start_us")).as("start_ts"),
           timestamp_micros(col("end_us")).as("end_ts"),
           col("n_records"))
-      out.localCheckpoint()
+      val result = out.localCheckpoint()
+      warnNullDrops(obs, "islands", tsCol)
+      result
     } finally tagged.unpersist()
   }
 
@@ -546,10 +601,12 @@ object TimeSeriesOps {
     * shuffle fetch order) — both passes must read the same
     * materialized partitions. */
   private def keylessSessionize(df: DataFrame, tsCol: String,
-      gapSec: Long, tieBreak: Seq[String]): DataFrame = {
+      gapSec: Long, tieBreak: Seq[String],
+      reliableCheckpoint: Boolean): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val src = rangedRows(df, tsCol, tieBreak)
+    val (ranged, obs) = rangedRows(df, tsCol, tieBreak)
+    val src = ranged
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val usIdx = src.columns.indexOf("__us")
@@ -599,8 +656,15 @@ object TimeSeriesOps {
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
       // Eagerly materialize so the persisted substrate can be released
-      // before returning (pattern of keylessIslands/keylessGaps).
-      labeled.localCheckpoint()
+      // before returning. Unlike keylessIslands/keylessGaps (whose
+      // checkpointed outputs are bounded), this is one row per input
+      // row — see the durability caveat on [[sessionize]]; reliable
+      // checkpointing trades write cost for fault tolerance.
+      val result =
+        if (reliableCheckpoint) labeled.checkpoint()
+        else labeled.localCheckpoint()
+      warnNullDrops(obs, "sessionize", tsCol)
+      result
     } finally src.unpersist()
   }
 }

@@ -129,6 +129,35 @@ class TimeSeriesOpsSpec extends SparkSpec {
       assert(!p.contains("Window"), s"keyless path still uses a window:\n$p"))
   }
 
+  test("keyless sessionize: reliable checkpoint variant matches the " +
+      "default, and null timestamps drop identically on both") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    val rows = (0 until 500).map { i =>
+      (new Timestamp(base + (i * 30 + (i / 97) * 240) * 60000L), i)
+    }
+    val df = rows.toDF("DATETIME", "v")
+    val withNulls = df.unionByName(
+      Seq((null.asInstanceOf[Timestamp], -1),
+          (null.asInstanceOf[Timestamp], -2)).toDF("DATETIME", "v"))
+    val expected = TimeSeriesOps.sessionize(df, "DATETIME", 3600)
+      .orderBy("v").collect().map(r => (r.getInt(1), r.getLong(2)))
+
+    // violated non-null precondition: null rows drop, the rest label
+    // identically (the drop is observed and warned, not silent)
+    val dropped = TimeSeriesOps.sessionize(withNulls, "DATETIME", 3600)
+      .orderBy("v").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(dropped.toSeq == expected.toSeq)
+
+    // reliable checkpoint path writes to the checkpoint dir and returns
+    // the same labeling
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    val reliable = TimeSeriesOps.sessionize(df, "DATETIME", 3600,
+        reliableCheckpoint = true)
+      .orderBy("v").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(reliable.toSeq == expected.toSeq)
+  }
+
   test("duplicate-key diagnostics flags only multi-row keys (D2)") {
     val df = Seq((1, "a"), (1, "b"), (2, "a")).toDF("k", "p")
     val d = TimeSeriesOps.duplicateKeyDiagnostics(df, Seq("k"), "p").collect()
