@@ -980,6 +980,153 @@ object SparkEntry {
     TimeSeriesOps.gaps(t(s, dir, "events").select("ts"), "ts", 600)
       .orderBy("prev_ts")
 
+  /** E1 end-to-end: the full L1 lifecycle in ONE hash-pinned query —
+    * every stage here is individually oracle-green elsewhere; this row
+    * protects the COMPOSITION (the reference's nc_constructors.py
+    * flagship path, E1 in SURVEY §3) against cross-operator contract
+    * drift. Two synthetic "files" of the same logger table (the second
+    * overlapping and at coarser precision) are conditioned
+    * (P1 subset+rename, D1 exact dedup of injected duplicate rows, A1
+    * regularize to the hourly grid), gated by the J2 legality report
+    * (new dates + same inferred interval + shared variables + no unit
+    * conflicts), vertically concatenated with master precedence (J1 —
+    * the overlap hours keep the master file's 6-digit values), merged
+    * horizontally with a second table on the time axis (J3), unit-
+    * converted (F12: K->degC, frac->%), plausibility-masked (P5, Ta
+    * only), QC-flagged (K5: null -> 1), and end-of-interval
+    * year-labeled (§7.4 #4). The J2 verdict rides along as data. */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{FileInfo, TableMeta, VariableMeta}
+    import graft.pipeline.{L1Pipeline, MergeLegality}
+    import graft.pipeline.L1Pipeline.Conditioned
+    import graft.functions.Conversions
+    val e = t(s, dir, "events")
+    def hours(evType: String, from: String, until: String): DataFrame =
+      e.filter(col("event_type") === evType &&
+          col("ts") >= to_timestamp(lit(from)) &&
+          col("ts") < to_timestamp(lit(until)))
+        .withColumn("hour_ts", date_trunc("hour", col("ts")))
+
+    val metaA = TableMeta(FileInfo.dummy, Seq(
+      // plausible bounds are in POST-conversion units (degC)
+      VariableMeta("Ta_raw", "K", "Avg",
+        plausibleMin = Some(-250.0), plausibleMax = Some(-150.0)),
+      VariableMeta("n_raw", "n", "Tot")))
+    val usecolsA = Map("Ta_raw" -> "Ta", "n_raw" -> "n_samp")
+
+    // file A1 (master half): hourly clicks at 6-digit precision, plus
+    // an extraneous column (P1 drops it) and duplicated rows (D1
+    // collapses them — the oracle never sees either).
+    val rawA1 = hours("click", "2024-01-01 00:00:00", "2024-01-11 00:00:00")
+      .groupBy("hour_ts")
+      .agg(rnd(avg(col("value")), 6).as("Ta_raw"),
+        count(col("value")).as("n_raw"))
+      .withColumn("junk_raw", lit("drop-me"))
+    val fileA1 = rawA1.unionAll(rawA1.filter(hour(col("hour_ts")) % 4 === 0))
+    // file A2 (candidate): overlaps A1 by three days and reports at
+    // 5-digit precision, so precedence is visible in the hash.
+    val rawA2 = hours("click", "2024-01-08 00:00:00", "2024-01-21 00:00:00")
+      .groupBy("hour_ts")
+      .agg(rnd(avg(col("value")), 5).as("Ta_raw"),
+        count(col("value")).as("n_raw"))
+
+    val condA1 = L1Pipeline.condition(
+      Conditioned(fileA1, metaA), "hour_ts", 3600, usecolsA)
+    val condA2 = L1Pipeline.condition(
+      Conditioned(rawA2, metaA), "hour_ts", 3600, usecolsA)
+
+    // J2 gate: refuse the concat unless the candidate is legal (it is,
+    // by fixture — the verdict is also emitted as data below).
+    val rep = MergeLegality.analyse(
+      condA1.df, condA1.meta, condA2.df, condA2.meta, "hour_ts")
+    require(rep.legal, s"q61 fixture must be a legal concat: $rep")
+    val tableA = Conditioned(
+      JoinOps.concatWithPrecedence(Seq(condA1.df, condA2.df),
+        Seq("hour_ts")),
+      condA1.meta)
+
+    // second table: hourly views at 6 digits, fraction units
+    val rawB = hours("view", "2024-01-10 00:00:00", "2024-01-31 00:00:00")
+      .groupBy("hour_ts")
+      .agg(rnd(avg(col("value")), 6).as("RH_raw"))
+    val condB = L1Pipeline.condition(
+      Conditioned(rawB, TableMeta(FileInfo.dummy,
+        Seq(VariableMeta("RH_raw", "frac", "Avg")))),
+      "hour_ts", 3600, Map("RH_raw" -> "RH"))
+
+    val merged = L1Pipeline.mergeOnTime(Seq(tableA, condB), "hour_ts")
+    val converted = L1Pipeline.convertUnits(merged, Map(
+      "Ta" -> (((c: Column) => Conversions.kelvinToCelsius(c)), "degC"),
+      "RH" -> (((c: Column) => Conversions.fracToPercent(c)), "%")))
+    val masked = L1Pipeline.maskPlausible(converted)
+    L1Pipeline.withQcFlags(masked.df, "hour_ts")
+      .withColumn("year", L1Pipeline.labelYear(col("hour_ts"), 3600))
+      .withColumn("legal_concat", lit(rep.legal))
+      .withColumn("n_common_vars", lit(rep.commonVariables.length))
+      .withColumn("master_interval_sec", lit(rep.masterIntervalSec))
+      .withColumn("candidate_interval_sec", lit(rep.candidateIntervalSec))
+      .withColumn("contributes_new_dates", lit(rep.contributesNewDates))
+      .orderBy("hour_ts")
+  }
+
+  /** F22/F23/F28 oracle row: the derivation dispatch run in BOTH
+    * humidity directions over a met-shaped hourly frame (PFP-named
+    * columns, so quantity resolution is exercised too). Site "R" has
+    * Ta/RH/ps and derives VPD, AH (F16) and Td; site "A" has Ta/AH/ps
+    * — the first [[graft.pipeline.VisPipeline.deriveMissing]] pass
+    * pads RH from AH (F23, the reference's pad-then-synthesize,
+    * nc_constructors.py:244-311), and a second pass then derives
+    * VPD/Td THROUGH the padded full-precision RH. F28's 100 ms
+    * timestamp rounding rides along on synthetic sub-second
+    * timestamps. All derived values rnd-6 at the edge only. */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{FileInfo, TableMeta, VariableMeta}
+    import graft.pipeline.{FastData, L1Pipeline, VisPipeline}
+    val met = t(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(rnd(avg(col("value")), 6).as("v"))
+      // deterministic met-plausible values from the rounded mean
+      // (fmod on positive doubles is exact in both engines)
+      .select(col("hour_ts"), col("v"),
+        (col("v") % 40.0).as("ta_v"),
+        (lit(30.0) + col("v") % 60.0).as("rh_v"),
+        (lit(85.0) + col("v") % 20.0).as("ps_v"),
+        (lit(2.0) + col("v") % 15.0).as("ah_v"))
+
+    val dR = VisPipeline.deriveMissing(L1Pipeline.Conditioned(
+      met.select(col("hour_ts"), col("v"),
+        col("ta_v").as("Ta_HMP_2m_Av"), col("rh_v").as("RH_HMP_2m_Av"),
+        col("ps_v").as("ps_EP_Av")),
+      TableMeta(FileInfo.dummy, Seq(
+        VariableMeta("Ta_HMP_2m_Av", "degC", "Av"),
+        VariableMeta("RH_HMP_2m_Av", "percent", "Av"),
+        VariableMeta("ps_EP_Av", "kPa", "Av")))))
+    val dA = VisPipeline.deriveMissing(VisPipeline.deriveMissing(
+      L1Pipeline.Conditioned(
+        met.select(col("hour_ts"), col("v"),
+          col("ta_v").as("Ta_HMP_2m_Av"), col("ah_v").as("AH_IRGA_2m_Av"),
+          col("ps_v").as("ps_EP_Av")),
+        TableMeta(FileInfo.dummy, Seq(
+          VariableMeta("Ta_HMP_2m_Av", "degC", "Av"),
+          VariableMeta("AH_IRGA_2m_Av", "g/m^3", "Av"),
+          VariableMeta("ps_EP_Av", "kPa", "Av"))))))
+
+    def shape(d: DataFrame, site: String, rhCol: String,
+        ahCol: String): DataFrame =
+      d.select(lit(site).as("site"), col("hour_ts"),
+        rnd(col("Ta_HMP_2m_Av"), 6).as("Ta"),
+        rnd(col(rhCol), 6).as("RH"),
+        rnd(col(ahCol), 6).as("AH"),
+        rnd(col("VPD"), 6).as("VPD"),
+        rnd(col("Td"), 6).as("Td"),
+        FastData.round100ms(timestamp_micros(unix_micros(col("hour_ts"))
+          + floor(col("v") * 1234567.0).cast("long"))).as("ts_r100"))
+    shape(dR.df, "R", "RH_HMP_2m_Av", "AH")
+      .unionByName(shape(dA.df, "A", "RH", "AH_IRGA_2m_Av"))
+      .orderBy("site", "hour_ts")
+  }
+
   /** S10 CSIXML roundtrip: hourly event means written as a CSIXML
     * document (head/environment/fields + data/r/v shape per
     * read_cs_files.py:204-243) and decoded back by the distributed
@@ -1124,6 +1271,8 @@ object SparkEntry {
     "q58_status_artifacts" -> (q58 _),
     "q59_pfp_grammar"      -> (q59 _),
     "q60_keyless_gaps"     -> (q60 _),
+    "q61_l1_lifecycle"     -> (q61 _),
+    "q62_derive_dispatch"  -> (q62 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -1872,6 +2021,117 @@ object SparkEntry {
             FROM d WHERE prev_ts IS NOT NULL)
       SELECT ts, prev_ts, gap_sec, gap_sec // 600 - 1 AS n_records
       FROM g WHERE gap_sec > 600 ORDER BY prev_ts""",
+    // The E1 lifecycle, re-derived stage by stage: present-hours aggs
+    // (the injected Spark-side duplicates collapse under D1, so the
+    // plain agg IS the post-dedup frame), per-file grids (A1
+    // regularize), master-precedence concat (A2 contributes only hours
+    // past A1's grid end), full-outer time merge, K->degC and frac->%
+    // conversion, Ta plausibility mask, null->1 QC flags, and
+    // end-of-interval year labels. The J2 verdict columns are
+    // fixture-known constants (q54/q57 re-derive that machinery).
+    "q61_l1_lifecycle" -> """
+      WITH a1h AS (SELECT date_trunc('hour', ts) AS hour_ts, value
+             FROM events WHERE event_type = 'click'
+               AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+               AND ts <  TIMESTAMP '2024-01-11 00:00:00'),
+      a1p AS (SELECT hour_ts,
+                floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS ta_k,
+                count(value) AS n
+              FROM a1h GROUP BY 1),
+      a1s AS (SELECT min(hour_ts) AS t0, max(hour_ts) AS t1 FROM a1p),
+      a1 AS (SELECT g.hour_ts, p.ta_k, p.n
+             FROM (SELECT unnest(generate_series(t0, t1,
+                     INTERVAL 1 HOUR)) AS hour_ts FROM a1s) g
+             LEFT JOIN a1p p USING (hour_ts)),
+      a2h AS (SELECT date_trunc('hour', ts) AS hour_ts, value
+             FROM events WHERE event_type = 'click'
+               AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+               AND ts <  TIMESTAMP '2024-01-21 00:00:00'),
+      a2p AS (SELECT hour_ts,
+                floor(avg(value) * 100000.0 + 0.5) / 100000.0 AS ta_k,
+                count(value) AS n
+              FROM a2h GROUP BY 1),
+      a2s AS (SELECT min(hour_ts) AS t0, max(hour_ts) AS t1 FROM a2p),
+      a2 AS (SELECT g.hour_ts, p.ta_k, p.n
+             FROM (SELECT unnest(generate_series(t0, t1,
+                     INTERVAL 1 HOUR)) AS hour_ts FROM a2s) g
+             LEFT JOIN a2p p USING (hour_ts)),
+      ta AS (SELECT * FROM a1 UNION ALL
+             SELECT * FROM a2
+             WHERE hour_ts > (SELECT t1 FROM a1s)),
+      bh AS (SELECT date_trunc('hour', ts) AS hour_ts, value
+             FROM events WHERE event_type = 'view'
+               AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+               AND ts <  TIMESTAMP '2024-01-31 00:00:00'),
+      bp AS (SELECT hour_ts,
+               floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS rh_f
+             FROM bh GROUP BY 1),
+      bs AS (SELECT min(hour_ts) AS t0, max(hour_ts) AS t1 FROM bp),
+      b AS (SELECT g.hour_ts, p.rh_f
+            FROM (SELECT unnest(generate_series(t0, t1,
+                    INTERVAL 1 HOUR)) AS hour_ts FROM bs) g
+            LEFT JOIN bp p USING (hour_ts)),
+      m AS (SELECT coalesce(ta.hour_ts, b.hour_ts) AS hour_ts,
+              ta.ta_k - 273.15 AS ta_c, ta.n, b.rh_f * 100.0 AS rh_pct
+            FROM ta FULL OUTER JOIN b ON ta.hour_ts = b.hour_ts),
+      mk AS (SELECT hour_ts,
+               CASE WHEN ta_c BETWEEN -250.0 AND -150.0 THEN ta_c END
+                 AS "Ta",
+               n AS n_samp, rh_pct AS "RH"
+             FROM m)
+      SELECT hour_ts, "Ta", n_samp, "RH",
+        CASE WHEN "Ta" IS NULL THEN 1 ELSE 0 END AS "Ta_QCFlag",
+        CASE WHEN n_samp IS NULL THEN 1 ELSE 0 END AS "n_samp_QCFlag",
+        CASE WHEN "RH" IS NULL THEN 1 ELSE 0 END AS "RH_QCFlag",
+        year(hour_ts - INTERVAL 3600 SECOND) AS year,
+        true AS legal_concat,
+        2 AS n_common_vars,
+        3600 AS master_interval_sec,
+        3600 AS candidate_interval_sec,
+        true AS contributes_new_dates
+      FROM mk ORDER BY hour_ts""",
+    // Both humidity directions re-derived from the same Buck/molar-
+    // density formulas as q18 (left-associative operator order matches
+    // the Column expressions bit-for-bit); site A's VPD/Td go through
+    // the FULL-PRECISION padded RH, with rnd-6 only at the edge.
+    // F28: (us+500) - (us+500) % 100000 on integer micros.
+    "q62_derive_dispatch" -> """
+      WITH h AS (SELECT date_trunc('hour', ts) AS hour_ts,
+              floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS v
+            FROM events WHERE event_type = 'click' GROUP BY 1),
+      met AS (SELECT hour_ts, v,
+              v % 40.0 AS ta, 30.0 + v % 60.0 AS rh,
+              85.0 + v % 20.0 AS ps, 2.0 + v % 15.0 AS ah FROM h),
+      c AS (SELECT *,
+              0.61121 * exp((18.678 - ta/234.5) * (ta/(257.14 + ta)))
+                AS es,
+              ps * 1000.0 / ((ta + 273.15) * 8.3143) AS md,
+              make_timestamp((epoch_us(hour_ts)
+                  + CAST(floor(v * 1234567.0) AS BIGINT) + 500)
+                - (epoch_us(hour_ts)
+                  + CAST(floor(v * 1234567.0) AS BIGINT) + 500) % 100000)
+                AS ts_r100
+            FROM met),
+      r1 AS (SELECT *, es * rh / 100.0 AS e FROM c),
+      r2 AS (SELECT 'R' AS site, hour_ts, ta AS tao, rh AS rho,
+              e / ps * md * 18.0 AS aho, es - e AS vpdo,
+              243.5 * ln(e/0.61121) / (17.502 - ln(e/0.61121)) AS tdo,
+              ts_r100 FROM r1),
+      a1 AS (SELECT *, ah / 18.0 / md * ps / es * 100.0 AS rh_d FROM c),
+      a2 AS (SELECT *, es * rh_d / 100.0 AS e2 FROM a1),
+      a3 AS (SELECT 'A' AS site, hour_ts, ta AS tao, rh_d AS rho,
+              ah AS aho, es - e2 AS vpdo,
+              243.5 * ln(e2/0.61121) / (17.502 - ln(e2/0.61121)) AS tdo,
+              ts_r100 FROM a2),
+      u AS (SELECT * FROM r2 UNION ALL SELECT * FROM a3)
+      SELECT site, hour_ts,
+        floor(tao * 1000000.0 + 0.5) / 1000000.0 AS "Ta",
+        floor(rho * 1000000.0 + 0.5) / 1000000.0 AS "RH",
+        floor(aho * 1000000.0 + 0.5) / 1000000.0 AS "AH",
+        floor(vpdo * 1000000.0 + 0.5) / 1000000.0 AS "VPD",
+        floor(tdo * 1000000.0 + 0.5) / 1000000.0 AS "Td",
+        ts_r100
+      FROM u ORDER BY site, hour_ts""",
     "q59_pfp_grammar" -> """
       WITH corpus(name) AS (VALUES
         ('Fco2'), ('Fco2_EP'), ('Ta_HMP_2m_Av'), ('Sws_0-30cm_Av'),

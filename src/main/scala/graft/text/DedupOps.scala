@@ -171,12 +171,15 @@ object DedupOps {
 
   /** Connected components over candidate pairs: every doc is labeled
     * with the minimum doc id reachable through the pair graph (its
-    * dedup cluster's canonical id). Iterative min-label propagation —
-    * each round joins labels to the (undirected) edge list and takes
-    * the min neighbor label; converges in O(diameter) rounds. Near-dup
-    * graphs are unions of small cliques, so a handful of rounds
-    * suffices; `maxIters` bounds pathological chains (at extreme scale
-    * swap in the large-star/small-star variant — same contract).
+    * dedup cluster's canonical id). Iterative min-label propagation
+    * with a pointer-jump each round — the hop takes the min over the
+    * closed neighborhood, the jump then adopts the label's own label,
+    * so the reachable-min spreads with doubling depth and the loop
+    * converges in O(log diameter) rounds, not O(diameter). Near-dup
+    * graphs are unions of small cliques (1–2 rounds), but a
+    * pathological template-spam chain of diameter d now needs only
+    * ~log2(d) rounds, so the default `maxIters` covers diameters into
+    * the thousands instead of aborting the job.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       maxIters: Int = 10): DataFrame = {
@@ -212,10 +215,23 @@ object DedupOps {
           lit(null).cast(labels.schema("component").dataType).as("own"))
       val self = labels.select(col("id"),
         col("component").as("n_comp"), col("component").as("own"))
-      val next = viaNeighbors.union(self)
+      val hop = viaNeighbors.union(self)
         .groupBy("id")
         .agg(min(col("n_comp")).as("component"),
              min(col("own")).as("own"))
+        .localCheckpoint(eager = true)
+      // Pointer jump: adopt my label's label. Labels are node ids, so
+      // the label's own row is in `hop`; the left join + coalesce only
+      // guards the (impossible under symmetrized edges) missing case.
+      // A hop moves the min one edge; the jump halves the remaining
+      // pointer depth — together the reachable-min covers ~2^k nodes
+      // after k rounds.
+      val next = hop
+        .join(hop.select(col("id").as("component"),
+          col("component").as("cc")), Seq("component"), "left")
+        .select(col("id"),
+          coalesce(col("cc"), col("component")).as("component"),
+          col("own"))
         .localCheckpoint(eager = true)
       val changed = next.filter(col("component") < col("own"))
         .limit(1).count()
@@ -223,11 +239,9 @@ object DedupOps {
       converged = changed == 0
       iter += 1
     }
-    // Propagation covers one hop per round, so a component of diameter
-    // > maxIters would be silently mislabeled — fail loudly instead
-    // (near-dup graphs are clique unions, so hitting this means the
-    // graph isn't the expected shape: raise maxIters or switch to the
-    // large-star/small-star variant).
+    // Hop+jump covers ~2^maxIters diameter, so hitting this bound
+    // means the graph is far outside any plausible near-dup shape —
+    // fail loudly rather than silently mislabel.
     require(converged,
       s"connectedComponents did not converge in $maxIters rounds")
     // Relabel the full node set lazily — the big table is never

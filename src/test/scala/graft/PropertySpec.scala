@@ -56,6 +56,19 @@ class PropertySpec extends SparkSpec {
     assert(holds(p, 10))
   }
 
+  test("connected components converges on a diameter-25 chain within " +
+      "the default round budget (pointer-jump acceleration)") {
+    import graft.text.DedupOps
+    // A single chain 0-1-2-...-25: worst-case diameter for its size.
+    // One-hop-per-round propagation would need 25 rounds; the
+    // hop+jump scheme must close it within the default maxIters=10.
+    val nodes = (0L to 25L).toDF("id")
+    val pairs = (0L until 25L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 25L).forall(got(_) == 0L))
+  }
+
   test("P5: masking never changes row count") {
     val gen = Gen.listOf(Gen.choose(-100.0, 100.0))
     val p = Prop.forAll(gen) { vs =>
