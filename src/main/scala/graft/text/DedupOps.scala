@@ -225,14 +225,21 @@ object DedupOps {
       // guards the (impossible under symmetrized edges) missing case.
       // A hop moves the min one edge; the jump halves the remaining
       // pointer depth — together the reachable-min covers ~2^k nodes
-      // after k rounds.
-      val next = hop
-        .join(hop.select(col("id").as("component"),
-          col("component").as("cc")), Seq("component"), "left")
-        .select(col("id"),
-          coalesce(col("cc"), col("component")).as("component"),
-          col("own"))
-        .localCheckpoint(eager = true)
+      // after k rounds. ADAPTIVE: clique-union graphs (the near-dup
+      // norm) converge in <=2 plain hops, so the jump's per-round join
+      // would be pure overhead there — it engages only from round 3,
+      // when still-unconverged labels mean a long chain is present.
+      // The jump stays LAZY over the materialized hop: both join sides
+      // read the checkpoint, so lineage stays shallow without a second
+      // eager materialization per round.
+      val next =
+        if (iter < 2) hop
+        else hop
+          .join(hop.select(col("id").as("component"),
+            col("component").as("cc")), Seq("component"), "left")
+          .select(col("id"),
+            coalesce(col("cc"), col("component")).as("component"),
+            col("own"))
       val changed = next.filter(col("component") < col("own"))
         .limit(1).count()
       labels = next.select(col("id"), col("component"))
