@@ -934,6 +934,9 @@ object SparkEntry {
       "Fco2", "Fco2_EP", "Ta_HMP_2m_Av", "Sws_0-30cm_Av", "Ts_10cma2_Av",
       "RH_HMP155_2m", "Fh_EF_Sd", "Precip_Tot", "Ta_2m", "Ws_WS4_10m_Smp",
       "Sws_10cmb_Vr", "Ta_HMP_QCFlag",
+      // the reference toolchain's rstrip-fencepost forms: dangling dot
+      // before unit/range separator accepted, bare dot still rejected
+      "Sws_1.m_Av", "Ts_0.-1.cmN2_Av", "Sws_.m_Av",
       "", "Ta__2m", "9Ta_2m", "Fco2_EP_EF", "Ta_2m_3m", "Sws_0-10-30cm",
       "Ta_HMP_xacm", "Ts_10cm$", "Ts_10cmax", "Ta_HMP_XX")
     val parse = udf { (name: String) =>
@@ -2137,9 +2140,13 @@ object SparkEntry {
         ('Fco2'), ('Fco2_EP'), ('Ta_HMP_2m_Av'), ('Sws_0-30cm_Av'),
         ('Ts_10cma2_Av'), ('RH_HMP155_2m'), ('Fh_EF_Sd'), ('Precip_Tot'),
         ('Ta_2m'), ('Ws_WS4_10m_Smp'), ('Sws_10cmb_Vr'), ('Ta_HMP_QCFlag'),
+        ('Sws_1.m_Av'), ('Ts_0.-1.cmN2_Av'), ('Sws_.m_Av'),
         (''), ('Ta__2m'), ('9Ta_2m'), ('Fco2_EP_EF'), ('Ta_2m_3m'),
         ('Sws_0-10-30cm'), ('Ta_HMP_xacm'), ('Ts_10cm$'), ('Ts_10cmax'),
         ('Ta_HMP_XX')),
+      -- canonicalise the rstrip-fencepost dangling dot (1.m -> 1m,
+      -- 0.-1.cm -> 0-1cm) ONLY where a location is being matched or
+      -- extracted; failed tokens classify from their ORIGINAL text
       p1 AS (SELECT name, str_split(name, '_') AS parts FROM corpus),
       p2 AS (SELECT name, parts, parts[1] AS quantity0,
                CASE WHEN len(parts) > 1 AND list_contains(
@@ -2153,18 +2160,21 @@ object SparkEntry {
       p3 AS (SELECT *,
                list_filter(mid, x -> list_contains(['EP','EF','DL'], x))
                  AS sys_list,
-               list_filter(mid, x -> regexp_full_match(x,
+               list_filter(mid, x -> regexp_full_match(
+                 regexp_replace(x, '(\d)\.(cm|m|-)', '\1\2', 'g'),
                  '\d+(\.\d+)?(-\d+(\.\d+)?)?(cm|m)[a-zA-Z]?\d?'))
                  AS loc_list,
                list_filter(mid, x ->
                  NOT list_contains(['EP','EF','DL'], x)
-                 AND NOT regexp_full_match(x,
+                 AND NOT regexp_full_match(
+                   regexp_replace(x, '(\d)\.(cm|m|-)', '\1\2', 'g'),
                    '\d+(\.\d+)?(-\d+(\.\d+)?)?(cm|m)[a-zA-Z]?\d?')
                  AND regexp_matches(substr(x, 1, 1), '[A-Za-z]'))
                  AS inst_list,
                list_filter(mid, x ->
                  NOT list_contains(['EP','EF','DL'], x)
-                 AND NOT regexp_full_match(x,
+                 AND NOT regexp_full_match(
+                   regexp_replace(x, '(\d)\.(cm|m|-)', '\1\2', 'g'),
                    '\d+(\.\d+)?(-\d+(\.\d+)?)?(cm|m)[a-zA-Z]?\d?')
                  AND NOT regexp_matches(substr(x, 1, 1), '[A-Za-z]'))
                  AS other_list
@@ -2213,7 +2223,9 @@ object SparkEntry {
                     ELSE bad_class END AS error_class
              FROM p7),
       p9 AS (SELECT *, (error_class IS NULL) AS ok,
-               CASE WHEN error_class IS NULL THEN loc_list[1] END AS loc_tok
+               CASE WHEN error_class IS NULL THEN regexp_replace(
+                 loc_list[1], '(\d)\.(cm|m|-)', '\1\2', 'g')
+               END AS loc_tok
              FROM p8),
       p10 AS (SELECT *,
                nullif(regexp_extract(loc_tok,
