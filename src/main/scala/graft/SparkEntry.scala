@@ -348,6 +348,49 @@ object SparkEntry {
       .select(col("doc_id"), graft.text.TextOps.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Deterministic training-data sampling: stratified per-source rates
+    * (data mixing) + hash-based train/val/test assignment, all
+    * md5-coordinate-derived ([[graft.text.SampleOps]]) so membership
+    * is partition-layout- and engine-independent — the oracle
+    * re-derives the exact member set, not just counts. The sampling
+    * and split draws use distinct salts (independence pinned: the
+    * split mix inside the sample matches the global weights). */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.SampleOps
+    val docs = t(s, dir, "documents")
+    SampleOps.stratifiedSample(docs, "doc_id", "source",
+        Map("src0" -> 0.6, "src1" -> 0.3), 0.15, "st")
+      .select(col("doc_id"), col("source"),
+        SampleOps.hashCoord(col("doc_id"), "st").as("coord"),
+        SampleOps.assignSplit(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp")
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus vocabulary stats: document frequency + IDF per token —
+    * the distributed wordcount shape (explode + map-side-combinable
+    * token shuffle) with the corpus size folded into the IDF. */
+  private def q64(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextOps.docFrequency(t(s, dir, "documents"),
+        "doc_id", "text")
+      .select(col("token"), col("n_docs"), rnd(col("idf"), 6).as("idf"))
+      .orderBy("token")
+
+  /** Contamination check: the fixture "eval set" is every 100th
+    * document's text, so each eval doc must at minimum flag its own
+    * source (identical shingle sets) and any near-duplicates; the
+    * eval shingle table broadcasts, the corpus side never shuffles
+    * (see [[graft.text.DedupOps.contamination]]). */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val eval = docs.filter(col("doc_id") % 100 === 7)
+      .select(col("doc_id").as("eid"), col("text"))
+    graft.text.DedupOps.contamination(
+        docs, "doc_id", "text", eval, "eid", "text", 3, 2L)
+      .orderBy("doc_id", "eval_id")
+  }
+
   /** N-gram Jaccard near-dup pairs (3-shingles, j >= 0.5). */
   private def q28(s: SparkSession, dir: String): DataFrame =
     graft.text.DedupOps.ngramJaccardPairs(
@@ -1276,6 +1319,9 @@ object SparkEntry {
     "q60_keyless_gaps"     -> (q60 _),
     "q61_l1_lifecycle"     -> (q61 _),
     "q62_derive_dispatch"  -> (q62 _),
+    "q63_determ_sampling"  -> (q63 _),
+    "q64_vocab_idf"        -> (q64 _),
+    "q65_contamination"    -> (q65 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -2135,6 +2181,45 @@ object SparkEntry {
         floor(tdo * 1000000.0 + 0.5) / 1000000.0 AS "Td",
         ts_r100
       FROM u ORDER BY site, hour_ts""",
+    // The md5 coordinate is exact in both engines: first 8 hex digits
+    // as uint32, divided by 2^32 (a power-of-two scale, so the double
+    // is bit-identical). Membership and split assignment re-derive
+    // per row — the hash would catch a single row sampled differently.
+    "q63_determ_sampling" -> """
+      WITH c AS (SELECT doc_id, source,
+              ('0x' || substr(md5('st:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                / 4294967296.0 AS coord,
+              ('0x' || substr(md5('sp:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                / 4294967296.0 AS sc
+            FROM documents)
+      SELECT doc_id, source, coord,
+        -- cuts are the same double SUMS Spark folds (0.8 + 0.1 is one
+        -- ulp above the 0.9 literal; the sum keeps both engines on the
+        -- identical threshold)
+        CASE WHEN sc < 0.8::DOUBLE THEN 'train'
+             WHEN sc < 0.8::DOUBLE + 0.1::DOUBLE THEN 'val'
+             ELSE 'test' END AS split
+      FROM c
+      WHERE coord < CASE source WHEN 'src0' THEN 0.6
+                                WHEN 'src1' THEN 0.3
+                                ELSE 0.15 END
+      ORDER BY doc_id""",
+    "q64_vocab_idf" -> (tokCte + """,
+      dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM tk),
+      df AS (SELECT token, count(*) AS n_docs FROM dt GROUP BY token),
+      n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS total FROM documents)
+      SELECT token, n_docs,
+        floor(ln((SELECT total FROM n) / n_docs) * 1000000.0 + 0.5)
+          / 1000000.0 AS idf
+      FROM df ORDER BY token"""),
+    "q65_contamination" -> (shingleCte + """,
+      ev AS (SELECT doc_id AS eval_id, shingle FROM sh
+             WHERE doc_id % 100 = 7)
+      SELECT s.doc_id, e.eval_id, count(*) AS n_shared
+      FROM sh s JOIN ev e USING (shingle)
+      GROUP BY s.doc_id, e.eval_id
+      HAVING count(*) >= 2
+      ORDER BY doc_id, eval_id"""),
     "q59_pfp_grammar" -> """
       WITH corpus(name) AS (VALUES
         ('Fco2'), ('Fco2_EP'), ('Ta_HMP_2m_Av'), ('Sws_0-30cm_Av'),

@@ -265,6 +265,27 @@ object DedupOps {
       .filter(col("id") === col("component"))
       .select(col("id"))
 
+  /** Benchmark-contamination detection: corpus documents sharing at
+    * least `minShared` distinct k-shingles with any eval-set document
+    * — the pre-training hygiene check that keeps test sets out of the
+    * training corpus. The eval set is tiny by nature, so its shingle
+    * table BROADCASTS and the check is one broadcast join riding the
+    * corpus shingle scan: the 100 TB side never shuffles. Output:
+    * (corpus id, eval_id, n_shared), one row per contaminated pair. */
+  def contamination(corpus: DataFrame, corpusId: String,
+      corpusText: String, evalDf: DataFrame, evalId: String,
+      evalText: String, k: Int, minShared: Long): DataFrame = {
+    val cs = corpus.select(col(corpusId), explode(array_distinct(
+      TextOps.shingles(col(corpusText), k))).as("shingle"))
+    val es = evalDf.select(col(evalId).as("eval_id"),
+      explode(array_distinct(
+        TextOps.shingles(col(evalText), k))).as("shingle"))
+    cs.join(broadcast(es), Seq("shingle"))
+      .groupBy(col(corpusId), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Relational 16-bit SimHash: explode tokens, hash each once, 16
     * conditional-sum bit votes in one aggregation pass. Semantically
     * identical to [[TextOps.simhash16]] but hashes each token exactly

@@ -1,0 +1,88 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting / ordering primitives for
+  * training-data pipelines: data mixing (per-source rates),
+  * train/val/test assignment, and reproducible global shuffles.
+  *
+  * Everything here is HASH-based, never `rand()`-based: a row's fate
+  * depends only on (salt, id), so the selection is identical on any
+  * cluster size, any partitioning, any retry, and any engine — the
+  * properties a 100 TB ingestion run actually needs (re-runs must not
+  * silently change the training set, and an auditor must be able to
+  * re-derive membership). `df.sample()` guarantees none of that: its
+  * Bernoulli draw is seeded per-partition, so the selected set changes
+  * with the partition layout. The hash coordinate is md5-derived like
+  * the MinHash/SimHash family ([[TextOps.seededHash32]]) to stay
+  * engine-portable; md5 is evaluated once per row, which is noise next
+  * to the scan it filters.
+  *
+  * Scale shapes: fraction/stratified sampling and split assignment are
+  * pure narrow expressions (no shuffle — the filter rides the scan and
+  * pushes into the parquet reader when `id` is a stored column);
+  * stratified rates broadcast as a tiny dimension; the deterministic
+  * shuffle is one range sort, the same cost as any global `orderBy`.
+  */
+object SampleOps {
+
+  /** Uniform [0, 1) coordinate for (salt, id): the first 8 hex digits
+    * of `md5(salt ":" id)` as a 32-bit unsigned integer / 2^32. The
+    * division scales by a power of two, so the double is exact and
+    * bit-identical in any IEEE-754 engine (DuckDB mirror:
+    * `('0x' || substr(md5(salt || ':' || id), 1, 8))::BIGINT
+    * / 4294967296.0`). Distinct salts give independent draws — a row's
+    * sampling fate never correlates with its split assignment. */
+  def hashCoord(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 8),
+      16, 10).cast("long").cast("double") / 4294967296.0
+
+  /** Keep each row with probability `rate`, deterministically in the
+    * row's `idCol`. Narrow (no shuffle); reproducible on re-run. */
+  def sampleFraction(df: DataFrame, idCol: String, rate: Double,
+      salt: String): DataFrame =
+    df.filter(hashCoord(col(idCol), salt) < rate)
+
+  /** Data mixing: per-stratum sampling rates (e.g. upweight curated
+    * sources, downweight crawl), unknown strata fall back to
+    * `defaultRate`. The rate table broadcasts — strata cardinality is
+    * tiny (sources, languages) by construction. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double, salt: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateDf = rates.toSeq.toDF(strataCol, "__rate")
+    df.join(broadcast(rateDf), Seq(strataCol), "left")
+      .filter(hashCoord(col(idCol), salt) <
+        coalesce(col("__rate"), lit(defaultRate)))
+      .drop("__rate")
+  }
+
+  /** Train/val/test (or any) split assignment: `splits` are
+    * (name, weight) with weights summing to 1; a row lands in the
+    * split whose cumulative-weight interval contains its coordinate.
+    * The last split absorbs the remainder, so rounding in the
+    * cumulative sums can never leave a row unassigned. */
+  def assignSplit(id: Column, splits: Seq[(String, Double)],
+      salt: String): Column = {
+    require(splits.nonEmpty, "assignSplit needs at least one split")
+    val c = hashCoord(id, salt)
+    val cuts = splits.init.scanLeft(0.0)(_ + _._2).tail
+    splits.init.zip(cuts)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), cut)) =>
+        val branch = when(c < cut, name)
+        Some(acc.fold(branch)(a => a.when(c < cut, name)))
+      }
+      .fold(lit(splits.last._1))(_.otherwise(splits.last._1))
+  }
+
+  /** Reproducible global shuffle: order rows by their hash coordinate
+    * (id as the tiebreak makes the order total). One range sort —
+    * exactly what a training-data writer needs before sharding so
+    * every re-run emits identical shards. */
+  def deterministicOrder(df: DataFrame, idCol: String,
+      salt: String): DataFrame =
+    df.orderBy(hashCoord(col(idCol), salt), col(idCol))
+}

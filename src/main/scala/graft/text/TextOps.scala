@@ -117,6 +117,22 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
 
+  /** Corpus vocabulary statistics: per-token document frequency and
+    * IDF (`ln(N / n_docs)`) over the tokenized corpus — the substrate
+    * for stop-list induction, rare-token quality filters, and TF-IDF
+    * scoring at corpus scale. One explode + one token-keyed shuffle
+    * with map-side combine (per-doc tokens are pre-deduped, so each
+    * (doc, token) contributes exactly one count); the corpus size is
+    * a single scalar action. `idCol` rows must be unique. */
+  def docFrequency(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val n = df.select(col(idCol)).distinct().count()
+    df.select(col(idCol),
+        explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_docs"))
+      .withColumn("idf", log(lit(n.toDouble) / col("n_docs")))
+  }
+
   /** k-token shingles of the normalized text, joined by single spaces.
     * Docs with fewer than k tokens yield a single shingle of all
     * tokens, so short docs still participate in dedup. */

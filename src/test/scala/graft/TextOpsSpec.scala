@@ -128,4 +128,80 @@ class TextOpsSpec extends SparkSpec {
       .toDF("text").select(TextOps.langId(col("text"))).head().getString(0)
     assert(en == "en")
   }
+
+  test("docFrequency counts each doc once per token; idf ln(N/df)") {
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c d")).toDF("doc_id", "text")
+    val got = TextOps.docFrequency(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got("a")._1 == 2 && got("c")._1 == 2 && got("d")._1 == 1)
+    assert(math.abs(got("d")._2 - math.log(3.0)) < 1e-12)
+    assert(math.abs(got("a")._2 - math.log(1.5)) < 1e-12)
+  }
+
+  test("contamination broadcasts the eval side and flags source + near-dup") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d x y"),
+      (3L, "q w e r t y")).toDF("doc_id", "text")
+    val eval = Seq((10L, "a b c d e f")).toDF("eid", "text")
+    val out = DedupOps.contamination(
+      docs, "doc_id", "text", eval, "eid", "text", 3, 2L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"eval side must broadcast:\n$plan")
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.exists(r => r._1 == 1L && r._3 == 4L)) // identical text
+    assert(rows.exists(r => r._1 == 2L)) // shares "a b c", "b c d"
+    assert(!rows.exists(r => r._1 == 3L))
+  }
+
+  test("deterministic sampling: partition-invariant membership, " +
+      "independent salts, complete split assignment") {
+    import graft.text.SampleOps
+    val ids = (0L until 2000L).toDF("id")
+
+    // membership does not depend on the partition layout (the property
+    // rand()-seeded sample() lacks)
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      SampleOps.sampleFraction(df, "id", 0.3, "s1")
+        .collect().map(_.getLong(0)).toSet
+    val a = kept(ids.repartition(1))
+    val b = kept(ids.repartition(13))
+    assert(a == b)
+    // rate lands near 30% (hash uniformity)
+    assert(a.size > 450 && a.size < 750, s"got ${a.size} of 2000")
+
+    // different salts draw independently: overlap near 30% of 30%
+    val c = SampleOps.sampleFraction(ids, "id", 0.3, "s2")
+      .collect().map(_.getLong(0)).toSet
+    assert(c != a && (a & c).nonEmpty)
+
+    // split: every row assigned, proportions roughly honored, and the
+    // assignment is independent of the sampling draw
+    val splits = ids.select(col("id"), SampleOps.assignSplit(col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp").as("s"))
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.values.sum == 2000 && splits.keySet ==
+      Set("train", "val", "test"))
+    assert(splits("train") > 1500 && splits("val") > 120)
+
+    // stratified: per-stratum rates honored, unknown strata default
+    val docs = (0L until 3000L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "z"))
+      .toDF("id", "src")
+    val got = SampleOps.stratifiedSample(docs, "id", "src",
+        Map("a" -> 0.9, "b" -> 0.1), 0.5, "st")
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a") > 800 && got("b") < 180 &&
+      got("z") > 380 && got("z") < 620, got.toString)
+
+    // deterministic order: stable across runs and total
+    val o1 = SampleOps.deterministicOrder(ids, "id", "sh")
+      .limit(10).collect().map(_.getLong(0)).toSeq
+    val o2 = SampleOps.deterministicOrder(ids.repartition(7), "id", "sh")
+      .limit(10).collect().map(_.getLong(0)).toSeq
+    assert(o1 == o2 && o1 != (0L until 10L).toSeq)
+  }
 }
