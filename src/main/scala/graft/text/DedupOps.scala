@@ -275,11 +275,14 @@ object DedupOps {
   def contamination(corpus: DataFrame, corpusId: String,
       corpusText: String, evalDf: DataFrame, evalId: String,
       evalText: String, k: Int, minShared: Long): DataFrame = {
-    val cs = corpus.select(col(corpusId), explode(array_distinct(
-      TextOps.shingles(col(corpusText), k))).as("shingle"))
-    val es = evalDf.select(col(evalId).as("eval_id"),
-      explode(array_distinct(
-        TextOps.shingles(col(evalText), k))).as("shingle"))
+    // shingleRows, not the array expression: higher-order transforms
+    // are interpreted per element (the 4x cost documented on
+    // TextOps.tokens), while the posexplode+lead shape stays in
+    // codegen — the same reason ngramJaccardPairs uses it.
+    val cs = shingleRows(corpus, corpusId, corpusText, k)
+      .withColumnRenamed("id", corpusId)
+    val es = shingleRows(evalDf, evalId, evalText, k)
+      .withColumnRenamed("id", "eval_id")
     cs.join(broadcast(es), Seq("shingle"))
       .groupBy(col(corpusId), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
