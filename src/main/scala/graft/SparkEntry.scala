@@ -368,6 +368,17 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Exact-quota mixing: the deterministic 5 lowest-coordinate docs
+    * per source — fixed counts where q63 fixes rates. */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.SampleOps
+    SampleOps.takePerStratum(t(s, dir, "documents"),
+        "doc_id", "source", 5, "q")
+      .select(col("doc_id"), col("source"),
+        SampleOps.hashCoord(col("doc_id"), "q").as("coord"))
+      .orderBy("source", "doc_id")
+  }
+
   /** Corpus vocabulary stats: document frequency + IDF per token —
     * the distributed wordcount shape (explode + map-side-combinable
     * token shuffle) with the corpus size folded into the IDF. */
@@ -1322,6 +1333,7 @@ object SparkEntry {
     "q63_determ_sampling"  -> (q63 _),
     "q64_vocab_idf"        -> (q64 _),
     "q65_contamination"    -> (q65 _),
+    "q66_quota_mixing"     -> (q66 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -2220,6 +2232,16 @@ object SparkEntry {
       GROUP BY s.doc_id, e.eval_id
       HAVING count(*) >= 2
       ORDER BY doc_id, eval_id"""),
+    "q66_quota_mixing" -> """
+      WITH c AS (SELECT doc_id, source,
+              ('0x' || substr(md5('q:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                / 4294967296.0 AS coord
+            FROM documents),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY source ORDER BY coord, doc_id) AS rn
+            FROM c)
+      SELECT doc_id, source, coord FROM r WHERE rn <= 5
+      ORDER BY source, doc_id""",
     "q59_pfp_grammar" -> """
       WITH corpus(name) AS (VALUES
         ('Fco2'), ('Fco2_EP'), ('Ta_HMP_2m_Av'), ('Sws_0-30cm_Av'),

@@ -85,4 +85,21 @@ object SampleOps {
   def deterministicOrder(df: DataFrame, idCol: String,
       salt: String): DataFrame =
     df.orderBy(hashCoord(col(idCol), salt), col(idCol))
+
+  /** Exact-count mixing: the deterministic k lowest-coordinate rows of
+    * each stratum ("exactly k docs per source"), the fixed-quota
+    * counterpart of [[stratifiedSample]]'s rates. A reproducible
+    * stand-in for per-stratum reservoir sampling: one shuffle on the
+    * stratum key, rank within partitions (strata are many and
+    * hash-balance; a single stratum's rows land on one executor, so
+    * quota-sample EXTREMELY skewed strata in two stages — pre-thin
+    * with [[sampleFraction]], then quota). */
+  def takePerStratum(df: DataFrame, idCol: String, strataCol: String,
+      k: Int, salt: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(hashCoord(col(idCol), salt), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
 }

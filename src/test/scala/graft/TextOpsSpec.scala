@@ -203,5 +203,14 @@ class TextOpsSpec extends SparkSpec {
     val o2 = SampleOps.deterministicOrder(ids.repartition(7), "id", "sh")
       .limit(10).collect().map(_.getLong(0)).toSeq
     assert(o1 == o2 && o1 != (0L until 10L).toSeq)
+
+    // exact quota per stratum, membership partition-invariant
+    def quota(df: org.apache.spark.sql.DataFrame) =
+      SampleOps.takePerStratum(df, "id", "src", 7, "qt")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val q1 = quota(docs)
+    val q2 = quota(docs.repartition(11))
+    assert(q1 == q2)
+    assert(q1.groupBy(_._2).forall(_._2.size == 7))
   }
 }
