@@ -1087,10 +1087,17 @@ object SparkEntry {
       .agg(rnd(avg(col("value")), 5).as("Ta_raw"),
         count(col("value")).as("n_raw"))
 
-    val condA1 = L1Pipeline.condition(
-      Conditioned(fileA1, metaA), "hour_ts", 3600, usecolsA)
-    val condA2 = L1Pipeline.condition(
-      Conditioned(rawA2, metaA), "hour_ts", 3600, usecolsA)
+    // Materialize the conditioned grids once: the legality analysis
+    // below runs several small actions (per-side interval inference +
+    // the new-dates probe) that would otherwise each recompute the
+    // full condition lineage. A conditioned site-file is a bounded
+    // artifact, so the checkpoint is cheap at any corpus scale.
+    def ckpt(c: Conditioned): Conditioned =
+      c.copy(df = c.df.localCheckpoint())
+    val condA1 = ckpt(L1Pipeline.condition(
+      Conditioned(fileA1, metaA), "hour_ts", 3600, usecolsA))
+    val condA2 = ckpt(L1Pipeline.condition(
+      Conditioned(rawA2, metaA), "hour_ts", 3600, usecolsA))
 
     // J2 gate: refuse the concat unless the candidate is legal (it is,
     // by fixture — the verdict is also emitted as data below).
