@@ -1264,6 +1264,41 @@ object SparkEntry {
       .orderBy("hour_ts")
   }
 
+  /** §2.9 stateful streaming oracle: cross-batch gap detection
+    * (`flatMapGroupsWithState`, per-site last-seen state in the
+    * checkpoint) must equal the BATCH answer — a per-user lag over
+    * the whole stream — even though the stream arrives as two
+    * disjoint halves plus a byte-duplicate re-send (which the carried
+    * state must treat as a no-op). Gaps spanning the batch cut are
+    * exactly the rows only the state can produce. Timestamps pass
+    * through `Timestamp.getTime`, so the oracle compares at
+    * millisecond truncation. */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StatefulGaps
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_q67")
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    }
+    val inDir = s"$root/in"; val outDir = s"$root/gaps"
+    val obs = t(s, dir, "events")
+      .select(col("user_id").cast("string").as("site"),
+        col("ts").as("DATETIME"))
+    val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+    obs.filter(col("DATETIME") < cut).write.parquet(inDir)
+    val schema = s.read.parquet(inDir).schema
+    StatefulGaps.gapRun(s, inDir, outDir, s"$root/ckpt", schema, 21600)
+    obs.filter(col("DATETIME") >= cut).write.mode("append").parquet(inDir)
+    StatefulGaps.gapRun(s, inDir, outDir, s"$root/ckpt", schema, 21600)
+    // byte-duplicate re-send: every event is at or before the carried
+    // last-seen timestamp, so the third run must append nothing
+    obs.filter(col("DATETIME") >= cut).write.mode("append").parquet(inDir)
+    StatefulGaps.gapRun(s, inDir, outDir, s"$root/ckpt", schema, 21600)
+    s.read.parquet(outDir).orderBy("site", "gap_start")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -1271,7 +1306,8 @@ object SparkEntry {
     * (streaming checkpoint init + temp-lake writes), not by the
     * operator under test. They still run in Verify's correctness
     * gate. */
-  val benchExclude: Set[String] = Set("q56_streaming_append")
+  val benchExclude: Set[String] =
+    Set("q56_streaming_append", "q67_stateful_gaps")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1341,6 +1377,7 @@ object SparkEntry {
     "q64_vocab_idf"        -> (q64 _),
     "q65_contamination"    -> (q65 _),
     "q66_quota_mixing"     -> (q66 _),
+    "q67_stateful_gaps"    -> (q67 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -2249,6 +2286,23 @@ object SparkEntry {
             FROM c)
       SELECT doc_id, source, coord FROM r WHERE rn <= 5
       ORDER BY source, doc_id""",
+    // The batch re-derivation of the streaming answer: lag per user
+    // over the WHOLE stream — rows whose gap spans the batch cut only
+    // match if the checkpointed state carried the last-seen timestamp
+    // across runs. epoch_ms/date_trunc('milliseconds') mirror the
+    // Timestamp.getTime millisecond truncation on the Spark side.
+    "q67_stateful_gaps" -> """
+      WITH d AS (SELECT user_id::VARCHAR AS site, ts,
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events),
+      g AS (SELECT site,
+              date_trunc('milliseconds', prev_ts) AS gap_start,
+              date_trunc('milliseconds', ts) AS gap_end,
+              epoch_ms(ts) - epoch_ms(prev_ts) AS dms
+            FROM d WHERE prev_ts IS NOT NULL)
+      SELECT site, gap_start, gap_end, dms // 1000 AS gap_seconds
+      FROM g WHERE dms > 21600000
+      ORDER BY site, gap_start""",
     "q59_pfp_grammar" -> """
       WITH corpus(name) AS (VALUES
         ('Fco2'), ('Fco2_EP'), ('Ta_HMP_2m_Av'), ('Sws_0-30cm_Av'),
