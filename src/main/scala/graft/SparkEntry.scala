@@ -1299,6 +1299,44 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy("site", "gap_start")
   }
 
+  /** F25 solar oracle: sunrise/sunset for a site × month fixture grid,
+    * evaluated DISTRIBUTED (the NOAA chain runs in a UDF over the
+    * cross-joined frame) and reduced to seconds-since-midnight
+    * integers so no timestamp/timezone semantics enter the compare.
+    * The oracle re-derives the full NOAA chain in SQL with the same
+    * operator shapes (`x/180*pi()` mirrors Java toRadians exactly);
+    * whole-second rounding absorbs the last-ulp libm-vs-JVM trig
+    * differences. */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Solar
+    import s.implicits._
+    val sites = Seq(
+      ("alpine", -36.5, 148.0, 10.0),
+      ("tropical", -12.5, 131.0, 9.5),
+      ("temperate", -34.0, 140.5, 9.5),
+      ("northern", 51.5, -0.1, 0.0),
+      ("equator", 0.0, 36.8, 3.0)).toDF("site", "lat", "lon", "off")
+    val dates = (1 to 12).map(m =>
+      java.sql.Date.valueOf(java.time.LocalDate.of(2024, m, 15)))
+      .toDF("date")
+    val sun = udf { (d: java.sql.Date, la: Double, lo: Double,
+        off: Double) =>
+      Solar.sunriseSunset(d.toLocalDate, la, lo, off).map {
+        case (r, st) =>
+          val mid = d.toLocalDate.atStartOfDay
+          (java.time.Duration.between(mid, r).getSeconds,
+            java.time.Duration.between(mid, st).getSeconds)
+      }
+    }
+    sites.crossJoin(dates)
+      .withColumn("rs", sun(col("date"), col("lat"), col("lon"),
+        col("off")))
+      .filter(col("rs").isNotNull) // polar day/night (none in fixture)
+      .select(col("site"), col("date"),
+        col("rs._1").as("sunrise_sec"), col("rs._2").as("sunset_sec"))
+      .orderBy("site", "date")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -1378,6 +1416,7 @@ object SparkEntry {
     "q65_contamination"    -> (q65 _),
     "q66_quota_mixing"     -> (q66 _),
     "q67_stateful_gaps"    -> (q67 _),
+    "q68_solar_noaa"       -> (q68 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -2303,6 +2342,81 @@ object SparkEntry {
       SELECT site, gap_start, gap_end, dms // 1000 AS gap_seconds
       FROM g WHERE dms > 21600000
       ORDER BY site, gap_start""",
+    // Full NOAA chain (Meeus) re-derived: Julian day with the integer
+    // truncations, declination + equation of time, hour angle at
+    // zenith 90.833. `x / 180.0 * pi()` and `x * 180.0 / pi()` mirror
+    // Java toRadians/toDegrees op-for-op; floor(x + 0.5) mirrors
+    // Math.round. Whole-second outputs absorb trig last-ulp drift.
+    "q68_solar_noaa" -> """
+      WITH sites(site, lat, lon, off) AS (VALUES
+        ('alpine', -36.5, 148.0, 10.0),
+        ('tropical', -12.5, 131.0, 9.5),
+        ('temperate', -34.0, 140.5, 9.5),
+        ('northern', 51.5, -0.1, 0.0),
+        ('equator', 0.0, 36.8, 3.0)),
+      dates(d) AS (SELECT unnest(list_transform(range(1, 13),
+        m -> make_date(2024, m::INTEGER, 15)))),
+      jd AS (SELECT *,
+          CASE WHEN month(d) <= 2 THEN year(d) - 1 ELSE year(d) END AS yy,
+          CASE WHEN month(d) <= 2 THEN month(d) + 12 ELSE month(d) END AS mm
+        FROM sites CROSS JOIN dates),
+      j2 AS (SELECT *,
+          trunc(365.25 * (yy + 4716)) + trunc(30.6001 * (mm + 1))
+            + day(d) + (2 - yy // 100 + (yy // 100) // 4) - 1524.5
+            AS jday
+        FROM jd),
+      j3 AS (SELECT *, (jday - 2451545.0) / 36525.0 AS jc FROM j2),
+      j4 AS (SELECT *,
+          fmod(280.46646 + jc * (36000.76983 + jc * 0.0003032), 360.0)
+            AS gml,
+          357.52911 + jc * (35999.05029 - 0.0001537 * jc) AS gma,
+          0.016708634 - jc * (0.000042037 + 0.0000001267 * jc) AS ecc
+        FROM j3),
+      j5 AS (SELECT *,
+          gml + sin(gma / 180.0 * pi())
+              * (1.914602 - jc * (0.004817 + 0.000014 * jc))
+            + sin((2 * gma) / 180.0 * pi()) * (0.019993 - 0.000101 * jc)
+            + sin((3 * gma) / 180.0 * pi()) * 0.000289 AS tl,
+          23.0 + (26.0 + (21.448 - jc * (46.815
+            + jc * (0.00059 - jc * 0.001813))) / 60.0) / 60.0 AS moe
+        FROM j4),
+      j6 AS (SELECT *,
+          tl - 0.00569 - 0.00478
+            * sin((125.04 - 1934.136 * jc) / 180.0 * pi()) AS al,
+          moe + 0.00256
+            * cos((125.04 - 1934.136 * jc) / 180.0 * pi()) AS oc
+        FROM j5),
+      j7 AS (SELECT *,
+          asin(sin(oc / 180.0 * pi()) * sin(al / 180.0 * pi()))
+            * 180.0 / pi() AS decl,
+          tan((oc / 2) / 180.0 * pi()) * tan((oc / 2) / 180.0 * pi())
+            AS y2
+        FROM j6),
+      j8 AS (SELECT *,
+          4.0 * ((y2 * sin(2 * (gml / 180.0 * pi()))
+            - 2 * ecc * sin(gma / 180.0 * pi())
+            + 4 * ecc * y2 * sin(gma / 180.0 * pi())
+              * cos(2 * (gml / 180.0 * pi()))
+            - 0.5 * y2 * y2 * sin(4 * (gml / 180.0 * pi()))
+            - 1.25 * ecc * ecc * sin(2 * (gma / 180.0 * pi())))
+            * 180.0 / pi()) AS eot
+        FROM j7),
+      j9 AS (SELECT *,
+          (cos(90.833 / 180.0 * pi())
+            - sin(lat / 180.0 * pi()) * sin(decl / 180.0 * pi()))
+          / (cos(lat / 180.0 * pi()) * cos(decl / 180.0 * pi()))
+            AS cosha
+        FROM j8),
+      j10 AS (SELECT *,
+          acos(cosha) * 180.0 / pi() AS ha,
+          720.0 - 4.0 * lon - eot AS noonmin
+        FROM j9 WHERE cosha >= -1.0 AND cosha <= 1.0)
+      SELECT site, d AS date,
+        CAST(floor((noonmin - 4.0 * ha + off * 60.0) * 60.0 + 0.5)
+          AS BIGINT) AS sunrise_sec,
+        CAST(floor((noonmin + 4.0 * ha + off * 60.0) * 60.0 + 0.5)
+          AS BIGINT) AS sunset_sec
+      FROM j10 ORDER BY site, date""",
     "q59_pfp_grammar" -> """
       WITH corpus(name) AS (VALUES
         ('Fco2'), ('Fco2_EP'), ('Ta_HMP_2m_Av'), ('Sws_0-30cm_Av'),
