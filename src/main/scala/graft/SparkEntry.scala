@@ -1299,6 +1299,49 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy("site", "gap_start")
   }
 
+  /** E2 end-to-end: the full visualisation-product chain in one
+    * hash-pinned row — PFP-named L1 frame → P6 nearest-height variable
+    * selection (2 m beats 10 m for fluxHeight 2.5, Sd companions
+    * dropped) → P8 suffix normalisation (fixture-known renames) → P5
+    * quantity-keyed masking → F22 derivations over the MASKED inputs →
+    * K1 TOA5 write → S1 read-back. Values cross the TOA5 byte path as
+    * shortest-repr doubles (lossless), so the oracle recomputes them
+    * directly and rnd-6 only at the edge. */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{FileInfo, TableMeta, VariableMeta}
+    import graft.pipeline.{L1Pipeline, VisPipeline}
+    val met = t(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .groupBy(date_trunc("hour", col("ts")).as("DATETIME"))
+      .agg(rnd(avg(col("value")), 6).as("v"))
+      .select(col("DATETIME"),
+        (col("v") % 40.0).as("Ta_HMP_2m_Av"),
+        (col("v") % 40.0 + 1.5).as("Ta_HMP_10m_Av"),
+        (lit(30.0) + col("v") % 60.0).as("RH_HMP_2m_Av"),
+        (lit(85.0) + col("v") % 20.0).as("ps_EP_Av"),
+        (col("v") % 10.0).as("Fco2_EP"),
+        lit(0.5).as("Ta_HMP_2m_Sd"))
+    val meta = TableMeta(FileInfo.dummy, Seq(
+      VariableMeta("Ta_HMP_2m_Av", "degC", "Av"),
+      VariableMeta("Ta_HMP_10m_Av", "degC", "Av"),
+      VariableMeta("RH_HMP_2m_Av", "percent", "Av"),
+      VariableMeta("ps_EP_Av", "kPa", "Av"),
+      VariableMeta("Fco2_EP", "umol/m^2/s", ""),
+      VariableMeta("Ta_HMP_2m_Sd", "degC", "Sd")))
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_q69/vis.dat"
+    VisPipeline.buildVisualisationToa5(
+      L1Pipeline.Conditioned(met, meta), "DATETIME",
+      targets = Seq("Ta", "RH", "ps", "Fco2"), fluxHeight = 2.5,
+      plausible = Map("Ta" -> (0.0, 35.0), "RH" -> (35.0, 80.0)),
+      outPath = path)
+    val back = graft.sources.Toa5.read(s, path).data
+    back.select(col("DATETIME") +:
+        back.columns.filterNot(Set("DATETIME", "TIMESTAMP")).toSeq
+          .map(c => rnd(col(c), 6).as(c)): _*)
+      .orderBy("DATETIME")
+  }
+
   /** F25 solar oracle: sunrise/sunset for a site × month fixture grid,
     * evaluated DISTRIBUTED (the NOAA chain runs in a UDF over the
     * cross-joined frame) and reduced to seconds-since-midnight
@@ -1417,6 +1460,7 @@ object SparkEntry {
     "q66_quota_mixing"     -> (q66 _),
     "q67_stateful_gaps"    -> (q67 _),
     "q68_solar_noaa"       -> (q68 _),
+    "q69_vis_toa5"         -> (q69 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -2417,6 +2461,35 @@ object SparkEntry {
         CAST(floor((noonmin + 4.0 * ha + off * 60.0) * 60.0 + 0.5)
           AS BIGINT) AS sunset_sec
       FROM j10 ORDER BY site, date""",
+    // The selection/rename outcome is fixture-known (2 m chosen over
+    // 10 m, Sd dropped, Ta_HMP_2m_Av -> Ta_HMP etc.); values recompute
+    // through the same masked-input derivation chain as q62's R side.
+    "q69_vis_toa5" -> """
+      WITH h AS (SELECT date_trunc('hour', ts) AS dt,
+              floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS v
+            FROM events WHERE event_type = 'click' GROUP BY 1),
+      base AS (SELECT dt, v % 40.0 AS ta_raw, 30.0 + v % 60.0 AS rh_raw,
+              85.0 + v % 20.0 AS ps_v, v % 10.0 AS fco2 FROM h),
+      mk AS (SELECT dt,
+              CASE WHEN ta_raw BETWEEN 0.0 AND 35.0 THEN ta_raw END AS ta,
+              CASE WHEN rh_raw BETWEEN 35.0 AND 80.0 THEN rh_raw END AS rh,
+              ps_v, fco2 FROM base),
+      c AS (SELECT *,
+              0.61121 * exp((18.678 - ta/234.5) * (ta/(257.14 + ta)))
+                AS es,
+              ps_v * 1000.0 / ((ta + 273.15) * 8.3143) AS md FROM mk),
+      c2 AS (SELECT *, es * rh / 100.0 AS e FROM c)
+      SELECT dt AS "DATETIME",
+        floor(ta * 1000000.0 + 0.5) / 1000000.0 AS "Ta_HMP",
+        floor(rh * 1000000.0 + 0.5) / 1000000.0 AS "RH_HMP",
+        floor(ps_v * 1000000.0 + 0.5) / 1000000.0 AS ps,
+        floor(fco2 * 1000000.0 + 0.5) / 1000000.0 AS "Fco2",
+        floor((es - e) * 1000000.0 + 0.5) / 1000000.0 AS "VPD",
+        floor((e / ps_v * md * 18.0) * 1000000.0 + 0.5) / 1000000.0
+          AS "AH",
+        floor((243.5 * ln(e/0.61121) / (17.502 - ln(e/0.61121)))
+          * 1000000.0 + 0.5) / 1000000.0 AS "Td"
+      FROM c2 ORDER BY "DATETIME"""",
     "q59_pfp_grammar" -> """
       WITH corpus(name) AS (VALUES
         ('Fco2'), ('Fco2_EP'), ('Ta_HMP_2m_Av'), ('Sws_0-30cm_Av'),
