@@ -293,6 +293,27 @@ class ConfigsEditorSpec extends SparkSpec {
     }
   }
 
+  test("YAML tree: quote- and space-bearing scalars round-trip exactly") {
+    import ConfigText.{YMap, YScalar}
+    val hard = Vector(
+      "don't", "it''s", " padded ", "a: b", "x # not a comment",
+      "-lead", "{brace}", "[bracket]", "", "*star", "&amp", "%pct",
+      "tab\there", "normal")
+    val root = YMap(hard.zipWithIndex.map { case (v, i) =>
+      s"k$i" -> (YScalar(v): ConfigText.Yaml)
+    } :+ ("nest" -> (YMap(Vector(
+      "inner: key" -> YScalar("don't trim  "))): ConfigText.Yaml)))
+    val text = ConfigText.writeYaml(root)
+    val back = ConfigText.parseYamlTree(text)
+    hard.zipWithIndex.foreach { case (v, i) =>
+      assert(back(s"k$i") == YScalar(v), s"k$i corrupted on round-trip")
+    }
+    assert(back("nest").asInstanceOf[YMap]("inner: key") ==
+      YScalar("don't trim  "))
+    // idempotence
+    assert(ConfigText.writeYaml(back) == text)
+  }
+
   test("ConfigObj: quote- and space-bearing values round-trip exactly") {
     // The value classes quoting exists for: embedded single/double
     // quotes, both quote types at once, padded whitespace, commas,

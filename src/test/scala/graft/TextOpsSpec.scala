@@ -204,6 +204,12 @@ class TextOpsSpec extends SparkSpec {
       .limit(10).collect().map(_.getLong(0)).toSeq
     assert(o1 == o2 && o1 != (0L until 10L).toSeq)
 
+    // fraction sampling is a narrow plan: no shuffle before the filter
+    val plan = SampleOps.sampleFraction(ids, "id", 0.3, "s1")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"sampleFraction must ride the scan, not shuffle:\n$plan")
+
     // exact quota per stratum, membership partition-invariant
     def quota(df: org.apache.spark.sql.DataFrame) =
       SampleOps.takePerStratum(df, "id", "src", 7, "qt")
