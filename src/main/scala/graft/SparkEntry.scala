@@ -2332,9 +2332,11 @@ object SparkEntry {
                 / 4294967296.0 AS sc
             FROM documents)
       SELECT doc_id, source, coord,
-        -- cuts are the same double SUMS Spark folds (0.8 + 0.1 is one
-        -- ulp above the 0.9 literal; the sum keeps both engines on the
-        -- identical threshold)
+        -- cuts mirror the double SUMS Spark folds. For these weights
+        -- the sum happens to equal the 0.9 literal, but that is not
+        -- true in general (0.7 + 0.2 != 0.9 in doubles) — mirroring
+        -- the op shape keeps both engines on the identical threshold
+        -- for ANY weights
         CASE WHEN sc < 0.8::DOUBLE THEN 'train'
              WHEN sc < 0.8::DOUBLE + 0.1::DOUBLE THEN 'val'
              ELSE 'test' END AS split

@@ -87,50 +87,42 @@ object ConfigText {
   }
 
   private def stripComment(line: String): String = {
-    // honour '#' only outside quotes; inside a quote, a backslash
-    // escaping the active quote char does not close it
+    // honour '#' only outside quotes. The ConfigObj dialect has NO
+    // escape syntax (real ConfigObj switches quote chars or refuses):
+    // a quoted segment ends at the next matching quote char, so a
+    // backslash before it is plain content ('C:\data\' parses whole).
     var inQ: Char = 0
     val out = new StringBuilder
     var done = false
-    var i = 0
-    while (!done && i < line.length) {
-      val c = line(i)
-      if (inQ != 0) {
-        if (c == '\\' && i + 1 < line.length && line(i + 1) == inQ) {
-          out.append(c).append(inQ); i += 1
-        } else { if (c == inQ) inQ = 0; out.append(c) }
+    line.foreach { c =>
+      if (!done) {
+        if (inQ != 0) { if (c == inQ) inQ = 0; out.append(c) }
+        else if (c == '\'' || c == '"') { inQ = c; out.append(c) }
+        else if (c == '#') done = true
+        else out.append(c)
       }
-      else if (c == '\'' || c == '"') { inQ = c; out.append(c) }
-      else if (c == '#') done = true
-      else out.append(c)
-      i += 1
     }
     out.toString
   }
 
-  /** Split a ConfigObj value into its elements: respects quoting (and
-    * `\'` / `\"` escapes of the active quote char); a value with no
-    * top-level comma is a scalar (1-element Vector). A trailing comma
-    * marks a 1-element list (ConfigObj convention) — both parse to the
-    * same Vector here. Whitespace is trimmed only OUTSIDE quotes:
-    * `' padded '` round-trips with its spaces intact. */
+  /** Split a ConfigObj value into its elements: respects quoting; a
+    * value with no top-level comma is a scalar (1-element Vector). A
+    * trailing comma marks a 1-element list (ConfigObj convention) —
+    * both parse to the same Vector here. Whitespace is trimmed only
+    * OUTSIDE quotes: `' padded '` round-trips with its spaces intact.
+    * No escape handling anywhere (see [[stripComment]]), so backslash
+    * content — including a trailing backslash — passes through
+    * verbatim. */
   private def splitList(value: String): Vector[String] = {
-    // Pass 1: split on top-level commas, keeping quotes/escapes raw.
+    // Pass 1: split on top-level commas, keeping quotes raw.
     val raw = mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var inQ: Char = 0
-    var i = 0
-    while (i < value.length) {
-      val c = value(i)
-      if (inQ != 0) {
-        if (c == '\\' && i + 1 < value.length && value(i + 1) == inQ) {
-          cur.append(c).append(inQ); i += 1
-        } else { if (c == inQ) inQ = 0; cur.append(c) }
-      }
+    value.foreach { c =>
+      if (inQ != 0) { if (c == inQ) inQ = 0; cur.append(c) }
       else if (c == '\'' || c == '"') { inQ = c; cur.append(c) }
       else if (c == ',') { raw += cur.toString; cur.clear() }
       else cur.append(c)
-      i += 1
     }
     val last = cur.toString
     if (last.trim.nonEmpty || raw.isEmpty) raw += last
@@ -138,25 +130,28 @@ object ConfigText {
   }
 
   /** Pass 2 of [[splitList]]: trim the unquoted surround, then strip a
-    * matching quote pair and unescape `\<q>` — the exact inverse of
-    * [[quoteIfNeeded]]. */
+    * matching quote pair — the exact inverse of [[quoteIfNeeded]]. */
   private def unquoteElem(s: String): String = {
     val t = s.trim
     if (t.length >= 2 && (t.head == '\'' || t.head == '"') && t.last == t.head)
-      t.drop(1).dropRight(1).replace("\\" + t.head, t.head.toString)
+      t.drop(1).dropRight(1)
     else t
   }
 
   /** Quote with the char the value does NOT contain (ConfigObj's own
-    * convention), so no escaping is needed and backslashes pass through
-    * verbatim; only a value containing BOTH quote chars falls back to
-    * `\'` escaping, which [[unquoteElem]] reverses. */
+    * convention — the dialect has no escape syntax, so the quote char
+    * must be absent from the content). A value containing BOTH quote
+    * chars cannot be represented round-trip-safely; refuse loudly
+    * (real ConfigObj raises likewise) rather than corrupt the user's
+    * config on its next load. */
   private def quoteIfNeeded(v: String): String =
     if (!(v.isEmpty || v.exists(c => c == ',' || c == '\'' || c == '"' || c == '#')
       || v != v.trim)) v
     else if (!v.contains('\'')) "'" + v + "'"
     else if (!v.contains('"')) "\"" + v + "\""
-    else "'" + v.replace("'", "\\'") + "'"
+    else throw new IllegalArgumentException(
+      "value contains both quote characters and cannot round-trip " +
+        s"in the ConfigObj dialect: $v")
 
   // -------------------------------------------------------------------- YAML
 

@@ -43,8 +43,15 @@ object TimeSeriesOps {
     * rides Spark's CollectMetrics node during actions the operator
     * already runs, no extra scan and no codegen break. */
   private def warnNullDrops(obs: Observation, op: String,
-      tsCol: String): Unit =
-    obs.future.value // non-blocking: empty if no action completed yet
+      tsCol: String): Unit = {
+    // The observation completes on the listener bus asynchronously,
+    // AFTER the operator's internal actions return — wait bounded so
+    // the warning is reliable on a lagging bus without ever risking
+    // an unbounded stall inside an operator.
+    try scala.concurrent.Await.ready(obs.future,
+      scala.concurrent.duration.Duration(10, "seconds"))
+    catch { case scala.util.control.NonFatal(_) => () }
+    obs.future.value
       .collect { case scala.util.Success(row) if !row.isNullAt(0) =>
         row.getLong(0) } match {
       case Some(n) if n > 0 =>
@@ -53,6 +60,7 @@ object TimeSeriesOps {
           "purge bad timestamps (D4) before ordered operators")
       case _ => ()
     }
+  }
 
   private def nullTsMetric(c: Column): Column =
     sum(when(c.isNull, 1L).otherwise(0L)).as("null_ts")

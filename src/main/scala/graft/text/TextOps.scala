@@ -126,7 +126,10 @@ object TextOps {
     * a single scalar action. `idCol` rows must be unique. */
   def docFrequency(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val n = df.select(col(idCol)).distinct().count()
+    // plain count, not distinct().count(): idCol is unique by contract,
+    // and a dedup exchange over every id would be pure overhead at
+    // corpus scale (a violated contract corrupts n_docs regardless)
+    val n = df.count()
     df.select(col(idCol),
         explode(array_distinct(tokens(col(textCol)))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n_docs"))

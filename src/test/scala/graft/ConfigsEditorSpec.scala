@@ -315,14 +315,15 @@ class ConfigsEditorSpec extends SparkSpec {
   }
 
   test("ConfigObj: quote- and space-bearing values round-trip exactly") {
-    // The value classes quoting exists for: embedded single/double
-    // quotes, both quote types at once, padded whitespace, commas,
-    // hashes, backslashes, and combinations.
+    // The value classes quoting exists for: embedded quotes (one kind
+    // at a time — the dialect has no escapes), padded whitespace,
+    // commas, hashes, backslashes INCLUDING a trailing backslash
+    // before the closing quote, and combinations.
     val hard = Vector(
-      "don't", "say \"hi\"", "both ' and \" here", " padded ",
+      "don't", "say \"hi\"", " padded ",
       "  lead", "trail  ", "a, b", "x # not a comment", "",
-      "back\\slash", "\\'", "a\\'b\"", "tab\there", "don't, really",
-      "'", "\"", "''", "normal")
+      "back\\slash", "a,b\\", "C:\\data\\", "tab\there",
+      "don't, really", "'", "\"", "''", "normal")
     val root = new ConfigText.Section
     hard.zipWithIndex.foreach { case (v, i) => root.values(s"k$i") = Vector(v) }
     root.values("list") = hard // same values as one list
@@ -335,5 +336,12 @@ class ConfigsEditorSpec extends SparkSpec {
     // idempotence: a second write/parse cycle changes nothing
     val text2 = ConfigText.writeConfigObj(back)
     assert(text2 == text)
+    // a value with BOTH quote chars cannot round-trip in this dialect:
+    // the writer must refuse loudly, never corrupt on the next load
+    val bad = new ConfigText.Section
+    bad.values("k") = Vector("both ' and \" here")
+    intercept[IllegalArgumentException] {
+      ConfigText.writeConfigObj(bad)
+    }
   }
 }
