@@ -1380,6 +1380,68 @@ object SparkEntry {
       .orderBy("site", "date")
   }
 
+  /** Sequence packing: the documents table laid out as ONE
+    * deterministic token stream (hash order; two-pass distributed
+    * prefix sum — no single-partition global window) and chunked into
+    * 256-token training blocks, one row per (block, doc) overlap. The
+    * oracle re-derives the identical layout with a global-window
+    * cumulative sum — tractable in DuckDB at test SF, and exactly the
+    * plan shape the Spark side exists to avoid at scale. */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{PackOps, TextOps}
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    PackOps.packBlocks(docs, "doc_id", "n_tokens", 256, "pk")
+      .select(col("block_id"), col("doc_id"), col("start_in_block"),
+        col("span_tokens"), col("start_off"), col("end_off"))
+      .orderBy("block_id", "doc_id")
+  }
+
+  /** Repetition quality signals (Gopher-style): duplicate-token-line
+    * fractions and top-2/3-gram character coverage per document, all
+    * re-derived in SQL from the same tokenization. */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.QualityOps
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    QualityOps.repetitionStats(docs, "doc_id", "text",
+        lineWidth = 8, ns = Seq(2, 3))
+      .select(col("doc_id"), col("n_lines"),
+        rnd(col("dup_line_frac"), 6).as("dup_line_frac"),
+        rnd(col("dup_line_char_frac"), 6).as("dup_line_char_frac"),
+        rnd(col("top2_char_frac"), 6).as("top2_char_frac"),
+        rnd(col("top3_char_frac"), 6).as("top3_char_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** PII scrubbing: deterministic synthetic PII (email/URL/IP derived
+    * from doc_id — the corpus text itself contains none) appended to
+    * each document, then counted on the raw text and redacted in the
+    * fixed email→URL→IP order; the md5 of the redacted text pins the
+    * exact replacement behaviour in both engines. */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.ScrubOps
+    val pii = concat(col("text"),
+      lit(" contact u"), col("doc_id").cast("string"),
+      lit("@ex"), (col("doc_id") % 7).cast("string"),
+      lit(".org via http://h"), (col("doc_id") % 5).cast("string"),
+      lit(".example.com/p/"), col("doc_id").cast("string"),
+      lit(" from 10."), (col("doc_id") % 256).cast("string"),
+      lit(".0."), (col("doc_id") % 100).cast("string"),
+      lit(" end"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" cc b"), col("doc_id").cast("string"),
+          lit("@mail.net"))).otherwise(lit("")))
+    t(s, dir, "documents")
+      .select(col("doc_id"), pii.as("__t"))
+      .select(col("doc_id"),
+        ScrubOps.countEmails(col("__t")).as("n_emails"),
+        ScrubOps.countUrls(col("__t")).as("n_urls"),
+        ScrubOps.countIpv4(col("__t")).as("n_ips"),
+        md5(ScrubOps.redactPii(col("__t"))).as("red_md5"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -1461,6 +1523,9 @@ object SparkEntry {
     "q67_stateful_gaps"    -> (q67 _),
     "q68_solar_noaa"       -> (q68 _),
     "q69_vis_toa5"         -> (q69 _),
+    "q70_seq_packing"      -> (q70 _),
+    "q71_repetition"       -> (q71 _),
+    "q72_pii_scrub"        -> (q72 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -2492,6 +2557,103 @@ object SparkEntry {
         floor((243.5 * ln(e/0.61121) / (17.502 - ln(e/0.61121)))
           * 1000000.0 + 0.5) / 1000000.0 AS "Td"
       FROM c2 ORDER BY "DATETIME"""",
+    // The global-window cumulative sum here is the single-partition
+    // shape PackOps.packOffsets avoids; at test SF it is the cleanest
+    // oracle for the two-pass distributed layout. Same md5 coordinate
+    // as q63 (salt 'pk').
+    "q70_seq_packing" -> (tokCte + """,
+      n AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+              ('0x' || substr(md5('pk:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                / 4294967296.0 AS coord
+            FROM tk),
+      o AS (SELECT doc_id, n_tokens,
+              sum(n_tokens) OVER (ORDER BY coord, doc_id
+                ROWS UNBOUNDED PRECEDING)::BIGINT AS end_off
+            FROM n),
+      sp AS (SELECT doc_id, n_tokens, end_off,
+              end_off - n_tokens AS start_off FROM o
+            WHERE n_tokens > 0),
+      b AS (SELECT *, unnest(range(start_off // 256,
+              (end_off - 1) // 256 + 1)) AS block_id FROM sp)
+      SELECT block_id, doc_id,
+        greatest(start_off - block_id * 256, 0) AS start_in_block,
+        least(end_off, block_id * 256 + 256)
+          - greatest(start_off, block_id * 256) AS span_tokens,
+        start_off, end_off
+      FROM b ORDER BY block_id, doc_id"""),
+    // Token lines are 8-token chunks (list_slice mirrors Spark's
+    // slice), n-grams are NON-distinct (counts are the signal).
+    // Integer-exact numerators/denominators divide identically in
+    // both engines; rnd-6 absorbs the 1.0-x subtraction ulp.
+    "q71_repetition" -> (tokCte + """,
+      ln AS (SELECT doc_id, unnest(list_transform(
+              range(0, (len(toks) + 7) // 8),
+              i -> array_to_string(list_slice(toks, i*8 + 1, i*8 + 8),
+                ' '))) AS line
+            FROM tk WHERE len(toks) > 0),
+      lc AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+            FROM ln GROUP BY doc_id, line),
+      la AS (SELECT doc_id, sum(cnt)::BIGINT AS n_lines,
+              1.0 - count(*)::DOUBLE / sum(cnt) AS dlf,
+              sum((cnt - 1) * len)::DOUBLE / sum(cnt * len) AS dlcf
+            FROM lc GROUP BY doc_id),
+      tc AS (SELECT doc_id, length(array_to_string(toks, ' ')) AS chars
+            FROM tk),
+      g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i+1])) AS g
+            FROM tk WHERE len(toks) >= 2),
+      g2m AS (SELECT doc_id, max(c * length(g)) AS mx FROM
+              (SELECT doc_id, g, count(*) AS c FROM g2
+               GROUP BY doc_id, g) GROUP BY doc_id),
+      g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+            FROM tk WHERE len(toks) >= 3),
+      g3m AS (SELECT doc_id, max(c * length(g)) AS mx FROM
+              (SELECT doc_id, g, count(*) AS c FROM g3
+               GROUP BY doc_id, g) GROUP BY doc_id)
+      SELECT tk.doc_id,
+        coalesce(la.n_lines, 0) AS n_lines,
+        floor(coalesce(la.dlf, 0.0) * 1000000.0 + 0.5) / 1000000.0
+          AS dup_line_frac,
+        floor(coalesce(la.dlcf, 0.0) * 1000000.0 + 0.5) / 1000000.0
+          AS dup_line_char_frac,
+        floor(coalesce(CASE WHEN tc.chars > 0
+            THEN g2m.mx::DOUBLE / tc.chars END, 0.0)
+          * 1000000.0 + 0.5) / 1000000.0 AS top2_char_frac,
+        floor(coalesce(CASE WHEN tc.chars > 0
+            THEN g3m.mx::DOUBLE / tc.chars END, 0.0)
+          * 1000000.0 + 0.5) / 1000000.0 AS top3_char_frac
+      FROM tk
+      LEFT JOIN la USING (doc_id) LEFT JOIN tc USING (doc_id)
+      LEFT JOIN g2m USING (doc_id) LEFT JOIN g3m USING (doc_id)
+      ORDER BY doc_id"""),
+    // Same injected-PII construction segment-for-segment; counts on
+    // the raw text, redaction email -> URL -> IP with 'g' mirroring
+    // Spark's replace-all regexp_replace.
+    "q72_pii_scrub" -> """
+      WITH p AS (SELECT doc_id, text || ' contact u' || doc_id::VARCHAR
+              || '@ex' || (doc_id % 7)::VARCHAR || '.org via http://h'
+              || (doc_id % 5)::VARCHAR || '.example.com/p/'
+              || doc_id::VARCHAR || ' from 10.'
+              || (doc_id % 256)::VARCHAR || '.0.'
+              || (doc_id % 100)::VARCHAR || ' end'
+              || CASE WHEN doc_id % 2 = 0
+                  THEN ' cc b' || doc_id::VARCHAR || '@mail.net'
+                  ELSE '' END AS t
+            FROM documents)
+      SELECT doc_id,
+        len(regexp_extract_all(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        len(regexp_extract_all(t,
+          'https?://[A-Za-z0-9._~:/?#@!$&*+,;=%-]+')) AS n_urls,
+        len(regexp_extract_all(t,
+          '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips,
+        md5(regexp_replace(regexp_replace(regexp_replace(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+          '<EMAIL>', 'g'),
+          'https?://[A-Za-z0-9._~:/?#@!$&*+,;=%-]+', '<URL>', 'g'),
+          '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS red_md5
+      FROM p ORDER BY doc_id""",
     "q59_pfp_grammar" -> """
       WITH corpus(name) AS (VALUES
         ('Fco2'), ('Fco2_EP'), ('Ta_HMP_2m_Av'), ('Sws_0-30cm_Av'),

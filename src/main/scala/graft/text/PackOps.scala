@@ -1,0 +1,132 @@
+package graft.text
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
+
+/** Sequence packing for LLM training-data pipelines: lay the corpus
+  * out as ONE deterministic token stream and chunk it into fixed-size
+  * training blocks ("concat-and-chunk" packing — the standard GPT-
+  * style shape, where documents are concatenated in a fixed order and
+  * the stream is split every `blockTokens` tokens, documents spanning
+  * block boundaries).
+  *
+  * The hard part at scale is the GLOBAL prefix sum: every document
+  * needs its absolute token offset in the stream. A naive
+  * `sum(...).over(Window.orderBy(...))` is a single-partition
+  * WindowExec — the exact shape that stops scaling first. This
+  * implements the classic two-pass distributed scan instead, in the
+  * same substrate idiom as the keyless TimeSeriesOps paths:
+  *
+  *   1. range-shuffle rows by the deterministic order key so
+  *      partition p holds a contiguous slice of the stream, sorted
+  *      within the partition; persist the substrate so every pass
+  *      reads IDENTICAL partitions (RangePartitioner bounds come from
+  *      nondeterministic sampling — recomputation could re-bucket);
+  *   2. one `mapPartitions` pass emits per-partition token totals —
+  *      one row per partition, so the driver collect is bounded by
+  *      the shuffle-partition count, never by data size — and the
+  *      driver turns them into exclusive prefix offsets;
+  *   3. a second `mapPartitions` pass over the SAME persisted
+  *      partitions adds the running sum to the partition's prefix
+  *      offset — no further exchange, no window.
+  *
+  * The layout depends only on (salt, id) — like everything in
+  * [[SampleOps]], re-runs on any cluster size emit identical blocks,
+  * which is what makes training shards reproducible and auditable.
+  * The substrate stays persisted when this returns (the result reads
+  * it lazily; unpersisting earlier would recompute the shuffle with
+  * fresh range bounds and desynchronize the driver-held prefix
+  * offsets); callers doing repeated packing runs can
+  * `spark.catalog.clearCache()` between them.
+  *
+  * Reference scope: the reference pipeline has no packing operator
+  * (it is a flux-tower ETL); this extends the engine for the
+  * large-scale training-data use cases in the build brief.
+  */
+object PackOps {
+
+  /** Absolute [start, end) token offsets per document in the
+    * deterministic stream order (order key: [[SampleOps.hashCoord]]
+    * of `idCol` under `salt`, ties broken by id). Adds `start_off` /
+    * `end_off` (longs). Null `tokenCol` values count as 0 tokens —
+    * null- and zero-token docs get an empty span at their position.
+    *
+    * Cost: one range shuffle + two per-partition scans of the
+    * persisted substrate; the only driver traffic is one row per
+    * partition. */
+  def packOffsets(df: DataFrame, idCol: String, tokenCol: String,
+      salt: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
+
+    val ranged = df
+      .withColumn("__tok", coalesce(col(tokenCol).cast("long"), lit(0L)))
+      .withColumn("__coord", SampleOps.hashCoord(col(idCol), salt))
+      .repartitionByRange(n, col("__coord"), col(idCol))
+      .sortWithinPartitions(col("__coord"), col(idCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tokIdx = ranged.schema.fieldIndex("__tok")
+
+    // Pass 1: per-partition totals (materializes the persist).
+    val totals = ranged.select(col("__tok"))
+      .queryExecution.toRdd.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var s = 0L
+        while (it.hasNext) s += it.next().getLong(0)
+        Iterator((pid, s))
+      }.collect().toMap
+    val prefix = new Array[Long](n)
+    var acc = 0L
+    (0 until n).foreach { p =>
+      prefix(p) = acc
+      acc += totals.getOrElse(p, 0L)
+    }
+
+    // Pass 2: running sum within the SAME partitions + prefix offset.
+    val outSchema = ranged.schema
+      .add("end_off", LongType, nullable = false)
+      .add("start_off", LongType, nullable = false)
+    val out = ranged.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var run = prefix(pid)
+      it.map { r =>
+        val tok = r.getLong(tokIdx)
+        run += tok
+        Row.fromSeq(r.toSeq :+ run :+ (run - tok))
+      }
+    }(Encoders.row(outSchema))
+    out.drop("__tok", "__coord")
+  }
+
+  /** Explode each document into the fixed-size blocks it overlaps:
+    * one row per (block_id, doc) with the document's token span
+    * inside that block. Zero-token documents are dropped (they occupy
+    * no stream positions). Output columns: `block_id`, the input
+    * columns, `start_in_block` (0-based offset of the document's
+    * first token inside the block), `span_tokens` (tokens of this
+    * document inside this block).
+    *
+    * A document spanning k blocks emits k rows, so the output is
+    * O(stream length / blockTokens + n_docs) rows — linear, with no
+    * exchange beyond [[packOffsets]]'s one range shuffle. */
+  def packBlocks(df: DataFrame, idCol: String, tokenCol: String,
+      blockTokens: Int, salt: String): DataFrame = {
+    require(blockTokens > 0, "blockTokens must be positive")
+    val withOff = packOffsets(df, idCol, tokenCol, salt)
+      .filter(col(tokenCol).isNotNull && col(tokenCol) > 0)
+    val firstB = floor(col("start_off") / blockTokens).cast("long")
+    val lastB = floor((col("end_off") - 1) / blockTokens).cast("long")
+    withOff
+      .withColumn("block_id", explode(sequence(firstB, lastB)))
+      .withColumn("__bstart", col("block_id") * blockTokens)
+      .withColumn("start_in_block",
+        greatest(col("start_off") - col("__bstart"), lit(0L)))
+      .withColumn("span_tokens",
+        least(col("end_off"), col("__bstart") + blockTokens)
+          - greatest(col("start_off"), col("__bstart")))
+      .drop("__bstart")
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{PackOps, QualityOps, ScrubOps}
+
+class PackQualityScrubSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ PackOps
+
+  test("packOffsets: spans tile the stream exactly, in hash order") {
+    val docs = (0L until 100L).map(i => (i, 1L + i % 7)).toDF("id", "tok")
+    val off = PackOps.packOffsets(docs, "id", "tok", "s1")
+      .select("id", "tok", "start_off", "end_off").collect()
+    assert(off.length == 100)
+    val total = (0L until 100L).map(i => 1L + i % 7).sum
+    // spans are disjoint, contiguous, and cover [0, total)
+    val sorted = off.sortBy(_.getAs[Long]("start_off"))
+    assert(sorted.head.getAs[Long]("start_off") == 0L)
+    assert(sorted.last.getAs[Long]("end_off") == total)
+    sorted.sliding(2).foreach { w =>
+      assert(w(0).getAs[Long]("end_off") == w(1).getAs[Long]("start_off"))
+    }
+    sorted.foreach { r =>
+      assert(r.getAs[Long]("end_off") - r.getAs[Long]("start_off")
+        == r.getAs[Long]("tok"))
+    }
+  }
+
+  test("packOffsets: layout is partition-invariant") {
+    val docs = (0L until 60L).map(i => (i, 1L + i % 5)).toDF("id", "tok")
+    val a = PackOps.packOffsets(docs.repartition(1), "id", "tok", "z")
+      .select("id", "start_off").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = PackOps.packOffsets(docs.repartition(13), "id", "tok", "z")
+      .select("id", "start_off").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("packBlocks: block spans partition each doc; boundaries split") {
+    val docs = Seq((1L, 10L), (2L, 300L), (3L, 5L)).toDF("id", "tok")
+    val blocks = PackOps.packBlocks(docs, "id", "tok", 256, "s2").collect()
+    // every doc's block spans sum to its token count
+    val byDoc = blocks.groupBy(_.getAs[Long]("id"))
+    assert(byDoc(2L).map(_.getAs[Long]("span_tokens")).sum == 300L)
+    // the 300-token doc crosses at least one boundary
+    assert(byDoc(2L).length >= 2)
+    // per-block spans never exceed the block size and starts are sane
+    blocks.foreach { r =>
+      assert(r.getAs[Long]("span_tokens") > 0)
+      assert(r.getAs[Long]("span_tokens") <= 256)
+      val sib = r.getAs[Long]("start_in_block")
+      assert(sib >= 0 && sib < 256)
+    }
+    // zero-token docs are dropped
+    val withZero = Seq((1L, 0L), (2L, 4L)).toDF("id", "tok")
+    val b2 = PackOps.packBlocks(withZero, "id", "tok", 8, "s3").collect()
+    assert(b2.map(_.getAs[Long]("id")).toSet == Set(2L))
+  }
+
+  // --------------------------------------------------------- QualityOps
+
+  test("tokenLines chunk the token stream; empty doc yields no lines") {
+    val lines = Seq("a b c d e").toDF("text")
+      .select(QualityOps.tokenLines(col("text"), 2).as("l"))
+      .head().getSeq[String](0)
+    assert(lines == Seq("a b", "c d", "e"))
+    val empty = Seq("  !!  ").toDF("text")
+      .select(QualityOps.tokenLines(col("text"), 2).as("l"))
+      .head().getSeq[String](0)
+    assert(empty.isEmpty)
+  }
+
+  test("repetitionStats: fully repeated doc maxes the signals") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"), // 4 identical 2-lines
+      (2L, "one two three four five six seven eight"), // all distinct
+      (3L, "")).toDF("doc_id", "text")
+    val st = QualityOps.repetitionStats(docs, "doc_id", "text",
+        lineWidth = 2, ns = Seq(2))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(st(1L).getAs[Long]("n_lines") == 4)
+    assert(st(1L).getAs[Double]("dup_line_frac") == 0.75)
+    assert(st(1L).getAs[Double]("dup_line_char_frac") == 0.75)
+    // "spam spam" occurs 7 times overlapping, 9 chars, stream 39 chars
+    assert(math.abs(st(1L).getAs[Double]("top2_char_frac") - 63.0 / 39.0)
+      < 1e-12)
+    assert(st(2L).getAs[Double]("dup_line_frac") == 0.0)
+    assert(st(2L).getAs[Double]("dup_line_char_frac") == 0.0)
+    // empty doc: all zeros, no nulls
+    assert(st(3L).getAs[Long]("n_lines") == 0)
+    assert(st(3L).getAs[Double]("top2_char_frac") == 0.0)
+  }
+
+  // ----------------------------------------------------------- ScrubOps
+
+  test("redactPii: order prevents partial leaks; counts on raw text") {
+    val df = Seq(
+      "mail a.b+c@ex-1.org and http://h.io/p?q=1&r=2 from 10.0.0.1 v1.2.3.4.5"
+    ).toDF("text").select(
+      ScrubOps.countEmails(col("text")).as("e"),
+      ScrubOps.countUrls(col("text")).as("u"),
+      ScrubOps.countIpv4(col("text")).as("i"),
+      ScrubOps.redactPii(col("text")).as("red"))
+    val r = df.head()
+    assert(r.getAs[Int]("e") == 1)
+    assert(r.getAs[Int]("u") == 1)
+    assert(r.getAs[Int]("i") == 2) // 10.0.0.1 and the 1.2.3.4 prefix
+    val red = r.getAs[String]("red")
+    assert(red == "mail <EMAIL> and <URL> from <IP> v<IP>.5")
+  }
+
+  test("redaction tokens are inert to later patterns") {
+    // a URL containing an IP redacts as one <URL>, not <URL> + <IP>
+    val red = Seq("see https://10.1.2.3/path now").toDF("text")
+      .select(ScrubOps.redactPii(col("text")).as("r"))
+      .head().getString(0)
+    assert(red == "see <URL> now")
+  }
+}
