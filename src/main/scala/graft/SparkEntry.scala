@@ -1400,10 +1400,19 @@ object SparkEntry {
 
   /** Repetition quality signals (Gopher-style): duplicate-token-line
     * fractions and top-2/3-gram character coverage per document, all
-    * re-derived in SQL from the same tokenization. */
+    * re-derived in SQL from the same tokenization. The corpus text
+    * never repeats an 8-token line, so every 25th document is
+    * replaced with an n-fold repeated template line (n a function of
+    * doc_id, built identically in both engines) — the duplicate-line
+    * branch is exercised with varying non-zero fractions, not just
+    * the all-zero corpus case. */
   private def q71(s: SparkSession, dir: String): DataFrame = {
     import graft.text.QualityOps
-    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 25 === 0,
+        expr("repeat('lorem ipsum dolor sit amet consectetur " +
+          "adipiscing elit ', cast(2 + doc_id % 4 as int))"))
+        .otherwise(col("text")).as("text"))
     QualityOps.repetitionStats(docs, "doc_id", "text",
         lineWidth = 8, ns = Seq(2, 3))
       .select(col("doc_id"), col("n_lines"),
@@ -2585,7 +2594,17 @@ object SparkEntry {
     // slice), n-grams are NON-distinct (counts are the signal).
     // Integer-exact numerators/denominators divide identically in
     // both engines; rnd-6 absorbs the 1.0-x subtraction ulp.
-    "q71_repetition" -> (tokCte + """,
+    "q71_repetition" -> ("""
+      WITH d AS (SELECT doc_id,
+            CASE WHEN doc_id % 25 = 0
+              THEN repeat('lorem ipsum dolor sit amet consectetur '
+                || 'adipiscing elit ', (2 + doc_id % 4)::INTEGER)
+              ELSE text END AS text
+          FROM documents),
+      tk AS (SELECT doc_id, list_filter(string_split_regex(
+          regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+          x -> x <> '') AS toks
+        FROM d)""" + """,
       ln AS (SELECT doc_id, unnest(list_transform(
               range(0, (len(toks) + 7) // 8),
               i -> array_to_string(list_slice(toks, i*8 + 1, i*8 + 8),
