@@ -111,4 +111,41 @@ object QualityOps {
       coalesce(col("dup_line_char_frac"), lit(0.0)).as("dup_line_char_frac") +:
       topCols: _*)
   }
+
+  /** Composite Gopher-style keep/drop decision joined onto `df`: a
+    * document is kept when every signal is inside its threshold —
+    * token count in [minTokens, maxTokens], mean token length in
+    * [minMeanTok, maxMeanTok], stopword ratio ≥ minStopword (a
+    * no-function-words page is keyword spam), punctuation ratio ≤
+    * maxPunct, and the [[repetitionStats]] repetition signals below
+    * their caps. Returns the input plus a boolean `keep` and the
+    * individual signal columns (so a pipeline can log WHY a document
+    * fell out — reject reasons are the thing you audit at 100 TB,
+    * not just the survivor set). Thresholds default to the published
+    * MassiveText-ish band, loosened where our heuristic differs. */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Long = 50, maxTokens: Long = 100000,
+      minMeanTok: Double = 2.0, maxMeanTok: Double = 12.0,
+      minStopword: Double = 0.02, maxPunct: Double = 0.25,
+      maxDupLineFrac: Double = 0.30, maxDupLineCharFrac: Double = 0.30,
+      maxTop2CharFrac: Double = 0.20): DataFrame = {
+    val text = col(textCol)
+    val sig = df.select(col(idCol), text.as("__t"))
+      .select(col(idCol),
+        TextOps.tokenCount(col("__t")).cast("long").as("q_tokens"),
+        TextOps.meanTokenLength(col("__t")).as("q_mean_tok"),
+        TextOps.stopwordRatio(col("__t")).as("q_stopword"),
+        TextOps.punctRatio(col("__t")).as("q_punct"))
+    val rep = repetitionStats(df, idCol, textCol, lineWidth = 10,
+      ns = Seq(2))
+    df.join(sig, Seq(idCol)).join(rep, Seq(idCol))
+      .withColumn("keep",
+        col("q_tokens").between(minTokens, maxTokens) &&
+        col("q_mean_tok").between(minMeanTok, maxMeanTok) &&
+        col("q_stopword") >= minStopword &&
+        col("q_punct") <= maxPunct &&
+        col("dup_line_frac") <= maxDupLineFrac &&
+        col("dup_line_char_frac") <= maxDupLineCharFrac &&
+        col("top2_char_frac") <= maxTop2CharFrac)
+  }
 }

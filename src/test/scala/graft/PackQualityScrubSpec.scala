@@ -93,6 +93,26 @@ class PackQualityScrubSpec extends SparkSpec {
     assert(st(3L).getAs[Double]("top2_char_frac") == 0.0)
   }
 
+  test("gopherFilter keeps clean prose, drops spam, reports reasons") {
+    val clean = ("the quick brown fox jumps over a lazy dog and then " +
+      "walks to the river bank where it drinks in the morning light " +
+      "before it returns to the den with food for the young ones " +
+      "while the sun rises over the quiet field as birds sing their " +
+      "first song of the day and the wind moves softly through the " +
+      "tall green grass near the old stone wall by the garden gate")
+    val spam = Array.fill(60)("buy cheap deals now").mkString(" ")
+    val tiny = "too short"
+    val docs = Seq((1L, clean), (2L, spam), (3L, tiny))
+      .toDF("doc_id", "text")
+    val out = QualityOps.gopherFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("keep")) // repetition caps trip
+    assert(out(2L).getAs[Double]("top2_char_frac") > 0.2)
+    assert(!out(3L).getAs[Boolean]("keep")) // min token floor trips
+    assert(out(3L).getAs[Long]("q_tokens") < 50)
+  }
+
   // ----------------------------------------------------------- ScrubOps
 
   test("redactPii: order prevents partial leaks; counts on raw text") {
