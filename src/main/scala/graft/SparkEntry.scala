@@ -1451,6 +1451,18 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Packed-block content assembly: the same q70 layout materialized —
+    * every 256-token block's actual token stream, md5-pinned. The
+    * per-block aggregation state is bounded by the block size by
+    * construction, so the collect_list can never grow with corpus
+    * size. */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.PackOps
+    PackOps.packedBlocks(t(s, dir, "documents"), "doc_id", "text",
+        256, "pk")
+      .orderBy("block_id")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -1535,6 +1547,7 @@ object SparkEntry {
     "q70_seq_packing"      -> (q70 _),
     "q71_repetition"       -> (q71 _),
     "q72_pii_scrub"        -> (q72 _),
+    "q73_packed_blocks"    -> (q73 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -2590,6 +2603,37 @@ object SparkEntry {
           - greatest(start_off, block_id * 256) AS span_tokens,
         start_off, end_off
       FROM b ORDER BY block_id, doc_id"""),
+    // q70's layout with the content materialized: per-(block, doc)
+    // token slices reassembled in start_in_block order; string_agg
+    // with ORDER BY mirrors Spark's array_sort(collect_list(struct)).
+    "q73_packed_blocks" -> (tokCte + """,
+      n AS (SELECT doc_id, toks, len(toks)::BIGINT AS n_tokens,
+              ('0x' || substr(md5('pk:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                / 4294967296.0 AS coord
+            FROM tk),
+      o AS (SELECT doc_id, toks, n_tokens,
+              sum(n_tokens) OVER (ORDER BY coord, doc_id
+                ROWS UNBOUNDED PRECEDING)::BIGINT AS end_off
+            FROM n),
+      sp AS (SELECT doc_id, toks, n_tokens, end_off,
+              end_off - n_tokens AS start_off FROM o
+            WHERE n_tokens > 0),
+      b AS (SELECT *, unnest(range(start_off // 256,
+              (end_off - 1) // 256 + 1)) AS block_id FROM sp),
+      sl AS (SELECT block_id, doc_id,
+              greatest(start_off - block_id * 256, 0) AS start_in_block,
+              least(end_off, block_id * 256 + 256)
+                - greatest(start_off, block_id * 256) AS span,
+              array_to_string(list_slice(toks,
+                greatest(block_id * 256 - start_off, 0) + 1,
+                least(end_off, block_id * 256 + 256) - start_off), ' ')
+                AS slice_str
+            FROM b)
+      SELECT block_id, count(*) AS n_docs,
+        sum(span)::BIGINT AS block_tokens,
+        md5(string_agg(slice_str, ' ' ORDER BY start_in_block))
+          AS content_md5
+      FROM sl GROUP BY block_id ORDER BY block_id"""),
     // Token lines are 8-token chunks (list_slice mirrors Spark's
     // slice), n-grams are NON-distinct (counts are the signal).
     // Integer-exact numerators/denominators divide identically in

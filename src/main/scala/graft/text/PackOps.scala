@@ -101,6 +101,40 @@ object PackOps {
     out.drop("__tok", "__coord")
   }
 
+  /** Materialize the packed training blocks: tokenize `textCol`, lay
+    * the corpus out with [[packBlocks]], slice each document's tokens
+    * to its per-block span, and assemble every block's token stream
+    * in order. Returns one row per block: `block_id`, `n_docs`,
+    * `block_tokens` (= blockTokens except the ragged last block), and
+    * `content_md5` — the md5 of the block's space-joined token
+    * stream, which pins the exact content without carrying it.
+    *
+    * Scale shape: ONE shuffle keyed by block_id on top of the pack
+    * substrate; per-block aggregation state is bounded by
+    * `blockTokens` BY CONSTRUCTION (a block holds at most blockTokens
+    * tokens regardless of corpus size), so the collect_list can never
+    * blow up the way an unbounded per-key collect would. */
+  def packedBlocks(df: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int, salt: String): DataFrame = {
+    val docs = df.select(col(idCol),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n_tokens", size(col("__toks")).cast("long"))
+    val spans = packBlocks(docs, idCol, "__n_tokens", blockTokens, salt)
+    val localOff = greatest(
+      col("block_id") * blockTokens - col("start_off"), lit(0L))
+    spans
+      .withColumn("__slice", slice(col("__toks"),
+        (localOff + 1).cast("int"), col("span_tokens").cast("int")))
+      .groupBy(col("block_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("span_tokens")).as("block_tokens"),
+        md5(concat_ws(" ", flatten(transform(
+          array_sort(collect_list(
+            struct(col("start_in_block").as("o"), col("__slice").as("s")))),
+          x => x.getField("s"))))).as("content_md5"))
+  }
+
   /** Explode each document into the fixed-size blocks it overlaps:
     * one row per (block_id, doc) with the document's token span
     * inside that block. Zero-token documents are dropped (they occupy

@@ -59,6 +59,34 @@ class PackQualityScrubSpec extends SparkSpec {
     assert(b2.map(_.getAs[Long]("id")).toSet == Set(2L))
   }
 
+  test("packedBlocks content equals the chunked deterministic stream") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "f g"), (3L, "h i j k"), (4L, ""),
+      (5L, "l m n o p q r")).toDF("doc_id", "text")
+    val out = PackOps.packedBlocks(docs, "doc_id", "text", 4, "s9")
+      .collect().sortBy(_.getAs[Long]("block_id"))
+    // reconstruct the expected stream: docs in hashCoord order,
+    // tokens concatenated, chunked every 4
+    val ordered = PackOps.packOffsets(
+        docs.select(col("doc_id"), col("text"),
+          graft.text.TextOps.tokenCount(col("text")).as("tok")),
+        "doc_id", "tok", "s9")
+      .orderBy("start_off").select("text").collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+    val expected = ordered.grouped(4).toSeq
+    assert(out.length == expected.length)
+    out.zip(expected).foreach { case (r, chunk) =>
+      assert(r.getAs[Long]("block_tokens") == chunk.length)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(chunk.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("content_md5") == md,
+        s"block ${r.getAs[Long]("block_id")} content mismatch")
+    }
+    // total docs represented = non-empty docs, possibly split
+    assert(out.map(_.getAs[Long]("n_docs")).sum >= 4)
+  }
+
   // --------------------------------------------------------- QualityOps
 
   test("tokenLines chunk the token stream; empty doc yields no lines") {
