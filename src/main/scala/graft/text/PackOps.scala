@@ -113,7 +113,17 @@ object PackOps {
     * substrate; per-block aggregation state is bounded by
     * `blockTokens` BY CONSTRUCTION (a block holds at most blockTokens
     * tokens regardless of corpus size), so the collect_list can never
-    * blow up the way an unbounded per-key collect would. */
+    * blow up the way an unbounded per-key collect would.
+    *
+    * Footprint note: the token arrays ride through [[packOffsets]]'s
+    * range shuffle and its persisted substrate (MEMORY_AND_DISK —
+    * spills, never OOMs), so the whole tokenized corpus is resident
+    * on executor storage while the job runs. That buys a single
+    * corpus-wide shuffle; the alternative — offsets over narrow
+    * (id, count) rows, then an id-keyed join to re-attach tokens —
+    * trades the cache for a second full shuffle. For corpora that
+    * dwarf cluster storage, prefer the join variant (compose
+    * [[packBlocks]] on counts with your own token join). */
   def packedBlocks(df: DataFrame, idCol: String, textCol: String,
       blockTokens: Int, salt: String): DataFrame = {
     val docs = df.select(col(idCol),
