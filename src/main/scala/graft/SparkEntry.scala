@@ -1463,6 +1463,21 @@ object SparkEntry {
       .orderBy("block_id")
   }
 
+  /** Deterministic shard export: write the corpus as 16 hash-assigned
+    * parquet shards, READ THE FILES BACK, and manifest them grouped
+    * on the directory-layout shard value — count, order-invariant
+    * content XOR, char sum per shard. The oracle re-derives the
+    * manifest from the raw table, so a writer that dropped,
+    * duplicated, altered, or mis-assigned a single row hash-fails. */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.SampleOps
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_q74/shards"
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    SampleOps.writeShards(docs, "doc_id", "text", out, 16, "sh")
+    SampleOps.manifestOver(s.read.parquet(out), "shard", "doc_id", "text")
+      .orderBy("shard")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -1548,6 +1563,7 @@ object SparkEntry {
     "q71_repetition"       -> (q71 _),
     "q72_pii_scrub"        -> (q72 _),
     "q73_packed_blocks"    -> (q73 _),
+    "q74_shard_export"     -> (q74 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -2634,6 +2650,23 @@ object SparkEntry {
         md5(string_agg(slice_str, ' ' ORDER BY start_in_block))
           AS content_md5
       FROM sl GROUP BY block_id ORDER BY block_id"""),
+    // The manifest re-derived from the RAW table (Spark computes it
+    // from the written files): dyadic coordinate × power-of-two shard
+    // count is bit-exact in both engines; bit_xor is order-invariant
+    // so file order stays out of the contract.
+    "q74_shard_export" -> """
+      WITH s AS (SELECT doc_id, text,
+              floor((('0x' || substr(md5('sh:' || doc_id::VARCHAR), 1, 8))
+                ::BIGINT / 4294967296.0) * 16)::INTEGER AS shard
+            FROM documents),
+      h AS (SELECT shard,
+              ('0x' || substr(md5('mf:' || doc_id::VARCHAR || ':'
+                || md5(text)), 1, 8))::BIGINT AS h,
+              length(text) AS len
+            FROM s)
+      SELECT shard, count(*) AS n_docs, bit_xor(h) AS content_xor,
+        sum(len)::BIGINT AS n_chars
+      FROM h GROUP BY shard ORDER BY shard""",
     // Token lines are 8-token chunks (list_slice mirrors Spark's
     // slice), n-grams are NON-distinct (counts are the signal).
     // Integer-exact numerators/denominators divide identically in

@@ -86,6 +86,69 @@ object SampleOps {
       salt: String): DataFrame =
     df.orderBy(hashCoord(col(idCol), salt), col(idCol))
 
+  /** Deterministic shard assignment: `floor(hashCoord * nShards)` in
+    * [0, nShards). Like every SampleOps primitive the assignment
+    * depends only on (salt, id) — identical on any cluster, any
+    * partitioning, any engine. Prefer power-of-two shard counts: the
+    * coordinate is an exact dyadic double, so scaling by 2^k and
+    * flooring is bit-exact in every IEEE-754 engine (a non-power-of-2
+    * multiplier rounds, and a coordinate sitting exactly on a shard
+    * boundary could in principle land differently — power-of-two
+    * counts close that door outright). */
+  def shardOf(id: Column, nShards: Int, salt: String): Column = {
+    require(nShards > 0, "nShards must be positive")
+    floor(hashCoord(id, salt) * nShards).cast("int")
+  }
+
+  /** Order-invariant per-shard manifest: `shard`, `n_docs`,
+    * `content_xor` (XOR of a 32-bit md5-derived hash of each
+    * (id, content-hash) pair, carried in a long), `n_chars`. XOR is
+    * commutative/associative, so the aggregation is distributive with
+    * O(1) state per shard — a manifest over a billion-doc shard costs
+    * the same per-row work as over a thousand-doc one, unlike any
+    * ordered streaming hash (which would need a sequential pass or an
+    * unbounded collect). A lost, duplicated, or altered row flips
+    * count, xor, or chars; what the xor deliberately does NOT pin is
+    * row ORDER, which shard files do not guarantee anyway.
+    * `contentCol` is hashed with md5 for engine parity. */
+  def shardManifest(df: DataFrame, idCol: String, contentCol: String,
+      nShards: Int, salt: String): DataFrame =
+    manifestOver(df.withColumn("shard",
+      shardOf(col(idCol), nShards, salt)), "shard", idCol, contentCol)
+
+  /** [[shardManifest]] grouped on an EXISTING shard column — use this
+    * over read-back shard files (the shard value comes from the
+    * directory layout, so a mis-assigned writer shows up as a
+    * manifest mismatch rather than being papered over by
+    * recomputation). */
+  def manifestOver(df: DataFrame, shardCol: String, idCol: String,
+      contentCol: String): DataFrame =
+    df.select(
+        col(shardCol).cast("int").as("shard"),
+        conv(substring(md5(concat(lit("mf:"), col(idCol).cast("string"),
+          lit(":"), md5(col(contentCol)))), 1, 8), 16, 10)
+          .cast("long").as("__h"),
+        length(col(contentCol)).cast("long").as("__len"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(__h)").as("content_xor"),
+        sum(col("__len")).as("n_chars"))
+
+  /** Write the corpus as deterministic shards (`shard=N/` parquet
+    * partitions under `outDir`) and return the [[shardManifest]] of
+    * what was written. Rows are pre-shuffled on the shard key so each
+    * shard's files come from one task wave; within-file order is not
+    * part of the contract (the manifest is order-invariant). Re-runs
+    * produce byte-identical membership on any cluster size. */
+  def writeShards(df: DataFrame, idCol: String, contentCol: String,
+      outDir: String, nShards: Int, salt: String): DataFrame = {
+    val sharded = df
+      .withColumn("shard", shardOf(col(idCol), nShards, salt))
+      .repartition(nShards, col("shard"))
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    shardManifest(df, idCol, contentCol, nShards, salt)
+  }
+
   /** Exact-count mixing: the deterministic k lowest-coordinate rows of
     * each stratum ("exactly k docs per source"), the fixed-quota
     * counterpart of [[stratifiedSample]]'s rates. A reproducible

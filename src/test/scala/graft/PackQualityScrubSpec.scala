@@ -87,6 +87,41 @@ class PackQualityScrubSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_docs")).sum >= 4)
   }
 
+  test("shard manifest: partition-invariant, tamper-sensitive") {
+    import graft.text.SampleOps
+    val docs = (0L until 200L).map(i => (i, s"doc number $i body"))
+      .toDF("doc_id", "text")
+    val a = SampleOps.shardManifest(docs.repartition(1), "doc_id",
+      "text", 8, "m1").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = SampleOps.shardManifest(docs.repartition(17), "doc_id",
+      "text", 8, "m1").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a == b)
+    assert(a.keySet.subsetOf((0 until 8).toSet) && a.values.map(_._1).sum == 200)
+    // altering one row's content flips that shard's xor only
+    val tampered = docs.withColumn("text",
+      when(col("doc_id") === 7, lit("altered")).otherwise(col("text")))
+    val c = SampleOps.shardManifest(tampered, "doc_id", "text", 8, "m1")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val changed = a.keys.filter(k => a(k)._2 != c(k)._2)
+    assert(changed.size == 1)
+  }
+
+  test("writeShards round-trip: file-layout manifest matches source") {
+    import graft.text.SampleOps
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString + "/out"
+    val docs = (0L until 120L).map(i => (i, s"payload $i")).toDF("doc_id", "text")
+    val written = SampleOps.writeShards(docs, "doc_id", "text", dir, 4, "w1")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val back = SampleOps.manifestOver(
+        spark.read.parquet(dir), "shard", "doc_id", "text")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(written.toSeq == back.toSeq)
+    assert(written.map(_._2).sum == 120L)
+  }
+
   // --------------------------------------------------------- QualityOps
 
   test("tokenLines chunk the token stream; empty doc yields no lines") {
