@@ -1478,6 +1478,21 @@ object SparkEntry {
       .orderBy("shard")
   }
 
+  /** Epoch-weighted mixing: src0 × 2.5 epochs, src1 × 0.75, others
+    * × 1.25 — every copy materialized with its index, re-derived per
+    * row in SQL (dyadic fractions keep the coordinate comparison
+    * bit-exact in both engines). */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.SampleOps
+    SampleOps.oversample(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 0.75), defaultWeight = 1.25,
+        salt = "ep")
+      .select("doc_id", "source", "copy")
+      .orderBy("doc_id", "copy")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -1564,6 +1579,7 @@ object SparkEntry {
     "q72_pii_scrub"        -> (q72 _),
     "q73_packed_blocks"    -> (q73 _),
     "q74_shard_export"     -> (q74 _),
+    "q75_epoch_mixing"     -> (q75 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -2667,6 +2683,26 @@ object SparkEntry {
       SELECT shard, count(*) AS n_docs, bit_xor(h) AS content_xor,
         sum(len)::BIGINT AS n_chars
       FROM h GROUP BY shard ORDER BY shard""",
+    // floor(w) whole copies + one fractional copy when the coordinate
+    // is below frac(w); dyadic fractions (.5/.75/.25) compare
+    // bit-identically in both engines. generate_series mirrors the
+    // guarded sequence explode (zero-copy rows emit nothing).
+    "q75_epoch_mixing" -> """
+      WITH c AS (SELECT doc_id, source,
+              CASE source WHEN 'src0' THEN 2.5
+                          WHEN 'src1' THEN 0.75
+                          ELSE 1.25 END AS w,
+              ('0x' || substr(md5('ep:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                / 4294967296.0 AS coord
+            FROM documents),
+      n AS (SELECT doc_id, source,
+              (floor(w)::BIGINT
+                + CASE WHEN coord < w - floor(w) THEN 1 ELSE 0 END)
+                AS copies
+            FROM c)
+      SELECT doc_id, source, unnest(range(0, copies)) AS copy
+      FROM n WHERE copies > 0
+      ORDER BY doc_id, copy""",
     // Token lines are 8-token chunks (list_slice mirrors Spark's
     // slice), n-grams are NON-distinct (counts are the signal).
     // Integer-exact numerators/denominators divide identically in

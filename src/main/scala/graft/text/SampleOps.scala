@@ -86,6 +86,41 @@ object SampleOps {
       salt: String): DataFrame =
     df.orderBy(hashCoord(col(idCol), salt), col(idCol))
 
+  /** Epoch-weighted oversampling: emit each row `floor(w)` times plus
+    * one more copy when the row's hash coordinate falls below
+    * `frac(w)` — the deterministic version of "3.25 epochs of curated
+    * sources, 0.5 of crawl" in a training-mix recipe. Weights come
+    * per stratum (broadcast, like [[stratifiedSample]]); unknown
+    * strata get `defaultWeight`; weight 0 drops the stratum. Output
+    * rows carry a `copy` index (0-based) so a downstream
+    * [[deterministicOrder]] or shard write can spread the copies
+    * instead of co-locating them. Prefer dyadic fractional parts
+    * (.5, .25, .75...) — exactly representable, so the
+    * coordinate-vs-fraction comparison is bit-identical in any
+    * IEEE-754 engine. Narrow except the broadcast: the explode factor
+    * is the mean weight, no shuffle. */
+  def oversample(df: DataFrame, idCol: String, strataCol: String,
+      weights: Map[String, Double], defaultWeight: Double,
+      salt: String): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(_ >= 0),
+      "oversample weights must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = weights.toSeq.toDF(strataCol, "__w")
+    val w = coalesce(col("__w"), lit(defaultWeight))
+    val copies = (floor(w) +
+      when(hashCoord(col(idCol), salt) < (w - floor(w)), 1L)
+        .otherwise(0L)).cast("long")
+    // NOTE: sequence(0, -1) is a DESCENDING [0, -1] in Spark, not
+    // empty — zero-copy rows must take the empty-array branch or they
+    // would leak one copy through the explode.
+    df.join(broadcast(wDf), Seq(strataCol), "left")
+      .withColumn("copy",
+        explode(when(copies > 0, sequence(lit(0L), copies - 1))
+          .otherwise(array().cast("array<long>"))))
+      .drop("__w")
+  }
+
   /** Deterministic shard assignment: `floor(hashCoord * nShards)` in
     * [0, nShards). Like every SampleOps primitive the assignment
     * depends only on (salt, id) — identical on any cluster, any

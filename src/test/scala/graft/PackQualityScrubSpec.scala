@@ -122,6 +122,25 @@ class PackQualityScrubSpec extends SparkSpec {
     assert(written.map(_._2).sum == 120L)
   }
 
+  test("oversample: whole+fractional copies, zero weight drops") {
+    import graft.text.SampleOps
+    val docs = (0L until 400L)
+      .map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("doc_id", "src")
+    val out = SampleOps.oversample(docs, "doc_id", "src",
+      Map("a" -> 2.5, "b" -> 0.0), defaultWeight = 1.0, salt = "ov")
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("b")) // weight 0 emits nothing
+    // 200 'a' docs at 2.5 epochs: 2 whole copies + ~half get a third
+    assert(bySrc("a") > 400L && bySrc("a") < 600L)
+    // copy indices are contiguous 0..k-1 per doc
+    val copies = out.filter(col("src") === "a").groupBy("doc_id")
+      .agg(max("copy").as("m"), count(lit(1)).as("c")).collect()
+    copies.foreach { r =>
+      assert(r.getAs[Long]("m") == r.getAs[Long]("c") - 1)
+    }
+  }
+
   // --------------------------------------------------------- QualityOps
 
   test("tokenLines chunk the token stream; empty doc yields no lines") {
