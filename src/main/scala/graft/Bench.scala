@@ -20,6 +20,65 @@ object Bench {
   private def sentinelSec(): Double =
     (1 to 3).map(_ => sentinelOnce()).min
 
+  /** Parallel contention probe: the sentinel workload split 1/8-size
+    * across every core simultaneously. The single-core sentinel is
+    * blind to parallel/IO contention (a box can time an idle core
+    * while 31 others fight a co-tenant — the round-7/8 adjudication
+    * problem); this probe inflates under exactly that load, so two
+    * bench runs are comparable only when BOTH sentinel and par probe
+    * agree. */
+  private def parProbeOnce(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { _ =>
+      new Thread(() => {
+        var x = 0L; var i = 0
+        while (i < 125000000) { x += i * 2654435761L; i += 1 }
+        if (x == 42L) print("")
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def parProbeSec(threads: Int): Double =
+    (1 to 3).map(_ => parProbeOnce(threads)).min
+
+  /** Parallel buffered-IO probe: 8 threads each stream the given file
+    * end to end; reports aggregate MB/s (max of 3 reps — the unloaded
+    * ceiling). After the first rep this measures page-cache/memory
+    * bandwidth under parallelism — the resource a 32-thread Spark
+    * scan contends on. */
+  private def ioProbeMbs(path: String): Double = {
+    val f = new java.io.File(path)
+    if (!f.isFile) return 0.0
+    val bytes = f.length()
+    val reps = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val ts = (1 to 8).map { _ =>
+        new Thread(() => {
+          val in = new java.io.FileInputStream(f)
+          val buf = new Array[Byte](1 << 20)
+          try { while (in.read(buf) >= 0) () } finally in.close()
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      val sec = (System.nanoTime() - t0) / 1e9
+      bytes * 8 / 1e6 / sec
+    }
+    reps.max
+  }
+
+  /** CPU model from /proc/cpuinfo (sanitized for JSON embedding). */
+  private def cpuModel(): String = {
+    val m = try {
+      scala.io.Source.fromFile("/proc/cpuinfo").getLines()
+        .collectFirst { case l if l.startsWith("model name") =>
+          l.dropWhile(_ != ':').drop(1).trim }
+        .getOrElse(sys.props.getOrElse("os.arch", "unknown"))
+    } catch { case _: Throwable => sys.props.getOrElse("os.arch", "unknown") }
+    m.replaceAll("[^A-Za-z0-9 ()@./_-]", " ")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -35,7 +94,11 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).collect()
     sentinelSec() // JIT-warm the sentinel loop itself
+    val nCores = Runtime.getRuntime.availableProcessors()
+    parProbeSec(nCores) // JIT-warm the parallel probe
     val sentinelBefore = sentinelSec()
+    val parBefore = parProbeSec(nCores)
+    val ioMbs = ioProbeMbs(s"$sfDir/lineitem.parquet")
     // `runs` timed executions per query, report the min: the first run
     // pays one-time plan codegen + JIT for that query's generated
     // classes (±40% noise run-to-run); the min is the steady-state
@@ -52,8 +115,12 @@ object Bench {
         name -> times
       }
     val sentinelAfter = sentinelSec()
+    val parAfter = parProbeSec(nCores)
     val drift = math.abs(sentinelAfter - sentinelBefore) /
       math.min(sentinelBefore, sentinelAfter) * 100.0
+    val parDrift = math.abs(parAfter - parBefore) /
+      math.min(parBefore, parAfter) * 100.0
+    val loaded = drift > 10.0 || parDrift > 10.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, v) =>
@@ -62,13 +129,20 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
     val sent = f"""{"before":$sentinelBefore%.3f,"after":$sentinelAfter%.3f,""" +
-      f""""drift_pct":$drift%.1f,"loaded":${drift > 10.0}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"spread":$spread,"sentinel":$sent}""")
+      f""""drift_pct":$drift%.1f,"loaded":$loaded}"""
+    // Machine fingerprint: two runs' totals are comparable ONLY when
+    // cpu/cores match and par_probe/io_mb_s are within ~10% — the
+    // cross-session adjudication rule BENCH_NOTES documents. par_*
+    // self-identifies parallel load the single-core sentinel misses.
+    val machine = f"""{"cpu":"${cpuModel()}","cores":$nCores,""" +
+      f""""par_before":$parBefore%.3f,"par_after":$parAfter%.3f,""" +
+      f""""par_drift_pct":$parDrift%.1f,"io_mb_s":$ioMbs%.0f}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"spread":$spread,"sentinel":$sent,"machine":$machine}""")
     spark.stop()
     // The harness that captures this output keeps only a truncated tail
     // of stdout, so the full line above is often cut mid-JSON. Emit a
     // compact summary LAST so the tail always contains one complete,
-    // parseable line (total + load flag only).
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","loaded":${drift > 10.0}}""")
+    // parseable line (total + load flag + fingerprint only).
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","loaded":$loaded,"machine":$machine}""")
   }
 }

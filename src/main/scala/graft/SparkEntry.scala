@@ -1440,7 +1440,13 @@ object SparkEntry {
       lit(" end"),
       when(col("doc_id") % 2 === 0,
         concat(lit(" cc b"), col("doc_id").cast("string"),
-          lit("@mail.net"))).otherwise(lit("")))
+          lit("@mail.net"))).otherwise(lit("")),
+      // Email-shaped credential inside a URL authority: pins the
+      // deliberate email-first order (redacts to `http://<EMAIL>/q`,
+      // a mangled URL remnant — see ScrubOps scaladoc).
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" auth http://u"), col("doc_id").cast("string"),
+          lit("@cred.example.net/q"))).otherwise(lit("")))
     t(s, dir, "documents")
       .select(col("doc_id"), pii.as("__t"))
       .select(col("doc_id"),
@@ -1471,10 +1477,15 @@ object SparkEntry {
     * duplicated, altered, or mis-assigned a single row hash-fails. */
   private def q74(s: SparkSession, dir: String): DataFrame = {
     import graft.text.SampleOps
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_q74/shards"
+    // Per-process output dir: stable within a run (bench re-runs reuse
+    // it) but two concurrent bench/verify processes on one machine
+    // can't interleave overwrite + read-back into spurious mismatches.
+    val out = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_q74_${ProcessHandle.current().pid()}/shards"
     val docs = t(s, dir, "documents").select("doc_id", "text")
+    // writeShards' return IS the read-back manifest (directory-layout
+    // shard grouping) — the oracle re-derives it from the raw table.
     SampleOps.writeShards(docs, "doc_id", "text", out, 16, "sh")
-    SampleOps.manifestOver(s.read.parquet(out), "shard", "doc_id", "text")
       .orderBy("shard")
   }
 
@@ -1491,6 +1502,78 @@ object SparkEntry {
         salt = "ep")
       .select("doc_id", "source", "copy")
       .orderBy("doc_id", "copy")
+  }
+
+  /** q77 corpus literals, shared verbatim with the oracle SQL: 60
+    * distinct no-stopword tokens (trips minStopword alone) and 58
+    * 16-char tokens behind two stopwords (trips maxMeanTok alone). */
+  private val q77NoStop: String =
+    (0 until 60).map(i => f"k$i%02d").mkString(" ")
+  private val q77LongToks: String =
+    "the and " + (0 until 58).map(i => f"abcdefghijklm$i%03d").mkString(" ")
+
+  /** Gopher-style composite keep/drop verdict, oracle-pinned: the
+    * corpus is engineered so every threshold of
+    * [[graft.text.QualityOps.gopherFilter]] trips on at least one
+    * document class (too-few/too-many tokens, short/long mean token,
+    * no stopwords, punctuation flood, duplicated lines, dominant
+    * 2-gram), and the full signal vector + the keep boolean are
+    * re-derived in SQL. The comparisons run on unrounded doubles in
+    * both engines — every signal is an integer ratio divided once in
+    * double, so the booleans are bit-identical. */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.QualityOps
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 30 === 0, lit("tiny doc"))
+        .when(col("doc_id") % 30 === 1,
+          concat(col("text"), expr("repeat('!', length(text))")))
+        .when(col("doc_id") % 30 === 2, lit(q77NoStop))
+        .when(col("doc_id") % 30 === 3, lit(q77LongToks))
+        .when(col("doc_id") % 30 === 4,
+          expr("repeat('lorem ipsum dolor sit amet consectetur " +
+            "adipiscing elit ', 16)"))
+        .when(col("doc_id") % 30 === 5,
+          expr("repeat('0 1 2 3 4 5 6 7 8 9 ', 6)"))
+        .when(col("doc_id") % 30 === 6,
+          expr("repeat('z9 y8 x7 w6 v5 u4 t3 s2 ', 80)"))
+        .when(col("doc_id") % 30 === 7, expr("repeat('lorem ipsum ', 30)"))
+        .otherwise(col("text")).as("text"))
+    QualityOps.gopherFilter(docs, "doc_id", "text", maxTokens = 600)
+      .select(col("doc_id"), col("q_tokens"),
+        rnd(col("q_mean_tok"), 6).as("q_mean_tok"),
+        rnd(col("q_stopword"), 6).as("q_stopword"),
+        rnd(col("q_punct"), 6).as("q_punct"),
+        col("n_lines"),
+        rnd(col("dup_line_frac"), 6).as("dup_line_frac"),
+        rnd(col("dup_line_char_frac"), 6).as("dup_line_char_frac"),
+        rnd(col("top2_char_frac"), 6).as("top2_char_frac"),
+        col("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Real image decode (the [[graft.multimodal.Multimodal.MediaDecoder.ImageIo]]
+    * kernel, JDK `javax.imageio`, no external library): deterministic
+    * synthetic BMPs — pixel channels are linear congruences of
+    * (doc_id % 256, x, y) — are encoded in-task, decoded by the real
+    * BMP codec, and featurized (dims, channel means, bright-pixel
+    * fraction). The oracle re-derives every feature arithmetically
+    * over a generate_series pixel grid, so the encode → real-decode →
+    * feature chain is pinned end to end. */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    import s.implicits._
+    val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => (id, "image", "bmp", Multimodal.SyntheticMedia.docBmp(id)))
+      .toDF("media_id", "kind", "format", "payload")
+    Multimodal.extractFeatures(media, Multimodal.MediaDecoder.ImageIo())
+      .select(col("media_id").as("doc_id"), col("payload_bytes"),
+        element_at(col("features"), 1).as("width"),
+        element_at(col("features"), 2).as("height"),
+        element_at(col("features"), 3).as("r_mean"),
+        element_at(col("features"), 4).as("g_mean"),
+        element_at(col("features"), 5).as("b_mean"),
+        element_at(col("features"), 6).as("frac_bright"))
+      .orderBy("doc_id")
   }
 
   // ---------------------------------------------------------------
@@ -1580,6 +1663,8 @@ object SparkEntry {
     "q73_packed_blocks"    -> (q73 _),
     "q74_shard_export"     -> (q74 _),
     "q75_epoch_mixing"     -> (q75 _),
+    "q76_image_decode"     -> (q76 _),
+    "q77_gopher_filter"    -> (q77 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -2771,6 +2856,10 @@ object SparkEntry {
               || (doc_id % 100)::VARCHAR || ' end'
               || CASE WHEN doc_id % 2 = 0
                   THEN ' cc b' || doc_id::VARCHAR || '@mail.net'
+                  ELSE '' END
+              || CASE WHEN doc_id % 3 = 0
+                  THEN ' auth http://u' || doc_id::VARCHAR
+                    || '@cred.example.net/q'
                   ELSE '' END AS t
             FROM documents)
       SELECT doc_id,
@@ -2954,5 +3043,102 @@ object SparkEntry {
              count(*) AS n_events,
              floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
       FROM events GROUP BY 1 ORDER BY 1""",
+    // The decoded-feature re-derivation: same pixel congruences the
+    // Spark side ENCODES (the Spark side then round-trips them through
+    // the real javax.imageio BMP codec, so a codec/encoder bug on
+    // either end hash-fails). 8x8 24bpp BMP: rows are 24 bytes (no
+    // padding), file = 54 + 8*24 = 246 bytes. Integer channel sums
+    // divide once in double, both engines bit-identical.
+    "q76_image_decode" -> """
+      WITH px AS (
+        SELECT d.doc_id,
+               ((d.doc_id % 256) * 3 + x.x * 7 + y.y * 11) % 256 AS r,
+               ((d.doc_id % 256) * 5 + x.x * 11 + y.y * 3) % 256 AS g,
+               ((d.doc_id % 256) * 7 + x.x * 3 + y.y * 13) % 256 AS b
+        FROM documents d
+        CROSS JOIN generate_series(0, 7) AS x(x)
+        CROSS JOIN generate_series(0, 7) AS y(y))
+      SELECT doc_id, 246 AS payload_bytes,
+             8.0::FLOAT AS width, 8.0::FLOAT AS height,
+             (sum(r)::DOUBLE / 64.0)::FLOAT AS r_mean,
+             (sum(g)::DOUBLE / 64.0)::FLOAT AS g_mean,
+             (sum(b)::DOUBLE / 64.0)::FLOAT AS b_mean,
+             ((count(*) FILTER (WHERE r + g + b >= 384))::DOUBLE / 64.0)
+               ::FLOAT AS frac_bright
+      FROM px GROUP BY doc_id ORDER BY doc_id""",
+    // Same engineered corpus CASE-for-CASE; quality signals as in the
+    // q25 oracle, repetition as in the q71 oracle (width 10, 2-grams
+    // only — gopherFilter's parameters); keep compares the UNROUNDED
+    // doubles exactly as the Spark side does.
+    "q77_gopher_filter" -> (s"""
+      WITH corp AS (SELECT doc_id,
+          CASE WHEN doc_id % 30 = 0 THEN 'tiny doc'
+               WHEN doc_id % 30 = 1 THEN text || repeat('!', length(text))
+               WHEN doc_id % 30 = 2 THEN '$q77NoStop'
+               WHEN doc_id % 30 = 3 THEN '$q77LongToks'
+               WHEN doc_id % 30 = 4 THEN repeat('lorem ipsum dolor sit '
+                 || 'amet consectetur adipiscing elit ', 16)
+               WHEN doc_id % 30 = 5 THEN repeat('0 1 2 3 4 5 6 7 8 9 ', 6)
+               WHEN doc_id % 30 = 6 THEN repeat('z9 y8 x7 w6 v5 u4 t3 s2 ', 80)
+               WHEN doc_id % 30 = 7 THEN repeat('lorem ipsum ', 30)
+               ELSE text END AS text
+        FROM documents),
+      tk AS (SELECT doc_id, list_filter(string_split_regex(
+            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+            x -> x <> '') AS toks
+        FROM corp),
+      q AS (SELECT tk.doc_id, len(toks) AS q_tokens,
+            CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                / len(toks) ELSE 0.0 END AS q_mean_tok,
+            CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], x)))::DOUBLE
+                / len(toks) ELSE 0.0 END AS q_stopword,
+            CASE WHEN length(c.text) > 0
+              THEN length(regexp_replace(lower(c.text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                / length(c.text) ELSE 0.0 END AS q_punct
+        FROM tk JOIN corp c ON tk.doc_id = c.doc_id),
+      ln AS (SELECT doc_id, unnest(list_transform(
+              range(0, (len(toks) + 9) // 10),
+              i -> array_to_string(list_slice(toks, i*10 + 1, i*10 + 10),
+                ' '))) AS line
+            FROM tk WHERE len(toks) > 0),
+      lc AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+            FROM ln GROUP BY doc_id, line),
+      la AS (SELECT doc_id, sum(cnt)::BIGINT AS n_lines,
+              1.0 - count(*)::DOUBLE / sum(cnt) AS dlf,
+              sum((cnt - 1) * len)::DOUBLE / sum(cnt * len) AS dlcf
+            FROM lc GROUP BY doc_id),
+      tc AS (SELECT doc_id, length(array_to_string(toks, ' ')) AS chars
+            FROM tk),
+      g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i+1])) AS g
+            FROM tk WHERE len(toks) >= 2),
+      g2m AS (SELECT doc_id, max(c * length(g)) AS mx FROM
+              (SELECT doc_id, g, count(*) AS c FROM g2
+               GROUP BY doc_id, g) GROUP BY doc_id),
+      rep AS (SELECT tk.doc_id,
+              coalesce(la.n_lines, 0) AS n_lines,
+              coalesce(la.dlf, 0.0) AS dlf,
+              coalesce(la.dlcf, 0.0) AS dlcf,
+              coalesce(CASE WHEN tc.chars > 0
+                THEN g2m.mx::DOUBLE / tc.chars END, 0.0) AS top2
+            FROM tk LEFT JOIN la USING (doc_id)
+            LEFT JOIN tc USING (doc_id) LEFT JOIN g2m USING (doc_id))
+      SELECT q.doc_id, q.q_tokens,
+        floor(q.q_mean_tok * 1000000.0 + 0.5) / 1000000.0 AS q_mean_tok,
+        floor(q.q_stopword * 1000000.0 + 0.5) / 1000000.0 AS q_stopword,
+        floor(q.q_punct * 1000000.0 + 0.5) / 1000000.0 AS q_punct,
+        rep.n_lines,
+        floor(rep.dlf * 1000000.0 + 0.5) / 1000000.0 AS dup_line_frac,
+        floor(rep.dlcf * 1000000.0 + 0.5) / 1000000.0 AS dup_line_char_frac,
+        floor(rep.top2 * 1000000.0 + 0.5) / 1000000.0 AS top2_char_frac,
+        (q.q_tokens BETWEEN 50 AND 600
+          AND q.q_mean_tok BETWEEN 2.0 AND 12.0
+          AND q.q_stopword >= 0.02 AND q.q_punct <= 0.25
+          AND rep.dlf <= 0.30 AND rep.dlcf <= 0.30
+          AND rep.top2 <= 0.20) AS keep
+      FROM q JOIN rep ON q.doc_id = rep.doc_id
+      ORDER BY q.doc_id"""),
   )
 }

@@ -22,6 +22,14 @@ object ConfigText {
   final class Section {
     val values: mutable.LinkedHashMap[String, Vector[String]] =
       mutable.LinkedHashMap.empty
+    /** Keys whose 1-element value is semantically a LIST (`a,` in
+      * ConfigObj), not a scalar (`a`) — the Vector shape can't carry
+      * the distinction, so it is tracked here and [[writeConfigObj]]
+      * re-emits the trailing comma. Multi-element lists need no
+      * marker. Editors that assign `values(k) = Vector(x)` produce a
+      * scalar (matching ConfigObj, where assigning a str does too);
+      * add the key here to author a 1-element list. */
+    val listKeys: mutable.Set[String] = mutable.Set.empty
     val sections: mutable.LinkedHashMap[String, Section] =
       mutable.LinkedHashMap.empty
 
@@ -58,7 +66,10 @@ object ConfigText {
           require(eq > 0, s"expected key = value at line ${i + 1}: $raw")
           val key = line.take(eq).trim
           val value = line.drop(eq + 1).trim
-          stack.head.values(key) = splitList(value)
+          val (vs, sawComma) = splitList(value)
+          stack.head.values(key) = vs
+          if (sawComma && vs.length == 1) stack.head.listKeys += key
+          else stack.head.listKeys -= key
         }
       }
     }
@@ -74,7 +85,10 @@ object ConfigText {
       val pad = "    " * depth
       s.values.foreach { case (k, vs) =>
         sb.append(pad).append(k).append(" = ")
-          .append(vs.map(quoteIfNeeded).mkString(", ")).append('\n')
+          .append(vs.map(quoteIfNeeded).mkString(", "))
+        // ConfigObj's 1-element-list marker survives the round trip.
+        if (vs.length == 1 && s.listKeys(k)) sb.append(',')
+        sb.append('\n')
       }
       s.sections.foreach { case (name, sub) =>
         sb.append(pad).append("[" * (depth + 1)).append(name)
@@ -108,25 +122,28 @@ object ConfigText {
   /** Split a ConfigObj value into its elements: respects quoting; a
     * value with no top-level comma is a scalar (1-element Vector). A
     * trailing comma marks a 1-element list (ConfigObj convention) —
-    * both parse to the same Vector here. Whitespace is trimmed only
-    * OUTSIDE quotes: `' padded '` round-trips with its spaces intact.
-    * No escape handling anywhere (see [[stripComment]]), so backslash
-    * content — including a trailing backslash — passes through
-    * verbatim. */
-  private def splitList(value: String): Vector[String] = {
+    * the elements Vector is the same, but the second member of the
+    * result reports whether a top-level comma was seen, so the caller
+    * can preserve the scalar-vs-singleton-list distinction.
+    * Whitespace is trimmed only OUTSIDE quotes: `' padded '`
+    * round-trips with its spaces intact. No escape handling anywhere
+    * (see [[stripComment]]), so backslash content — including a
+    * trailing backslash — passes through verbatim. */
+  private def splitList(value: String): (Vector[String], Boolean) = {
     // Pass 1: split on top-level commas, keeping quotes raw.
     val raw = mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var inQ: Char = 0
+    var sawComma = false
     value.foreach { c =>
       if (inQ != 0) { if (c == inQ) inQ = 0; cur.append(c) }
       else if (c == '\'' || c == '"') { inQ = c; cur.append(c) }
-      else if (c == ',') { raw += cur.toString; cur.clear() }
+      else if (c == ',') { sawComma = true; raw += cur.toString; cur.clear() }
       else cur.append(c)
     }
     val last = cur.toString
     if (last.trim.nonEmpty || raw.isEmpty) raw += last
-    raw.map(unquoteElem).toVector
+    (raw.map(unquoteElem).toVector, sawComma)
   }
 
   /** Pass 2 of [[splitList]]: trim the unquoted surround, then strip a

@@ -78,35 +78,66 @@ object SiteCatalog {
     std.getTotalSeconds / 3600.0
   }
 
-  /** F24: lat/lon -> IANA zone for the network's domain (Australia) —
-    * the reference resolves this with the timezonefinder polygon
-    * library (site_details.py:66,186-210); offline, the state-border
-    * approximation below covers the flux network's footprint with
-    * deterministic, documented rules:
-    *
-    *  - lon < 129 (WA):                      Australia/Perth
-    *  - 129-138, lat > -26 (NT):             Australia/Darwin
-    *  - 129-138, lat <= -26 (SA west):       Australia/Adelaide
-    *  - 138-141, lat > -26 (QLD southwest):  Australia/Brisbane
-    *  - 138-141, lat <= -26 (SA east):       Australia/Adelaide
-    *  - lon >= 141, lat > -29 (QLD):         Australia/Brisbane
-    *  - lon >= 141, -39.2..-29 (NSW/VIC):    Australia/Sydney
-    *  - lat < -39.2 (TAS):                   Australia/Hobart
-    *
-    * Near-border sites (e.g. the Broken Hill pocket, which keeps
-    * Adelaide time inside NSW) should pin `time_zone` in the site
-    * catalog — a catalog value always wins over this lookup. None
-    * outside the Australian bounding box. */
+  /** F24: embedded timezone polygons for the network's domain
+    * (Australia) — the reference resolves lat/lon with the
+    * timezonefinder polygon library (site_details.py:66,186-210);
+    * offline, this table covers the flux network's footprint. The
+    * surveyed straight borders ARE the real borders (WA at 129°E,
+    * NT/SA and SA/QLD at 26°S, SA/NSW and QLD/SA-east at 141°E, the
+    * Cameron Corner line at 29°S); the genuinely non-rectilinear
+    * pieces carry polyline approximations: the QLD/NSW river border
+    * rising from (149°E, 29°S) to Point Danger (153.56°E, 28.16°S) —
+    * so coastal northern-NSW sites (Byron Bay band, −29 < lat <
+    * −28.16) resolve to Sydney, not Brisbane — and the
+    * Yancowinna/Broken Hill pocket (ACST inside NSW) as its bounding
+    * polygon, listed before NSW so it wins. Victoria shares
+    * Australia/Sydney's offsets, so NSW+VIC are one polygon.
+    * Vertices are (lon, lat); first containing polygon wins. Sites
+    * within ~0.05° of a border should still pin `time_zone` in the
+    * site catalog — a catalog value always wins over this lookup. */
+  val AuZonePolygons: Vector[(String, Vector[(Double, Double)])] = Vector(
+    "Australia/Broken_Hill" -> Vector(
+      (141.0, -32.85), (142.35, -32.85), (142.35, -30.9), (141.0, -30.9)),
+    "Australia/Hobart" -> Vector(
+      (143.0, -44.5), (154.5, -44.5), (154.5, -39.2), (143.0, -39.2)),
+    "Australia/Perth" -> Vector(
+      (112.0, -36.0), (129.0, -36.0), (129.0, -12.0), (112.0, -12.0)),
+    "Australia/Darwin" -> Vector(
+      (129.0, -26.0), (138.0, -26.0), (138.0, -10.5), (129.0, -10.5)),
+    "Australia/Adelaide" -> Vector(
+      (129.0, -38.5), (141.0, -38.5), (141.0, -26.0), (129.0, -26.0)),
+    "Australia/Brisbane" -> Vector(
+      (138.0, -26.0), (141.0, -26.0), (141.0, -29.0), (149.0, -29.0),
+      (150.3, -28.6), (152.0, -28.35), (153.56, -28.16), (154.5, -28.0),
+      (154.5, -10.5), (138.0, -10.5)),
+    "Australia/Sydney" -> Vector(
+      (141.0, -39.2), (154.5, -39.2), (154.5, -28.0), (153.56, -28.16),
+      (152.0, -28.35), (150.3, -28.6), (149.0, -29.0), (141.0, -29.0)))
+
+  /** Even-odd ray-cast point-in-polygon over (lon, lat) vertices.
+    * Planar treatment is exact at these extents; horizontal edges are
+    * skipped by the straddle test (no 0/0). */
+  private def inPolygon(lon: Double, lat: Double,
+      poly: Vector[(Double, Double)]): Boolean = {
+    var inside = false
+    var j = poly.length - 1
+    var i = 0
+    while (i < poly.length) {
+      val (xi, yi) = poly(i); val (xj, yj) = poly(j)
+      if ((yi > lat) != (yj > lat) &&
+          lon < (xj - xi) * (lat - yi) / (yj - yi) + xi) inside = !inside
+      j = i; i += 1
+    }
+    inside
+  }
+
+  /** F24: lat/lon -> IANA zone via [[AuZonePolygons]]. None outside
+    * the Australian bounding box or in open water between polygons. */
   def auTimeZone(lat: Double, lon: Double): Option[String] = {
     if (lat > -9.0 || lat < -44.5 || lon < 112.0 || lon > 154.5) None
-    else if (lat < -39.2) Some("Australia/Hobart")
-    else if (lon < 129.0) Some("Australia/Perth")
-    else if (lon < 138.0)
-      Some(if (lat > -26.0) "Australia/Darwin" else "Australia/Adelaide")
-    else if (lon < 141.0)
-      Some(if (lat > -26.0) "Australia/Brisbane" else "Australia/Adelaide")
-    else if (lat > -29.0) Some("Australia/Brisbane")
-    else Some("Australia/Sydney")
+    else AuZonePolygons.collectFirst {
+      case (zone, poly) if inPolygon(lon, lat, poly) => zone
+    }
   }
 
   /** Catalog-first timezone resolution: an explicit site `time_zone`

@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * pipelines: opaque `binary` payloads + typed metadata structs, with
   * decode/feature-extract as per-partition batch transforms.
   *
-  * The decode kernels themselves are STUBBED (no media libraries in
-  * this environment — see [[MediaDecoder.Deterministic]]); everything
-  * Spark-side is real: the schema convention, the mapPartitions batch
-  * shape (one decoder instance per partition, reused across rows, the
-  * Scala analogue of a pandas-batched UDF), partition sizing by byte
+  * Image decode is REAL on JDK built-in codecs
+  * ([[MediaDecoder.ImageIo]]: PNG/BMP/GIF/JPEG via `javax.imageio`,
+  * no external dependency); audio/video kernels remain deterministic
+  * stand-ins ([[MediaDecoder.Deterministic]]) since no media library
+  * ships in this environment. Everything Spark-side is real either
+  * way: the schema convention, the mapPartitions batch shape (one
+  * decoder instance per partition, reused across rows, the Scala
+  * analogue of a pandas-batched UDF), partition sizing by byte
   * budget, and the feature-column contract.
   */
 object Multimodal {
@@ -48,6 +51,50 @@ object Multimodal {
         val d = md.digest(payload)
         Array.tabulate(featureDim)(i =>
           ((d(i % d.length) & 0xff) / 255.0f))
+      }
+    }
+
+    /** Real image decode kernel on the JDK's built-in codecs
+      * (`javax.imageio`: PNG, BMP, GIF, JPEG — no external library).
+      * Features (dim 6): [width, height, mean R, mean G, mean B,
+      * fraction of pixels with R+G+B >= 384]. Channel sums accumulate
+      * as exact longs and divide once in double, so the features are
+      * bit-reproducible across JVMs and re-derivable arithmetically by
+      * an oracle that knows the pixel function. Undecodable payloads
+      * (truncated file, unknown container) return null rather than
+      * throwing — one poison row must not kill a 100 TB scan; count
+      * nulls downstream. */
+    final case class ImageIo(fallback: Option[MediaDecoder] = None)
+        extends MediaDecoder {
+      val featureDim: Int = 6
+      def decodeToFeatures(format: String, payload: Array[Byte]): Array[Float] = {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null)
+          fallback.map(_.decodeToFeatures(format, payload)).orNull
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var rs = 0L; var gs = 0L; var bs = 0L; var bright = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              rs += r; gs += g; bs += b
+              if (r + g + b >= 384) bright += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          Array(w.toFloat, h.toFloat,
+            (rs.toDouble / n).toFloat, (gs.toDouble / n).toFloat,
+            (bs.toDouble / n).toFloat, (bright.toDouble / n).toFloat)
+        }
       }
     }
   }
@@ -131,6 +178,54 @@ object Multimodal {
     val total = if (stats.isNullAt(0)) 0L else stats.getLong(0)
     val parts = math.max(1, (total / targetBytes).toInt)
     df.repartition(parts, col("media_id"))
+  }
+
+  /** Deterministic synthetic media for fixtures and oracle pinning:
+    * real, decodable image bytes whose pixel values are a pure
+    * arithmetic function of a seed — so an external oracle (DuckDB)
+    * can re-derive the decoded features without any image library. */
+  object SyntheticMedia {
+
+    /** Uncompressed 24-bit bottom-up BMP (BITMAPINFOHEADER), the
+      * simplest container `javax.imageio` decodes losslessly. `px`
+      * maps top-left-origin (x, y) to (r, g, b) in 0..255. */
+    def bmp24(w: Int, h: Int)(px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val rowBytes = (w * 3 + 3) / 4 * 4
+      val dataSize = rowBytes * h
+      val fileSize = 54 + dataSize
+      val buf = java.nio.ByteBuffer.allocate(fileSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+        .putInt(0).putInt(54)                      // reserved, data offset
+      buf.putInt(40).putInt(w).putInt(h)           // info header, +h = bottom-up
+        .putShort(1).putShort(24).putInt(0)        // planes, bpp, BI_RGB
+        .putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var y = h - 1                                // bottom-up row order
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = px(x, y)
+          buf.put(b.toByte).put(g.toByte).put(r.toByte)
+          x += 1
+        }
+        var pad = rowBytes - w * 3
+        while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+        y -= 1
+      }
+      buf.array()
+    }
+
+    /** Per-document test image: pixel channels are small linear
+      * congruences of (seed, x, y) — trivially re-derivable in SQL via
+      * a generate_series cross join. */
+    def docBmp(seed: Long, w: Int = 8, h: Int = 8): Array[Byte] = {
+      val s = java.lang.Math.floorMod(seed, 256L).toInt
+      bmp24(w, h) { (x, y) =>
+        ((s * 3 + x * 7 + y * 11) % 256,
+         (s * 5 + x * 11 + y * 3) % 256,
+         (s * 7 + x * 3 + y * 13) % 256)
+      }
+    }
   }
 
   /** Deterministic frame sampling for video-like payloads: take every

@@ -45,21 +45,22 @@ object TimeSeriesOps {
   private def warnNullDrops(obs: Observation, op: String,
       tsCol: String): Unit = {
     // The observation completes on the listener bus asynchronously,
-    // AFTER the operator's internal actions return — wait bounded so
-    // the warning is reliable on a lagging bus without ever risking
-    // an unbounded stall inside an operator.
-    try scala.concurrent.Await.ready(obs.future,
-      scala.concurrent.duration.Duration(10, "seconds"))
-    catch { case scala.util.control.NonFatal(_) => () }
-    obs.future.value
-      .collect { case scala.util.Success(row) if !row.isNullAt(0) =>
-        row.getLong(0) } match {
-      case Some(n) if n > 0 =>
-        log.warn(s"graft $op (keyless): dropped $n row(s) with null " +
-          s"'$tsCol' — the non-null timestamp precondition is violated; " +
-          "purge bad timestamps (D4) before ordered operators")
+    // AFTER the operator's internal actions return. In practice it is
+    // already complete by the time we get here (the actions have run),
+    // and `parasitic` then logs synchronously on this thread; on a
+    // lagging bus the warning fires from the completion callback
+    // instead — the operator itself NEVER blocks (an Await here used
+    // to serialize up-to-10 s stalls into every keyless call under a
+    // stalled listener bus).
+    obs.future.onComplete {
+      case scala.util.Success(row)
+          if !row.isNullAt(0) && row.getLong(0) > 0 =>
+        log.warn(s"graft $op (keyless): dropped ${row.getLong(0)} " +
+          s"row(s) with null '$tsCol' — the non-null timestamp " +
+          "precondition is violated; purge bad timestamps (D4) " +
+          "before ordered operators")
       case _ => ()
-    }
+    }(scala.concurrent.ExecutionContext.parasitic)
   }
 
   private def nullTsMetric(c: Column): Column =

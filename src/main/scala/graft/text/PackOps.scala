@@ -39,14 +39,38 @@ import org.apache.spark.storage.StorageLevel
   * The substrate stays persisted when this returns (the result reads
   * it lazily; unpersisting earlier would recompute the shuffle with
   * fresh range bounds and desynchronize the driver-held prefix
-  * offsets); callers doing repeated packing runs can
-  * `spark.catalog.clearCache()` between them.
+  * offsets). Every retained substrate is tracked and surfaced:
+  * [[releaseSubstrates]] unpersists them all once the results are
+  * consumed — a long-lived session doing repeated packs calls it
+  * between runs instead of hunting cache entries in the UI
+  * (`spark.catalog.clearCache()` remains the blunt escape).
   *
   * Reference scope: the reference pipeline has no packing operator
   * (it is a flux-tower ETL); this extends the engine for the
   * large-scale training-data use cases in the build brief.
   */
 object PackOps {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Substrates persisted by [[packOffsets]] and not yet released —
+    * the retained cache is tracked here (and logged at creation)
+    * rather than accumulating silently. */
+  private val retained =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Unpersist every substrate retained by prior packing runs. Call
+    * AFTER those runs' results are fully consumed (collected or
+    * written) — a result DataFrame read after release recomputes its
+    * shuffle with fresh sampled range bounds and may lay the stream
+    * out differently than the driver-held offsets it was built with. */
+  def releaseSubstrates(): Unit = retained.synchronized {
+    retained.foreach(_.unpersist(blocking = false))
+    retained.clear()
+  }
+
+  /** Number of substrates currently retained (telemetry). */
+  def retainedSubstrates: Int = retained.synchronized(retained.length)
 
   /** Absolute [start, end) token offsets per document in the
     * deterministic stream order (order key: [[SampleOps.hashCoord]]
@@ -68,6 +92,10 @@ object PackOps {
       .repartitionByRange(n, col("__coord"), col(idCol))
       .sortWithinPartitions(col("__coord"), col(idCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    retained.synchronized { retained += ranged }
+    log.info(s"packOffsets: retaining range-shuffled substrate #" +
+      s"${retainedSubstrates} (MEMORY_AND_DISK) — call " +
+      "PackOps.releaseSubstrates() after results are consumed")
     val tokIdx = ranged.schema.fieldIndex("__tok")
 
     // Pass 1: per-partition totals (materializes the persist).

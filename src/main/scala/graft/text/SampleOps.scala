@@ -170,18 +170,24 @@ object SampleOps {
         sum(col("__len")).as("n_chars"))
 
   /** Write the corpus as deterministic shards (`shard=N/` parquet
-    * partitions under `outDir`) and return the [[shardManifest]] of
-    * what was written. Rows are pre-shuffled on the shard key so each
-    * shard's files come from one task wave; within-file order is not
-    * part of the contract (the manifest is order-invariant). Re-runs
-    * produce byte-identical membership on any cluster size. */
+    * partitions under `outDir`) and return the manifest of what was
+    * ACTUALLY written: the returned DataFrame is [[manifestOver]] the
+    * read-back files, grouped on the directory-layout shard value —
+    * so a write fault (lost task commit, silent corruption) or a
+    * mis-assigning writer surfaces as a manifest mismatch against
+    * [[shardManifest]] of the source, never self-certifies. Rows are
+    * pre-shuffled on the shard key so each shard's files come from
+    * one task wave; within-file order is not part of the contract
+    * (the manifest is order-invariant). Re-runs produce
+    * byte-identical membership on any cluster size. */
   def writeShards(df: DataFrame, idCol: String, contentCol: String,
       outDir: String, nShards: Int, salt: String): DataFrame = {
     val sharded = df
       .withColumn("shard", shardOf(col(idCol), nShards, salt))
       .repartition(nShards, col("shard"))
     sharded.write.mode("overwrite").partitionBy("shard").parquet(outDir)
-    shardManifest(df, idCol, contentCol, nShards, salt)
+    manifestOver(df.sparkSession.read.parquet(outDir), "shard",
+      idCol, contentCol)
   }
 
   /** Exact-count mixing: the deterministic k lowest-coordinate rows of

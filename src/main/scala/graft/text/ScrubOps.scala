@@ -17,10 +17,16 @@ import org.apache.spark.sql.functions._
   * IPs — the replacement tokens contain no characters the later
   * patterns can match, so a URL containing an IP redacts as one
   * `<URL>` and a dotted version string inside an already-redacted
-  * span can't leak. Counts are taken on the RAW text, before any
-  * replacement. Known limitation (documented, standard for regex
-  * scrubbers): an IPv4-shaped substring inside a longer dotted run
-  * (e.g. a `1.2.3.4.5` version) matches its first four octets.
+  * span can't leak. The email case is the OPPOSITE: an email-shaped
+  * credential inside a URL authority (`http://user@host.tld/`)
+  * redacts email-first, leaving `http://<EMAIL>/` — a mangled URL
+  * remnant, NOT one `<URL>`. That is deliberate: the email is the
+  * more sensitive span, and an URL-first order would bury it inside
+  * `<URL>` where a later relaxation of the URL pattern could leak
+  * it. Counts are taken on the RAW text, before any replacement.
+  * Known limitation (documented, standard for regex scrubbers): an
+  * IPv4-shaped substring inside a longer dotted run (e.g. a
+  * `1.2.3.4.5` version) matches its first four octets.
   *
   * Reference scope: no counterpart in the reference; part of the
   * training-data extension surface of the build brief.

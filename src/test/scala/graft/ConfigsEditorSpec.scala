@@ -293,6 +293,28 @@ class ConfigsEditorSpec extends SparkSpec {
     }
   }
 
+  test("ConfigObj: 1-element list (trailing comma) stays distinct from scalar") {
+    val text = "a = 1,\nb = 1\nc = x, y\nq = 'a,',\nempty = ,\n"
+    val root = ConfigText.parseConfigObj(text)
+    // Values read identically (ConfigObj reads both via the list API)…
+    assert(root.values("a") == Vector("1") && root.scalar("a") == "1")
+    assert(root.values("b") == Vector("1"))
+    assert(root.values("q") == Vector("a,")) // comma inside quotes ≠ marker
+    assert(root.listKeys == Set("a", "q", "empty"))
+    // …but the writer re-emits the trailing-comma marker, so an editor
+    // rewrite can't silently convert a 1-element list to a scalar.
+    // (The empty element normalizes to its quoted spelling.)
+    val out = ConfigText.writeConfigObj(root)
+    assert(out == "a = 1,\nb = 1\nc = x, y\nq = 'a,',\nempty = '',\n")
+    // idempotence: parse(write) is a fixed point
+    assert(ConfigText.writeConfigObj(ConfigText.parseConfigObj(out)) == out)
+    // re-assigning a Vector(1) without the marker makes it a scalar,
+    // matching ConfigObj where assigning a str does the same
+    root.values("a") = Vector("2")
+    root.listKeys -= "a"
+    assert(ConfigText.writeConfigObj(root).startsWith("a = 2\n"))
+  }
+
   test("YAML tree: quote- and space-bearing scalars round-trip exactly") {
     import ConfigText.{YMap, YScalar}
     val hard = Vector(

@@ -38,6 +38,17 @@ class PackQualityScrubSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("packOffsets substrates are tracked and releasable") {
+    PackOps.releaseSubstrates() // drop whatever earlier tests retained
+    assert(PackOps.retainedSubstrates == 0)
+    val docs = (0L until 40L).map(i => (i, 1L + i % 3)).toDF("id", "tok")
+    val off = PackOps.packOffsets(docs, "id", "tok", "rel")
+    assert(PackOps.retainedSubstrates == 1)
+    assert(off.count() == 40)
+    PackOps.releaseSubstrates()
+    assert(PackOps.retainedSubstrates == 0)
+  }
+
   test("packBlocks: block spans partition each doc; boundaries split") {
     val docs = Seq((1L, 10L), (2L, 300L), (3L, 5L)).toDF("id", "tok")
     val blocks = PackOps.packBlocks(docs, "id", "tok", 256, "s2").collect()

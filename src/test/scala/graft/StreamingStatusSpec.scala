@@ -357,6 +357,48 @@ class StreamingStatusSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("features"))) // null payload
   }
 
+  test("synthetic BMP round-trips pixel-exactly through javax.imageio") {
+    import graft.multimodal.Multimodal.SyntheticMedia
+    val seed = 4242L
+    val bytes = SyntheticMedia.docBmp(seed, 8, 8)
+    assert(bytes.length == 246) // 54-byte header + 8 rows * 24 bytes
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == 8 && img.getHeight == 8)
+    val s = (seed % 256).toInt
+    for (x <- 0 until 8; y <- 0 until 8) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == (s * 3 + x * 7 + y * 11) % 256)
+      assert(((rgb >> 8) & 0xff) == (s * 5 + x * 11 + y * 3) % 256)
+      assert((rgb & 0xff) == (s * 7 + x * 3 + y * 13) % 256)
+    }
+  }
+
+  test("ImageIo decoder: real features, PNG parity, poison fallback") {
+    import graft.multimodal.Multimodal
+    import Multimodal.{MediaDecoder, SyntheticMedia}
+    val dec = MediaDecoder.ImageIo()
+    // Constant-color 4x2 image: means are exact, 3/4 of rows bright.
+    val flat = SyntheticMedia.bmp24(4, 2)((x, _) =>
+      if (x == 0) (10, 20, 30) else (200, 150, 100))
+    val f = dec.decodeToFeatures("bmp", flat)
+    assert(f(0) == 4.0f && f(1) == 2.0f)
+    assert(f(2) == (10 * 2 + 200 * 6) / 8.0f)
+    assert(f(3) == (20 * 2 + 150 * 6) / 8.0f)
+    assert(f(4) == (30 * 2 + 100 * 6) / 8.0f)
+    assert(f(5) == 6 / 8.0f) // 200+150+100 = 450 >= 384; 60 < 384
+    // Same pixels through the PNG codec give identical features.
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(flat))
+    val png = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", png)
+    assert(dec.decodeToFeatures("png", png.toByteArray).toSeq == f.toSeq)
+    // Undecodable payload: null without fallback, stub with one.
+    assert(dec.decodeToFeatures("bmp", Array[Byte](1, 2, 3)) == null)
+    val withFb = MediaDecoder.ImageIo(Some(MediaDecoder.Deterministic(6)))
+    assert(withFb.decodeToFeatures("bmp", Array[Byte](1, 2, 3)).length == 6)
+  }
+
   test("multimodal payload transform keeps schema, shrinks payload") {
     import graft.multimodal.Multimodal
     val media = Seq((1L, "utf8", "hello world payload".getBytes),
