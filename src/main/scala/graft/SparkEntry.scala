@@ -1576,6 +1576,31 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Real audio decode (the [[graft.multimodal.Multimodal.MediaDecoder.AudioIo]]
+    * kernel, JDK `javax.sound.sampled`, no external library):
+    * deterministic synthetic WAVs — 16-bit PCM samples are a linear
+    * congruence of (doc_id % 1009, i) — encoded in-task, decoded by
+    * the real RIFF/WAVE parser, and featurized (rate, length,
+    * mean |s|, RMS, non-negative fraction, max |s|). The oracle
+    * re-derives every feature arithmetically over a generate_series
+    * sample grid. */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    import s.implicits._
+    val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => (id, "audio", "wav", Multimodal.SyntheticMedia.docWav(id)))
+      .toDF("media_id", "kind", "format", "payload")
+    Multimodal.extractFeatures(media, Multimodal.MediaDecoder.AudioIo())
+      .select(col("media_id").as("doc_id"), col("payload_bytes"),
+        element_at(col("features"), 1).as("sample_rate"),
+        element_at(col("features"), 2).as("n_samples"),
+        element_at(col("features"), 3).as("mean_abs"),
+        element_at(col("features"), 4).as("rms"),
+        element_at(col("features"), 5).as("nonneg_frac"),
+        element_at(col("features"), 6).as("max_abs"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -1665,6 +1690,7 @@ object SparkEntry {
     "q75_epoch_mixing"     -> (q75 _),
     "q76_image_decode"     -> (q76 _),
     "q77_gopher_filter"    -> (q77 _),
+    "q78_audio_decode"     -> (q78 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -3140,5 +3166,23 @@ object SparkEntry {
           AND rep.top2 <= 0.20) AS keep
       FROM q JOIN rep ON q.doc_id = rep.doc_id
       ORDER BY q.doc_id"""),
+    // Same sample congruence the Spark side ENCODES into real WAV
+    // bytes (then round-trips through javax.sound.sampled). 256
+    // samples * 2 bytes + 44-byte canonical header = 556 bytes.
+    // Integer accumulators divide once in double; sqrt is correctly
+    // rounded in both engines, so the FLOAT casts are bit-identical.
+    "q78_audio_decode" -> """
+      WITH smp AS (
+        SELECT d.doc_id,
+               ((d.doc_id % 1009) * 131 + i.i * 997) % 65536 - 32768 AS s
+        FROM documents d CROSS JOIN generate_series(0, 255) AS i(i))
+      SELECT doc_id, 556 AS payload_bytes,
+             8000.0::FLOAT AS sample_rate, 256.0::FLOAT AS n_samples,
+             (sum(abs(s))::DOUBLE / 256.0)::FLOAT AS mean_abs,
+             sqrt(sum(s * s)::DOUBLE / 256.0)::FLOAT AS rms,
+             ((count(*) FILTER (WHERE s >= 0))::DOUBLE / 256.0)::FLOAT
+               AS nonneg_frac,
+             max(abs(s))::FLOAT AS max_abs
+      FROM smp GROUP BY doc_id ORDER BY doc_id""",
   )
 }

@@ -8,15 +8,17 @@ import org.apache.spark.sql.types._
   * pipelines: opaque `binary` payloads + typed metadata structs, with
   * decode/feature-extract as per-partition batch transforms.
   *
-  * Image decode is REAL on JDK built-in codecs
-  * ([[MediaDecoder.ImageIo]]: PNG/BMP/GIF/JPEG via `javax.imageio`,
-  * no external dependency); audio/video kernels remain deterministic
-  * stand-ins ([[MediaDecoder.Deterministic]]) since no media library
-  * ships in this environment. Everything Spark-side is real either
-  * way: the schema convention, the mapPartitions batch shape (one
-  * decoder instance per partition, reused across rows, the Scala
-  * analogue of a pandas-batched UDF), partition sizing by byte
-  * budget, and the feature-column contract.
+  * Image and audio decode are REAL on JDK built-in codecs
+  * ([[MediaDecoder.ImageIo]]: PNG/BMP/GIF/JPEG via `javax.imageio`;
+  * [[MediaDecoder.AudioIo]]: WAV/PCM via `javax.sound.sampled` — no
+  * external dependency, no audio device needed for parsing); video
+  * kernels remain deterministic stand-ins
+  * ([[MediaDecoder.Deterministic]]) since no video library ships in
+  * this environment. Everything Spark-side is real either way: the
+  * schema convention, the mapPartitions batch shape (one decoder
+  * instance per partition, reused across rows, the Scala analogue of
+  * a pandas-batched UDF), partition sizing by byte budget, and the
+  * feature-column contract.
   */
 object Multimodal {
 
@@ -95,6 +97,61 @@ object Multimodal {
             (rs.toDouble / n).toFloat, (gs.toDouble / n).toFloat,
             (bs.toDouble / n).toFloat, (bright.toDouble / n).toFloat)
         }
+      }
+    }
+
+    /** Real audio decode kernel on the JDK's built-in WAV/PCM parser
+      * (`javax.sound.sampled.AudioSystem` — pure container/sample
+      * parsing, no audio device). Supports 16-bit signed PCM, any
+      * channel count (frames averaged to mono is NOT done — channel 0
+      * is analyzed, the common feature-extraction convention).
+      * Features (dim 6): [sample rate, n samples, mean |s|, RMS,
+      * fraction of non-negative samples, max |s|] — every accumulator
+      * is an exact long, divided once in double (sqrt is correctly
+      * rounded in IEEE), so features are bit-reproducible and oracle
+      * re-derivable when the sample values are known arithmetic.
+      * Undecodable payloads return null (or the fallback's features),
+      * matching [[ImageIo]]. */
+    final case class AudioIo(fallback: Option[MediaDecoder] = None)
+        extends MediaDecoder {
+      val featureDim: Int = 6
+      def decodeToFeatures(format: String, payload: Array[Byte]): Array[Float] = {
+        val in =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => null
+            case _: java.io.IOException => null
+          }
+        if (in == null || in.getFormat.getSampleSizeInBits != 16 ||
+            in.getFormat.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          fallback.map(_.decodeToFeatures(format, payload)).orNull
+        else try {
+          val fmt = in.getFormat
+          val frameBytes = fmt.getFrameSize
+          val bytes = in.readAllBytes()
+          val nFrames = bytes.length / frameBytes
+          var absSum = 0L; var sqSum = 0L; var nonNeg = 0L; var maxAbs = 0L
+          var i = 0
+          while (i < nFrames) {
+            val off = i * frameBytes // channel 0 of each frame
+            val lo = bytes(off) & 0xff
+            val hi = bytes(off + 1)
+            val s = if (fmt.isBigEndian) ((lo << 8) | (hi & 0xff)).toShort.toInt
+                    else ((hi << 8) | lo).toShort.toInt
+            val a = math.abs(s.toLong)
+            absSum += a; sqSum += s.toLong * s; if (s >= 0) nonNeg += 1
+            if (a > maxAbs) maxAbs = a
+            i += 1
+          }
+          if (nFrames == 0)
+            fallback.map(_.decodeToFeatures(format, payload)).orNull
+          else Array(fmt.getSampleRate, nFrames.toFloat,
+            (absSum.toDouble / nFrames).toFloat,
+            math.sqrt(sqSum.toDouble / nFrames).toFloat,
+            (nonNeg.toDouble / nFrames).toFloat, maxAbs.toFloat)
+        } finally in.close()
       }
     }
   }
@@ -225,6 +282,37 @@ object Multimodal {
          (s * 5 + x * 11 + y * 3) % 256,
          (s * 7 + x * 3 + y * 13) % 256)
       }
+    }
+
+    /** Canonical 44-byte-header RIFF/WAVE container around 16-bit
+      * signed little-endian mono PCM — the shape `javax.sound.sampled`
+      * decodes losslessly. `sample` maps index 0..n-1 to a value in
+      * [-32768, 32767]. */
+    def wavPcm16(sampleRate: Int, n: Int)(sample: Int => Int): Array[Byte] = {
+      val dataSize = n * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+      buf.put("fmt ".getBytes).putInt(16)
+        .putShort(1)                      // PCM
+        .putShort(1)                      // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2)           // byte rate
+        .putShort(2)                      // block align
+        .putShort(16)                     // bits/sample
+      buf.put("data".getBytes).putInt(dataSize)
+      var i = 0
+      while (i < n) { buf.putShort(sample(i).toShort); i += 1 }
+      buf.array()
+    }
+
+    /** Per-document test audio: samples are a linear congruence of
+      * (seed, i) mapped onto the full 16-bit range — re-derivable in
+      * SQL via generate_series. */
+    def docWav(seed: Long, sampleRate: Int = 8000, n: Int = 256)
+        : Array[Byte] = {
+      val s = java.lang.Math.floorMod(seed, 1009L).toInt
+      wavPcm16(sampleRate, n)(i => ((s * 131 + i * 997) % 65536) - 32768)
     }
   }
 

@@ -14,12 +14,19 @@ import org.apache.spark.sql.functions._
   * data) and that no hidden driver bottleneck appears off the test SF.
   *
   * Amplification keeps the near-dup structure of the base corpus
-  * without manufacturing a pathological one: every copy suffixes
-  * every token with its copy index (`regexp_replace` of the space
-  * separator), so shingles never collide ACROSS copies — pair and
-  * component counts scale exactly linearly in the factor (asserted),
-  * and posting-list lengths stay at their base-corpus values rather
-  * than multiplying into a quadratic blow-up that no real corpus has.
+  * without manufacturing a pathological one: the text is normalized
+  * (the tokenizer's own alphabet) and every token is suffixed with
+  * `q<copy>` — fused INTO the token, so the suffix survives
+  * tokenization and shingles never collide ACROSS copies. Pair and
+  * component counts then scale exactly linearly in the factor
+  * (reported), and posting-list lengths stay at their base-corpus
+  * values rather than multiplying into a quadratic blow-up that no
+  * real corpus has. (A space-adjacent marker is NOT enough: anything
+  * the normalizer maps to a separator becomes its own token between
+  * every pair of words, and a shared single word then yields a shared
+  * shingle — the first draft of this harness produced a 4700× pair
+  * explosion at factor 10 exactly that way.) Factor 1 runs the SAME
+  * synthesis with copy=0, so the two corpora are isomorphic.
   *
   * Usage: `runMain graft.tools.ScaleSmoke [sfDir] [factor]`
   * (defaults `/root/testdata/sf0.1`, 100). Emits one JSON line per
@@ -56,32 +63,39 @@ object ScaleSmoke {
     val metrics = new StageMetrics
     spark.sparkContext.addSparkListener(metrics)
 
-    def amplified(f: Int): DataFrame = {
-      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    // Normalize with the tokenizer's own alphabet, then fuse `q<copy>`
+    // into every token ($1 backref keeps it inside the alnum run).
+    def amplified(f: Int): DataFrame =
+      spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "text")
-      if (f == 1) base
-      else base
-        .withColumn("copy",
-          explode(sequence(lit(0), lit(f - 1))))
+        .withColumn("copy", explode(sequence(lit(0), lit(f - 1))))
         .select((col("doc_id") * f + col("copy")).as("doc_id"),
-          expr("regexp_replace(text, ' ', '_' || copy || ' ') " +
-            "|| '_' || copy").as("text"))
-    }
+          expr("regexp_replace(regexp_replace(lower(text), " +
+            "'[^a-z0-9]+', ' '), '([a-z0-9]+)', '$1q' || copy)")
+            .as("text"))
 
     case class Reading(phase: String, f: Int, sec: Double, rows: Long,
         parts: Int, exch: Int, shufWriteMb: Long, shufReadMb: Long,
         storageMb: Long)
     val readings = scala.collection.mutable.ArrayBuffer.empty[Reading]
 
-    def timed(phase: String, f: Int, df: DataFrame): Long = {
+    // Times CONSTRUCTION + count: packOffsets and ngramJaccardPairs
+    // run eager internal materializations at call time, so the work
+    // must happen inside the clock, not before it. `mk` returns
+    // (result, planFrame): the Exchange count comes from planFrame
+    // (planning only, no re-execution) so a checkpointed result can
+    // still report its real pipeline shape.
+    def timed(phase: String, f: Int)
+        (mk: => (DataFrame, DataFrame)): DataFrame = {
       val w0 = metrics.shufWrite.get(); val r0 = metrics.shufRead.get()
       val t0 = System.nanoTime()
+      val (df, planDf) = mk
       val n = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
       val storage = spark.sparkContext.getRDDStorageInfo
         .map(i => i.memSize + i.diskSize).sum
       val rd = Reading(phase, f, sec, n, df.rdd.getNumPartitions,
-        exchanges(df),
+        exchanges(planDf),
         (metrics.shufWrite.get() - w0) >> 20,
         (metrics.shufRead.get() - r0) >> 20, storage >> 20)
       readings += rd
@@ -89,7 +103,7 @@ object ScaleSmoke {
         f""""rows":$n,"parts":${rd.parts},"exchanges":${rd.exch},""" +
         f""""shuf_write_mb":${rd.shufWriteMb},"shuf_read_mb":${rd.shufReadMb},""" +
         f""""peak_storage_mb":${rd.storageMb}}""")
-      n
+      df
     }
 
     Seq(1, factor).foreach { f =>
@@ -98,16 +112,21 @@ object ScaleSmoke {
       val counts = docs.select(col("doc_id"),
         graft.text.TextOps.tokenCount(col("text")).cast("long")
           .as("n_tokens"))
-      timed("packBlocks", f,
-        graft.text.PackOps.packBlocks(counts, "doc_id", "n_tokens",
-          256, "sm"))
-      val pairs = graft.text.DedupOps.ngramJaccardPairs(
-        docs, "doc_id", "text", 3, 0.2)
-        .localCheckpoint(eager = true)
-      timed("ngramJaccardPairs", f, pairs)
+      timed("packBlocks", f) {
+        val b = graft.text.PackOps.packBlocks(counts, "doc_id",
+          "n_tokens", 256, "sm")
+        (b, b)
+      }
+      val pairs = timed("ngramJaccardPairs", f) {
+        val raw = graft.text.DedupOps.ngramJaccardPairs(docs, "doc_id",
+          "text", 3, 0.2)
+        (raw.localCheckpoint(eager = true), raw)
+      }
       val nodes = docs.select(col("doc_id").as("id"))
-      timed("connectedComponents", f,
-        graft.text.DedupOps.connectedComponents(nodes, pairs))
+      timed("connectedComponents", f) {
+        val cc = graft.text.DedupOps.connectedComponents(nodes, pairs)
+        (cc, cc)
+      }
       graft.text.PackOps.releaseSubstrates()
       spark.catalog.clearCache()
     }

@@ -399,6 +399,31 @@ class StreamingStatusSpec extends SparkSpec {
     assert(withFb.decodeToFeatures("bmp", Array[Byte](1, 2, 3)).length == 6)
   }
 
+  test("AudioIo decoder: WAV round-trip features, poison fallback") {
+    import graft.multimodal.Multimodal
+    import Multimodal.{MediaDecoder, SyntheticMedia}
+    val dec = MediaDecoder.AudioIo()
+    // Known four-sample signal: features are exact by hand.
+    val wav = SyntheticMedia.wavPcm16(16000, 4)(
+      Seq(100, -200, 0, 300))
+    val f = dec.decodeToFeatures("wav", wav)
+    assert(f(0) == 16000.0f && f(1) == 4.0f)
+    assert(f(2) == (100 + 200 + 0 + 300) / 4.0f)         // mean |s|
+    assert(f(3) == math.sqrt((100.0 * 100 + 200 * 200 + 300 * 300) / 4.0)
+      .toFloat)                                           // rms
+    assert(f(4) == 3 / 4.0f)                              // nonneg frac
+    assert(f(5) == 300.0f)                                // max |s|
+    // The doc generator round-trips through the real parser.
+    val doc = dec.decodeToFeatures("wav", SyntheticMedia.docWav(7L))
+    assert(doc(0) == 8000.0f && doc(1) == 256.0f)
+    val s0 = ((7 % 1009) * 131 + 0 * 997) % 65536 - 32768
+    assert(doc(5) >= math.abs(s0).toFloat) // max covers sample 0
+    // Undecodable payload: null without fallback, stub with one.
+    assert(dec.decodeToFeatures("wav", Array[Byte](9, 9, 9)) == null)
+    val withFb = MediaDecoder.AudioIo(Some(MediaDecoder.Deterministic(6)))
+    assert(withFb.decodeToFeatures("wav", Array[Byte](9, 9, 9)).length == 6)
+  }
+
   test("multimodal payload transform keeps schema, shrinks payload") {
     import graft.multimodal.Multimodal
     val media = Seq((1L, "utf8", "hello world payload".getBytes),
