@@ -21,6 +21,23 @@ import org.apache.spark.sql.functions._
 object DedupOps {
 
   import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.storage.StorageLevel
+
+  /** Eager lineage-cutting materialization at SERIALIZED storage.
+    * Corpus-sized checkpoints (shingle / signature / banded tables)
+    * then hold packed byte buffers instead of one JVM object per row —
+    * roughly a 3x smaller resident footprint for these narrow
+    * long-pair rows. That footprint is exactly what bounds a local[n]
+    * driver (and an executor's storage fraction on a cluster) once the
+    * corpus is 10-100x the test SF: a factor-100 scale smoke of the
+    * ngram chain GC-thrashed holding two deserialized checkpoints of a
+    * ~150M-row shingle table, and the deserialization saving is
+    * irrelevant here because every consumer is a shuffle that
+    * re-serializes anyway. Sliver-sized iterative checkpoints
+    * (connectedComponents' per-round labels) stay deserialized — they
+    * are read repeatedly and are edge-sliver-sized by construction. */
+  private def ckptSer(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
 
   /** Relational k-shingle table: (id, shingle) rows, distinct per doc.
     * posexplode tokens once, build shingles with `lead` windows —
@@ -78,26 +95,33 @@ object DedupOps {
     // plan (no CacheManager entry to leak across calls). Shingles are
     // hashed to longs BEFORE the checkpoint, so the materialized table
     // (and every shuffle fed from it) never carries shingle text.
-    val sh = shingleRows(docs, idCol, textCol, k)
-      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
-      .localCheckpoint(eager = true)
+    val sh = ckptSer(shingleRows(docs, idCol, textCol, k)
+      .select(col("id"), xxhash64(col("shingle")).as("shingle")))
     // Pair-join prune: a shingle held by a single doc cannot produce a
     // pair, and most shingles are singletons — dropping them up front
     // shrinks the self-join input without changing the result. The
     // shared-shingle set comes from a partial-aggregated groupBy (map-
     // side combine, only distinct keys shuffle) and is applied as a
-    // semi join (AQE broadcasts it when small). Same pass applies the
-    // frequency cap.
+    // semi join. SHUFFLE_HASH is forced: `shared` scales WITH the
+    // corpus (it is its distinct non-singleton shingle set), so AQE's
+    // broadcast conversion — correct-looking at test SF where the
+    // compressed key set sits under the 10 MB threshold — becomes a
+    // single-threaded, driver-resident multi-GB hash-map build at
+    // 100x the data (observed live: a factor-100 scale smoke spent
+    // 10+ min inside LongToUnsafeRowMap.grow before this hint, and an
+    // 8 GB driver died in notEnoughMemoryToBuildAndBroadcastTable).
+    // Never broadcast a corpus-derived side: the shuffled-hash build
+    // is per-partition parallel and bounded by partition size.
     val shared = sh.groupBy("shingle").agg(count(lit(1)).as("__freq"))
       .filter(col("__freq") >= 2 && col("__freq") <= maxShingleFreq)
       .select("shingle")
+      .hint("shuffle_hash")
     // Second checkpoint adjudicated by a warm-JVM alternating A/B at
     // sf0.1 (4 rounds each, same session): with it min 2.64 s / median
     // 2.75 s, without it 2.71 / 2.82 — materializing the semi-joined
     // table once beats recomputing it for both sides of the self-join,
     // so it stays.
-    val capped = sh.join(shared, Seq("shingle"), "left_semi")
-      .localCheckpoint(eager = true)
+    val capped = ckptSer(sh.join(shared, Seq("shingle"), "left_semi"))
     // sh is distinct per (id, shingle) by construction, so plain count
     // (map-side combinable) equals countDistinct without its extra
     // dedup shuffle.
@@ -151,7 +175,7 @@ object DedupOps {
         }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
       // feeds both sides of the candidate-pair self-join
-      .localCheckpoint(eager = true)
+      .transform(ckptSer)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.id") < col("b.id"))
@@ -324,7 +348,7 @@ object DedupOps {
     * (4 × 2¹⁶ keys) and whose recall within the radius is exact. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
-    val sh = simhashTable(docs, idCol, textCol).localCheckpoint(eager = true)
+    val sh = ckptSer(simhashTable(docs, idCol, textCol))
     val bucketed = sh.withColumn("bucket", shiftright(col("sh"), 8))
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -375,8 +399,7 @@ object DedupOps {
     require(maxHamming <= 3,
       s"simhashPairs64 guarantees recall only for radius <= 3 over 4 " +
       s"bands (pigeonhole); got $maxHamming")
-    val sh = simhashTable64(docs, idCol, textCol)
-      .localCheckpoint(eager = true)
+    val sh = ckptSer(simhashTable64(docs, idCol, textCol))
     val banded = sh.select(
       (col("id") +: (0 until 4).map(j => col(s"w$j"))) :+
         explode(array((0 until 4).map(b =>

@@ -37,11 +37,17 @@ object ScaleSmoke {
   private final class StageMetrics extends SparkListener {
     val shufWrite = new java.util.concurrent.atomic.AtomicLong
     val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val nStages = new java.util.concurrent.atomic.AtomicLong
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
       val m = s.stageInfo.taskMetrics
+      nStages.incrementAndGet()
       if (m != null) {
         shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        taskMs.addAndGet(m.executorRunTime)
+        gcMs.addAndGet(m.jvmGCTime)
       }
     }
   }
@@ -88,6 +94,8 @@ object ScaleSmoke {
     def timed(phase: String, f: Int)
         (mk: => (DataFrame, DataFrame)): DataFrame = {
       val w0 = metrics.shufWrite.get(); val r0 = metrics.shufRead.get()
+      val s0 = metrics.nStages.get(); val tm0 = metrics.taskMs.get()
+      val g0 = metrics.gcMs.get()
       val t0 = System.nanoTime()
       val (df, planDf) = mk
       val n = df.count()
@@ -102,13 +110,19 @@ object ScaleSmoke {
       println(f"""{"phase":"$phase","factor":$f,"sec":${rd.sec}%.1f,""" +
         f""""rows":$n,"parts":${rd.parts},"exchanges":${rd.exch},""" +
         f""""shuf_write_mb":${rd.shufWriteMb},"shuf_read_mb":${rd.shufReadMb},""" +
-        f""""peak_storage_mb":${rd.storageMb}}""")
+        f""""peak_storage_mb":${rd.storageMb},""" +
+        f""""stages":${metrics.nStages.get() - s0},""" +
+        f""""task_sec":${(metrics.taskMs.get() - tm0) / 1e3}%.1f,""" +
+        f""""gc_sec":${(metrics.gcMs.get() - g0) / 1e3}%.1f}""")
       df
     }
 
     Seq(1, factor).foreach { f =>
-      val docs = amplified(f)
-        .localCheckpoint(eager = true) // synthesis cost out of phase timings
+      // synthesis cost out of phase timings; SERIALIZED storage — at
+      // factor 100 the full amplified text held as row objects is
+      // itself a meaningful slice of a local JVM's heap
+      val docs = amplified(f).localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val counts = docs.select(col("doc_id"),
         graft.text.TextOps.tokenCount(col("text")).cast("long")
           .as("n_tokens"))
