@@ -32,7 +32,7 @@ object Bench {
     val ts = (1 to threads).map { _ =>
       new Thread(() => {
         var x = 0L; var i = 0
-        while (i < 125000000) { x += i * 2654435761L; i += 1 }
+        while (i < 500000000) { x += i * 2654435761L; i += 1 }
         if (x == 42L) print("")
       })
     }
@@ -40,8 +40,13 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Min of five ~0.2 s reps. The rep must dwarf its own setup: at a
+    * ~50 ms rep, starting `threads` OS threads is several ms — enough
+    * for a clean run's before/after pair to read >10% apart and
+    * false-flag `loaded` (observed: 0.065 vs 0.053 on an idle box).
+    * 4x the loop + 5 reps puts setup under ~2% of the reading. */
   private def parProbeSec(threads: Int): Double =
-    (1 to 3).map(_ => parProbeOnce(threads)).min
+    (1 to 5).map(_ => parProbeOnce(threads)).min
 
   /** Parallel buffered-IO probe: 8 threads each stream the given file
     * end to end; reports aggregate MB/s (max of 3 reps — the unloaded

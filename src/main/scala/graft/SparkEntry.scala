@@ -1601,6 +1601,36 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Real video decode (the
+    * [[graft.multimodal.Multimodal.MediaDecoder.AviDib]] kernel — a
+    * hand-rolled RIFF/AVI chunk walker over uncompressed 24-bit DIB
+    * frames, zero codec dependencies): deterministic synthetic AVIs —
+    * each channel of pixel (f, x, y) is a linear congruence of
+    * (doc_id % 1009, f, x, y) — are encoded in-task, decoded by the
+    * real parser, frame-sampled every 2nd frame INSIDE the kernel,
+    * and featurized. The oracle re-derives every feature over a
+    * (frame, x, y) generate_series grid restricted to the sampled
+    * frames. */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    import s.implicits._
+    val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => (id, "video", "avi", Multimodal.SyntheticMedia.docAvi(id)))
+      .toDF("media_id", "kind", "format", "payload")
+    Multimodal.extractFeatures(media,
+        Multimodal.MediaDecoder.AviDib(frameStride = 2))
+      .select(col("media_id").as("doc_id"), col("payload_bytes"),
+        element_at(col("features"), 1).as("width"),
+        element_at(col("features"), 2).as("height"),
+        element_at(col("features"), 3).as("n_frames"),
+        element_at(col("features"), 4).as("n_sampled"),
+        element_at(col("features"), 5).as("r_mean"),
+        element_at(col("features"), 6).as("g_mean"),
+        element_at(col("features"), 7).as("b_mean"),
+        element_at(col("features"), 8).as("frac_bright"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -1691,6 +1721,7 @@ object SparkEntry {
     "q76_image_decode"     -> (q76 _),
     "q77_gopher_filter"    -> (q77 _),
     "q78_audio_decode"     -> (q78 _),
+    "q79_video_decode"     -> (q79 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -3184,5 +3215,33 @@ object SparkEntry {
                AS nonneg_frac,
              max(abs(s))::FLOAT AS max_abs
       FROM smp GROUP BY doc_id ORDER BY doc_id""",
+    // Same per-channel congruences the Spark side ENCODES into real
+    // AVI/DIB bytes (then round-trips through the RIFF chunk walker).
+    // 6 frames of 8x6 px, kernel samples every 2nd frame -> frames
+    // 0/2/4, 144 sampled pixels. Container: 1136 bytes (44+56+124
+    // header chunks + 6 x 152-byte frame chunks).
+    "q79_video_decode" -> """
+      WITH px AS (
+        SELECT d.doc_id,
+               ((d.doc_id % 1009) * 7 + f.f * 11 + x.x * 3 + y.y * 13)
+                 % 256 AS r,
+               ((d.doc_id % 1009) * 3 + f.f * 5 + x.x * 7 + y.y * 11)
+                 % 256 AS g,
+               ((d.doc_id % 1009) * 11 + f.f * 3 + x.x * 13 + y.y * 5)
+                 % 256 AS b
+        FROM documents d
+        CROSS JOIN generate_series(0, 5) AS f(f)
+        CROSS JOIN generate_series(0, 7) AS x(x)
+        CROSS JOIN generate_series(0, 5) AS y(y)
+        WHERE f.f % 2 = 0)
+      SELECT doc_id, 1136 AS payload_bytes,
+             8.0::FLOAT AS width, 6.0::FLOAT AS height,
+             6.0::FLOAT AS n_frames, 3.0::FLOAT AS n_sampled,
+             (sum(r)::DOUBLE / 144.0)::FLOAT AS r_mean,
+             (sum(g)::DOUBLE / 144.0)::FLOAT AS g_mean,
+             (sum(b)::DOUBLE / 144.0)::FLOAT AS b_mean,
+             ((count(*) FILTER (WHERE r + g + b >= 384))::DOUBLE / 144.0)
+               ::FLOAT AS frac_bright
+      FROM px GROUP BY doc_id ORDER BY doc_id""",
   )
 }

@@ -8,16 +8,18 @@ import org.apache.spark.sql.types._
   * pipelines: opaque `binary` payloads + typed metadata structs, with
   * decode/feature-extract as per-partition batch transforms.
   *
-  * Image and audio decode are REAL on JDK built-in codecs
+  * Image, audio, and video decode are all REAL on pure-JDK parsers
   * ([[MediaDecoder.ImageIo]]: PNG/BMP/GIF/JPEG via `javax.imageio`;
-  * [[MediaDecoder.AudioIo]]: WAV/PCM via `javax.sound.sampled` — no
-  * external dependency, no audio device needed for parsing); video
-  * kernels remain deterministic stand-ins
-  * ([[MediaDecoder.Deterministic]]) since no video library ships in
-  * this environment. Everything Spark-side is real either way: the
-  * schema convention, the mapPartitions batch shape (one decoder
-  * instance per partition, reused across rows, the Scala analogue of
-  * a pandas-batched UDF), partition sizing by byte budget, and the
+  * [[MediaDecoder.AudioIo]]: WAV/PCM via `javax.sound.sampled`;
+  * [[MediaDecoder.AviDib]]: AVI containers with uncompressed DIB
+  * frames via a hand-rolled RIFF chunk walker — no external
+  * dependency anywhere). Compressed video codecs (H.264 etc.) have no
+  * JDK decoder; those payloads fall back to
+  * [[MediaDecoder.Deterministic]] via the kernels' fallback hook.
+  * Everything Spark-side is identical either way: the schema
+  * convention, the mapPartitions batch shape (one decoder instance
+  * per partition, reused across rows, the Scala analogue of a
+  * pandas-batched UDF), partition sizing by byte budget, and the
   * feature-column contract.
   */
 object Multimodal {
@@ -152,6 +154,97 @@ object Multimodal {
             math.sqrt(sqSum.toDouble / nFrames).toFloat,
             (nonNeg.toDouble / nFrames).toFloat, maxAbs.toFloat)
         } finally in.close()
+      }
+    }
+
+    /** Real video decode kernel for AVI containers carrying
+      * uncompressed DIB frames ("00db" chunks, 24-bit BGR — the RIFF
+      * layout every capture tool can emit and the one video format
+      * decodable with zero codec dependencies; the chunk walker is a
+      * plain RIFF parser, the same container grammar as WAV). Frame
+      * sampling happens INSIDE the kernel (every `frameStride`-th
+      * frame), the batch-shape analogue of decode-then-sample: a
+      * pipeline never pays for frames it won't featurize. Features
+      * (dim 8): [width, height, n_frames, n_sampled, mean R, mean G,
+      * mean B, bright fraction (R+G+B >= 384, the [[ImageIo]]
+      * convention)] over sampled frames; channel sums accumulate as
+      * exact longs and divide once in double, so features are
+      * bit-reproducible and oracle re-derivable. Non-AVI payloads,
+      * compressed streams, or bit depths other than 24 fall back /
+      * return null like the other kernels. */
+    final case class AviDib(frameStride: Int = 1,
+        fallback: Option[MediaDecoder] = None) extends MediaDecoder {
+      require(frameStride >= 1, s"frameStride must be >= 1: $frameStride")
+      val featureDim: Int = 8
+
+      private def fourcc(b: Array[Byte], off: Int): String =
+        if (off + 4 <= b.length)
+          new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        else ""
+      private def le32(b: Array[Byte], off: Int): Int =
+        (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+      def decodeToFeatures(format: String, payload: Array[Byte]): Array[Float] = {
+        def bail: Array[Float] =
+          fallback.map(_.decodeToFeatures(format, payload)).orNull
+        if (payload == null || payload.length < 12 ||
+            fourcc(payload, 0) != "RIFF" || fourcc(payload, 8) != "AVI ")
+          return bail
+        // One linear chunk walk: RIFF nesting only adds a 4-byte list
+        // type after each LIST header, so a recursive descent collects
+        // the stream format (strf -> BITMAPINFOHEADER) and every DIB
+        // frame chunk (id "NNdb") in file order.
+        var width = 0; var height = 0; var bitCount = 0
+        val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        def walk(start: Int, end: Int): Unit = {
+          var p = start
+          while (p + 8 <= end) {
+            val id = fourcc(payload, p)
+            val sz = le32(payload, p + 4)
+            if (sz < 0 || p + 8 + sz > end) return // truncated: stop
+            if (id == "LIST" && sz >= 4) walk(p + 12, p + 8 + sz)
+            else if (id == "strf" && sz >= 40 && bitCount == 0) {
+              width = le32(payload, p + 8 + 4)
+              height = le32(payload, p + 8 + 8)
+              bitCount = le32(payload, p + 8 + 14) & 0xffff
+            } else if (id.length == 4 && id.endsWith("db"))
+              frames += ((p + 8, sz))
+            p += 8 + sz + (sz & 1) // chunks are word-aligned
+          }
+        }
+        walk(12, math.min(payload.length, 8 + le32(payload, 4)))
+        if (width <= 0 || height <= 0 || bitCount != 24 || frames.isEmpty)
+          return bail
+        val rowBytes = (width * 3 + 3) & ~3 // DIB rows pad to 4 bytes
+        var sumR = 0L; var sumG = 0L; var sumB = 0L; var bright = 0L
+        var sampled = 0
+        var f = 0
+        while (f < frames.length) {
+          if (f % frameStride == 0) {
+            val (off, sz) = frames(f)
+            if (sz < rowBytes * height) return bail // corrupt frame
+            sampled += 1
+            var y = 0
+            while (y < height) {
+              var p = off + y * rowBytes; var x = 0
+              while (x < width) {
+                val b = payload(p) & 0xff; val g = payload(p + 1) & 0xff
+                val r = payload(p + 2) & 0xff
+                sumR += r; sumG += g; sumB += b
+                if (r + g + b >= 384) bright += 1
+                p += 3; x += 1
+              }
+              y += 1
+            }
+          }
+          f += 1
+        }
+        val n = sampled.toLong * width * height
+        Array(width.toFloat, height.toFloat, frames.length.toFloat,
+          sampled.toFloat, (sumR.toDouble / n).toFloat,
+          (sumG.toDouble / n).toFloat, (sumB.toDouble / n).toFloat,
+          (bright.toDouble / n).toFloat)
       }
     }
   }
@@ -313,6 +406,79 @@ object Multimodal {
         : Array[Byte] = {
       val s = java.lang.Math.floorMod(seed, 1009L).toInt
       wavPcm16(sampleRate, n)(i => ((s * 131 + i * 997) % 65536) - 32768)
+    }
+
+    /** Minimal spec-shaped AVI container around uncompressed 24-bit
+      * DIB frames — the exact layout [[MediaDecoder.AviDib]] decodes:
+      * RIFF(AVI ) / LIST(hdrl){avih, LIST(strl){strh vids/DIB, strf
+      * BITMAPINFOHEADER}} / LIST(movi){00db...}. `pixel(f, x, y)`
+      * returns (r, g, b); rows are stored bottom-up BGR padded to 4
+      * bytes per the DIB convention. */
+    def aviDib(width: Int, height: Int, nFrames: Int)
+        (pixel: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val rowBytes = (width * 3 + 3) & ~3
+      val frameBytes = rowBytes * height
+      val strl = 8 + 56 + 8 + 40            // strh + strf chunks
+      val hdrl = 8 + 56 + (8 + 4 + strl)    // avih + LIST strl
+      val movi = 4 + nFrames * (8 + frameBytes)
+      val riff = 4 + (8 + 4 + hdrl) + (8 + movi)
+      val buf = java.nio.ByteBuffer.allocate(8 + riff)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def cc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+      cc("RIFF"); buf.putInt(riff); cc("AVI ")
+      cc("LIST"); buf.putInt(4 + hdrl); cc("hdrl")
+      cc("avih"); buf.putInt(56)
+      buf.putInt(40000) // us/frame (25 fps)
+      buf.putInt(0); buf.putInt(0); buf.putInt(0)
+      buf.putInt(nFrames); buf.putInt(0); buf.putInt(1)
+      buf.putInt(frameBytes); buf.putInt(width); buf.putInt(height)
+      (0 until 4).foreach(_ => buf.putInt(0))
+      cc("LIST"); buf.putInt(4 + strl); cc("strl")
+      cc("strh"); buf.putInt(56)
+      cc("vids"); cc("DIB ")
+      (0 until 3).foreach(_ => buf.putInt(0))  // flags, prio, initial
+      buf.putInt(1); buf.putInt(25)            // scale, rate
+      buf.putInt(0); buf.putInt(nFrames)       // start, length
+      buf.putInt(frameBytes); buf.putInt(-1); buf.putInt(0)
+      buf.putShort(0); buf.putShort(0); buf.putInt(0)
+      cc("strf"); buf.putInt(40)
+      buf.putInt(40); buf.putInt(width); buf.putInt(height)
+      buf.putShort(1); buf.putShort(24)        // planes, bitcount
+      buf.putInt(0); buf.putInt(frameBytes)    // BI_RGB, image size
+      buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0)
+      cc("LIST"); buf.putInt(movi); cc("movi")
+      var f = 0
+      while (f < nFrames) {
+        cc("00db"); buf.putInt(frameBytes)
+        var row = 0
+        while (row < height) {
+          val y = height - 1 - row // bottom-up storage
+          var x = 0
+          while (x < width) {
+            val (r, g, b) = pixel(f, x, y)
+            buf.put(b.toByte).put(g.toByte).put(r.toByte)
+            x += 1
+          }
+          var pad = width * 3
+          while (pad < rowBytes) { buf.put(0.toByte); pad += 1 }
+          row += 1
+        }
+        f += 1
+      }
+      buf.array()
+    }
+
+    /** Per-document test video: channel values are linear congruences
+      * of (seed, frame, x, y) — re-derivable in SQL via a
+      * generate_series grid over frames and pixels. */
+    def docAvi(seed: Long, width: Int = 8, height: Int = 6,
+        nFrames: Int = 6): Array[Byte] = {
+      val s = java.lang.Math.floorMod(seed, 1009L).toInt
+      aviDib(width, height, nFrames) { (f, x, y) =>
+        ((s * 7 + f * 11 + x * 3 + y * 13) % 256,
+         (s * 3 + f * 5 + x * 7 + y * 11) % 256,
+         (s * 11 + f * 3 + x * 13 + y * 5) % 256)
+      }
     }
   }
 

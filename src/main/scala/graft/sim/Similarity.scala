@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Eager lineage-cutting materialization at SERIALIZED storage —
+    * same rationale as DedupOps.ckptSer: these checkpoints are
+    * corpus-sized (banded/bucketed vector tables carry the full
+    * embedding arrays), their per-row object form is ~3x the packed
+    * footprint, and every consumer is a shuffle that re-serializes
+    * anyway. The packed form is what keeps a 10-100x scale step from
+    * GC-thrashing a single JVM (measured on the dedup chain's
+    * factor-10 smoke) and an executor's storage fraction on a
+    * cluster. */
+  private def ckptSer(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   /** Cosine similarity of two array<float|double> columns (double math,
     * sequential summation). 0-norm vectors yield null. */
   def cosine(a: Column, b: Column): Column = {
@@ -134,7 +147,7 @@ object Similarity {
         posexplode(graft.functions.HyperplaneBits.bandKeys(col("vec"),
           hp.map(_.toIndexedSeq).toIndexedSeq, bands, rowsPerBand))
           .as(Seq("band", "key")))
-      .localCheckpoint(eager = true), maxBucketSize)
+      .transform(ckptSer), maxBucketSize)
     val scored = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.id") < col("b.id"))
@@ -258,9 +271,8 @@ object Similarity {
     import spark.implicits._
     val n = corpus.count()
     val stride = math.max(1L, n / math.max(1, numCentroids))
-    val vecs = corpus.select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("vec"))
-      .localCheckpoint(eager = true)
+    val vecs = ckptSer(corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec")))
     var cent = vecs.filter(pmod(col("id"), lit(stride)) === 0)
       .orderBy("id").select(col("vec").as("c_vec")).collect()
       .map(_.getSeq[Double](0).toArray)
@@ -321,7 +333,7 @@ object Similarity {
             hp.map(_.toIndexedSeq).toIndexedSeq, 1, nPlanes), 1))
         .withColumn("norm", sqrt(dot(col("vec"), col("vec"))))
         .withColumn("band", lit(0))
-        .localCheckpoint(eager = true), maxBucketSize)
+        .transform(ckptSer), maxBucketSize)
       .withColumnRenamed("key", "bucket").drop("band")
     val pairs = bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))

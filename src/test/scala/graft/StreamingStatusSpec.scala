@@ -424,6 +424,34 @@ class StreamingStatusSpec extends SparkSpec {
     assert(withFb.decodeToFeatures("wav", Array[Byte](9, 9, 9)).length == 6)
   }
 
+  test("AviDib decoder: AVI/DIB round-trip features, stride, poison") {
+    import graft.multimodal.Multimodal
+    import Multimodal.{MediaDecoder, SyntheticMedia}
+    // 2x2, 3 frames, constant per-frame colors: features exact by hand.
+    val colors = Seq((10, 20, 30), (200, 200, 0), (90, 91, 92))
+    val avi = SyntheticMedia.aviDib(2, 2, 3)((f, _, _) => colors(f))
+    val all = MediaDecoder.AviDib().decodeToFeatures("avi", avi)
+    assert(all(0) == 2.0f && all(1) == 2.0f)      // width, height
+    assert(all(2) == 3.0f && all(3) == 3.0f)      // frames, sampled
+    assert(all(4) == (10 + 200 + 90) / 3.0f)      // mean R
+    assert(all(5) == (20 + 200 + 91) / 3.0f)      // mean G
+    assert(all(6) == (30 + 0 + 92) / 3.0f)        // mean B
+    assert(all(7) == 1 / 3.0f)                    // only frame 1 bright (400)
+    // Stride 2 samples frames 0 and 2 only.
+    val s2 = MediaDecoder.AviDib(frameStride = 2).decodeToFeatures("avi", avi)
+    assert(s2(2) == 3.0f && s2(3) == 2.0f)
+    assert(s2(4) == (10 + 90) / 2.0f && s2(6) == (30 + 92) / 2.0f)
+    // The doc generator round-trips through the real parser.
+    val doc = MediaDecoder.AviDib().decodeToFeatures(
+      "avi", SyntheticMedia.docAvi(5L))
+    assert(doc(0) == 8.0f && doc(1) == 6.0f && doc(2) == 6.0f)
+    // Poison: null without fallback, stub features with one.
+    assert(MediaDecoder.AviDib().decodeToFeatures(
+      "avi", Array[Byte](1, 2, 3)) == null)
+    assert(MediaDecoder.AviDib(fallback = Some(MediaDecoder.Deterministic(8)))
+      .decodeToFeatures("avi", Array[Byte](1, 2, 3)).length == 8)
+  }
+
   test("multimodal payload transform keeps schema, shrinks payload") {
     import graft.multimodal.Multimodal
     val media = Seq((1L, "utf8", "hello world payload".getBytes),
