@@ -204,37 +204,42 @@ object Similarity {
     def rcos(v: Column, nv: Column, c: Column, nc: Column): Column =
       floor(when(nv > 0.0 && nc > 0.0, dot(v, c) / (nv * nc))
         * p + 0.5) / p
+    // Coarse quantization runs as ONE fused codegen expression per
+    // row ([[graft.functions.NearestCentroids]]), with the centroid
+    // matrix embedded in the plan: the centroid set is
+    // broadcast-small BY INVARIANT (the contract documented on
+    // [[ivfTopK]]), so collecting it here is bounded — and the
+    // N-row corpus never joins, aggregates, or copies its embedding
+    // for the assignment at all. The earlier dataflow form
+    // (crossJoin(broadcast) + map-side max_by) shuffled only N rows
+    // but MATERIALIZED N×C joined rows; the factor-100 scale smoke
+    // measured it at ~30 µs per assignment row (2,600 task-seconds,
+    // 282 GC-seconds for 200k×447) — all array-copy churn, removed
+    // by this expression.
     val cCols = centroids.columns
-    val cent = centroids
-      .select(col(cCols(0)).as("c_id"), col(cCols(1)).as("c_vec"))
-      .withColumn("c_norm", sqrt(dot(col("c_vec"), col("c_vec"))))
-    // invert: every corpus row keyed by its nearest centroid. argmax
-    // as max_by over a total-order key (cos, -c_id) rather than a
-    // window: partial aggregation combines map-side, so the shuffle
-    // carries N rows, not N×C.
-    val cN = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val centRows = centroids
+      .select(col(cCols(0)).cast("long").as("c_id"),
+        col(cCols(1)).cast("array<double>").as("c_vec"))
+      .collect()
+    if (centRows.isEmpty) {
+      // an empty quantizer probes nothing — same result the join
+      // dataflow produced, kept as an explicit empty frame
+      return queries.select(col(idCol).as("q_id"), lit(1).as("rank"),
+        col(idCol).as("n_id"), lit(0.0).as("cos")).limit(0)
+    }
+    val cIds = centRows.map(_.getLong(0)).toSeq
+    val cVecs = centRows.map(_.getSeq[Double](1)).toSeq
+    def nearest(vec: Column, n: Int): Column =
+      graft.functions.NearestCentroids.topIds(vec, cIds, cVecs, n,
+        roundScale)
+    val lists = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
       .withColumn("n_norm", sqrt(dot(col("n_vec"), col("n_vec"))))
-    val lists = cN.crossJoin(broadcast(cent))
-      .withColumn("a_cos",
-        rcos(col("n_vec"), col("n_norm"), col("c_vec"), col("c_norm")))
-      .groupBy(col("n_id"))
-      .agg(max_by(
-        struct(col("c_id"), col("n_vec"), col("n_norm")),
-        struct(col("a_cos"), (-col("c_id")).as("neg_c"))).as("m"))
-      .select(col("m.c_id").as("list_id"), col("n_id"),
-        col("m.n_vec").as("n_vec"), col("m.n_norm").as("n_norm"))
+      .withColumn("list_id", element_at(nearest(col("n_vec"), 1), 1))
     // probe: each query scores its nProbe nearest centroid lists
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", sqrt(dot(col("q_vec"), col("q_vec"))))
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("p_cos").desc, col("c_id").asc)
-    val probes = q.crossJoin(broadcast(cent))
-      .withColumn("p_cos",
-        rcos(col("q_vec"), col("q_norm"), col("c_vec"), col("c_norm")))
-      .withColumn("p_rank", row_number().over(wProbe))
-      .filter(col("p_rank") <= nProbe)
-      .select(col("q_id"), col("q_vec"), col("q_norm"),
-        col("c_id").as("list_id"))
+      .withColumn("list_id", explode(nearest(col("q_vec"), nProbe)))
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
     probes.join(lists, "list_id")
@@ -248,9 +253,17 @@ object Similarity {
 
   /** Deterministic Lloyd refinement for IVF coarse quantizers: start
     * from the id-modulo sample (the same seed [[ivfTopK]] uses) and
-    * run `iters` assignment/mean rounds as plain DataFrame ops —
-    * corpus × broadcast(centroids) assignment with map-side `max_by`,
-    * then one groupBy mean per round. No RNG anywhere: the SEED set
+    * run `iters` assignment/mean rounds — per-row fused argmin over
+    * the plan-embedded centroid matrix
+    * ([[graft.functions.NearestCentroids]] with the squared-distance
+    * metric, same rationale as the [[ivfTopKWithCentroids]]
+    * assignment: the centroid set is driver-bounded by contract, and
+    * the fused loop replaces an N×C-materializing
+    * crossJoin+`max_by` round), then one groupBy mean per round. The
+    * argmin key 2·dot(v,c) − |c|² is IEEE-bit-identical (negation is
+    * exact and round-to-nearest is sign-symmetric) to the previous
+    * dataflow's argmin over dot(v,c)·(−2) + dot(c,c), so assignments
+    * are unchanged. No RNG anywhere: the SEED set
     * is a plan constant, and the refinement is reproducible up to
     * floating-point summation order in the distributed means (ULP-
     * level variation across different partitionings can flip a
@@ -277,15 +290,11 @@ object Similarity {
       .orderBy("id").select(col("vec").as("c_vec")).collect()
       .map(_.getSeq[Double](0).toArray)
     for (_ <- 0 until iters) {
-      val centDf = broadcast(
-        cent.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
-          .toDF("c_id", "c_vec"))
-      val assigned = vecs.crossJoin(centDf)
-        .withColumn("d", dot(col("vec"), col("c_vec")) * -2.0
-          + dot(col("c_vec"), col("c_vec")))
-        .groupBy(col("id"), col("vec"))
-        .agg(max_by(col("c_id"), struct((-col("d")).as("nd"),
-          (-col("c_id")).as("nc"))).as("c_id"))
+      val cIds = cent.indices.map(_.toLong)
+      val cVecs = cent.map(_.toSeq).toSeq
+      val assigned = vecs.withColumn("c_id", element_at(
+        graft.functions.NearestCentroids.topIdsSqDist(
+          col("vec"), cIds, cVecs, 1), 1).cast("int"))
       val means = assigned
         .select(col("c_id"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy("c_id", "pos").agg(avg("x").as("m"))

@@ -1,0 +1,182 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke for the similarity chain — the embedding-space
+  * counterpart of [[ScaleSmoke]]: amplify the sf0.1 `embeddings`
+  * table by an integer factor and run `cosineNearDupPairs` (q51's
+  * corpus-scale banding) and `ivfTopK` (q43's dataflow, scale-shaped
+  * parameters) at factor 1 and factor N in one session, recording the
+  * same per-phase evidence (wall, shuffle bytes, Exchange count, peak
+  * storage, GC) plus two EXACT invariants:
+  *
+  *  - **Copy-0 restriction equality** (near-dup): copy 0 of the
+  *    amplified corpus is bit-identical to the factor-1 corpus, and
+  *    LSH band keys depend only on the vector, so the factor-N pair
+  *    set restricted to copy-0×copy-0 ids must EQUAL the factor-1
+  *    pair set row-for-row (checked with two-sided `except`). Other
+  *    copies are decorrelated by per-(copy, dim) sign flips — a
+  *    diagonal orthogonal transform, so WITHIN-copy cosines (and the
+  *    true near-dup structure) are preserved exactly while cross-copy
+  *    cosines collapse to the random-pair distribution. Holds as long
+  *    as no bucket trips `maxBucketSize` (16-bit keys at these row
+  *    counts sit orders of magnitude under the cap; the harness
+  *    asserts the cap was not hit by construction of the counts).
+  *  - **Exact result cardinality** (IVF): a fixed 200-query panel
+  *    over the amplified corpus must return exactly `nq × k` rows at
+  *    every factor (probed lists always hold ≥ k candidates at these
+  *    centroid counts).
+  *
+  * Both phases must also keep their physical-plan Exchange count
+  * invariant across factors — the plan SHAPE does not change with
+  * scale, the same assertion that caught the AQE corpus-side
+  * broadcast in the dedup-chain smoke.
+  *
+  * Usage: `runMain graft.tools.SimScaleSmoke [sfDir] [factor]`
+  * (defaults `/root/testdata/sf0.1`, 100).
+  */
+object SimScaleSmoke {
+
+  private final class StageMetrics extends SparkListener {
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val nStages = new java.util.concurrent.atomic.AtomicLong
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      val m = s.stageInfo.taskMetrics
+      nStages.incrementAndGet()
+      if (m != null) {
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        taskMs.addAndGet(m.executorRunTime)
+        gcMs.addAndGet(m.jvmGCTime)
+      }
+    }
+  }
+
+  private def exchanges(df: DataFrame): Int =
+    "(?i)exchange".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(100)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = new StageMetrics
+    spark.sparkContext.addSparkListener(metrics)
+
+    // Copy c of vector v: ids re-keyed to `vec_id * f + c` (copy 0 is
+    // id-isomorphic to the base under id -> id * f), elements
+    // sign-flipped by parity of murmur3(c, dim) — identity for c = 0,
+    // a fixed diagonal orthogonal transform for every other copy.
+    // The repartition models a real lake read: a corpus this size
+    // arrives split across input tasks, not as the single partition a
+    // one-file test parquet yields (without it the broadcast-side
+    // assignment joins run on one core and the smoke measures the
+    // harness, not the operator).
+    def amplified(f: Int): DataFrame =
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .withColumn("copy", explode(sequence(lit(0), lit(f - 1))))
+        .select((col("vec_id") * f + col("copy")).as("vec_id"),
+          when(col("copy") === 0, col("embedding")).otherwise(
+            expr("transform(embedding, (x, i) -> " +
+              "x * cast(1 - 2 * pmod(hash(copy, i), 2) as float))"))
+            .as("embedding"))
+        .repartition(math.max(1,
+          spark.sessionState.conf.numShufflePartitions))
+
+    case class Reading(phase: String, f: Int, sec: Double, rows: Long,
+        exch: Int, shufWriteMb: Long, shufReadMb: Long, storageMb: Long)
+    val readings = scala.collection.mutable.ArrayBuffer.empty[Reading]
+
+    def timed(phase: String, f: Int)
+        (mk: => (DataFrame, DataFrame)): DataFrame = {
+      val w0 = metrics.shufWrite.get(); val r0 = metrics.shufRead.get()
+      val s0 = metrics.nStages.get(); val tm0 = metrics.taskMs.get()
+      val g0 = metrics.gcMs.get()
+      val t0 = System.nanoTime()
+      val (df, planDf) = mk
+      val n = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val storage = spark.sparkContext.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum
+      val rd = Reading(phase, f, sec, n, exchanges(planDf),
+        (metrics.shufWrite.get() - w0) >> 20,
+        (metrics.shufRead.get() - r0) >> 20, storage >> 20)
+      readings += rd
+      println(f"""{"phase":"$phase","factor":$f,"sec":${rd.sec}%.1f,""" +
+        f""""rows":$n,"exchanges":${rd.exch},""" +
+        f""""shuf_write_mb":${rd.shufWriteMb},"shuf_read_mb":${rd.shufReadMb},""" +
+        f""""peak_storage_mb":${rd.storageMb},""" +
+        f""""stages":${metrics.nStages.get() - s0},""" +
+        f""""task_sec":${(metrics.taskMs.get() - tm0) / 1e3}%.1f,""" +
+        f""""gc_sec":${(metrics.gcMs.get() - g0) / 1e3}%.1f}""")
+      df
+    }
+
+    var basePairs: DataFrame = null
+    Seq(1, factor).foreach { f =>
+      val emb = amplified(f).localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
+      val pairs = timed("cosineNearDupPairs", f) {
+        val p = graft.sim.Similarity.cosineNearDupPairs(emb, 0.35)
+        (p.localCheckpoint(eager = true), p)
+      }
+      if (f == 1) basePairs = pairs
+      else {
+        // Exact invariant: the factor-N pair set restricted to
+        // copy-0 ids equals the factor-1 pair set under id -> id*f.
+        val copy0 = pairs
+          .filter(pmod(col("id_a"), lit(f)) === 0 &&
+            pmod(col("id_b"), lit(f)) === 0)
+          .select((col("id_a") / f).cast("long").as("id_a"),
+            (col("id_b") / f).cast("long").as("id_b"), col("cos"))
+        val missing = basePairs.except(copy0).count()
+        val extra = copy0.except(basePairs).count()
+        val cross = pairs.filter(
+          pmod(col("id_a"), lit(f)) =!= pmod(col("id_b"), lit(f)))
+          .count()
+        println(s"""{"invariant":"copy0_equality","missing":$missing,""" +
+          s""""extra":$extra,"ok":${missing == 0 && extra == 0},""" +
+          s""""cross_copy_pairs":$cross}""")
+      }
+
+      val queries = emb.filter(pmod(col("vec_id"), lit(f)) === 0 &&
+        col("vec_id") < 200L * f)
+      // |C| ~ sqrt(N) is the IVF scaling discipline: it balances
+      // assignment work (N*C) against probe work (N*nProbe/C) and
+      // keeps the centroid set broadcast-small at any corpus size.
+      val nC = math.max(64, math.round(math.sqrt(2000.0 * f)).toInt)
+      val top = timed("ivfTopK", f) {
+        val r = graft.sim.Similarity.ivfTopK(queries, emb, 10,
+          numCentroids = nC, nProbe = 2)
+        (r.localCheckpoint(eager = true), r)
+      }
+      val nq = queries.count()
+      val got = top.count()
+      println(s"""{"invariant":"ivf_cardinality","factor":$f,""" +
+        s""""expected":${nq * 10},"got":$got,"ok":${got == nq * 10}}""")
+      spark.catalog.clearCache()
+    }
+
+    readings.groupBy(_.phase).foreach { case (phase, rs) =>
+      val byF = rs.map(r => r.f -> r).toMap
+      val b = byF(1); val big = byF(factor)
+      println(f"""{"summary":"$phase","exchanges_base":${b.exch},""" +
+        f""""exchanges_scaled":${big.exch},""" +
+        f""""exch_invariant":${b.exch == big.exch},"factor":$factor}""")
+    }
+    spark.stop()
+  }
+}

@@ -216,13 +216,16 @@ class OpsLibrarySpec extends SparkSpec {
     val ndPlan = nd.queryExecution.executedPlan.toString
     assert(!ndPlan.contains("CartesianProduct")
       && !ndPlan.contains("BroadcastNestedLoop"), ndPlan)
-    // IVF: both the assignment and probe sides must see the centroid
-    // set as a BROADCAST nested loop (corpus/query never shuffles for
-    // it) — a non-broadcast cartesian would ship the corpus
+    // IVF: coarse quantization is a fused per-row expression over the
+    // plan-embedded centroid matrix (NearestCentroids) — NO join of
+    // any kind for the assignment; the only join left is the
+    // list-keyed probe equi-join. A nested-loop/cartesian here would
+    // mean the N×C materialization crept back in.
     val ivf = Similarity.ivfTopK(emb.filter(col("vec_id") < 3), emb, 3,
       numCentroids = 10)
     val ivfPlan = ivf.queryExecution.executedPlan.toString
-    assert(ivfPlan.contains("BroadcastNestedLoopJoin"), ivfPlan)
+    assert(ivfPlan.contains("nearest_centroids"), ivfPlan)
+    assert(!ivfPlan.contains("BroadcastNestedLoopJoin"), ivfPlan)
     assert(!ivfPlan.contains("CartesianProduct"), ivfPlan)
     // LSH ANN: same-bucket pairs via equi-join, never cartesian
     val ann = Similarity.lshTopK(emb, 3)
@@ -264,6 +267,74 @@ class OpsLibrarySpec extends SparkSpec {
       Similarity.lshBucket(col("vec"), hp.take(8)).as("b2"))
       .collect()
     oneBand.foreach(r => assert(r.getLong(1) == r.getLong(2)))
+  }
+
+  test("NearestCentroids: codegen = interpreted = SQL rank, edge rows") {
+    import graft.functions.{NearestCentroids, NearestCentroidsExpr}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val ids = Seq(30L, 10L, 20L)                    // unsorted on purpose
+    val cents = Seq(
+      Seq(1.0, 0.0, 0.0, 0.0),
+      Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 0.0, 0.0))                      // zero-norm centroid
+    val vecs: Seq[(Long, Array[Float])] = Seq(
+      1L -> Array(2f, 0f, 0f, 0f),                  // nearest = 30
+      2L -> Array(0f, 3f, 0f, 0f),                  // nearest = 10
+      3L -> Array(1f, 1f, 0f, 0f),                  // tie 30/10 -> min id 10
+      4L -> Array(0f, 0f, 0f, 0f),                  // zero norm -> all null
+      5L -> Array(1f, 1f),                          // wrong length
+      6L -> null,                                   // null vector
+      7L -> Array(-1f, -1f, 0f, 0f))                // all cos <= 0 still ranks
+    val df = vecs.toDF("id", "vec")
+    val got = df.select(col("id"),
+        NearestCentroids.topIds(col("vec"), ids, cents, 2, 6).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L) == Seq(30L, 10L))
+    assert(got(2L) == Seq(10L, 30L))
+    assert(got(3L) == Seq(10L, 30L))                // rounded-cos tie
+    // null-score rows fall back to smallest ids — where the dataflow
+    // form's (cos DESC NULLS LAST, id ASC) rank put them
+    assert(got(4L) == Seq(10L, 20L))
+    assert(got(5L) == Seq(10L, 20L))
+    assert(got(6L) == Seq(10L, 20L))
+    assert(got(7L) == Seq(10L, 30L))                // -0.707... tie by value
+    // interpreted path (eval) agrees with codegen bit-for-bit
+    val expr = NearestCentroidsExpr(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType), nullable = true),
+      ids.toIndexedSeq, cents.map(_.toIndexedSeq).toIndexedSeq, 2, 6,
+      cosineMetric = true)
+    vecs.foreach { case (id, v) =>
+      val row = org.apache.spark.sql.catalyst.InternalRow(
+        if (v == null) null else ArrayData.toArrayData(v))
+      val interp = expr.eval(row).asInstanceOf[ArrayData].toLongArray().toSeq
+      assert(interp == got(id), s"id=$id interp=$interp codegen=${got(id)}")
+    }
+    // squared-distance metric (k-means assignment): |c|² = 1, 1, 0 for
+    // ids 30, 10, 20; score = 2·dot − |c|², rank DESC, id ASC on ties.
+    // The zero vector is VALID here (nearest = smallest |c|²); only
+    // structurally bad vectors fall back to smallest ids.
+    val sq = df.select(col("id"),
+        NearestCentroids.topIdsSqDist(col("vec"), ids, cents, 2).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sq(1L) == Seq(30L, 20L))   // 3, -1, 0 -> 30 then 20
+    assert(sq(2L) == Seq(10L, 20L))   // -1, 5, 0 -> 10 then 20
+    assert(sq(4L) == Seq(20L, 10L))   // zero vec: 0 beats -1; -1 tie -> 10
+    assert(sq(5L) == Seq(10L, 20L))   // wrong length -> all null -> min ids
+    assert(sq(6L) == Seq(10L, 20L))   // null vector
+    val sqExpr = expr.copy(n = 2, roundScale = 0, cosineMetric = false)
+    vecs.foreach { case (id, v) =>
+      val row = org.apache.spark.sql.catalyst.InternalRow(
+        if (v == null) null else ArrayData.toArrayData(v))
+      val interp = sqExpr.eval(row).asInstanceOf[ArrayData].toLongArray().toSeq
+      assert(interp == sq(id), s"id=$id interp=$interp codegen=${sq(id)}")
+    }
+    // n > C returns all C ids in rank order
+    val all = df.filter(col("id") === 1L).select(
+      NearestCentroids.topIds(col("vec"), ids, cents, 9, 6).as("t"))
+      .collect().head.getSeq[Long](0)
+    assert(all == Seq(30L, 10L, 20L))
   }
 
   test("cosineNearDupPairs candidate volume stays linear at defaults") {
