@@ -283,7 +283,8 @@ case class NearestCentroidsExpr(child: Expression, ids: IndexedSeq[Long],
         $taken[$best] = true;
         $out[$r] = $idsRef[$best];
       }
-      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
       """,
       isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }

@@ -335,6 +335,18 @@ class OpsLibrarySpec extends SparkSpec {
       NearestCentroids.topIds(col("vec"), ids, cents, 9, 6).as("t"))
       .collect().head.getSeq[Long](0)
     assert(all == Seq(30L, 10L, 20L))
+    // the generated Java must COMPILE, not silently fall back to
+    // interpreted eval: janino failures (e.g. an undeclared ev.value)
+    // keep every result above correct while quietly discarding the
+    // fused-loop performance — CODEGEN_ONLY turns that into a failure
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val forced = df.select(
+        NearestCentroids.topIds(col("vec"), ids, cents, 2, 6).as("c"),
+        NearestCentroids.topIdsSqDist(col("vec"), ids, cents, 2).as("s"))
+        .collect()
+      assert(forced.length == vecs.length)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
 
   test("cosineNearDupPairs candidate volume stays linear at defaults") {
