@@ -1631,6 +1631,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-span detection (ExactSubstr granularity): maximal
+    * spans of 8-token windows occurring >= 2x corpus-wide. Portable
+    * md5 window keys so DuckDB re-derives the same table; the
+    * xxhash64 production path is pinned equal in `TextOpsSpec`. */
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    graft.text.DedupOps.dupSpans(t(s, dir, "documents"), 8, 2,
+        portableHash = true)
+      .orderBy("doc_id", "span_start")
+
+  /** Span removal over q80's spans: every doc comes back with its
+    * normalized token stream minus all flagged occurrences. */
+  private def q81(s: SparkSession, dir: String): DataFrame =
+    graft.text.DedupOps.removeDupSpans(t(s, dir, "documents"), 8, 2,
+        portableHash = true)
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -1722,6 +1738,8 @@ object SparkEntry {
     "q77_gopher_filter"    -> (q77 _),
     "q78_audio_decode"     -> (q78 _),
     "q79_video_decode"     -> (q79 _),
+    "q80_dup_spans"        -> (q80 _),
+    "q81_remove_spans"     -> (q81 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -3243,5 +3261,47 @@ object SparkEntry {
              ((count(*) FILTER (WHERE r + g + b >= 384))::DOUBLE / 144.0)
                ::FLOAT AS frac_bright
       FROM px GROUP BY doc_id ORDER BY doc_id""",
+    // 8-token sliding windows (1-based slice i..i+7 = Spark pos i-1),
+    // md5-16 keys; gaps-and-islands merge with the same `pos - lag <=
+    // k` break rule (NULL lag -> new group in both engines).
+    "q80_dup_spans" -> (tokCte + """,
+      win AS (SELECT doc_id, i - 1 AS pos,
+          substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 16) AS wh
+        FROM tk, unnest(range(1, len(toks) - 6)) t(i)),
+      occ AS (SELECT wh FROM win GROUP BY wh HAVING count(*) >= 2),
+      dw AS (SELECT w.doc_id, w.pos FROM win w JOIN occ USING (wh)),
+      b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos)
+          OVER (PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1
+          END AS brk FROM dw),
+      g AS (SELECT doc_id, pos, sum(brk)
+          OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM b)
+      SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+             count(*) AS dup_windows
+      FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start"""),
+    "q81_remove_spans" -> (tokCte + """,
+      win AS (SELECT doc_id, i - 1 AS pos,
+          substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 16) AS wh
+        FROM tk, unnest(range(1, len(toks) - 6)) t(i)),
+      occ AS (SELECT wh FROM win GROUP BY wh HAVING count(*) >= 2),
+      dw AS (SELECT w.doc_id, w.pos FROM win w JOIN occ USING (wh)),
+      b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos)
+          OVER (PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1
+          END AS brk FROM dw),
+      g AS (SELECT doc_id, pos, sum(brk)
+          OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM b),
+      spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+        FROM g GROUP BY doc_id, grp),
+      tokrow AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        FROM tk, unnest(range(1, len(toks) + 1)) t(i)),
+      kept AS (SELECT t.doc_id, t.pos, t.tok FROM tokrow t
+        WHERE NOT EXISTS (SELECT 1 FROM spans s
+          WHERE s.doc_id = t.doc_id
+            AND t.pos >= s.s AND t.pos < s.e)),
+      rebuilt AS (SELECT doc_id,
+          string_agg(tok, ' ' ORDER BY pos) AS ct
+        FROM kept GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(r.ct, '') AS clean_text
+      FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+      ORDER BY d.doc_id"""),
   )
 }

@@ -141,6 +141,113 @@ object DedupOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** k-token sliding-window hash table: (id, pos, wh) with one row per
+    * FULL window (docs shorter than k tokens contribute nothing —
+    * unlike [[shingleRows]] there is no whole-doc fallback, and
+    * windows are NOT distinct-ed: position identity is the point).
+    * Same one-window-pass `lead` construction as [[shingleRows]]
+    * (higher-order transform/slice interprets per element; this stays
+    * in codegen and partitions by doc id). `portableHash = false`
+    * (default) keys windows by xxhash64 — 8-byte shuffle rows, the
+    * scale path; `true` keys by the first 16 md5 hex chars (64-bit),
+    * bit-reproducible in any engine for oracle checking. Either way a
+    * hash collision can flag a false duplicate window (~2⁻⁶⁴ per
+    * pair); exactness-critical pipelines should verify flagged spans
+    * by text comparison within dup groups. */
+  private def windowRows(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, portableHash: Boolean): DataFrame = {
+    require(k >= 1, s"window size k = $k")
+    val tok = docs.select(col(idCol).as("id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "t0")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val withLeads = (1 until k).foldLeft(tok)((d, i) =>
+      d.withColumn(s"t$i", lead(col("t0"), i).over(w)))
+    val joined = concat_ws(" ", (0 until k).map(i => col(s"t$i")): _*)
+    val wh = if (portableHash) substring(md5(joined), 1, 16)
+      else xxhash64(joined).cast("string")
+    withLeads.filter(col(s"t${k - 1}").isNotNull)
+      .select(col("id"), col("pos"), wh.as("wh"))
+  }
+
+  /** Duplicated-span detection — token-granularity ExactSubstr dedup
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better"): any k-token window whose hash occurs ≥ `minOcc`
+    * times corpus-wide (counting repeats WITHIN a doc too) is a
+    * duplicated window; overlapping/adjacent duplicated windows in a
+    * doc merge into maximal spans. Returns one row per span:
+    * (idCol, span_start, span_end, dup_windows) with token offsets,
+    * end exclusive. The reference pipeline has no counterpart — this
+    * is the substring-level modality alongside the doc-level tiers
+    * above, and the per-occurrence flagging matches the paper's
+    * ExactSubstr (ALL occurrences flag, not all-but-one).
+    *
+    * Scale shape: suffix arrays don't distribute; sliding-window
+    * hashing does. The window table is linear in corpus token count
+    * and is checkpointed serialized once (it feeds both the
+    * occurrence count and the join-back). The dup-hash set is
+    * CORPUS-DERIVED — it scales with the data, so the semi-join is
+    * pinned SHUFFLE_HASH exactly like [[ngramJaccardPairs]]'s shared
+    * set (AQE's broadcast conversion looks right at test SF and
+    * becomes a driver-resident multi-GB build at 100×). The islands
+    * merge windows per doc id — per-doc state only. */
+  def dupSpans(docs: DataFrame, k: Int, minOcc: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text",
+      portableHash: Boolean = false): DataFrame = {
+    val win = ckptSer(windowRows(docs, idCol, textCol, k, portableHash))
+    val dupSet = win.groupBy("wh").agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= minOcc)
+      .select("wh")
+      .hint("shuffle_hash")
+    val dw = win.join(dupSet, Seq("wh"), "left_semi")
+    val w = Window.partitionBy("id").orderBy("pos")
+    dw.withColumn("b",
+        when(col("pos") - lag("pos", 1).over(w) <= k, 0L).otherwise(1L))
+      .withColumn("g", sum("b").over(w))
+      .groupBy(col("id"), col("g"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + k).as("span_end"),
+        count(lit(1)).as("dup_windows"))
+      .select(col("id").as(idCol), col("span_start"),
+        col("span_end"), col("dup_windows"))
+  }
+
+  /** Rebuild each document's normalized token stream with every
+    * [[dupSpans]] span removed — ALL flagged occurrences drop,
+    * including the first (the paper's ExactSubstr choice; it notes
+    * the difference from keep-one is negligible at corpus scale).
+    * Returns (idCol, clean_text) for EVERY input doc — untouched docs
+    * pass their normalized token stream through, fully-covered docs
+    * come back as "". Note the output is the NORMALIZED stream
+    * ([[TextOps.tokens]]), not the original byte text: span offsets
+    * are token positions, and token-space surgery is the
+    * whitespace/case-insensitive semantics every hash in this file
+    * already uses.
+    *
+    * Scale shape: one [[dupSpans]] pass, then tokens left-anti-join
+    * spans (id equi-join + positional range residual — per-doc work),
+    * and per-doc reassembly via sorted collect_list (state bounded by
+    * doc length, the same bound every per-doc operator here has). */
+  def removeDupSpans(docs: DataFrame, k: Int, minOcc: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text",
+      portableHash: Boolean = false): DataFrame = {
+    val spans = dupSpans(docs, k, minOcc, idCol, textCol, portableHash)
+      .select(col(idCol).as("id"), col("span_start"), col("span_end"))
+    val tok = docs.select(col(idCol).as("id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val kept = tok.alias("t").join(spans.alias("s"),
+        col("t.id") === col("s.id")
+          && col("t.pos") >= col("s.span_start")
+          && col("t.pos") < col("s.span_end"),
+        "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(expr("array_join(transform(" +
+        "array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+        .as("clean_text"))
+    docs.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** MinHash signatures in relational form: explode distinct shingles,
     * hash each row under all n seeds (independent columns; seeds are
     * PACKED four per md5 evaluation — [[TextOps.seededHash32Packed]]),

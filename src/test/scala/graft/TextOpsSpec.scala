@@ -219,4 +219,49 @@ class TextOpsSpec extends SparkSpec {
     assert(q1 == q2)
     assert(q1.groupBy(_._2).forall(_._2.size == 7))
   }
+
+  test("dupSpans flags every occurrence and merges overlapping windows") {
+    // "one two three four five" appears in docs 1 and 2 (both flag —
+    // ExactSubstr semantics), doc 3 is clean, doc 4 repeats a k-gram
+    // WITHIN itself (within-doc occurrences count toward minOcc).
+    val docs = Seq(
+      (1L, "one two three four five alpha beta gamma"),
+      (2L, "zz one two three four five yy qq rr"),
+      (3L, "totally different words with no shared grams at all"),
+      (4L, "p q r s t u p q r s t u")).toDF("doc_id", "text")
+    val spans = DedupOps.dupSpans(docs, k = 5, minOcc = 2)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // doc 1: window at pos 0 only (pos 1+ includes "alpha"... no match)
+    // doc 2: window at pos 1; doc 4: "p q r s t" at 0,6 and the
+    // intermediate rotations 1..6 all repeat? no — only exact 5-gram
+    // repeats: pos 0 "p q r s t" == pos 6; pos 1 "q r s t u" == pos 7
+    // (pos 7 window needs tokens 7..11 = q r s t u — present). Gaps
+    // <= k merge everything into one span.
+    assert(spans.count(_._1 == 3L) == 0)
+    assert(spans.filter(_._1 == 1L).toSeq == Seq((1L, 0, 5, 1L)))
+    assert(spans.filter(_._1 == 2L).toSeq == Seq((2L, 1, 6, 1L)))
+    assert(spans.filter(_._1 == 4L).toSeq == Seq((4L, 0, 12, 4L)))
+    // portable (md5) and native (xxhash64) keying agree row-for-row
+    val p = DedupOps.dupSpans(docs, 5, 2, portableHash = true)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(p.toSeq == spans.toSeq)
+
+    val cleaned = DedupOps.removeDupSpans(docs, k = 5, minOcc = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L) == "alpha beta gamma")
+    assert(cleaned(2L) == "zz yy qq rr")
+    assert(cleaned(3L) ==
+      "totally different words with no shared grams at all")
+    assert(cleaned(4L) == "")                  // fully covered drops to empty
+    assert(cleaned.size == 4)                  // every input doc comes back
+
+    // the corpus-derived dup set must join SHUFFLE_HASH, not broadcast
+    // (AQE would see a small set at test SF and build it on the
+    // driver — the same trap ngramJaccardPairs' shared set pins away)
+    val plan = DedupOps.dupSpans(docs, 5, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan)
+  }
 }
