@@ -148,8 +148,11 @@ object DedupOps {
     * Same one-window-pass `lead` construction as [[shingleRows]]
     * (higher-order transform/slice interprets per element; this stays
     * in codegen and partitions by doc id). `portableHash = false`
-    * (default) keys windows by xxhash64 — 8-byte shuffle rows, the
-    * scale path; `true` keys by the first 16 md5 hex chars (64-bit),
+    * (default) keys windows by xxhash64 — 8-byte LONG shuffle rows,
+    * the scale path (the key type differs between variants on
+    * purpose: widening the long to match the md5 path's string would
+    * ~2.5x every shuffle row for nothing — `wh` never leaves this
+    * file); `true` keys by the first 16 md5 hex chars (64-bit),
     * bit-reproducible in any engine for oracle checking. Either way a
     * hash collision can flag a false duplicate window (~2⁻⁶⁴ per
     * pair); exactness-critical pipelines should verify flagged spans
@@ -164,7 +167,7 @@ object DedupOps {
       d.withColumn(s"t$i", lead(col("t0"), i).over(w)))
     val joined = concat_ws(" ", (0 until k).map(i => col(s"t$i")): _*)
     val wh = if (portableHash) substring(md5(joined), 1, 16)
-      else xxhash64(joined).cast("string")
+      else xxhash64(joined)
     withLeads.filter(col(s"t${k - 1}").isNotNull)
       .select(col("id"), col("pos"), wh.as("wh"))
   }

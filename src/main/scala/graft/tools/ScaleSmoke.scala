@@ -141,6 +141,12 @@ object ScaleSmoke {
         val cc = graft.text.DedupOps.connectedComponents(nodes, pairs)
         (cc, cc)
       }
+      // window hashes carry the fused copy marker, so dup spans are
+      // strictly within-copy and span rows scale exactly linearly
+      timed("dupSpans", f) {
+        val ds = graft.text.DedupOps.dupSpans(docs, 8, 2)
+        (ds.localCheckpoint(eager = true), ds)
+      }
       graft.text.PackOps.releaseSubstrates()
       spark.catalog.clearCache()
     }
