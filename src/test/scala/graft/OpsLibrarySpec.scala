@@ -349,6 +349,29 @@ class OpsLibrarySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
 
+  test("every custom expression compiles under CODEGEN_ONLY") {
+    // Same lesson as the NearestCentroids pin: a doGenCode bug (an
+    // undeclared variable, a bad cast) does NOT fail any normal test —
+    // Spark's default FALLBACK factory quietly switches to interpreted
+    // eval and only the performance disappears. Force-compile every
+    // custom expression so the bug class is a test failure.
+    import graft.functions.{ArrayDot, Fp2, HyperplaneBits}
+    val hp = graft.sim.Similarity.hyperplanes(8, 4, seed = 3L)
+    val hpSeq = hp.map(_.toIndexedSeq).toIndexedSeq
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val r = Seq((1L, Array(1f, 2f, 3f, 4f), Array(2f, 0f, 1f, 1f), 0x200d))
+        .toDF("id", "a", "b", "raw")
+        .select(ArrayDot.dot(col("a"), col("b")).as("d"),
+          HyperplaneBits.bandKeys(col("a"), hpSeq, 2, 4).as("k"),
+          Fp2.fp2(col("raw")).as("f"))
+        .head()
+      assert(r.getDouble(0) == 9.0)
+      assert(r.getSeq[Long](1).length == 2)
+      assert(r.getDouble(2) == 1.3)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("cosineNearDupPairs candidate volume stays linear at defaults") {
     import graft.sim.Similarity
     val dim = 64
