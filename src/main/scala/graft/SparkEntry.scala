@@ -1647,6 +1647,20 @@ object SparkEntry {
         portableHash = true)
       .orderBy("doc_id")
 
+  /** Decontamination removal over q65's flag set: the corpus minus
+    * every doc sharing >= 2 3-shingles with the synthetic eval slice
+    * (which includes the eval docs themselves — self-overlap flags
+    * them, so the removal provably fires). */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val eval = docs.filter(col("doc_id") % 100 === 7)
+      .select(col("doc_id").as("eid"), col("text"))
+    graft.text.DedupOps.decontaminate(
+        docs, "doc_id", "text", eval, "eid", "text", 3, 2L)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -1740,6 +1754,7 @@ object SparkEntry {
     "q79_video_decode"     -> (q79 _),
     "q80_dup_spans"        -> (q80 _),
     "q81_remove_spans"     -> (q81 _),
+    "q82_decontaminate"    -> (q82 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -2640,6 +2655,16 @@ object SparkEntry {
       GROUP BY s.doc_id, e.eval_id
       HAVING count(*) >= 2
       ORDER BY doc_id, eval_id"""),
+    "q82_decontaminate" -> (shingleCte + """,
+      ev AS (SELECT doc_id AS eval_id, shingle FROM sh
+             WHERE doc_id % 100 = 7),
+      fl AS (SELECT DISTINCT doc_id FROM (
+               SELECT s.doc_id FROM sh s JOIN ev e USING (shingle)
+               GROUP BY s.doc_id, e.eval_id
+               HAVING count(*) >= 2))
+      SELECT d.doc_id, d.source, d.n_chars FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM fl)
+      ORDER BY doc_id"""),
     "q66_quota_mixing" -> """
       WITH c AS (SELECT doc_id, source,
               ('0x' || substr(md5('q:' || doc_id::VARCHAR), 1, 8))::BIGINT

@@ -423,6 +423,31 @@ object DedupOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Decontamination by removal: drop every corpus doc that shares
+    * >= `minShared` k-shingles with ANY document of a (bounded,
+    * broadcast) eval set — the enforcement half of [[contamination]]
+    * (the reporting half). Returns the surviving corpus rows with all
+    * their original columns.
+    *
+    * Scale shape: the flag side reuses [[contamination]]'s dataflow
+    * (eval shingles broadcast, so only corpus rows that MATCH an eval
+    * shingle ever shuffle), and the removal is a left-anti join
+    * against the flagged-id set pinned SHUFFLE_HASH — the flagged set
+    * is corpus-derived (it grows with the corpus's contamination
+    * rate), and letting AQE broadcast a corpus-derived side is the
+    * exact defect the factor-100 smoke caught in
+    * [[ngramJaccardPairs]]. Net: one corpus shuffle on the id,
+    * bounded build sides everywhere.
+    */
+  def decontaminate(corpus: DataFrame, corpusId: String,
+      corpusText: String, evalDf: DataFrame, evalId: String,
+      evalText: String, k: Int, minShared: Long): DataFrame = {
+    val flagged = contamination(corpus, corpusId, corpusText,
+        evalDf, evalId, evalText, k, minShared)
+      .select(col(corpusId)).distinct()
+    corpus.join(flagged.hint("shuffle_hash"), Seq(corpusId), "left_anti")
+  }
+
   /** Relational 16-bit SimHash: explode tokens, hash each once, 16
     * conditional-sum bit votes in one aggregation pass. Semantically
     * identical to [[TextOps.simhash16]] but hashes each token exactly

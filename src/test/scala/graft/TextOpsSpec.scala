@@ -155,6 +155,26 @@ class TextOpsSpec extends SparkSpec {
     assert(!rows.exists(r => r._1 == 3L))
   }
 
+  test("decontaminate drops flagged docs, keeps columns, and never " +
+      "broadcasts the corpus-derived flag side") {
+    val docs = Seq((1L, "a b c d e f", "s0"), (2L, "a b c d x y", "s1"),
+      (3L, "q w e r t y", "s2")).toDF("doc_id", "text", "source")
+    val eval = Seq((10L, "a b c d e f")).toDF("eid", "text")
+    val out = DedupOps.decontaminate(
+      docs, "doc_id", "text", eval, "eid", "text", 3, 2L)
+    // docs 1 and 2 overlap the eval set; doc 3 survives with its row
+    assert(out.columns.toSeq == Seq("doc_id", "text", "source"))
+    assert(out.collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+      == Seq((3L, "s2")))
+    // the anti join builds the flagged side as a shuffled hash join —
+    // the flag set scales with corpus contamination, so an AQE
+    // broadcast of it is the scale defect the factor-100 smoke caught
+    val anti = out.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("LeftAnti")).mkString("\n")
+    assert(anti.nonEmpty && !anti.contains("Broadcast"),
+      s"anti join must not broadcast the flagged set:\n$anti")
+  }
+
   test("deterministic sampling: partition-invariant membership, " +
       "independent salts, complete split assignment") {
     import graft.text.SampleOps
