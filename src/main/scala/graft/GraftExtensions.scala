@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDotExpr, Fp2Decode}
+import graft.functions.{ArrayDotExpr, Fp2Decode, NfcNormalize, StripAccentsExpr}
 
 /** Session-extension entry point: registers graft's native Catalyst
   * expressions into every session built with
@@ -22,5 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotExpr].getName, "array_dot"),
       (exprs: Seq[Expression]) => ArrayDotExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccentsExpr].getName, "strip_accents"),
+      (exprs: Seq[Expression]) => StripAccentsExpr(exprs.head)))
   }
 }

@@ -1661,6 +1661,30 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Unicode text normalization: NFC + lowercase + accent strip +
+    * whitespace collapse, oracle-pinned byte-for-byte against
+    * DuckDB's utf8proc implementations of the same Unicode
+    * algorithms. The corpus augments each doc with decomposed,
+    * precomposed, and mixed-whitespace forms so every normalization
+    * path fires on every row; the fingerprint column proves the
+    * normalized bytes hash identically in both engines. */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextNorm
+    val raw = concat_ws(" ", col("text"),
+      lit("Caf\u00e9"),                    // precomposed e-acute
+      lit("Cafe\u0301 au\tlait"),         // decomposed e + U+0301, tab ws
+      lit("M\u00dcNCHEN \u00d8resund"),   // U-umlaut lowers; O-slash has no mark
+      lit("nai\u0308ve  \n coordinaci\u00f3n"))
+    t(s, dir, "documents").select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        TextNorm.normalizeText(col("raw")).as("norm"),
+        TextNorm.normalizeText(col("raw"), accentStrip = true)
+          .as("norm_folded"),
+        TextNorm.normalizedFingerprint(col("raw"), accentStrip = true)
+          .as("fp"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -1755,6 +1779,7 @@ object SparkEntry {
     "q80_dup_spans"        -> (q80 _),
     "q81_remove_spans"     -> (q81 _),
     "q82_decontaminate"    -> (q82 _),
+    "q83_normalize_text"   -> (q83 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -2665,6 +2690,24 @@ object SparkEntry {
       SELECT d.doc_id, d.source, d.n_chars FROM documents d
       WHERE d.doc_id NOT IN (SELECT doc_id FROM fl)
       ORDER BY doc_id"""),
+    // Corpus literals: \uXXXX resolve in the Scala lexer (real
+    // chars reach DuckDB); \t and \n stay backslash sequences in a
+    // triple quote, so the E'' strings let DuckDB decode them —
+    // matching the real tab/newline in the Spark literals.
+    "q83_normalize_text" -> """
+      WITH c AS (SELECT doc_id, concat_ws(' ', text,
+          'Caf\u00e9', E'Cafe\u0301 au\tlait',
+          'M\u00dcNCHEN \u00d8resund',
+          E'nai\u0308ve  \n coordinaci\u00f3n') AS raw
+        FROM documents),
+      n AS (SELECT doc_id,
+          trim(regexp_replace(lower(nfc_normalize(raw)),
+            '\s+', ' ', 'g')) AS norm,
+          trim(regexp_replace(strip_accents(lower(nfc_normalize(raw))),
+            '\s+', ' ', 'g')) AS norm_folded
+        FROM c)
+      SELECT doc_id, norm, norm_folded, md5(norm_folded) AS fp
+      FROM n ORDER BY doc_id""",
     "q66_quota_mixing" -> """
       WITH c AS (SELECT doc_id, source,
               ('0x' || substr(md5('q:' || doc_id::VARCHAR), 1, 8))::BIGINT

@@ -372,6 +372,40 @@ class OpsLibrarySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
 
+  test("text normalization: NFC fold, accent strip, codegen-only") {
+    import graft.functions.TextNorm
+    val df = Seq(
+      // decomposed input composes, lowers, and strips like the
+      // precomposed form would
+      ("Cafe\u0301", "caf\u00e9", "cafe"),
+      ("M\u00dcNCHEN", "m\u00fcnchen", "munchen"),
+      // O-slash carries no combining mark: strip leaves it; the
+      // tab/space run collapses to one space
+      ("\u00d8re  sund\t x", "\u00f8re sund x", "\u00f8re sund x"),
+      ("plain  ascii", "plain ascii", "plain ascii"))
+      .toDF("raw", "exp_norm", "exp_folded")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val out = df.select(col("exp_norm"), col("exp_folded"),
+        TextNorm.normalizeText(col("raw")).as("norm"),
+        TextNorm.normalizeText(col("raw"), accentStrip = true).as("folded"),
+        TextNorm.normalizedFingerprint(col("raw"), accentStrip = true)
+          .as("fp"))
+        .collect()
+      out.foreach { r =>
+        assert(r.getString(2) == r.getString(0),
+          s"norm mismatch: '${r.getString(2)}' != '${r.getString(0)}'")
+        assert(r.getString(3) == r.getString(1),
+          s"folded mismatch: '${r.getString(3)}' != '${r.getString(1)}'")
+      }
+      // the fingerprint is md5 of the folded text, byte-for-byte
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val expFp = md.digest("cafe".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      assert(out(0).getString(4) == expFp)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("cosineNearDupPairs candidate volume stays linear at defaults") {
     import graft.sim.Similarity
     val dim = 64
