@@ -1685,6 +1685,37 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Deterministic URL augmentation for the domain-curation oracles:
+    * every doc links a mixed-case www host derived from its id; docs
+    * with id % 10 == 3 add a tracker URL behind userinfo, id % 10 ==
+    * 6 a bare blocked host followed by a sentence period — together
+    * exercising lowercasing, www-strip, userinfo skip, and
+    * trailing-dot strip. */
+  private def urlAugmented(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"), col("source"), col("n_chars"),
+      concat(col("text"),
+        lit(" see http://www.Site"), (col("doc_id") % 7).cast("string"),
+        lit(".Example.com/page?id="), col("doc_id").cast("string"),
+        when(col("doc_id") % 10 === 3,
+          lit(" and https://bob@Ads.Tracker.NET/p")).otherwise(lit("")),
+        when(col("doc_id") % 10 === 6,
+          lit(" plus http://spam.io.")).otherwise(lit("")))
+        .as("text"))
+
+  /** Corpus-wide domain ranking over extracted, normalized hosts. */
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    graft.text.DomainOps.domainStats(urlAugmented(s, dir), "doc_id", "text")
+      .orderBy("host")
+
+  /** Domain-blocklist filter (suffix match): `tracker.net` blocks the
+    * `ads.tracker.net` subdomain host, `spam.io` the bare host. */
+  private def q85(s: SparkSession, dir: String): DataFrame =
+    graft.text.DomainOps.filterBlockedDomains(urlAugmented(s, dir),
+        "doc_id", "text", Seq("tracker.net", "spam.io"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -1780,6 +1811,8 @@ object SparkEntry {
     "q81_remove_spans"     -> (q81 _),
     "q82_decontaminate"    -> (q82 _),
     "q83_normalize_text"   -> (q83 _),
+    "q84_domain_stats"     -> (q84 _),
+    "q85_blocklist_filter" -> (q85 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -1867,6 +1900,28 @@ object SparkEntry {
               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
             ELSE [array_to_string(toks, ' ')] END)) AS shingle
         FROM tk)"""
+
+  /** Shared DuckDB CTE mirroring [[urlAugmented]]'s deterministic
+    * URL injection. */
+  private val urlAugCte = """
+      WITH c AS (SELECT doc_id, source, n_chars,
+        text || ' see http://www.Site' || (doc_id % 7)::VARCHAR
+             || '.Example.com/page?id=' || doc_id::VARCHAR
+             || CASE WHEN doc_id % 10 = 3
+                  THEN ' and https://bob@Ads.Tracker.NET/p' ELSE '' END
+             || CASE WHEN doc_id % 10 = 6
+                  THEN ' plus http://spam.io.' ELSE '' END AS text
+        FROM documents)"""
+
+  /** Extracted, normalized host rows — the DuckDB mirror of
+    * [[graft.text.DomainOps.docHosts]] (same regex dialect). */
+  private val hostCte = """
+      hosts AS (SELECT doc_id,
+          regexp_replace(regexp_replace(lower(h),
+            '^www\.', ''), '\.$', '') AS host
+        FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+                'https?://(?:[A-Za-z0-9._%+-]+@)?([A-Za-z0-9.-]+)', 1)) AS h
+              FROM c))"""
 
   /** DuckDB-equivalent SQL per query (same column names and ORDER BY). */
   def oracleSql: Map[String, String] = Map(
@@ -2708,6 +2763,19 @@ object SparkEntry {
         FROM c)
       SELECT doc_id, norm, norm_folded, md5(norm_folded) AS fp
       FROM n ORDER BY doc_id""",
+    "q84_domain_stats" -> (urlAugCte + """,
+      """ + hostCte + """
+      SELECT host, count(DISTINCT doc_id) AS n_docs,
+             count(*) AS n_occurrences
+      FROM hosts GROUP BY host ORDER BY host"""),
+    "q85_blocklist_filter" -> (urlAugCte + """,
+      """ + hostCte + """,
+      fl AS (SELECT DISTINCT doc_id FROM hosts
+             WHERE host IN ('tracker.net', 'spam.io')
+                OR host LIKE '%.tracker.net' OR host LIKE '%.spam.io')
+      SELECT doc_id, source, n_chars FROM c
+      WHERE doc_id NOT IN (SELECT doc_id FROM fl)
+      ORDER BY doc_id"""),
     "q66_quota_mixing" -> """
       WITH c AS (SELECT doc_id, source,
               ('0x' || substr(md5('q:' || doc_id::VARCHAR), 1, 8))::BIGINT

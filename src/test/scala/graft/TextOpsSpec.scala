@@ -175,6 +175,43 @@ class TextOpsSpec extends SparkSpec {
       s"anti join must not broadcast the flagged set:\n$anti")
   }
 
+  test("domain ops: host normalization, suffix blocklist, plan shape") {
+    import graft.text.DomainOps
+    val docs = Seq(
+      (1L, "see http://www.Evil.COM/x and http://user@ads.evil.com./y"),
+      (2L, "plain http://good.org. end"),
+      (3L, "no urls here"),
+      (4L, "https://sub.good.org/path https://good.org/other")
+    ).toDF("doc_id", "text")
+
+    val hosts = DomainOps.docHosts(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // www stripped, lowercased, trailing dot stripped, userinfo skipped
+    assert(hosts == Set((1L, "evil.com"), (1L, "ads.evil.com"),
+      (2L, "good.org"), (4L, "sub.good.org"), (4L, "good.org")))
+
+    val stats = DomainOps.domainStats(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stats(("good.org", 2L, 2L)) && stats(("evil.com", 1L, 1L)))
+
+    // suffix semantics: evil.com blocks its subdomain host too; doc 4
+    // survives because good.org is not blocked
+    val kept = DomainOps.filterBlockedDomains(
+        docs, "doc_id", "text", Seq("Evil.com"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L))
+
+    // corpus-derived flagged set must not be broadcast on the anti join
+    val plan = DomainOps.filterBlockedDomains(
+        docs, "doc_id", "text", Seq("evil.com"))
+      .queryExecution.executedPlan.toString
+    val anti2 = plan.linesIterator.filter(_.contains("LeftAnti"))
+      .mkString("\n")
+    assert(anti2.nonEmpty && !anti2.contains("Broadcast"), anti2)
+    // ...while the blocklist itself IS broadcast
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
   test("deterministic sampling: partition-invariant membership, " +
       "independent salts, complete split assignment") {
     import graft.text.SampleOps
