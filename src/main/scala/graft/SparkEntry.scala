@@ -1716,6 +1716,35 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** Cross-batch streaming exact dedup: run 1 ingests the low-id half
+    * of the corpus, run 2 the high-id half (duplicates crossing the
+    * cut must be suppressed by carried state), run 3 re-sends run 2's
+    * files byte-identically and must append NOTHING. The id-monotone
+    * cut makes the survivor rule oracle-expressible: the first batch
+    * containing a fingerprint also contains its global-minimum doc
+    * id, so survivor == min(doc_id) per fp. */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.IncrementalDedup
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_q86")
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    }
+    val inDir = s"$root/in"; val outDir = s"$root/new_docs"
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val cut = 250L
+    docs.filter(col("doc_id") < cut).write.parquet(inDir)
+    val schema = s.read.parquet(inDir).schema
+    IncrementalDedup.dedupRun(s, inDir, outDir, s"$root/ckpt", schema)
+    docs.filter(col("doc_id") >= cut).write.mode("append").parquet(inDir)
+    IncrementalDedup.dedupRun(s, inDir, outDir, s"$root/ckpt", schema)
+    docs.filter(col("doc_id") >= cut).write.mode("append").parquet(inDir)
+    IncrementalDedup.dedupRun(s, inDir, outDir, s"$root/ckpt", schema)
+    s.read.parquet(outDir).orderBy("fp")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -1724,7 +1753,7 @@ object SparkEntry {
     * operator under test. They still run in Verify's correctness
     * gate. */
   val benchExclude: Set[String] =
-    Set("q56_streaming_append", "q67_stateful_gaps")
+    Set("q56_streaming_append", "q67_stateful_gaps", "q86_streaming_dedup")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1813,6 +1842,7 @@ object SparkEntry {
     "q83_normalize_text"   -> (q83 _),
     "q84_domain_stats"     -> (q84 _),
     "q85_blocklist_filter" -> (q85 _),
+    "q86_streaming_dedup"  -> (q86 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -2776,6 +2806,13 @@ object SparkEntry {
       SELECT doc_id, source, n_chars FROM c
       WHERE doc_id NOT IN (SELECT doc_id FROM fl)
       ORDER BY doc_id"""),
+    // The streaming three-run fixture reduces to this batch answer
+    // BECAUSE the ingest cut is id-monotone: the first batch holding a
+    // fingerprint also holds its global-min doc id (see q86's doc).
+    "q86_streaming_dedup" -> (tokCte + """
+      SELECT md5(array_to_string(toks, ' ')) AS fp,
+             min(doc_id) AS doc_id
+      FROM tk GROUP BY fp ORDER BY fp"""),
     "q66_quota_mixing" -> """
       WITH c AS (SELECT doc_id, source,
               ('0x' || substr(md5('q:' || doc_id::VARCHAR), 1, 8))::BIGINT

@@ -99,6 +99,50 @@ class StreamingStatusSpec extends SparkSpec {
     assert(r2.head.getAs[Long]("gap_seconds") == 21600L)
   }
 
+  test("streaming dedup suppresses cross-run duplicates, survivor is min id") {
+    import graft.streaming.{FpDoc, IncrementalDedup}
+    import org.apache.spark.sql.streaming.TestGroupState
+
+    // pure transition: unseen fp emits min id and marks state; seen
+    // fp emits nothing
+    val st = TestGroupState.create[Boolean](
+      optionalState = org.apache.spark.api.java.Optional.empty[Boolean](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val first = IncrementalDedup.firstSight("f1",
+      Iterator(FpDoc("f1", 9L), FpDoc("f1", 4L), FpDoc("f1", 7L)), st)
+    assert(first.toSeq == Seq(FpDoc("f1", 4L)))
+    assert(st.get)
+    assert(IncrementalDedup.firstSight("f1",
+      Iterator(FpDoc("f1", 1L)), st).isEmpty)
+
+    // end-to-end across runs: duplicate text in run 2 is suppressed
+    // by checkpointed state; re-sending run 2 appends nothing
+    val in = Files.createTempDirectory("dd_in").toString
+    val out = Files.createTempDirectory("dd_out").toString
+    val ckpt = Files.createTempDirectory("dd_ckpt").toString
+    val b1 = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((10L, "alpha beta"), (11L, "epsilon zeta"))
+      .toDF("doc_id", "text")
+    val schema = b1.schema
+    b1.write.mode("append").parquet(in)
+    IncrementalDedup.dedupRun(spark, in, out, ckpt, schema)
+    val r1 = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(r1.values.toSet == Set(1L, 2L)) // 3 deduped within run 1
+    b2.write.mode("append").parquet(in)
+    IncrementalDedup.dedupRun(spark, in, out, ckpt, schema)
+    val r2 = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(r2.values.toSet == Set(1L, 2L, 11L)) // 10 suppressed by state
+    b2.write.mode("append").parquet(in)
+    IncrementalDedup.dedupRun(spark, in, out, ckpt, schema)
+    assert(spark.read.parquet(out).count() == 3) // byte re-send: nothing
+  }
+
   test("K7/K8 status sinks render geojson and JSON array") {
     val df = Seq(
       ("SiteA", -34.0, 140.5, 0.4, "ok"),
