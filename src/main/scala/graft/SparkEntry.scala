@@ -1745,6 +1745,19 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy("fp")
   }
 
+  /** SemDeDup (Abbas et al. 2023) over the embeddings table: stride
+    * quantizer (count-derived, same invariant as q43), exhaustive
+    * within-cluster pairs at rounded-cosine 0.35, connected
+    * components, keep = least-similar-to-centroid exemplar per
+    * ε-cluster. The oracle re-derives the whole chain — quantizer,
+    * assignment, pair set, reachability, exemplar choice — in SQL. */
+  private def q87(s: SparkSession, dir: String): DataFrame =
+    graft.sim.SemDedup.semDedup(t(s, dir, "embeddings"), 0.35,
+        numCentroids = 20)
+      .select(col("id").as("vec_id"), col("cluster"), col("cos_c"),
+        col("component"), col("rep_id"), col("keep"))
+      .orderBy("vec_id")
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -1843,6 +1856,7 @@ object SparkEntry {
     "q84_domain_stats"     -> (q84 _),
     "q85_blocklist_filter" -> (q85 _),
     "q86_streaming_dedup"  -> (q86 _),
+    "q87_semdedup"         -> (q87 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -2813,6 +2827,50 @@ object SparkEntry {
       SELECT md5(array_to_string(toks, ' ')) AS fp,
              min(doc_id) AS doc_id
       FROM tk GROUP BY fp ORDER BY fp"""),
+    // Full SemDeDup chain re-derived: count-derived stride quantizer
+    // (q43's convention), rounded-cosine assignment with the
+    // (cos DESC, c_id ASC) total order, exhaustive within-cluster
+    // pair set at 0.35, recursive-CTE reachability (q41's convention),
+    // exemplar = first by (cos_c ASC NULLS FIRST, id ASC).
+    "q87_semdedup" -> """
+      WITH RECURSIVE e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      cent AS (SELECT id AS c_id, v AS cv, nrm AS cnrm FROM n
+               WHERE id % greatest(1,
+                 (SELECT count(*) FROM embeddings) // 20) = 0),
+      assign AS (SELECT n.id, n.v, n.nrm, c_id,
+          (CASE WHEN n.nrm > 0.0 AND cnrm > 0.0
+            THEN floor(list_inner_product(n.v, cv) / (n.nrm * cnrm)
+                   * 1000000.0 + 0.5) / 1000000.0 END) AS cosc,
+          row_number() OVER (PARTITION BY n.id ORDER BY
+            (CASE WHEN n.nrm > 0.0 AND cnrm > 0.0
+              THEN floor(list_inner_product(n.v, cv) / (n.nrm * cnrm)
+                     * 1000000.0 + 0.5) / 1000000.0 END) DESC,
+            c_id ASC) AS r
+        FROM n CROSS JOIN cent),
+      m AS (SELECT id, v, nrm, c_id AS cluster, cosc AS cos_c
+            FROM assign WHERE r = 1),
+      pairs AS (SELECT a.id AS id_a, b.id AS id_b
+        FROM m a JOIN m b ON a.cluster = b.cluster AND a.id < b.id
+        WHERE (CASE WHEN a.nrm > 0.0 AND b.nrm > 0.0
+          THEN floor(list_inner_product(a.v, b.v) / (a.nrm * b.nrm)
+                 * 1000000.0 + 0.5) / 1000000.0 END) >= 0.35),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT id, id FROM m
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+      lab AS (SELECT m.id, m.cluster, m.cos_c, comp.component,
+          first_value(m.id) OVER (PARTITION BY component
+            ORDER BY cos_c ASC NULLS FIRST, m.id ASC) AS rep_id
+        FROM m JOIN comp ON m.id = comp.id)
+      SELECT id::BIGINT AS vec_id, cluster::BIGINT AS cluster, cos_c,
+             component::BIGINT AS component, rep_id::BIGINT AS rep_id,
+             (id = rep_id) AS keep
+      FROM lab ORDER BY vec_id""",
     "q66_quota_mixing" -> """
       WITH c AS (SELECT doc_id, source,
               ('0x' || substr(md5('q:' || doc_id::VARCHAR), 1, 8))::BIGINT

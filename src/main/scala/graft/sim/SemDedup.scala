@@ -1,0 +1,121 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Semantic deduplication over an embedding column — the SemDeDup
+  * method (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
+  * corpus with a small quantizer, connect members whose pairwise
+  * cosine clears a threshold into ε-clusters, and keep ONE document
+  * per ε-cluster — the member LEAST similar to its coarse centroid
+  * (the paper's choice: the kept exemplar is the most "edge of
+  * cluster" sample, which preserves diversity better than keeping
+  * the most typical one).
+  *
+  * Where [[Similarity.cosineNearDupPairs]] finds near-duplicate PAIRS
+  * via hyperplane LSH (recall depends on band geometry), SemDeDup
+  * trades that for exhaustive pairwise scoring WITHIN coarse
+  * clusters: recall inside a cluster is exact, and the quadratic
+  * blowup is bounded by the cluster size, which the caller controls
+  * through `numCentroids` (size ~ N/C on balanced data; the paper
+  * runs C = 11k on LAION-440M, ~40k per cluster).
+  *
+  * Scale shape, in order:
+  *   1. centroid pick: deterministic id-modulo sample, same contract
+  *      as [[Similarity.ivfTopK]] — the centroid COUNT is the
+  *      parameter precisely so the set stays driver/plan-bounded.
+  *   2. assignment: one fused codegen expression per row
+  *      ([[graft.functions.NearestCentroids]]) — the corpus never
+  *      joins or shuffles to learn its cluster.
+  *   3. centroid cosine: broadcast join of the C-row centroid frame
+  *      (cluster id equi-join) — corpus side stays where it is.
+  *   4. pairs: self equi-join on the cluster id — ONE hash shuffle of
+  *      the (id, norm, vec) projection, then per-cluster pairwise
+  *      rescore. This is the step that is quadratic per cluster; size
+  *      `numCentroids` so N/C stays in the ~10⁴–10⁵ band, or chain
+  *      two levels of quantization before calling this.
+  *   5. ε-clusters: [[graft.text.DedupOps.connectedComponents]] over
+  *      the pair sliver (docs in no pair never enter the loop).
+  *   6. exemplar: one shuffle on the component key; keep = argmin by
+  *      (centroid cosine ASC NULLS FIRST, id ASC) — a total,
+  *      engine-portable order (oracle-pinned by q87).
+  *
+  * Cosines are rounded to `roundScale` decimals (floor(x·p+0.5)/p)
+  * everywhere, matching the IVF/near-dup operators, so thresholds and
+  * rankings are reproducible across engines. Zero-norm or null
+  * vectors score null cosine: they join no pair (the threshold
+  * filter drops nulls), stay their own singleton component, and are
+  * KEPT — dedup must not silently eat undecodable rows.
+  *
+  * Returns every corpus row: (id, cluster, cos_c, component, rep_id,
+  * keep). Filter `keep` for the deduplicated corpus; the rest is the
+  * audit trail (which exemplar absorbed each dropped doc).
+  */
+object SemDedup {
+
+  private def rcos(p: Double)(v: Column, nv: Column, c: Column,
+      nc: Column): Column =
+    floor(when(nv > 0.0 && nc > 0.0, Similarity.dot(v, c) / (nv * nc))
+      * p + 0.5) / p
+
+  def semDedup(corpus: DataFrame, threshold: Double,
+      numCentroids: Int = 256, idCol: String = "vec_id",
+      vecCol: String = "embedding", roundScale: Int = 6,
+      centroidStride: Long = 0L): DataFrame = {
+    val p = math.pow(10.0, roundScale)
+    val stride =
+      if (centroidStride > 0L) centroidStride
+      else math.max(1L, corpus.count() / math.max(1, numCentroids))
+    val centRows = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).cast("long").as("c_id"),
+        col(vecCol).cast("array<double>").as("c_vec"))
+      .collect()
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("vec"))
+      .withColumn("norm", sqrt(Similarity.dot(col("vec"), col("vec"))))
+    if (centRows.isEmpty) {
+      // no quantizer (empty corpus): every doc is its own exemplar —
+      // the same degenerate answer the full dataflow yields on the
+      // empty pair set, returned without spinning up the CC loop.
+      return base.select(col("id"), lit(null).cast("long").as("cluster"),
+        lit(null).cast("double").as("cos_c"),
+        col("id").as("component"), col("id").as("rep_id"),
+        lit(true).as("keep"))
+    }
+    val cIds = centRows.map(_.getLong(0)).toSeq
+    val cVecs = centRows.map(_.getSeq[Double](1)).toSeq
+    // the same deterministic filter, kept as a (tiny) frame for the
+    // broadcast centroid-cosine join — scanning the modulo sliver
+    // twice is cheaper than round-tripping collected rows
+    val centDf = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).cast("long").as("c_id"),
+        col(vecCol).cast("array<double>").as("c_vec"))
+    val members = base
+      .withColumn("cluster", element_at(
+        graft.functions.NearestCentroids.topIds(col("vec"), cIds, cVecs,
+          1, roundScale), 1))
+      .join(broadcast(centDf), col("cluster") === col("c_id"))
+      .withColumn("c_norm", sqrt(Similarity.dot(col("c_vec"), col("c_vec"))))
+      .withColumn("cos_c",
+        rcos(p)(col("vec"), col("norm"), col("c_vec"), col("c_norm")))
+      .select("id", "vec", "norm", "cluster", "cos_c")
+    val a = members.select(col("cluster"), col("id").as("id_a"),
+      col("vec").as("va"), col("norm").as("na"))
+    val b = members.select(col("cluster"), col("id").as("id_b"),
+      col("vec").as("vb"), col("norm").as("nb"))
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(rcos(p)(col("va"), col("na"), col("vb"), col("nb"))
+        >= threshold)
+      .select("id_a", "id_b")
+    val comp = graft.text.DedupOps.connectedComponents(
+      members.select(col("id")), pairs)
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("cos_c").asc_nulls_first, col("id").asc)
+    members.select("id", "cluster", "cos_c")
+      .join(comp, "id")
+      .withColumn("rep_id", first(col("id")).over(w))
+      .withColumn("keep", col("id") === col("rep_id"))
+  }
+}

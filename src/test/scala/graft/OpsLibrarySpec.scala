@@ -495,6 +495,130 @@ class OpsLibrarySpec extends SparkSpec {
     assert(derived == pinned)
   }
 
+  // --- SemDeDup (sim/SemDedup) ---
+
+  /** Deterministic parity corpus: four direction groups plus small
+    * per-id noise, one zero vector. Group cosines sit ~0.99 within,
+    * ~0.1 across, so threshold 0.9 separates them cleanly. */
+  private def semCorpus(n: Int): Map[Long, Array[Double]] =
+    (0L until n).map { i =>
+      val v =
+        if (i == n - 1) Array(0.0, 0.0, 0.0, 0.0) // zero vector edge
+        else {
+          val g = (i % 4).toInt
+          Array.tabulate(4)(d =>
+            (if (d == g) 10.0 else 0.0) +
+              (((i * 31 + d * 17) % 13).toDouble - 6.0) / 12.0)
+        }
+      i -> v
+    }.toMap
+
+  /** Literal single-threaded SemDeDup: same rounding, same orderings.
+    * Returns id -> (cluster, cos_c, component, rep_id, keep). */
+  private def semBrute(vecs: Map[Long, Array[Double]], stride: Long,
+      tau: Double): Map[Long, (Long, Option[Double], Long, Long, Boolean)] = {
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def cos(a: Array[Double], b: Array[Double]): Option[Double] = {
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na > 0.0 && nb > 0.0)
+        Some(r6(a.zip(b).map { case (x, y) => x * y }.sum / (na * nb)))
+      else None
+    }
+    val cents = vecs.keys.filter(_ % stride == 0).toSeq.sorted
+    val cluster = vecs.map { case (i, v) =>
+      i -> cents.minBy { c =>
+        cos(v, vecs(c)) match {
+          case Some(x) => (0, -x, c)
+          case None    => (1, 0.0, c)
+        }
+      }
+    }
+    val cosC = vecs.map { case (i, v) => i -> cos(v, vecs(cluster(i))) }
+    val parent = scala.collection.mutable.Map(vecs.keys.map(i => i -> i).toSeq: _*)
+    def find(i: Long): Long =
+      if (parent(i) == i) i else { val r = find(parent(i)); parent(i) = r; r }
+    for {
+      i <- vecs.keys; j <- vecs.keys
+      if i < j && cluster(i) == cluster(j) &&
+        cos(vecs(i), vecs(j)).exists(_ >= tau)
+    } { val (ri, rj) = (find(i), find(j)); if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj) }
+    val comp = vecs.keys.map(i => i -> find(i)).toMap
+    val byComp = vecs.keys.groupBy(comp)
+    val rep = byComp.map { case (c, ms) =>
+      c -> ms.minBy(m => (if (cosC(m).isEmpty) 0 else 1,
+        cosC(m).getOrElse(0.0), m))
+    }
+    vecs.keys.map { i =>
+      i -> (cluster(i), cosC(i), comp(i), rep(comp(i)),
+        i == rep(comp(i)))
+    }.toMap
+  }
+
+  test("semDedup matches a literal single-threaded re-derivation") {
+    import graft.sim.SemDedup
+    val vecs = semCorpus(40)
+    val df = vecs.toSeq.sortBy(_._1)
+      .map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    val out = SemDedup.semDedup(df, 0.9, centroidStride = 7L)
+      .collect().map { r =>
+        r.getLong(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getLong(3), r.getLong(4), r.getBoolean(5))
+      }.toMap
+    val exp = semBrute(vecs, 7L, 0.9)
+    assert(out.keySet == exp.keySet)
+    for (i <- exp.keys.toSeq.sorted)
+      assert(out(i) == exp(i), s"id $i: got ${out(i)}, want ${exp(i)}")
+    // structure sanity: real merging happened, and every non-kept doc
+    // points at a kept exemplar in its own component
+    assert(out.values.count(!_._5) > 0)
+    val keptByComp = out.values.filter(_._5).map(v => v._3 -> true).toMap
+    assert(out.values.forall(v => keptByComp.contains(v._3)))
+  }
+
+  test("semDedup keeps the member least similar to its centroid") {
+    import graft.sim.SemDedup
+    // centroid id 0; id 1 is nearly parallel to it (cos_c ~1), id 2 is
+    // further off-axis (lower cos_c) but still a near-dup of both ->
+    // one eps-cluster {0,1,2}; the paper keeps the LEAST typical: id 2.
+    val df = Seq(
+      (0L, Seq(10.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(10.0, 0.3, 0.0, 0.0)),
+      (2L, Seq(10.0, 1.5, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 5.0, 0.0))   // unrelated singleton
+    ).toDF("vec_id", "embedding")
+    val out = SemDedup.semDedup(df, 0.98, centroidStride = 4L)
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(3)).toSeq == Seq(0L, 0L, 0L, 3L)) // components
+    assert(out.map(_.getLong(4)).toSeq == Seq(2L, 2L, 2L, 3L)) // rep = least cos_c
+    assert(out.map(_.getBoolean(5)).toSeq == Seq(false, false, true, true))
+  }
+
+  test("semDedup keeps zero vectors as their own singleton components") {
+    import graft.sim.SemDedup
+    val df = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.001)), (2L, Seq(0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val out = SemDedup.semDedup(df, 0.99, centroidStride = 3L)
+      .orderBy("id").collect()
+    val zero = out.find(_.getLong(0) == 2L).get
+    assert(zero.isNullAt(2))           // cos_c null
+    assert(zero.getLong(3) == 2L && zero.getBoolean(5)) // singleton, kept
+    assert(out.count(_.getBoolean(5)) == 2) // {0,1} collapsed to one
+  }
+
+  test("semDedup is partition-layout invariant") {
+    import graft.sim.SemDedup
+    val vecs = semCorpus(24)
+    val df = vecs.toSeq.sortBy(_._1)
+      .map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      SemDedup.semDedup(d, 0.9, centroidStride = 7L)
+        .orderBy("id").collect().toSeq
+    assert(run(df.repartition(7)) == run(df.coalesce(1)))
+  }
+
   test("salted join equals plain join") {
     val left = (1 to 500).map(i => (i % 5, i)).toDF("k", "lid")
     val right = Seq((0, "a"), (1, "b"), (2, "c"), (3, "d"), (4, "e"))
