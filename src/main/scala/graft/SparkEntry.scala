@@ -1758,6 +1758,19 @@ object SparkEntry {
         col("component"), col("rep_id"), col("keep"))
       .orderBy("vec_id")
 
+  /** CCNet-style LM quality scoring: an interpolated bigram LM
+    * trained on the trusted slice doc_id % 10 < 3, scoring the whole
+    * documents table. The oracle re-derives the full chain — token
+    * pairs, count tables, micro-nat quantized per-type cost, BIGINT
+    * doc totals, perplexity — in SQL. */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.text.LmOps.perplexity(
+        docs, docs.filter(pmod(col("doc_id"), lit(10)) < 3),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -1857,6 +1870,7 @@ object SparkEntry {
     "q85_blocklist_filter" -> (q85 _),
     "q86_streaming_dedup"  -> (q86 _),
     "q87_semdedup"         -> (q87 _),
+    "q88_lm_perplexity"    -> (q88 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -2871,6 +2885,50 @@ object SparkEntry {
              component::BIGINT AS component, rep_id::BIGINT AS rep_id,
              (id = rep_id) AS keep
       FROM lab ORDER BY vec_id""",
+    // Full CCNet-style LM chain re-derived: position pairs with the
+    // <s> sentinel context, reference count tables (ref = doc_id%10<3),
+    // JM interpolation with dyadic 0.75/(1.0-0.75), micro-nat floor
+    // quantization per bigram TYPE, exact BIGINT doc totals, rnd6
+    // perplexity. Mirrors LmOps.perplexity term for term.
+    "q88_lm_perplexity" -> (tokCte + """,
+      pp AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)+1),
+            i -> {'v': CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END,
+                  'w': toks[i]})) AS p FROM tk),
+      pr AS (SELECT doc_id, p.v AS v, p.w AS w FROM pp),
+      refp AS (SELECT v, w FROM pr WHERE doc_id % 10 < 3),
+      uni AS (SELECT w, count(*)::BIGINT AS c_w FROM refp GROUP BY w),
+      bi AS (SELECT v, w, count(*)::BIGINT AS c_vw FROM refp
+             GROUP BY v, w),
+      ctx AS (SELECT v, sum(c_vw)::BIGINT AS c_v FROM bi GROUP BY v),
+      tot AS (SELECT coalesce(sum(c_w), 0)::DOUBLE AS t,
+                     count(*)::DOUBLE AS vsz FROM uni),
+      dp AS (SELECT doc_id, v, w, count(*)::BIGINT AS n_occ
+             FROM pr GROUP BY doc_id, v, w),
+      ty AS (SELECT DISTINCT v, w FROM dp),
+      scored AS (SELECT ty.v, ty.w,
+          CAST(floor(-ln(CASE WHEN ctx.c_v IS NOT NULL
+            THEN 0.75 * (coalesce(bi.c_vw, 0) / ctx.c_v)
+                 + (1.0 - 0.75) * ((coalesce(uni.c_w, 0) + 1.0)
+                     / (tot.t + tot.vsz + 1.0))
+            ELSE (coalesce(uni.c_w, 0) + 1.0)
+                 / (tot.t + tot.vsz + 1.0) END)
+            * 1000000.0 + 0.5) AS BIGINT) AS nll1
+        FROM ty CROSS JOIN tot
+        LEFT JOIN bi ON ty.v = bi.v AND ty.w = bi.w
+        LEFT JOIN ctx ON ty.v = ctx.v
+        LEFT JOIN uni ON ty.w = uni.w),
+      perdoc AS (SELECT dp.doc_id, sum(n_occ)::BIGINT AS n_tok,
+          sum(n_occ * nll1)::BIGINT AS nll_micro
+        FROM dp JOIN scored ON dp.v = scored.v AND dp.w = scored.w
+        GROUP BY dp.doc_id)
+      SELECT d.doc_id, coalesce(n_tok, 0)::BIGINT AS n_tok,
+        coalesce(nll_micro, 0)::BIGINT AS nll_micro,
+        CASE WHEN n_tok > 0 THEN
+          floor(exp(nll_micro / 1000000.0 / n_tok) * 1000000.0 + 0.5)
+            / 1000000.0
+        END AS ppl
+      FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id
+      ORDER BY d.doc_id"""),
     "q66_quota_mixing" -> """
       WITH c AS (SELECT doc_id, source,
               ('0x' || substr(md5('q:' || doc_id::VARCHAR), 1, 8))::BIGINT

@@ -231,4 +231,76 @@ class PackQualityScrubSpec extends SparkSpec {
       .head().getString(0)
     assert(red == "see <URL> now")
   }
+
+  // ------------------------------------------------------------- LmOps
+
+  /** Literal single-threaded JM-bigram scorer: same tokenization,
+    * same smoothing, same micro-nat floor quantization as LmOps. */
+  private def lmBrute(docs: Seq[(Long, String)], refIds: Long => Boolean,
+      lam: Double): Map[Long, (Long, Long, Option[Double])] = {
+    def toks(s: String): Seq[String] =
+      s.toLowerCase.map(c => if (c.isLetterOrDigit && c < 128) c else ' ')
+        .split(" +").filter(_.nonEmpty).toSeq
+    def pairs(s: String): Seq[(String, String)] = {
+      val t = toks(s)
+      t.indices.map(i => (if (i == 0) "<s>" else t(i - 1)) -> t(i))
+    }
+    val refP = docs.filter(d => refIds(d._1)).flatMap(d => pairs(d._2))
+    val uni = refP.groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
+    val bi = refP.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val ctx = refP.groupBy(_._1).map { case (v, xs) => v -> xs.size.toLong }
+    val t = uni.values.sum.toDouble
+    val vsz = uni.size.toDouble
+    docs.map { case (id, text) =>
+      val pp = pairs(text)
+      val nll = pp.map { case (v, w) =>
+        val pU = (uni.getOrElse(w, 0L) + 1.0) / (t + vsz + 1.0)
+        val p = ctx.get(v) match {
+          case Some(cv) =>
+            lam * (bi.getOrElse((v, w), 0L).toDouble / cv) + (1.0 - lam) * pU
+          case None => pU
+        }
+        math.floor(-math.log(p) * 1e6 + 0.5).toLong
+      }.sum
+      val n = pp.size.toLong
+      id -> (n, nll,
+        if (n > 0) Some(math.floor(math.exp(nll / 1e6 / n) * 1e6 + 0.5) / 1e6)
+        else None)
+    }.toMap
+  }
+
+  test("perplexity matches a literal single-threaded re-derivation") {
+    val docs = (0L until 40L).map { i =>
+      val words = Seq("the", "cat", "sat", "on", "a", "mat", "dog", "ran")
+      i -> (0 until (3 + (i % 9)).toInt)
+        .map(j => words(((i * 7 + j * 3) % 8).toInt)).mkString(" ")
+    } :+ (40L -> "") :+ (41L -> "zzz qqq zzz") // empty + OOV-heavy
+    val df = docs.toDF("doc_id", "text")
+    val out = graft.text.LmOps.perplexity(
+        df, df.filter(col("doc_id") % 4 === 0), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    val exp = lmBrute(docs, _ % 4 == 0, 0.75)
+    assert(out == exp)
+    assert(out(40L) == ((0L, 0L, None))) // empty doc: nothing to score
+    // OOV doc is scored (unigram smoothing), costlier than in-ref text
+    assert(out(41L)._3.get > out(0L)._3.get)
+  }
+
+  test("perplexity is partition-layout invariant, no broadcast joins") {
+    val docs = (0L until 30L)
+      .map(i => i -> s"alpha beta gamma delta tok$i alpha beta")
+    val df = docs.toDF("doc_id", "text")
+    val ref = df.filter(col("doc_id") < 10)
+    val a = graft.text.LmOps.perplexity(df.repartition(1), ref,
+      "doc_id", "text").collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b = graft.text.LmOps.perplexity(df.repartition(11), ref,
+      "doc_id", "text").collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a == b)
+    // model tables are corpus-derived: they must never broadcast
+    val plan = graft.text.LmOps.perplexity(df, ref, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"))
+  }
 }
