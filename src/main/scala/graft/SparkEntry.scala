@@ -1771,6 +1771,19 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DSIR data selection: importance weights of every doc between
+    * hashed-ngram distributions of the lang='en' target slice and
+    * the raw corpus, plus deterministic Gumbel top-100. The oracle
+    * re-derives features, distributions, micro-quantized log-ratios,
+    * BIGINT doc weights, the Gumbel draw, and the top-k flag. */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.text.DsirOps.dsirSelect(
+        docs, docs.filter(col("lang") === "en"), k = 100,
+        idCol = "doc_id", textCol = "text", buckets = 256)
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -1871,6 +1884,7 @@ object SparkEntry {
     "q86_streaming_dedup"  -> (q86 _),
     "q87_semdedup"         -> (q87 _),
     "q88_lm_perplexity"    -> (q88 _),
+    "q89_dsir_select"      -> (q89 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -2929,6 +2943,53 @@ object SparkEntry {
         END AS ppl
       FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id
       ORDER BY d.doc_id"""),
+    // Full DSIR chain re-derived: hashed unigram+bigram features
+    // (seededHash32 = md5-derived, '7:'-prefixed), add-one bucket
+    // distributions of the en-slice target and the raw corpus,
+    // micro-quantized per-bucket log-ratios, BIGINT doc weights,
+    // md5-coordinate Gumbel draw ((h+0.5)/2^32 strictly inside (0,1)),
+    // top-100 under the (key DESC, id ASC) total order.
+    "q89_dsir_select" -> (tokCte + """,
+      fs AS (SELECT doc_id, unnest(
+          flatten(list_transform(range(1, len(toks)+1), i ->
+            CASE WHEN i = 1 THEN [toks[i]]
+                 ELSE [toks[i], toks[i-1] || ' ' || toks[i]] END))) AS f
+        FROM tk),
+      fb AS (SELECT doc_id,
+          ('0x' || substr(md5('7:' || f), 1, 8))::BIGINT % 256 AS bucket
+        FROM fs),
+      dc AS (SELECT doc_id, bucket, count(*)::BIGINT AS n
+             FROM fb GROUP BY doc_id, bucket),
+      pt AS (SELECT bucket, count(*)::BIGINT AS c_p
+             FROM fb JOIN documents USING (doc_id)
+             WHERE lang = 'en' GROUP BY bucket),
+      qt AS (SELECT bucket, sum(n)::BIGINT AS c_q FROM dc GROUP BY bucket),
+      tot AS (SELECT
+          (SELECT coalesce(sum(c_p), 0) FROM pt)::DOUBLE AS tp,
+          (SELECT coalesce(sum(c_q), 0) FROM qt)::DOUBLE AS tq),
+      lam AS (SELECT qt.bucket,
+          CAST(floor(ln(((coalesce(pt.c_p, 0) + 1.0) / (tot.tp + 256.0))
+                   / ((qt.c_q + 1.0) / (tot.tq + 256.0)))
+            * 1000000.0 + 0.5) AS BIGINT) AS lam_micro
+        FROM qt CROSS JOIN tot LEFT JOIN pt ON qt.bucket = pt.bucket),
+      perdoc AS (SELECT dc.doc_id, sum(dc.n)::BIGINT AS n_feat,
+          sum(dc.n * lam.lam_micro)::BIGINT AS logw_micro
+        FROM dc JOIN lam ON dc.bucket = lam.bucket GROUP BY dc.doc_id),
+      keyed AS (SELECT d.doc_id,
+          coalesce(n_feat, 0)::BIGINT AS n_feat,
+          coalesce(logw_micro, 0)::BIGINT AS logw_micro,
+          CAST(floor(-ln(-ln(
+              (('0x' || substr(md5('7:g:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+                + 0.5) / 4294967296.0))
+            * 1000000.0 + 0.5) AS BIGINT) AS g_micro
+        FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id),
+      rk AS (SELECT *, logw_micro + g_micro AS key_micro,
+          row_number() OVER (ORDER BY logw_micro + g_micro DESC,
+            doc_id ASC) AS r
+        FROM keyed)
+      SELECT doc_id, n_feat, logw_micro, g_micro, key_micro,
+             (r <= 100) AS selected
+      FROM rk ORDER BY doc_id"""),
     "q66_quota_mixing" -> """
       WITH c AS (SELECT doc_id, source,
               ('0x' || substr(md5('q:' || doc_id::VARCHAR), 1, 8))::BIGINT

@@ -303,4 +303,87 @@ class PackQualityScrubSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastHashJoin"))
   }
+
+  // ----------------------------------------------------------- DsirOps
+
+  /** Literal single-threaded DSIR: same md5 feature hashing, same
+    * smoothing, same micro quantization, same Gumbel + total order. */
+  private def dsirBrute(docs: Seq[(Long, String)], tgt: Long => Boolean,
+      b: Int, seed: Int, k: Int): Map[Long, (Long, Long, Boolean)] = {
+    def toks(s: String): Seq[String] =
+      s.toLowerCase.map(c => if (c.isLetterOrDigit && c < 128) c else ' ')
+        .split(" +").filter(_.nonEmpty).toSeq
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$s".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map(x => f"${x & 0xff}%02x").mkString, 16)
+    }
+    def feats(s: String): Seq[Long] = {
+      val t = toks(s)
+      t.indices.flatMap(i =>
+        if (i == 0) Seq(h32(t(i)) % b)
+        else Seq(h32(t(i)) % b, h32(s"${t(i - 1)} ${t(i)}") % b))
+    }
+    val dc = docs.map { case (id, s) =>
+      id -> feats(s).groupBy(identity).map { case (bk, xs) =>
+        bk -> xs.size.toLong }
+    }.toMap
+    val cp = docs.filter(d => tgt(d._1)).flatMap(d => dc(d._1).toSeq)
+      .groupBy(_._1).map { case (bk, xs) => bk -> xs.map(_._2).sum }
+    val cq = docs.flatMap(d => dc(d._1).toSeq)
+      .groupBy(_._1).map { case (bk, xs) => bk -> xs.map(_._2).sum }
+    val (tp, tq) = (cp.values.sum.toDouble, cq.values.sum.toDouble)
+    val lam = cq.map { case (bk, q) =>
+      bk -> math.floor(math.log(
+        ((cp.getOrElse(bk, 0L) + 1.0) / (tp + b)) /
+          ((q + 1.0) / (tq + b))) * 1e6 + 0.5).toLong
+    }
+    val keyed = docs.map { case (id, _) =>
+      val lw = dc(id).map { case (bk, n) => n * lam(bk) }.sum
+      val u = (h32(s"g:$id") + 0.5) / 4294967296.0
+      val g = math.floor(-math.log(-math.log(u)) * 1e6 + 0.5).toLong
+      (id, lw, lw + g)
+    }
+    val sel = keyed.sortBy(t => (-t._3, t._1)).take(k).map(_._1).toSet
+    keyed.map { case (id, lw, key) => id -> (lw, key, sel(id)) }.toMap
+  }
+
+  test("dsirSelect matches a literal single-threaded re-derivation") {
+    val en = Seq("the", "quick", "brown", "fox", "jumps", "over")
+    val xx = Seq("zork", "blap", "quux", "fnord", "grue", "plugh")
+    val docs = (0L until 50L).map { i =>
+      val w = if (i % 3 == 0) en else xx
+      i -> (0 until (4 + (i % 5)).toInt)
+        .map(j => w(((i * 5 + j) % 6).toInt)).mkString(" ")
+    } :+ (50L -> "")
+    val df = docs.toDF("doc_id", "text")
+    val out = graft.text.DsirOps.dsirSelect(
+        df, df.filter(col("doc_id") % 3 === 0), k = 10,
+        idCol = "doc_id", textCol = "text", buckets = 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("logw_micro"), r.getAs[Long]("key_micro"),
+          r.getAs[Boolean]("selected"))).toMap
+    val exp = dsirBrute(docs, _ % 3 == 0, 64, 7, 10)
+    assert(out == exp)
+    assert(out.values.count(_._3) == 10)
+    // target-like docs dominate the selection
+    assert(out.filter(_._2._3).keys.count(_ % 3 == 0) >= 7)
+  }
+
+  test("dsirSelect is partition-layout invariant; k > corpus selects all") {
+    val docs = (0L until 20L).map(i => i -> s"tok$i alpha beta tok${i % 4}")
+    val df = docs.toDF("doc_id", "text")
+    val tgt = df.filter(col("doc_id") < 5)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.text.DsirOps.dsirSelect(d, tgt, k = 8,
+        idCol = "doc_id", textCol = "text", buckets = 32)
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Long]("key_micro"), r.getAs[Boolean]("selected"))).toMap
+    assert(run(df.repartition(1)) == run(df.repartition(7)))
+    val all = graft.text.DsirOps.dsirSelect(df, tgt, k = 1000,
+      idCol = "doc_id", textCol = "text", buckets = 32)
+      .collect()
+    assert(all.forall(_.getAs[Boolean]("selected")))
+  }
 }
