@@ -1784,6 +1784,20 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** BM25 top-10 retrieval for four fixed probe queries over the
+    * documents table. The oracle re-derives postings, df/length
+    * stats, the micro-quantized per-term contributions, BIGINT
+    * per-(query, doc) scores, and the ranked cut in SQL. */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      (1L, "fast merge join"), (2L, "window query sort stream"),
+      (3L, "customer order table"), (4L, "slow vector scan"))
+      .toDF("query_id", "qtext")
+    graft.text.RankOps.bm25TopK(t(s, dir, "documents"), queries, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -1885,6 +1899,7 @@ object SparkEntry {
     "q87_semdedup"         -> (q87 _),
     "q88_lm_perplexity"    -> (q88 _),
     "q89_dsir_select"      -> (q89 _),
+    "q90_bm25_topk"        -> (q90 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -2990,6 +3005,40 @@ object SparkEntry {
       SELECT doc_id, n_feat, logw_micro, g_micro, key_micro,
              (r <= 100) AS selected
       FROM rk ORDER BY doc_id"""),
+    // BM25 re-derived with the arithmetic parenthesized exactly as
+    // the Spark side computes it (idf * (tf-part), k1+1 as the same
+    // (1.2 + 1.0) double op, dyadic b, avgdl = tot/n first).
+    "q90_bm25_topk" -> (tokCte + """,
+      tok AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+      post AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+               FROM tok GROUP BY doc_id, token),
+      dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tk),
+      stats AS (SELECT count(*)::BIGINT AS n,
+                       coalesce(sum(dl), 0)::BIGINT AS tot FROM dl),
+      dfs AS (SELECT token, count(*)::BIGINT AS n_docs
+              FROM post GROUP BY token),
+      q(query_id, qtext) AS (VALUES
+        (1, 'fast merge join'), (2, 'window query sort stream'),
+        (3, 'customer order table'), (4, 'slow vector scan')),
+      qt AS (SELECT query_id, unnest(list_distinct(list_filter(
+            string_split_regex(regexp_replace(lower(qtext),
+              '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> ''))) AS token
+        FROM q),
+      c AS (SELECT qt.query_id, post.doc_id,
+          CAST(floor(
+            ln(1.0 + ((stats.n - dfs.n_docs + 0.5) / (dfs.n_docs + 0.5)))
+            * ((post.tf * (1.2 + 1.0)) / (post.tf + 1.2 * ((1.0 - 0.75)
+                + 0.75 * (dl.dl / (stats.tot::DOUBLE / stats.n)))))
+            * 1000000.0 + 0.5) AS BIGINT) AS c_micro
+        FROM post JOIN qt USING (token) JOIN dfs USING (token)
+        JOIN dl USING (doc_id) CROSS JOIN stats),
+      s AS (SELECT query_id, doc_id, sum(c_micro)::BIGINT AS score_micro
+            FROM c GROUP BY query_id, doc_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY score_micro DESC, doc_id ASC) AS rank FROM s)
+      SELECT query_id::BIGINT AS query_id, doc_id, score_micro,
+             rank::BIGINT AS rank
+      FROM r WHERE rank <= 10 ORDER BY query_id, rank"""),
     "q66_quota_mixing" -> """
       WITH c AS (SELECT doc_id, source,
               ('0x' || substr(md5('q:' || doc_id::VARCHAR), 1, 8))::BIGINT

@@ -167,6 +167,30 @@ object SimScaleSmoke {
       val got = top.count()
       println(s"""{"invariant":"ivf_cardinality","factor":$f,""" +
         s""""expected":${nq * 10},"got":$got,"ok":${got == nq * 10}}""")
+
+      // SemDedup phase: |C| ~ sqrt(N) keeps the per-cluster
+      // quadratic rescore and the broadcast centroid set balanced at
+      // any corpus size (cluster ~ sqrt(N) rows -> pair evals ~ N^1.5
+      // total, the operator's documented budget knob).
+      val nRows = emb.count()
+      val semC = math.max(32, math.round(math.sqrt(nRows.toDouble)).toInt)
+      val sem = timed("semDedup", f) {
+        val r = graft.sim.SemDedup.semDedup(emb, 0.35, numCentroids = semC)
+        (r.localCheckpoint(eager = true), r)
+      }
+      // Exact semantic invariants, distributed: (a) audit-trail
+      // contract — every input row comes back; (b) every dropped
+      // doc's exemplar is itself kept; (c) keep <=> id == rep_id.
+      val semN = sem.count()
+      val orphans = sem.filter(!col("keep"))
+        .select(col("rep_id").as("id")).distinct()
+        .join(sem.filter(col("keep")).select("id"), Seq("id"),
+          "left_anti").count()
+      val keepMismatch = sem.filter(
+        col("keep") =!= (col("id") === col("rep_id"))).count()
+      println(s"""{"invariant":"semdedup","factor":$f,"rows_ok":${semN == nRows},""" +
+        s""""orphan_reps":$orphans,"keep_mismatch":$keepMismatch,""" +
+        s""""kept":${sem.filter(col("keep")).count()},"of":$semN}""")
       spark.catalog.clearCache()
     }
 

@@ -386,4 +386,65 @@ class PackQualityScrubSpec extends SparkSpec {
       .collect()
     assert(all.forall(_.getAs[Boolean]("selected")))
   }
+
+  // ----------------------------------------------------------- RankOps
+
+  /** Literal single-threaded BM25 with the same quantization and the
+    * same (score DESC, id ASC) ranking. */
+  private def bm25Brute(docs: Seq[(Long, String)],
+      queries: Seq[(Long, String)], k: Int, k1: Double, b: Double)
+      : Seq[(Long, Long, Long, Long)] = {
+    def toks(s: String): Seq[String] =
+      s.toLowerCase.map(c => if (c.isLetterOrDigit && c < 128) c else ' ')
+        .split(" +").filter(_.nonEmpty).toSeq
+    val tf = docs.map { case (id, s) =>
+      id -> toks(s).groupBy(identity).map { case (t, xs) =>
+        t -> xs.size.toLong }
+    }.toMap
+    val dl = docs.map { case (id, s) => id -> toks(s).size.toLong }.toMap
+    val n = docs.size.toLong
+    val avgdl = if (n == 0) 1.0 else dl.values.sum.toDouble / n
+    val dfc = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    queries.flatMap { case (qid, qs) =>
+      val scored = docs.flatMap { case (id, _) =>
+        val c = toks(qs).distinct.flatMap { t =>
+          tf(id).get(t).map { f =>
+            val idf = math.log(1.0 +
+              (n.toDouble - dfc(t) + 0.5) / (dfc(t) + 0.5))
+            val tfn = (f * (k1 + 1.0)) /
+              (f + k1 * ((1.0 - b) + b * (dl(id) / avgdl)))
+            math.floor(idf * tfn * 1e6 + 0.5).toLong
+          }
+        }
+        if (c.isEmpty) None else Some(id -> c.sum)
+      }
+      scored.sortBy(t => (-t._2, t._1)).take(k).zipWithIndex.map {
+        case ((id, sc), i) => (qid, id, sc, (i + 1).toLong)
+      }
+    }
+  }
+
+  test("bm25TopK matches a literal re-derivation; salts don't matter") {
+    val vocab = Seq("join", "merge", "scan", "sort", "hash", "query",
+      "fast", "slow", "table", "index")
+    val docs = (0L until 60L).map { i =>
+      i -> (0 until (5 + (i % 7)).toInt)
+        .map(j => vocab(((i * 11 + j * 3) % 10).toInt)).mkString(" ")
+    }
+    val queries = Seq(1L -> "fast join", 2L -> "slow table scan",
+      3L -> "nosuchtoken")
+    val dd = docs.toDF("doc_id", "text")
+    val qq = queries.toDF("query_id", "qtext")
+    def run(salts: Int) =
+      graft.text.RankOps.bm25TopK(dd, qq, k = 5, salts = salts)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4))
+    val got = run(8)
+    assert(got.toSeq == bm25Brute(docs, queries, 5, 1.2, 0.75))
+    assert(run(1).toSeq == got.toSeq) // two-stage cut is exact
+    assert(run(3).toSeq == got.toSeq)
+    assert(!got.exists(_._1 == 3L)) // unmatched query yields no rows
+  }
 }
