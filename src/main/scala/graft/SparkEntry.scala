@@ -1798,6 +1798,19 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** CCNet head/middle/tail perplexity binning on top of q88's model:
+    * tercile cuts are exact rank statistics of the deterministic
+    * md5-coordinate ~400-row sample (never a global sort). The
+    * oracle re-derives the cuts with a window over the same sample
+    * and labels every doc against the same cut values. */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.text.LmOps.perplexityBuckets(
+        docs, docs.filter(pmod(col("doc_id"), lit(10)) < 3),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -1900,6 +1913,7 @@ object SparkEntry {
     "q88_lm_perplexity"    -> (q88 _),
     "q89_dsir_select"      -> (q89 _),
     "q90_bm25_topk"        -> (q90 _),
+    "q91_ppl_buckets"      -> (q91 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -1987,6 +2001,48 @@ object SparkEntry {
               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
             ELSE [array_to_string(toks, ' ')] END)) AS shingle
         FROM tk)"""
+
+  /** Shared DuckDB CTE: the full [[graft.text.LmOps.perplexity]]
+    * chain (ref = doc_id % 10 < 3) ending in `outq(doc_id, n_tok,
+    * nll_micro, ppl)` — the q88 result, reused by q91's bucketing. */
+  private val lmCte = tokCte + """,
+      pp AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)+1),
+            i -> {'v': CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END,
+                  'w': toks[i]})) AS p FROM tk),
+      pr AS (SELECT doc_id, p.v AS v, p.w AS w FROM pp),
+      refp AS (SELECT v, w FROM pr WHERE doc_id % 10 < 3),
+      uni AS (SELECT w, count(*)::BIGINT AS c_w FROM refp GROUP BY w),
+      bi AS (SELECT v, w, count(*)::BIGINT AS c_vw FROM refp
+             GROUP BY v, w),
+      ctx AS (SELECT v, sum(c_vw)::BIGINT AS c_v FROM bi GROUP BY v),
+      tot AS (SELECT coalesce(sum(c_w), 0)::DOUBLE AS t,
+                     count(*)::DOUBLE AS vsz FROM uni),
+      dp AS (SELECT doc_id, v, w, count(*)::BIGINT AS n_occ
+             FROM pr GROUP BY doc_id, v, w),
+      ty AS (SELECT DISTINCT v, w FROM dp),
+      scored AS (SELECT ty.v, ty.w,
+          CAST(floor(-ln(CASE WHEN ctx.c_v IS NOT NULL
+            THEN 0.75 * (coalesce(bi.c_vw, 0) / ctx.c_v)
+                 + (1.0 - 0.75) * ((coalesce(uni.c_w, 0) + 1.0)
+                     / (tot.t + tot.vsz + 1.0))
+            ELSE (coalesce(uni.c_w, 0) + 1.0)
+                 / (tot.t + tot.vsz + 1.0) END)
+            * 1000000.0 + 0.5) AS BIGINT) AS nll1
+        FROM ty CROSS JOIN tot
+        LEFT JOIN bi ON ty.v = bi.v AND ty.w = bi.w
+        LEFT JOIN ctx ON ty.v = ctx.v
+        LEFT JOIN uni ON ty.w = uni.w),
+      perdoc AS (SELECT dp.doc_id, sum(n_occ)::BIGINT AS n_tok,
+          sum(n_occ * nll1)::BIGINT AS nll_micro
+        FROM dp JOIN scored ON dp.v = scored.v AND dp.w = scored.w
+        GROUP BY dp.doc_id),
+      outq AS (SELECT d.doc_id, coalesce(n_tok, 0)::BIGINT AS n_tok,
+        coalesce(nll_micro, 0)::BIGINT AS nll_micro,
+        CASE WHEN n_tok > 0 THEN
+          floor(exp(nll_micro / 1000000.0 / n_tok) * 1000000.0 + 0.5)
+            / 1000000.0
+        END AS ppl
+      FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id)"""
 
   /** Shared DuckDB CTE mirroring [[urlAugmented]]'s deterministic
     * URL injection. */
@@ -2919,45 +2975,32 @@ object SparkEntry {
     // JM interpolation with dyadic 0.75/(1.0-0.75), micro-nat floor
     // quantization per bigram TYPE, exact BIGINT doc totals, rnd6
     // perplexity. Mirrors LmOps.perplexity term for term.
-    "q88_lm_perplexity" -> (tokCte + """,
-      pp AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)+1),
-            i -> {'v': CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END,
-                  'w': toks[i]})) AS p FROM tk),
-      pr AS (SELECT doc_id, p.v AS v, p.w AS w FROM pp),
-      refp AS (SELECT v, w FROM pr WHERE doc_id % 10 < 3),
-      uni AS (SELECT w, count(*)::BIGINT AS c_w FROM refp GROUP BY w),
-      bi AS (SELECT v, w, count(*)::BIGINT AS c_vw FROM refp
-             GROUP BY v, w),
-      ctx AS (SELECT v, sum(c_vw)::BIGINT AS c_v FROM bi GROUP BY v),
-      tot AS (SELECT coalesce(sum(c_w), 0)::DOUBLE AS t,
-                     count(*)::DOUBLE AS vsz FROM uni),
-      dp AS (SELECT doc_id, v, w, count(*)::BIGINT AS n_occ
-             FROM pr GROUP BY doc_id, v, w),
-      ty AS (SELECT DISTINCT v, w FROM dp),
-      scored AS (SELECT ty.v, ty.w,
-          CAST(floor(-ln(CASE WHEN ctx.c_v IS NOT NULL
-            THEN 0.75 * (coalesce(bi.c_vw, 0) / ctx.c_v)
-                 + (1.0 - 0.75) * ((coalesce(uni.c_w, 0) + 1.0)
-                     / (tot.t + tot.vsz + 1.0))
-            ELSE (coalesce(uni.c_w, 0) + 1.0)
-                 / (tot.t + tot.vsz + 1.0) END)
-            * 1000000.0 + 0.5) AS BIGINT) AS nll1
-        FROM ty CROSS JOIN tot
-        LEFT JOIN bi ON ty.v = bi.v AND ty.w = bi.w
-        LEFT JOIN ctx ON ty.v = ctx.v
-        LEFT JOIN uni ON ty.w = uni.w),
-      perdoc AS (SELECT dp.doc_id, sum(n_occ)::BIGINT AS n_tok,
-          sum(n_occ * nll1)::BIGINT AS nll_micro
-        FROM dp JOIN scored ON dp.v = scored.v AND dp.w = scored.w
-        GROUP BY dp.doc_id)
-      SELECT d.doc_id, coalesce(n_tok, 0)::BIGINT AS n_tok,
-        coalesce(nll_micro, 0)::BIGINT AS nll_micro,
-        CASE WHEN n_tok > 0 THEN
-          floor(exp(nll_micro / 1000000.0 / n_tok) * 1000000.0 + 0.5)
-            / 1000000.0
-        END AS ppl
-      FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id
-      ORDER BY d.doc_id"""),
+    "q88_lm_perplexity" -> (lmCte + """
+      SELECT doc_id, n_tok, nll_micro, ppl FROM outq
+      ORDER BY doc_id"""),
+    // q88's chain + CCNet head/middle/tail binning: tercile cuts are
+    // RANK statistics of the deterministic md5-coordinate sample
+    // (rate = least(1, 400/N)), value at 1-based rank ceil(p*m) under
+    // (ppl, doc_id) — mirrors SampleOps.sampleRankCuts exactly.
+    "q91_ppl_buckets" -> (lmCte + """,
+      samp AS (SELECT ppl, doc_id,
+          row_number() OVER (ORDER BY ppl, doc_id) AS r,
+          count(*) OVER () AS m
+        FROM outq
+        WHERE ppl IS NOT NULL
+          AND ('0x' || substr(md5('qs:' || doc_id::VARCHAR), 1, 8))::BIGINT
+              / 4294967296.0
+            < least(1.0, 400.0 / (SELECT count(*) FROM documents))),
+      cuts AS (SELECT
+          max(CASE WHEN r = ceil((1.0/3) * m) THEN ppl END) AS c1,
+          max(CASE WHEN r = ceil((2.0/3) * m) THEN ppl END) AS c2
+        FROM samp)
+      SELECT doc_id, n_tok, nll_micro, ppl,
+        CASE WHEN ppl IS NULL THEN NULL
+             WHEN ppl <= c1 THEN 'head'
+             WHEN ppl <= c2 THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM outq CROSS JOIN cuts ORDER BY doc_id"""),
     // Full DSIR chain re-derived: hashed unigram+bigram features
     // (seededHash32 = md5-derived, '7:'-prefixed), add-one bucket
     // distributions of the en-slice target and the raw corpus,

@@ -147,4 +147,31 @@ object LmOps {
           floor(exp(col("nll_micro") / lit(MicroScale) / col("n_tok"))
             * 1e6 + 0.5) / 1e6).as("ppl"))
   }
+
+  /** CCNet's head/middle/tail perplexity binning (Wenzek et al. 2020
+    * §4.3): docs are bucketed by tercile cuts of the corpus
+    * perplexity distribution. Cuts come from
+    * [[SampleOps.sampleRankCuts]] — exact rank statistics of a
+    * deterministic parameter-bounded sample, never a global sort —
+    * and rows compare against the cut VALUES, so ties at a cut land
+    * in the lower bucket on every engine. Empty docs (null ppl) get
+    * a null bucket: unscoreable is not a quality verdict.
+    *
+    * The perplexity frame is localCheckpoint'ed once (eager): the
+    * cuts pass and the labeling pass share one scoring of the
+    * corpus — the checkpoint holds the 4-column projection
+    * (id + three numerics), not the text. */
+  def perplexityBuckets(corpus: DataFrame, ref: DataFrame,
+      idCol: String, textCol: String, sampleSize: Int = 400,
+      lambda: Double = 0.75, salt: String = "qs"): DataFrame = {
+    val ppl = perplexity(corpus, ref, idCol, textCol, lambda)
+      .localCheckpoint(true)
+    val cuts = SampleOps.sampleRankCuts(ppl, "ppl", idCol,
+      Seq(1.0 / 3, 2.0 / 3), sampleSize, salt)
+    ppl.withColumn("bucket",
+      when(col("ppl").isNull, lit(null).cast("string"))
+        .when(col("ppl") <= cuts(0), "head")
+        .when(col("ppl") <= cuts(1), "middle")
+        .otherwise("tail"))
+  }
 }

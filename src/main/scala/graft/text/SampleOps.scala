@@ -206,4 +206,40 @@ object SampleOps {
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
   }
+
+  /** Deterministic quantile cuts WITHOUT a global sort: exact
+    * rank-quantiles of a [[hashCoord]]-deterministic ~`sampleSize`-row
+    * sample of the non-null `valueCol` values. The cut for prob p is
+    * the sample value at 1-based rank ceil(p·m) under the
+    * (value, id) total order — a rank statistic, not an interpolated
+    * percentile, so any engine reproduces it bit-for-bit (interpolated
+    * quantile definitions differ across engines; ranks don't).
+    *
+    * Scale shape: one count action for the sampling rate, then a
+    * narrow hash filter and a collect whose size concentrates at the
+    * PARAMETER `sampleSize` regardless of corpus size (binomial, not
+    * proportional). The alternative — exact corpus quantiles — is a
+    * global sort; a sample this size bounds the cut's rank error at
+    * ~1/sqrt(sampleSize) quantile mass, the classic trade.
+    * Deterministic given (corpus, salt): re-runs and re-partitions
+    * see the same sample, so the same cuts. */
+  def sampleRankCuts(df: DataFrame, valueCol: String, idCol: String,
+      probs: Seq[Double], sampleSize: Int, salt: String = "qs")
+      : Seq[Double] = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      s"probs=$probs")
+    require(sampleSize > 0, s"sampleSize=$sampleSize")
+    val n = df.count()
+    val rate = if (n == 0) 1.0 else math.min(1.0, sampleSize.toDouble / n)
+    val sample = df
+      .filter(col(valueCol).isNotNull &&
+        hashCoord(col(idCol), salt) < rate)
+      .select(col(valueCol).cast("double"), col(idCol).cast("long"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sorted
+    require(sample.nonEmpty,
+      s"sampleRankCuts: no non-null '$valueCol' rows sampled")
+    val m = sample.length
+    probs.map(p => sample(math.ceil(p * m).toInt - 1)._1)
+  }
 }

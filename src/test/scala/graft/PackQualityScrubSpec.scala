@@ -387,6 +387,53 @@ class PackQualityScrubSpec extends SparkSpec {
     assert(all.forall(_.getAs[Boolean]("selected")))
   }
 
+  // ------------------------------------------- sampleRankCuts / buckets
+
+  test("sampleRankCuts: full-rate cuts are exact rank quantiles") {
+    import graft.text.SampleOps
+    val vals = (0L until 90L).map(i => (i, ((i * 37) % 90).toDouble / 3.0))
+    val df = vals.toDF("id", "v")
+    // sampleSize >= n -> rate 1.0 -> the "sample" is the corpus
+    val cuts = SampleOps.sampleRankCuts(df, "v", "id",
+      Seq(1.0 / 3, 2.0 / 3, 1.0), sampleSize = 1000)
+    val sorted = vals.map(_._2).sorted
+    val m = sorted.length
+    assert(cuts == Seq(
+      sorted(math.ceil(m / 3.0).toInt - 1),
+      sorted(math.ceil(2.0 * m / 3).toInt - 1),
+      sorted(m - 1)))
+    // deterministic under re-partitioning
+    val cuts7 = SampleOps.sampleRankCuts(df.repartition(7), "v", "id",
+      Seq(1.0 / 3, 2.0 / 3, 1.0), sampleSize = 1000)
+    assert(cuts7 == cuts)
+    // nulls are excluded, not sampled
+    val withNull = (vals :+ (99L, Double.NaN)).toDF("id", "v")
+      .withColumn("v", when(col("id") === 99L, lit(null)).otherwise(col("v")))
+    assert(SampleOps.sampleRankCuts(withNull, "v", "id",
+      Seq(1.0), sampleSize = 1000) == Seq(sorted(m - 1)))
+  }
+
+  test("perplexityBuckets: terciles are ordered, empty doc gets null") {
+    val words = Seq("the", "cat", "sat", "on", "a", "mat", "dog", "ran")
+    val docs = (0L until 60L).map { i =>
+      i -> (0 until (5 + (i % 7)).toInt)
+        .map(j => words(((i * 7 + j * 3) % 8).toInt)).mkString(" ")
+    } :+ (60L -> "")
+    val df = docs.toDF("doc_id", "text")
+    val out = graft.text.LmOps.perplexityBuckets(
+        df, df.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+        sampleSize = 1000)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.getAs[String]("bucket")))).toSeq
+    assert(out.find(_._1 == 60L).get._3.isEmpty) // empty doc: null bucket
+    val byBucket = out.filter(_._2.isDefined)
+      .groupBy(_._3.get).view.mapValues(_.map(_._2.get)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+  }
+
   // ----------------------------------------------------------- RankOps
 
   /** Literal single-threaded BM25 with the same quantization and the
