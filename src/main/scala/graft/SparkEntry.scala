@@ -1811,6 +1811,46 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Winnowing (MOSS) fingerprints of every doc: char-5-gram md5
+    * hashes, window 4, rightmost-min selection, deduplicated after
+    * explode. The oracle re-derives k-gram hashes, windows, the
+    * rightmost-min rule, and the distinct pair set in SQL. */
+  private def q92(s: SparkSession, dir: String): DataFrame =
+    graft.text.DedupOps
+      .winnowFingerprints(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("pos"), col("h").as("fp"))
+      .orderBy("doc_id", "pos", "fp")
+
+  /** C4/RefinedWeb-style corpus-wide duplicate-line removal with
+    * keep-first semantics over a deterministic multi-line view of
+    * documents (three 80-char chunks + a shared boilerplate footer,
+    * so cross-doc duplicate lines and the mass-duplicated footer both
+    * exercise the canonical-survivor rule). The oracle re-derives
+    * line keys, the (doc, idx) first-occurrence rank, and the
+    * reassembled text md5 in SQL. */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      concat_ws("\n",
+        col("text").substr(lit(1), lit(80)),
+        col("text").substr(lit(81), lit(80)),
+        col("text").substr(lit(161), lit(1000000)),
+        lit("(c) corpus boilerplate - all rights reserved")).as("text"))
+    graft.text.DedupOps.dedupLinesKeepFirst(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+        md5(col("text_out")).as("out_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** End-to-end fuzzy dedup: q41's MinHash-LSH candidates, exact
+    * Jaccard verification at 0.5, components over VERIFIED pairs,
+    * keep = canonical min id. The oracle re-derives candidates,
+    * per-pair shingle intersections, the verification cut, the
+    * recursive reachability, and the keep flag. */
+  private def q94(s: SparkSession, dir: String): DataFrame =
+    graft.text.DedupOps
+      .fuzzyDedupDocs(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -1914,6 +1954,9 @@ object SparkEntry {
     "q89_dsir_select"      -> (q89 _),
     "q90_bm25_topk"        -> (q90 _),
     "q91_ppl_buckets"      -> (q91 _),
+    "q92_winnow_fp"        -> (q92 _),
+    "q93_line_dedup"       -> (q93 _),
+    "q94_fuzzy_dedup"      -> (q94 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -2488,6 +2531,44 @@ object SparkEntry {
         SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
       SELECT id AS doc_id, min(r) AS component
       FROM reach GROUP BY id ORDER BY doc_id"""),
+    // q41's candidate machinery + the verification stage: exact
+    // per-pair shingle intersection, jaccard cut at dyadic 0.5,
+    // reachability over VERIFIED edges only, keep = canonical min.
+    "q94_fuzzy_dedup" ->
+      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+      mins AS (SELECT doc_id, j,
+          min(('0x' || substr(md5((j // 4)::VARCHAR || ':' || shingle),
+            1 + 8 * (j % 4), 8))::BIGINT) AS h
+        FROM sh CROSS JOIN range(0, 8) t(j) GROUP BY doc_id, j),
+      bands AS (SELECT doc_id, j // 2 AS band,
+          md5(string_agg(h::VARCHAR, ',' ORDER BY j)) AS key
+        FROM mins GROUP BY doc_id, j // 2),
+      cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh
+                GROUP BY doc_id),
+      inter AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_shared
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b),
+      ver AS (SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE i.n_shared::DOUBLE / (sa.n_sh + sb.n_sh - i.n_shared)
+          >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+                UNION SELECT id_b, id_a FROM ver),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+      SELECT id AS doc_id, min(r) AS component,
+             (id = min(r)) AS keep
+      FROM reach GROUP BY id ORDER BY doc_id"""),
     "q33_lsh_ann" -> lshAnnOracle,
     "q42_embed_neardup" -> neardupOracle(4, 4, 0.35),
     "q51_neardup_scaled" -> neardupOracle(8, 16, 0.35),
@@ -3001,6 +3082,65 @@ object SparkEntry {
              WHEN ppl <= c2 THEN 'middle'
              ELSE 'tail' END AS bucket
       FROM outq CROSS JOIN cuts ORDER BY doc_id"""),
+    // Winnowing re-derived: cleaned char stream, 5-gram md5 hashes
+    // ('11:' seed prefix), window-4 rightmost-min selection (the
+    // nested-lambda min/filter/max), DISTINCT after unnest.
+    "q92_winnow_fp" -> """
+      WITH s AS (SELECT doc_id,
+          regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS cs
+        FROM documents),
+      hs AS (SELECT doc_id,
+          CASE WHEN len(cs) >= 5 THEN
+            list_transform(range(1, len(cs) - 5 + 2), i ->
+              {'h': ('0x' || substr(md5('11:' || substr(cs, i, 5)),
+                       1, 8))::BIGINT,
+               'pos': i::BIGINT})
+          ELSE [] END AS hv
+        FROM s),
+      wins AS (SELECT doc_id,
+          -- range() is end-EXCLUSIVE: +1 so the last window survives
+          list_transform(range(1, greatest(len(hv) - 4 + 1, 1) + 1), p ->
+            hv[p:p+3]) AS wv
+        FROM hs WHERE len(hv) >= 1),
+      sel AS (SELECT doc_id, list_transform(wv, win ->
+          {'h': list_min(list_transform(win, x -> x.h)),
+           'pos': list_max(list_transform(list_filter(win,
+              x -> x.h = list_min(list_transform(win, y -> y.h))),
+              x -> x.pos))}) AS fps
+        FROM wins)
+      SELECT DISTINCT doc_id, u.pos AS pos, u.h AS fp
+      FROM (SELECT doc_id, unnest(fps) AS u FROM sel)
+      ORDER BY doc_id, pos, fp""",
+    // Line dedup re-derived: the same multi-line view, md5 line keys,
+    // participation = token-nonempty, first-occurrence rank under
+    // (doc_id, idx), string_agg reassembly in idx order (coalesced —
+    // a fully-deduplicated doc reassembles to '' like concat_ws).
+    "q93_line_dedup" -> """
+      WITH d AS (SELECT doc_id,
+          substr(text, 1, 80) || chr(10) || substr(text, 81, 80)
+            || chr(10) || substr(text, 161, 1000000) || chr(10)
+            || '(c) corpus boilerplate - all rights reserved' AS text
+        FROM documents),
+      ls AS (SELECT doc_id, string_split(text, chr(10)) AS lv FROM d),
+      ln AS (SELECT doc_id, u.idx AS idx, u.line AS line
+        FROM (SELECT doc_id, unnest(list_transform(range(1, len(lv)+1),
+            i -> {'idx': i - 1, 'line': lv[i]})) AS u FROM ls)),
+      fl AS (SELECT doc_id, idx, line, md5(line) AS key,
+          len(list_filter(string_split_regex(regexp_replace(lower(line),
+            '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '')) > 0
+            AS participates
+        FROM ln),
+      rk AS (SELECT *, CASE WHEN participates THEN row_number() OVER
+            (PARTITION BY participates, key ORDER BY doc_id, idx)
+          END AS rn FROM fl),
+      kp AS (SELECT doc_id, idx, line,
+          (NOT participates) OR rn = 1 AS keep FROM rk)
+      SELECT doc_id,
+        sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+        md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+          ORDER BY idx) FILTER (WHERE keep), '')) AS out_md5
+      FROM kp GROUP BY doc_id ORDER BY doc_id""",
     // Full DSIR chain re-derived: hashed unigram+bigram features
     // (seededHash32 = md5-derived, '7:'-prefixed), add-one bucket
     // distributions of the en-slice target and the raw corpus,

@@ -551,4 +551,174 @@ object DedupOps {
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** End-to-end fuzzy document dedup — the composite a curation
+    * pipeline actually runs (GPT-3/The Pile/RefinedWeb shape):
+    * MinHash-LSH candidate pairs → EXACT Jaccard verification of the
+    * candidates only → connected components over verified pairs →
+    * keep the canonical (minimum-id) doc per cluster. q41 pins the
+    * candidates→components path; this adds the verification stage a
+    * real pipeline needs — band collisions are a recall device, not
+    * a similarity judgment, and unverified candidates over-merge
+    * clusters through false-positive edges.
+    *
+    * Scale shape: candidates come from [[minhashCandidatePairs]]
+    * (band-key equi-join only); verification attaches each side's
+    * hashed shingle rows by id and counts equal-shingle matches —
+    * the intermediate is Σ|A| over candidate pairs, bounded by the
+    * LSH candidate volume, never corpus²; the shingle table is
+    * corpus-derived so both attach joins are SHUFFLE_HASH-pinned;
+    * components run on the verified sliver via the adaptive
+    * pointer-jump loop. Candidate pairs with zero shared shingles
+    * (band collisions of disjoint sets) drop at the inner join —
+    * they would fail any positive threshold.
+    *
+    * Returns every doc: (idCol, component, keep) with component =
+    * min reachable id and keep ⇔ id == component. */
+  def fuzzyDedupDocs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, bands: Int = 4, rows: Int = 2,
+      minJaccard: Double = 0.5, maxShingleFreq: Long = 1000L)
+      : DataFrame = {
+    val cands = minhashCandidatePairs(docs, idCol, textCol, k, bands, rows)
+      .select("id_a", "id_b")
+    val sh = ckptSer(shingleRows(docs, idCol, textCol, k)
+      .select(col("id"), xxhash64(col("shingle")).as("shingle")))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = cands
+      .join(sh.select(col("id").as("id_a"), col("shingle"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle"))
+        .hint("shuffle_hash"), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    val verified = inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")),
+        "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")),
+        "id_b")
+      .filter(col("n_shared").cast("double")
+        / (col("n_a") + col("n_b") - col("n_shared")) >= minJaccard)
+      .select("id_a", "id_b")
+    connectedComponents(
+        docs.select(col(idCol).cast("long").as("id")), verified)
+      .select(col("id").as(idCol), col("component"),
+        (col("id") === col("component")).as("keep"))
+  }
+
+  /** Corpus-wide duplicate-LINE removal with keep-first semantics —
+    * the C4/RefinedWeb line-dedup stage (Raffel et al. 2020 kept one
+    * occurrence of any repeated span; RefinedWeb/Dolma do it at line
+    * granularity): a line that occurs more than once across the WHOLE
+    * corpus survives only at its canonical first occurrence, the
+    * smallest (doc id, line index) — a total order, so the survivor
+    * is engine- and partitioning-independent. Unlike
+    * [[removeDupSpans]], which excises EVERY occurrence of a
+    * duplicated token window, this keeps exactly one.
+    *
+    * Lines participate in dedup only if they have token content
+    * ([[TextOps.tokens]] non-empty); blank/punctuation-only lines are
+    * structural and always survive. Line identity is the md5 of the
+    * RAW line (no normalization — "near-identical lines are different
+    * lines" is the C4 rule; chain [[graft.functions.TextNorm]]
+    * upstream for normalization-invariant dedup).
+    *
+    * Scale shape: posexplode lines (narrow) → ONE shuffle on the
+    * 128-bit line key for the first-occurrence rank (per-key
+    * partition size = the line's occurrence count, map-side nothing
+    * to combine but skew is bounded by real duplication; a boiler-
+    * plate line repeated 10⁸ times is the pathological case — cap it
+    * upstream with [[dupSpans]] if that is the corpus) → one groupBy
+    * doc to reassemble surviving lines in original order
+    * (`sort_array`, per-doc state bounded by doc size).
+    *
+    * Returns every doc: (idCol, text_out, n_kept, n_dropped). */
+  def dedupLinesKeepFirst(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val id = col(idCol)
+    val lines = df
+      .select(id, posexplode(split(col(textCol), "\n"))
+        .as(Seq("idx", "line")))
+      .withColumn("participates",
+        size(TextOps.tokens(col("line"))) > 0)
+      .withColumn("key", md5(col("line")))
+    // Rank ONLY participating lines: structural lines bypass the
+    // shuffle entirely — a corpus's blank lines would otherwise all
+    // hash to one window partition (the degenerate-key skew trap).
+    val w = Window.partitionBy("key").orderBy(id.asc, col("idx").asc)
+    val kept = lines.filter(col("participates"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .unionByName(
+        lines.filter(!col("participates")).withColumn("keep", lit(true)))
+    kept.groupBy(id)
+      .agg(
+        concat_ws("\n",
+          transform(
+            sort_array(collect_list(when(col("keep"),
+              struct(col("idx"), col("line"))))),
+            x => x("line"))).as("text_out"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"))
+  }
+
+  /** Winnowing fingerprints — the MOSS local fingerprinting scheme
+    * (Schleimer, Wilkerson, Aiken 2003, SIGMOD): hash every char
+    * k-gram of the cleaned text (lowercased, non-alphanumerics
+    * stripped), slide a window of `w` consecutive hashes, and from
+    * each window keep the minimum hash — RIGHTMOST occurrence on
+    * ties, the paper's rule, which is what guarantees the selected
+    * set is identical for any shared substring of length ≥ k+w−1
+    * regardless of its position in either doc (position-independent
+    * local fingerprints, unlike fixed-stride sampling). Expected
+    * density 2/(w+1) of the k-gram stream; theorem 1 of the paper:
+    * any match of length ≥ k+w−1 chars shares at least one selected
+    * fingerprint, no match shorter than k is ever detected.
+    *
+    * Returns the DISTINCT (idCol, h, pos) fingerprint rows (1-based
+    * k-gram positions, [[TextOps.seededHash32]] md5-portable hashes).
+    * Narrow until the final distinct — winnowing itself rides the
+    * scan; join fingerprints with the q28/q41 machinery for dedup.
+    *
+    * DataFrame-staged on purpose, NOT a single Column expression:
+    * higher-order-function lambdas are evaluated per element with no
+    * common-subexpression elimination, so an inlined hash-array
+    * expression would be re-hashed once per WINDOW — O(n²·k) md5
+    * calls per doc (measured: wedged a 500-doc run for 20+ minutes).
+    * Each stage below references its input attribute at least twice,
+    * which also keeps CollapseProject from re-inlining it into the
+    * next lambda; the per-window min binds through `zip_with` so the
+    * tie-break filter never recomputes it. */
+  def winnowFingerprints(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 5, w: Int = 4, seed: Int = 11)
+      : DataFrame = {
+    require(k >= 1 && w >= 1, s"k=$k w=$w")
+    val id = col(idCol)
+    val stHv = df
+      .select(id, regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")
+        .as("__cs"))
+      .select(id,
+        when(length(col("__cs")) - (k - 1) >= 1,
+          transform(sequence(lit(1), length(col("__cs")) - (k - 1)), i =>
+            struct(
+              TextOps.seededHash32(col("__cs").substr(i, lit(k)), seed)
+                .as("h"),
+              i.cast("long").as("pos"))))
+          .otherwise(array().cast("array<struct<h:bigint,pos:bigint>>"))
+          .as("__hv"))
+      .filter(size(col("__hv")) >= 1)
+    val stWins = stHv.select(id,
+      transform(
+        sequence(lit(1), greatest(size(col("__hv")) - (w - 1), lit(1))),
+        p => slice(col("__hv"), p, lit(w))).as("__wins"))
+    stWins
+      .select(id, col("__wins"),
+        transform(col("__wins"), win =>
+          array_min(transform(win, x => x("h")))).as("__mins"))
+      .select(id,
+        explode(zip_with(col("__wins"), col("__mins"), (win, minv) =>
+          struct(minv.as("h"),
+            array_max(transform(
+              filter(win, x => x("h") === minv),
+              x => x("pos"))).as("pos")))).as("fp"))
+      .select(id, col("fp.h").as("h"), col("fp.pos").as("pos"))
+      .distinct()
+  }
 }

@@ -321,4 +321,82 @@ class TextOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ShuffledHashJoin"), plan)
   }
+
+  // ------------------------------------------------- line-level dedup
+
+  test("dedupLinesKeepFirst: canonical survivor, blanks always kept") {
+    val docs = Seq(
+      (10L, "alpha beta\ncommon footer line\n\ngamma"),
+      (11L, "delta eps\ncommon footer line\nalpha beta"),
+      (12L, "common footer line\n...\ncommon footer line"),
+      (13L, ""))
+    val out = DedupOps
+      .dedupLinesKeepFirst(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 10 is canonical for both its lines: nothing dropped
+    assert(out(10L) == (("alpha beta\ncommon footer line\n\ngamma", 4L, 0L)))
+    // doc 11 loses the footer AND "alpha beta" (both first in doc 10)
+    assert(out(11L) == (("delta eps", 1L, 2L)))
+    // doc 12: footer dup twice (both lose to doc 10), "..." has no
+    // tokens -> structural, always kept
+    assert(out(12L) == (("...", 1L, 2L)))
+    // empty doc: single empty structural line survives
+    assert(out(13L) == (("", 1L, 0L)))
+    // partition invariance
+    val out7 = DedupOps.dedupLinesKeepFirst(
+        docs.toDF("doc_id", "text").repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out7 == out)
+  }
+
+  // ------------------------------------------------------- winnowing
+
+  /** Literal single-threaded winnowing: same cleaning, same md5
+    * hashing, same rightmost-min rule. */
+  private def winnowBrute(text: String, k: Int, w: Int, seed: Int)
+      : Set[(Long, Long)] = {
+    val cs = text.toLowerCase.filter(c => c.isLetterOrDigit && c < 128)
+    if (cs.length < k) return Set.empty
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$s".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map(x => f"${x & 0xff}%02x").mkString, 16)
+    }
+    val hv = (0 to cs.length - k).map(i => (h32(cs.substring(i, i + k)),
+      (i + 1).toLong))
+    (0 until math.max(hv.length - w + 1, 1)).map { p =>
+      val win = hv.slice(p, p + w)
+      val minv = win.map(_._1).min
+      (minv, win.filter(_._1 == minv).map(_._2).max)
+    }.toSet
+  }
+
+  test("winnowFingerprints matches brute; shared substrings overlap") {
+    val docs = Seq(
+      (0L, "The quick brown fox jumps over the lazy dog repeatedly!"),
+      (1L, "Lorem ipsum THE QUICK BROWN FOX dolor sit amet."),
+      (2L, "ab"),            // under k chars: empty
+      (3L, "abcdef"),        // 2 kgrams < w: one window
+      (4L, ""))
+    val rows = DedupOps
+      .winnowFingerprints(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSet).toMap
+    val out = docs.map(_._1).map(id =>
+      id -> rows.getOrElse(id, Set.empty[(Long, Long)])).toMap
+    docs.foreach { case (id, s) =>
+      assert(out(id) == winnowBrute(s, 5, 4, 11), s"doc $id")
+    }
+    assert(out(2L).isEmpty && out(4L).isEmpty)
+    assert(out(3L).size == 1)
+    // the paper's guarantee: a shared run >= k+w-1 chars (here
+    // "thequickbrownfox", 16 >= 8) shares at least one HASH between
+    // the two docs, wherever it sits in each
+    val shared = out(0L).map(_._1) intersect out(1L).map(_._1)
+    assert(shared.nonEmpty)
+  }
 }
