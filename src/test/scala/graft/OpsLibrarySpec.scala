@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 
 import graft.operators.{JoinOps, SkewOps, TimeSeriesOps}
+import graft.sim.ClusterOps
 
 /** Direct specs for library operators whose query-level coverage is
   * indirect (inline equivalents in SparkEntry). */
@@ -628,5 +629,84 @@ class OpsLibrarySpec extends SparkSpec {
     assert(salted.count() == plain.count())
     assert(salted.select("k", "lid", "tag").except(
       plain.select("k", "lid", "tag")).count() == 0)
+  }
+
+  // ------------------------------------------------ k-means clustering
+
+  /** Literal single-threaded re-derivation of the exact-integer
+    * k-means contract: same quantization, L1 metric, smallest-index
+    * tiebreak, (2s+n) div (2n) centroid rounding, empty-cluster
+    * retention. */
+  private def kmeansBrute(vecs: Seq[(Long, Seq[Double])], k: Int,
+      iters: Int, scaleBits: Int): Map[Long, (Int, Long)] = {
+    val scale  = (1L << scaleBits).toDouble
+    val offset = 1L << (scaleBits + 1)
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x * scale + 0.5).toLong + offset) }
+    def assign(m: IndexedSeq[Seq[Long]]): Map[Long, (Int, Long)] =
+      q.map { case (id, qv) =>
+        val dists = m.map(c => qv.zip(c).map { case (a, b) =>
+          math.abs(a - b) }.sum)
+        val dm = dists.min
+        id -> (dists.indexOf(dm), dm)
+      }.toMap
+    var m: IndexedSeq[Seq[Long]] =
+      q.sortBy(_._1).take(k).map(_._2).toIndexedSeq
+    for (_ <- 1 to iters) {
+      val byC = assign(m).groupBy(_._2._1)
+      m = m.zipWithIndex.map { case (old, c) =>
+        byC.get(c) match {
+          case None => old
+          case Some(members) =>
+            val qs = members.keys.toSeq.map(q.toMap)
+            old.indices.map { i =>
+              val s = qs.map(_(i)).sum
+              val n = qs.size.toLong
+              (2 * s + n) / (2 * n)
+            }
+        }
+      }
+    }
+    assign(m)
+  }
+
+  test("kmeansAssign matches literal re-derivation; partition-invariant") {
+    // Three obvious blobs + a boundary point; k=4 with only three
+    // blobs forces at least one centroid to go empty and be retained.
+    val vecs: Seq[(Long, Seq[Double])] = Seq(
+      0L -> Seq(0.9, 0.0, 0.1), 1L -> Seq(0.8, 0.1, 0.0),
+      2L -> Seq(-0.9, 0.0, 0.0), 3L -> Seq(-0.8, -0.1, 0.1),
+      4L -> Seq(0.0, 0.9, -0.1), 5L -> Seq(0.1, 0.8, 0.0),
+      6L -> Seq(0.0, 0.85, 0.05), 7L -> Seq(0.45, 0.45, 0.0))
+    val df = vecs.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val want = kmeansBrute(vecs, 4, 3, 20)
+    val got = ClusterOps.kmeansAssign(df, "vec_id", "embedding", 4, 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2)))
+      .toMap
+    assert(got == want)
+    val got5 = ClusterOps
+      .kmeansAssign(df.repartition(5), "vec_id", "embedding", 4, 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2)))
+      .toMap
+    assert(got5 == want)
+    // iters=0: pure nearest-seed assignment, seeds distance 0 to
+    // themselves
+    val g0 = ClusterOps.kmeansAssign(df, "vec_id", "embedding", 4, 0)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2)))
+      .toMap
+    assert(g0 == kmeansBrute(vecs, 4, 0, 20))
+    (0 to 3).foreach(id => assert(g0(id.toLong) == ((id, 0L))))
+  }
+
+  test("kmeansAssign: exact tie breaks to the smallest cluster index") {
+    // Two seeds symmetric about the probe: L1 distances are exactly
+    // equal in micro-units, so the probe must land on cluster 0.
+    val df = Seq(
+      (0L, Seq(0.25f, 0f)), (1L, Seq(0.75f, 0f)), (2L, Seq(0.5f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = ClusterOps.kmeansAssign(df, "vec_id", "embedding", 2, 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(2L) == 0)
   }
 }
