@@ -24,18 +24,32 @@ import graft.operators.{JoinOps, TimeSeriesOps}
   */
 object SparkEntry {
 
-  /** Columns stored as parquet TIMESTAMP(NANOS) — Spark has no native
-    * nanosecond timestamp, so read them as long (legacy conf) and
-    * truncate to microseconds (matching DuckDB's ns->us cast). */
+  /** Timestamp columns whose parquet annotation has drifted across
+    * driver testdata generations: TIMESTAMP(NANOS) in early rounds
+    * (Spark has no nanosecond timestamp — read as long via the legacy
+    * conf and truncate to micros, matching DuckDB's ns->us cast),
+    * TIMESTAMP_NTZ micros (isAdjustedToUTC=false) since round 11.
+    * The loader normalizes every generation to plain TIMESTAMP with
+    * unix_micros == the stored int64, so operators and collect-side
+    * code (java.sql.Timestamp) are generation-independent. */
   private val nanosCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
     nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
-      if (d.schema(c).dataType == org.apache.spark.sql.types.LongType)
-        d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
-      else d
+      d.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS)
+          d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // NTZ wall-clock == the instant DuckDB sees: pin the session
+          // zone to UTC so the NTZ->TZ cast preserves the stored
+          // micros verbatim (a non-UTC session zone would shift them).
+          s.conf.set("spark.sql.session.timeZone", "UTC")
+          d.withColumn(c,
+            col(c).cast(org.apache.spark.sql.types.TimestampType))
+        case _ => d
+      }
     }
   }
 

@@ -47,11 +47,20 @@ object DsirOps {
 
   private val MicroScale = 1e6
 
-  /** Hashed unigram+bigram feature buckets of `textCol` as an array
-    * column (one entry per feature occurrence). Pure narrow
-    * expression. */
-  def featureBuckets(text: Column, buckets: Int, seed: Int): Column = {
-    val tk = TextOps.tokens(text)
+  /** Hashed unigram+bigram feature buckets over a PRE-MATERIALIZED
+    * token-array column (one entry per feature occurrence). Pure
+    * narrow expression.
+    *
+    * `tk` MUST be a bound attribute reference to a token array staged
+    * by a previous projection, never an inline tokenizer expression:
+    * HOF lambdas have no common-subexpression elimination, so an
+    * inlined `TextOps.tokens(text)` would re-tokenize the full text
+    * once per `element_at` — O(n_tokens × text_len) per doc (the
+    * [[DedupOps.winnowFingerprints]] trap; it put q89 at 126 s on 5k
+    * ~50-token docs in the r10 bench). The outer hashing transform is
+    * safe as-is: `feats` is the traversed argument, evaluated once
+    * per row, and its lambda touches only the element variable. */
+  private def bucketsOfTokens(tk: Column, buckets: Int, seed: Int): Column = {
     val idx = when(size(tk) >= 1, sequence(lit(1), size(tk)))
       .otherwise(array().cast("array<int>"))
     // feature string at position i: the token, and (for i>1) the
@@ -64,11 +73,15 @@ object DsirOps {
   }
 
   /** Per-doc bucket counts: (idCol, bucket, n) — the compressed
-    * feature stream, one map-side-combined aggregation. */
+    * feature stream, one map-side-combined aggregation. The tokenizer
+    * runs exactly once per doc in its own projection ([[bucketsOfTokens]]
+    * staging contract); the consumer references `__tk` five times, so
+    * CollapseProject keeps the non-cheap stage. */
   def hashedNgramCounts(df: DataFrame, idCol: String, textCol: String,
       buckets: Int, seed: Int): DataFrame =
-    df.select(col(idCol),
-        explode(featureBuckets(col(textCol), buckets, seed)).as("bucket"))
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol),
+        explode(bucketsOfTokens(col("__tk"), buckets, seed)).as("bucket"))
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("n"))
 
@@ -79,10 +92,21 @@ object DsirOps {
       idCol: String, textCol: String, buckets: Int = 1024,
       seed: Int = 7): DataFrame = {
     require(buckets > 0, s"buckets=$buckets")
-    val corpusCounts = hashedNgramCounts(corpus, idCol, textCol, buckets, seed)
+    // corpusCounts feeds the q̂-total action, the λ table, AND the
+    // per-doc weight join — localCheckpoint (eager) so featurization
+    // runs once, not once per action. The checkpoint holds only
+    // (id, bucket, n) — ≤ B buckets per doc, never the text (the
+    // same contract as LmOps.perplexityBuckets' scoring frame).
+    val corpusCounts = hashedNgramCounts(corpus, idCol, textCol,
+      buckets, seed).localCheckpoint(true)
 
+    // ≤ B rows by construction — eager checkpoint makes the total
+    // action free and lets the λ join read the same materialization
+    // instead of re-aggregating (the target side would otherwise
+    // re-featurize for each consumer).
     def dist(counts: DataFrame): (DataFrame, Long) = {
       val byBucket = counts.groupBy("bucket").agg(sum("n").as("c"))
+        .localCheckpoint(true)
       val total = byBucket.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
       (byBucket, total)
     }
@@ -126,11 +150,16 @@ object DsirOps {
     val u = (TextOps.seededHash32(
       concat(lit(salt), lit(":"), col(idCol).cast("string")), seed)
       + 0.5) / 4294967296.0
+    // keyed is consumed twice — the kth top-k collect and the final
+    // selected-flag materialization. localCheckpoint (eager) holds
+    // the 5 bounded numeric columns + id, so the weighting pipeline
+    // (two shuffles + the λ join) runs once, not per action.
     val keyed = importanceWeights(corpus, target, idCol, textCol,
         buckets, seed)
       .withColumn("g_micro",
         floor(-log(-log(u)) * MicroScale + 0.5).cast("long"))
       .withColumn("key_micro", col("logw_micro") + col("g_micro"))
+      .localCheckpoint(true)
 
     // k-th threshold under (key DESC, id ASC): a parameter-bounded
     // driver merge (TakeOrderedAndProject), never a global sort.

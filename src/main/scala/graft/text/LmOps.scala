@@ -63,12 +63,21 @@ object LmOps {
 
   private val MicroScale = 1e6
 
-  /** Per-position (context, token) pairs of `textCol` as an array
-    * column: element i scores token i against token i−1 (`<s>` at
-    * i=1). Pure narrow expression — pair construction never windows
-    * or shuffles. */
-  private def positionPairs(text: org.apache.spark.sql.Column) = {
-    val tk = TextOps.tokens(text)
+  /** Per-position (context, token) pairs over a PRE-MATERIALIZED
+    * token-array column: element i scores token i against token i−1
+    * (`<s>` at i=1). Pure narrow expression — pair construction never
+    * windows or shuffles.
+    *
+    * `tk` MUST be a bound attribute reference to a token array staged
+    * by a previous projection, never an inline `TextOps.tokens(text)`
+    * expression: higher-order-function lambdas are evaluated per
+    * element with NO common-subexpression elimination, so an inlined
+    * tokenizer would re-run the full-text normalize+split once per
+    * `element_at` — O(n_tokens × text_len) per doc (the trap measured
+    * in [[DedupOps.winnowFingerprints]]; it put q89 at 126 s and q91
+    * at 72 s on 5k ~50-token docs in the r10 bench). With a bound
+    * attribute, `element_at` is an O(1) array index per element. */
+  private def pairsOfTokens(tk: org.apache.spark.sql.Column) = {
     // Guard the empty doc: Spark's sequence(1, 0) runs DESCENDING and
     // would emit index 0 -> ANSI element_at error (the q75 trap).
     val idx = when(size(tk) >= 1, sequence(lit(1), size(tk)))
@@ -80,6 +89,20 @@ object LmOps {
         element_at(tk, i).as("w")))
   }
 
+  /** Exploded (keep..., p:struct<v,w>) pair rows of `textCol`,
+    * tokenizing each doc exactly ONCE: the tokenizer lands in its own
+    * projection whose output [[pairsOfTokens]] consumes as a bound
+    * attribute. The consumer references `__tk` four times (size guard
+    * twice, two `element_at`s per lambda), and the tokenizer is
+    * non-cheap, so CollapseProject keeps the stage — the same
+    * staging contract as [[DedupOps.winnowFingerprints]]. */
+  private def pairRows(df: DataFrame, keep: Seq[String],
+      textCol: String): DataFrame = {
+    val keepCols = keep.map(col)
+    df.select(keepCols :+ TextOps.tokens(col(textCol)).as("__tk"): _*)
+      .select(keepCols :+ explode(pairsOfTokens(col("__tk"))).as("p"): _*)
+  }
+
   /** Perplexity of every `corpus` doc under an interpolated bigram LM
     * trained on `ref` (typically a trusted high-quality slice).
     * Returns (idCol, n_tok, nll_micro, ppl): BIGINT token count,
@@ -89,8 +112,7 @@ object LmOps {
       textCol: String, lambda: Double = 0.75): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda")
 
-    val refPairs = ref
-      .select(explode(positionPairs(col(textCol))).as("p"))
+    val refPairs = pairRows(ref, Nil, textCol)
       .select(col("p.v").as("v"), col("p.w").as("w"))
 
     // Vocab-sized model tables, each one agg with map-side combine.
@@ -108,8 +130,7 @@ object LmOps {
 
     // Corpus positions compress to per-doc bigram type counts BEFORE
     // meeting any model table (wordcount shape, map-side combine).
-    val docPairs = corpus
-      .select(col(idCol), explode(positionPairs(col(textCol))).as("p"))
+    val docPairs = pairRows(corpus, Seq(idCol), textCol)
       .groupBy(col(idCol), col("p.v").as("v"), col("p.w").as("w"))
       .agg(count(lit(1)).as("n_occ"))
 
