@@ -98,6 +98,20 @@ object Bench {
     // doesn't absorb one-time startup cost.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).collect()
+    // Warm the JDK media service registries: the first ImageIO /
+    // AudioSystem touch of a JVM pays a one-time provider scan that
+    // otherwise lands inside the first timed q76/q78 run (r10 saw an
+    // unexplained 6.5x q76 swing on untouched code). local-mode
+    // executors share this JVM, so one decode warms them all.
+    try {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      javax.sound.sampled.AudioSystem.getAudioFileTypes()
+    } catch { case _: Throwable => () }
     sentinelSec() // JIT-warm the sentinel loop itself
     val nCores = Runtime.getRuntime.availableProcessors()
     parProbeSec(nCores) // JIT-warm the parallel probe

@@ -44,6 +44,9 @@ import org.apache.spark.storage.StorageLevel
   * consumed — a long-lived session doing repeated packs calls it
   * between runs instead of hunting cache entries in the UI
   * (`spark.catalog.clearCache()` remains the blunt escape).
+  * [[packedBlocks]] is the exception: its block-level result is
+  * eagerly materialized and its substrate released before returning,
+  * so it retains nothing.
   *
   * Reference scope: the reference pipeline has no packing operator
   * (it is a flux-tower ETL); this extends the engine for the
@@ -72,17 +75,11 @@ object PackOps {
   /** Number of substrates currently retained (telemetry). */
   def retainedSubstrates: Int = retained.synchronized(retained.length)
 
-  /** Absolute [start, end) token offsets per document in the
-    * deterministic stream order (order key: [[SampleOps.hashCoord]]
-    * of `idCol` under `salt`, ties broken by id). Adds `start_off` /
-    * `end_off` (longs). Null `tokenCol` values count as 0 tokens —
-    * null- and zero-token docs get an empty span at their position.
-    *
-    * Cost: one range shuffle + two per-partition scans of the
-    * persisted substrate; the only driver traffic is one row per
-    * partition. */
-  def packOffsets(df: DataFrame, idCol: String, tokenCol: String,
-      salt: String): DataFrame = {
+  /** [[packOffsets]] plus the persisted substrate handle, so callers
+    * that fully materialize their result ([[packedBlocks]]) can
+    * unpersist immediately instead of retaining session-wide. */
+  private def packOffsetsRetaining(df: DataFrame, idCol: String,
+      tokenCol: String, salt: String): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
 
@@ -92,10 +89,6 @@ object PackOps {
       .repartitionByRange(n, col("__coord"), col(idCol))
       .sortWithinPartitions(col("__coord"), col(idCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    retained.synchronized { retained += ranged }
-    log.info(s"packOffsets: retaining range-shuffled substrate #" +
-      s"${retainedSubstrates} (MEMORY_AND_DISK) — call " +
-      "PackOps.releaseSubstrates() after results are consumed")
     val tokIdx = ranged.schema.fieldIndex("__tok")
 
     // Pass 1: per-partition totals (materializes the persist).
@@ -126,7 +119,30 @@ object PackOps {
         Row.fromSeq(r.toSeq :+ run :+ (run - tok))
       }
     }(Encoders.row(outSchema))
-    out.drop("__tok", "__coord")
+    (out.drop("__tok", "__coord"), ranged)
+  }
+
+  /** Absolute [start, end) token offsets per document in the
+    * deterministic stream order (order key: [[SampleOps.hashCoord]]
+    * of `idCol` under `salt`, ties broken by id). Adds `start_off` /
+    * `end_off` (longs). Null `tokenCol` values count as 0 tokens —
+    * null- and zero-token docs get an empty span at their position.
+    *
+    * Cost: one range shuffle + two per-partition scans of the
+    * persisted substrate; the only driver traffic is one row per
+    * partition.
+    *
+    * RETAINS its persisted substrate until [[releaseSubstrates]] (see
+    * the object scaladoc) — the lazy result must re-read the exact
+    * shuffled partitions its driver-held offsets were computed from. */
+  def packOffsets(df: DataFrame, idCol: String, tokenCol: String,
+      salt: String): DataFrame = {
+    val (out, sub) = packOffsetsRetaining(df, idCol, tokenCol, salt)
+    retained.synchronized { retained += sub }
+    log.info(s"packOffsets: retaining range-shuffled substrate #" +
+      s"${retainedSubstrates} (MEMORY_AND_DISK) — call " +
+      "PackOps.releaseSubstrates() after results are consumed")
+    out
   }
 
   /** Materialize the packed training blocks: tokenize `textCol`, lay
@@ -143,24 +159,34 @@ object PackOps {
     * tokens regardless of corpus size), so the collect_list can never
     * blow up the way an unbounded per-key collect would.
     *
-    * Footprint note: the token arrays ride through [[packOffsets]]'s
-    * range shuffle and its persisted substrate (MEMORY_AND_DISK —
-    * spills, never OOMs), so the whole tokenized corpus is resident
-    * on executor storage while the job runs. That buys a single
+    * Footprint note: the token arrays ride through the pack range
+    * shuffle and its persisted substrate (MEMORY_AND_DISK — spills,
+    * never OOMs), so the whole tokenized corpus is resident on
+    * executor storage while the job runs. That buys a single
     * corpus-wide shuffle; the alternative — offsets over narrow
     * (id, count) rows, then an id-keyed join to re-attach tokens —
     * trades the cache for a second full shuffle. For corpora that
     * dwarf cluster storage, prefer the join variant (compose
-    * [[packBlocks]] on counts with your own token join). */
+    * [[packBlocks]] on counts with your own token join).
+    *
+    * EAGER, and retains nothing: the block-level result (orders of
+    * magnitude smaller than the corpus) is localCheckpoint'ed and the
+    * tokenized-corpus substrate unpersisted before returning, so
+    * repeated packs in a long-lived session don't accumulate cache —
+    * unlike the lazy [[packOffsets]]/[[packBlocks]], whose
+    * corpus-sized results make retention the only sound contract. */
   def packedBlocks(df: DataFrame, idCol: String, textCol: String,
       blockTokens: Int, salt: String): DataFrame = {
+    require(blockTokens > 0, "blockTokens must be positive")
     val docs = df.select(col(idCol),
         TextOps.tokens(col(textCol)).as("__toks"))
       .withColumn("__n_tokens", size(col("__toks")).cast("long"))
-    val spans = packBlocks(docs, idCol, "__n_tokens", blockTokens, salt)
+    val (withOff, sub) =
+      packOffsetsRetaining(docs, idCol, "__n_tokens", salt)
+    val spans = blockSpans(withOff, "__n_tokens", blockTokens)
     val localOff = greatest(
       col("block_id") * blockTokens - col("start_off"), lit(0L))
-    spans
+    val out = spans
       .withColumn("__slice", slice(col("__toks"),
         (localOff + 1).cast("int"), col("span_tokens").cast("int")))
       .groupBy(col("block_id"))
@@ -171,6 +197,9 @@ object PackOps {
           array_sort(collect_list(
             struct(col("start_in_block").as("o"), col("__slice").as("s")))),
           x => x.getField("s"))))).as("content_md5"))
+      .localCheckpoint(true)
+    sub.unpersist(blocking = false)
+    out
   }
 
   /** Explode each document into the fixed-size blocks it overlaps:
@@ -187,7 +216,15 @@ object PackOps {
   def packBlocks(df: DataFrame, idCol: String, tokenCol: String,
       blockTokens: Int, salt: String): DataFrame = {
     require(blockTokens > 0, "blockTokens must be positive")
-    val withOff = packOffsets(df, idCol, tokenCol, salt)
+    blockSpans(packOffsets(df, idCol, tokenCol, salt),
+      tokenCol, blockTokens)
+  }
+
+  /** Span explosion of a pack-offsets frame (shared by the lazy
+    * [[packBlocks]] and the eager [[packedBlocks]]). */
+  private def blockSpans(withOffsets: DataFrame, tokenCol: String,
+      blockTokens: Int): DataFrame = {
+    val withOff = withOffsets
       .filter(col(tokenCol).isNotNull && col(tokenCol) > 0)
     val firstB = floor(col("start_off") / blockTokens).cast("long")
     val lastB = floor((col("end_off") - 1) / blockTokens).cast("long")
