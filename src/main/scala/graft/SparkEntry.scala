@@ -1825,8 +1825,10 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  /** Winnowing (MOSS) fingerprints of every doc: char-5-gram md5
-    * hashes, window 4, rightmost-min selection, deduplicated after
+  /** Winnowing (MOSS) fingerprints of every doc: char-5-gram base-31
+    * polynomial hashes (the paper's Karp-Rabin family — plain
+    * ascii/mod arithmetic, so the oracle re-derives them without a
+    * digest), window 4, rightmost-min selection, deduplicated after
     * explode. The oracle re-derives k-gram hashes, windows, the
     * rightmost-min rule, and the distinct pair set in SQL. */
   private def q92(s: SparkSession, dir: String): DataFrame =
@@ -3106,8 +3108,12 @@ object SparkEntry {
       hs AS (SELECT doc_id,
           CASE WHEN len(cs) >= 5 THEN
             list_transform(range(1, len(cs) - 5 + 2), i ->
-              {'h': ('0x' || substr(md5('11:' || substr(cs, i, 5)),
-                       1, 8))::BIGINT,
+              {'h': (((((((((11::BIGINT*31
+                   + ascii(substr(cs, i,   1))) % 2147483648)*31
+                   + ascii(substr(cs, i+1, 1))) % 2147483648)*31
+                   + ascii(substr(cs, i+2, 1))) % 2147483648)*31
+                   + ascii(substr(cs, i+3, 1))) % 2147483648)*31
+                   + ascii(substr(cs, i+4, 1))) % 2147483648,
                'pos': i::BIGINT})
           ELSE [] END AS hv
         FROM s),

@@ -46,6 +46,17 @@ object Multimodal {
   }
 
   object MediaDecoder {
+    /** `ImageIO.read(InputStream)` defaults to a DISK-backed
+      * `FileCacheImageInputStream` — one temp-file create/write/delete
+      * in `java.io.tmpdir` per decode. That's pure overhead for
+      * in-memory byte-array payloads, and it makes per-decode cost a
+      * function of the host's /tmp backing (tmpfs vs disk — observed
+      * as an unexplained 6x cross-box swing on identical code: 0.29 s
+      * vs 1.9 s for 5k small BMPs). The flag is JVM-global; flip it
+      * once, lazily, from whichever executor thread decodes first. */
+    private lazy val memoryCacheOnly: Unit =
+      javax.imageio.ImageIO.setUseCache(false)
+
     /** Deterministic stand-in: hash-derived pseudo-features. Keeps the
       * full pipeline runnable and testable; swap for a real codec via
       * the same trait. */
@@ -72,6 +83,7 @@ object Multimodal {
         extends MediaDecoder {
       val featureDim: Int = 6
       def decodeToFeatures(format: String, payload: Array[Byte]): Array[Float] = {
+        memoryCacheOnly // in-memory ImageInputStream, no temp file
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
           catch { case _: java.io.IOException => null }

@@ -673,51 +673,31 @@ object DedupOps {
     * fingerprint, no match shorter than k is ever detected.
     *
     * Returns the DISTINCT (idCol, h, pos) fingerprint rows (1-based
-    * k-gram positions, [[TextOps.seededHash32]] md5-portable hashes).
-    * Narrow until the final distinct — winnowing itself rides the
-    * scan; join fingerprints with the q28/q41 machinery for dedup.
+    * k-gram positions; [[graft.functions.Winnow]] base-31 Karp-Rabin
+    * hashes — the paper's own family, engine-portable through plain
+    * ascii/mod arithmetic so the oracle re-derives them without a
+    * digest). Narrow until the final distinct — winnowing itself
+    * rides the scan as ONE fused Catalyst expression; join
+    * fingerprints with the q28/q41 machinery for dedup.
     *
-    * DataFrame-staged on purpose, NOT a single Column expression:
-    * higher-order-function lambdas are evaluated per element with no
-    * common-subexpression elimination, so an inlined hash-array
-    * expression would be re-hashed once per WINDOW — O(n²·k) md5
-    * calls per doc (measured: wedged a 500-doc run for 20+ minutes).
-    * Each stage below references its input attribute at least twice,
-    * which also keeps CollapseProject from re-inlining it into the
-    * next lambda; the per-window min binds through `zip_with` so the
-    * tie-break filter never recomputes it. */
+    * A fused kernel, NOT higher-order functions, on purpose: the
+    * selection is an O(n·w) imperative scan, and HOF lambdas evaluate
+    * it per-element, interpreted, with no common-subexpression
+    * elimination — the staged-HOF formulation this replaced spent
+    * 18.6 s (md5 k-grams) / 65 s (interpreted polynomial) on 5k
+    * ~300-char docs where the kernel runs in well under a second; an
+    * UNstaged HOF is quadratic on top (re-hashing per window wedged a
+    * 500-doc run 20+ min). Full measurements in [[graft.functions.Winnow]]. */
   def winnowFingerprints(df: DataFrame, idCol: String,
       textCol: String, k: Int = 5, w: Int = 4, seed: Int = 11)
       : DataFrame = {
     require(k >= 1 && w >= 1, s"k=$k w=$w")
     val id = col(idCol)
-    val stHv = df
-      .select(id, regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")
+    df.select(id, regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")
         .as("__cs"))
       .select(id,
-        when(length(col("__cs")) - (k - 1) >= 1,
-          transform(sequence(lit(1), length(col("__cs")) - (k - 1)), i =>
-            struct(
-              TextOps.seededHash32(col("__cs").substr(i, lit(k)), seed)
-                .as("h"),
-              i.cast("long").as("pos"))))
-          .otherwise(array().cast("array<struct<h:bigint,pos:bigint>>"))
-          .as("__hv"))
-      .filter(size(col("__hv")) >= 1)
-    val stWins = stHv.select(id,
-      transform(
-        sequence(lit(1), greatest(size(col("__hv")) - (w - 1), lit(1))),
-        p => slice(col("__hv"), p, lit(w))).as("__wins"))
-    stWins
-      .select(id, col("__wins"),
-        transform(col("__wins"), win =>
-          array_min(transform(win, x => x("h")))).as("__mins"))
-      .select(id,
-        explode(zip_with(col("__wins"), col("__mins"), (win, minv) =>
-          struct(minv.as("h"),
-            array_max(transform(
-              filter(win, x => x("h") === minv),
-              x => x("pos"))).as("pos")))).as("fp"))
+        explode(graft.functions.Winnow.winnowSelect(col("__cs"), k, w, seed))
+          .as("fp"))
       .select(id, col("fp.h").as("h"), col("fp.pos").as("pos"))
       .distinct()
   }

@@ -50,6 +50,16 @@ object JudgeProbe {
       graft.text.DsirOps.hashedNgramCounts(
         docs, "doc_id", "text", 256, 7).count()
     }
+    time("q92_winnow_fp") {
+      graft.text.DedupOps
+        .winnowFingerprints(docs, "doc_id", "text").count()
+    }
+    time("q76_image_decode") {
+      graft.SparkEntry.queries("q76_image_decode")(spark, dir).count()
+    }
+    time("q76_image_decode_rerun") {
+      graft.SparkEntry.queries("q76_image_decode")(spark, dir).count()
+    }
     spark.stop()
   }
 }

@@ -353,18 +353,15 @@ class TextOpsSpec extends SparkSpec {
 
   // ------------------------------------------------------- winnowing
 
-  /** Literal single-threaded winnowing: same cleaning, same md5
-    * hashing, same rightmost-min rule. */
+  /** Literal single-threaded winnowing: same cleaning, same base-31
+    * polynomial hashing (TextOps.polyHash31), same rightmost-min
+    * rule. */
   private def winnowBrute(text: String, k: Int, w: Int, seed: Int)
       : Set[(Long, Long)] = {
     val cs = text.toLowerCase.filter(c => c.isLetterOrDigit && c < 128)
     if (cs.length < k) return Set.empty
-    def h32(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$seed:$s".getBytes("UTF-8"))
-      java.lang.Long.parseLong(
-        md.take(4).map(x => f"${x & 0xff}%02x").mkString, 16)
-    }
+    def h32(s: String): Long =
+      s.foldLeft(seed.toLong)((acc, c) => (acc * 31 + c.toInt) % 2147483648L)
     val hv = (0 to cs.length - k).map(i => (h32(cs.substring(i, i + k)),
       (i + 1).toLong))
     (0 until math.max(hv.length - w + 1, 1)).map { p =>
