@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDotExpr, Fp2Decode, NfcNormalize, StripAccentsExpr}
+import graft.functions.{ArrayDotExpr, Fp2Decode, NfcNormalize, StripAccentsExpr, WinnowSelect}
 
 /** Session-extension entry point: registers graft's native Catalyst
   * expressions into every session built with
@@ -30,5 +30,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("strip_accents"),
       new ExpressionInfo(classOf[StripAccentsExpr].getName, "strip_accents"),
       (exprs: Seq[Expression]) => StripAccentsExpr(exprs.head)))
+    // winnow_select(cleaned_text, k, w, seed): k/w/seed must be
+    // foldable literals — they parameterize the kernel, not the data.
+    ext.injectFunction((
+      FunctionIdentifier("winnow_select"),
+      new ExpressionInfo(classOf[WinnowSelect].getName, "winnow_select"),
+      (exprs: Seq[Expression]) => {
+        def litInt(e: Expression, name: String): Int = {
+          require(e.foldable, s"winnow_select: $name must be a literal")
+          e.eval().asInstanceOf[Number].intValue
+        }
+        WinnowSelect(exprs(0), litInt(exprs(1), "k"),
+          litInt(exprs(2), "w"), litInt(exprs(3), "seed"))
+      }))
   }
 }

@@ -135,6 +135,12 @@ class OpsLibrarySpec extends SparkSpec {
       "SELECT fp2_decode(12288) AS f, array_dot(array(1.0, 2.0), array(3.0, 4.0)) AS d")
       .head()
     assert(r.getDouble(0) == 409.6 && r.getDouble(1) == 11.0)
+    // winnow_select over SQL matches the scalar reference kernel
+    val fps = spark.sql(
+      "SELECT winnow_select('abcdefgh', 5, 4, 11) AS fp").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(fps == graft.functions.Winnow.selectScalar("abcdefgh", 5, 4, 11))
   }
 
   test("ArrayDot matches the composed zip_with form bit-for-bit") {

@@ -377,7 +377,8 @@ class TextOpsSpec extends SparkSpec {
       (1L, "Lorem ipsum THE QUICK BROWN FOX dolor sit amet."),
       (2L, "ab"),            // under k chars: empty
       (3L, "abcdef"),        // 2 kgrams < w: one window
-      (4L, ""))
+      (4L, ""),
+      (5L, null.asInstanceOf[String])) // null text: no rows, no NPE
     val rows = DedupOps
       .winnowFingerprints(docs.toDF("doc_id", "text"), "doc_id", "text")
       .collect()
@@ -386,9 +387,10 @@ class TextOpsSpec extends SparkSpec {
     val out = docs.map(_._1).map(id =>
       id -> rows.getOrElse(id, Set.empty[(Long, Long)])).toMap
     docs.foreach { case (id, s) =>
-      assert(out(id) == winnowBrute(s, 5, 4, 11), s"doc $id")
+      if (s != null)
+        assert(out(id) == winnowBrute(s, 5, 4, 11), s"doc $id")
     }
-    assert(out(2L).isEmpty && out(4L).isEmpty)
+    assert(out(2L).isEmpty && out(4L).isEmpty && out(5L).isEmpty)
     assert(out(3L).size == 1)
     // the paper's guarantee: a shared run >= k+w-1 chars (here
     // "thequickbrownfox", 16 >= 8) shares at least one HASH between
