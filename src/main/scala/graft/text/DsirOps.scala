@@ -47,41 +47,24 @@ object DsirOps {
 
   private val MicroScale = 1e6
 
-  /** Hashed unigram+bigram feature buckets over a PRE-MATERIALIZED
-    * token-array column (one entry per feature occurrence). Pure
-    * narrow expression.
-    *
-    * `tk` MUST be a bound attribute reference to a token array staged
-    * by a previous projection, never an inline tokenizer expression:
-    * HOF lambdas have no common-subexpression elimination, so an
-    * inlined `TextOps.tokens(text)` would re-tokenize the full text
-    * once per `element_at` — O(n_tokens × text_len) per doc (the
-    * [[DedupOps.winnowFingerprints]] trap; it put q89 at 126 s on 5k
-    * ~50-token docs in the r10 bench). The outer hashing transform is
-    * safe as-is: `feats` is the traversed argument, evaluated once
-    * per row, and its lambda touches only the element variable. */
-  private def bucketsOfTokens(tk: Column, buckets: Int, seed: Int): Column = {
-    val idx = when(size(tk) >= 1, sequence(lit(1), size(tk)))
-      .otherwise(array().cast("array<int>"))
-    // feature string at position i: the token, and (for i>1) the
-    // space-joined bigram ending at i.
-    val feats = flatten(transform(idx, i =>
-      when(i === 1, array(element_at(tk, i)))
-        .otherwise(array(element_at(tk, i),
-          concat_ws(" ", element_at(tk, i - 1), element_at(tk, i))))))
-    transform(feats, f => pmod(TextOps.seededHash32(f, seed), lit(buckets)))
-  }
-
   /** Per-doc bucket counts: (idCol, bucket, n) — the compressed
     * feature stream, one map-side-combined aggregation. The tokenizer
-    * runs exactly once per doc in its own projection ([[bucketsOfTokens]]
-    * staging contract); the consumer references `__tk` five times, so
-    * CollapseProject keeps the non-cheap stage. */
+    * runs once per doc in its own projection (codegen'd regexp land);
+    * feature construction + hashing run as ONE fused kernel over the
+    * token array ([[graft.functions.HashedNgrams]]), bit-identical to
+    * the relational seededHash32-mod-B formulation it replaced. Two
+    * HOF formulations were measured and rejected: an UNstaged lambda
+    * re-tokenized the full text per element — O(n_tokens × text_len)
+    * per doc, 126 s for q89 at sf0.1 (the r10 scale-killer) — and the
+    * staged version still paid ~3-5 us interpretation per feature
+    * occurrence (md5 expression chain with hex round-trip), the
+    * dominant per-row cost at corpus scale. */
   def hashedNgramCounts(df: DataFrame, idCol: String, textCol: String,
       buckets: Int, seed: Int): DataFrame =
     df.select(col(idCol), TextOps.tokens(col(textCol)).as("__tk"))
       .select(col(idCol),
-        explode(bucketsOfTokens(col("__tk"), buckets, seed)).as("bucket"))
+        explode(graft.functions.HashedNgrams.featureBuckets(
+          col("__tk"), buckets, seed)).as("bucket"))
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("n"))
 

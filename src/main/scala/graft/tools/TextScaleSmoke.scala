@@ -1,0 +1,127 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke for the round-11 perf-fixed text operators:
+  * `winnowFingerprints` (fused kernel), `LmOps.perplexity`, and
+  * `DsirOps.dsirSelect` at factor 1 vs factor N amplification of the
+  * sf0.1 `documents` table — the same protocol as [[ScaleSmoke]]
+  * (fused `q<copy>` token markers so copies never collide), recording
+  * wall seconds, rows, physical-plan Exchange counts, and shuffle
+  * volumes. The assertions that matter: exchange counts are
+  * FACTOR-INVARIANT (the plan shape doesn't degrade off the test SF)
+  * and per-doc output rows scale linearly (perplexity and dsirSelect
+  * emit exactly one row per corpus doc by contract; winnowing rows
+  * scale ~linearly — copy markers shift k-gram counts by a few chars
+  * per token, so the ratio is reported, not asserted exact).
+  *
+  * Usage: `runMain graft.tools.TextScaleSmoke [sfDir] [factor]`
+  * (defaults `/root/testdata/sf0.1`, 100).
+  */
+object TextScaleSmoke {
+
+  private final class StageMetrics extends SparkListener {
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      val m = s.stageInfo.taskMetrics
+      if (m != null) {
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        taskMs.addAndGet(m.executorRunTime)
+        gcMs.addAndGet(m.jvmGCTime)
+      }
+    }
+  }
+
+  private def exchanges(df: DataFrame): Int =
+    "(?i)exchange".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(100)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = new StageMetrics
+    spark.sparkContext.addSparkListener(metrics)
+
+    def amplified(f: Int): DataFrame =
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn("copy", explode(sequence(lit(0), lit(f - 1))))
+        .select((col("doc_id") * f + col("copy")).as("doc_id"),
+          expr("regexp_replace(regexp_replace(lower(text), " +
+            "'[^a-z0-9]+', ' '), '([a-z0-9]+)', '$1q' || copy)")
+            .as("text"))
+
+    case class Reading(phase: String, f: Int, sec: Double, rows: Long,
+        exch: Int)
+    val readings = scala.collection.mutable.ArrayBuffer.empty[Reading]
+
+    def timed(phase: String, f: Int)(mk: => DataFrame): Unit = {
+      val w0 = metrics.shufWrite.get(); val r0 = metrics.shufRead.get()
+      val tm0 = metrics.taskMs.get(); val g0 = metrics.gcMs.get()
+      val t0 = System.nanoTime()
+      val df = mk
+      val n = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      readings += Reading(phase, f, sec, n, exchanges(df))
+      println(f"""{"phase":"$phase","factor":$f,"sec":$sec%.1f,""" +
+        f""""rows":$n,"exchanges":${exchanges(df)},""" +
+        f""""shuf_write_mb":${(metrics.shufWrite.get() - w0) >> 20},""" +
+        f""""shuf_read_mb":${(metrics.shufRead.get() - r0) >> 20},""" +
+        f""""task_sec":${(metrics.taskMs.get() - tm0) / 1e3}%.1f,""" +
+        f""""gc_sec":${(metrics.gcMs.get() - g0) / 1e3}%.1f}""")
+    }
+
+    Seq(1, factor).foreach { f =>
+      // repartition BEFORE the checkpoint: the sf0.1 parquet is one
+      // ~MB file = one input split, and the explode amplification is
+      // narrow, so without this every pre-shuffle operator stage runs
+      // single-core — a small-file artifact of the synthesis, not a
+      // property of the operators (real corpora arrive in thousands
+      // of splits). First run of this harness measured dsirSelect at
+      // 43.9 s/factor 10 for exactly this reason.
+      val docs = amplified(f)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager = true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      timed("winnowFingerprints", f) {
+        graft.text.DedupOps.winnowFingerprints(docs, "doc_id", "text")
+      }
+      timed("lmPerplexity", f) {
+        graft.text.LmOps.perplexity(
+          docs, docs.filter(pmod(col("doc_id"), lit(10)) < 3),
+          "doc_id", "text")
+      }
+      timed("dsirSelect", f) {
+        graft.text.DsirOps.dsirSelect(
+          docs, docs.filter(pmod(col("doc_id"), lit(10)) < 3),
+          k = 100, idCol = "doc_id", textCol = "text", buckets = 1024)
+      }
+      spark.catalog.clearCache()
+    }
+
+    readings.groupBy(_.phase).foreach { case (phase, rs) =>
+      val byF = rs.map(r => r.f -> r).toMap
+      val b = byF(1); val big = byF(factor)
+      println(f"""{"summary":"$phase","exchanges_base":${b.exch},""" +
+        f""""exchanges_scaled":${big.exch},""" +
+        f""""exch_invariant":${b.exch == big.exch},""" +
+        f""""row_ratio":${big.rows.toDouble / b.rows}%.3f,""" +
+        f""""sec_base":${b.sec}%.1f,"sec_scaled":${big.sec}%.1f,""" +
+        f""""factor":$factor}""")
+    }
+    spark.stop()
+  }
+}
