@@ -37,18 +37,25 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+    val nanosFixed = nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
       d.schema(c).dataType match {
         case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS)
           d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          // NTZ wall-clock == the instant DuckDB sees: pin the session
-          // zone to UTC so the NTZ->TZ cast preserves the stored
-          // micros verbatim (a non-UTC session zone would shift them).
-          s.conf.set("spark.sql.session.timeZone", "UTC")
-          d.withColumn(c,
-            col(c).cast(org.apache.spark.sql.types.TimestampType))
         case _ => d
+      }
+    }
+    // Normalize EVERY TimestampNTZ column, whatever table it appears
+    // in next generation. NTZ wall-clock == the instant DuckDB sees:
+    // pin the session zone to UTC so the NTZ->TZ cast preserves the
+    // stored micros verbatim (a non-UTC zone would shift them).
+    val ntz = nanosFixed.schema.fields.filter(
+      _.dataType == org.apache.spark.sql.types.TimestampNTZType)
+    if (ntz.isEmpty) nanosFixed
+    else {
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      ntz.foldLeft(nanosFixed) { (d, f) =>
+        d.withColumn(f.name,
+          col(f.name).cast(org.apache.spark.sql.types.TimestampType))
       }
     }
   }

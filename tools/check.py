@@ -30,11 +30,17 @@ for p in glob.glob(f"{SF}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+# Verify records per-query exceptions here (a throwing query writes no
+# parquet and would otherwise fail with an uninformative message).
+verrs = {}
+if os.path.exists(f"{OUT}/verify_errors.json"):
+    verrs = json.load(open(f"{OUT}/verify_errors.json"))
 n_pass = n_fail = 0
 for name in sorted(oracle):
     files = glob.glob(f"{OUT}/{name}/*.parquet")
     if not files:
-        print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        why = verrs.get(name, "no spark output")
+        print(f"FAIL {name}: {why}"); n_fail += 1; continue
     try:
         grel = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
         erel = con.sql(oracle[name])
