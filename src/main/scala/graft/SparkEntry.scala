@@ -36,6 +36,15 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Read parquet TIMESTAMP_NTZ annotations as plain TIMESTAMP *in
+    // the scan* (session zone pinned UTC so the stored micros are the
+    // instant DuckDB sees). An after-scan cast would be value-equal
+    // but would WRAP the column and kill parquet predicate pushdown on
+    // it — at 100 TB the time filter is the partition pruner, so it
+    // must reach the reader. NTZ inference off is scan-native: filters
+    // on ts stay pushable (PushedFilters in .explain).
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val df = s.read.parquet(s"$dir/$name.parquet")
     val nanosFixed = nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
       d.schema(c).dataType match {
@@ -44,20 +53,15 @@ object SparkEntry {
         case _ => d
       }
     }
-    // Normalize EVERY TimestampNTZ column, whatever table it appears
-    // in next generation. NTZ wall-clock == the instant DuckDB sees:
-    // pin the session zone to UTC so the NTZ->TZ cast preserves the
-    // stored micros verbatim (a non-UTC zone would shift them).
-    val ntz = nanosFixed.schema.fields.filter(
-      _.dataType == org.apache.spark.sql.types.TimestampNTZType)
-    if (ntz.isEmpty) nanosFixed
-    else {
-      s.conf.set("spark.sql.session.timeZone", "UTC")
-      ntz.foldLeft(nanosFixed) { (d, f) =>
+    // Defensive residue: if an NTZ column still surfaces (e.g. the
+    // inference conf disappears in a future Spark), normalize by cast
+    // — value-equal under the UTC session zone, just not pushable.
+    nanosFixed.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+      .foldLeft(nanosFixed) { (d, f) =>
         d.withColumn(f.name,
           col(f.name).cast(org.apache.spark.sql.types.TimestampType))
       }
-    }
   }
 
   /** Engine-parity rounding: floor(x*10^n + 0.5)/10^n. Every step is an
