@@ -251,24 +251,31 @@ object DedupOps {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
-  /** MinHash signatures in relational form: explode distinct shingles,
-    * hash each row under all n seeds (independent columns; seeds are
-    * PACKED four per md5 evaluation — [[TextOps.seededHash32Packed]]),
-    * min-aggregate per doc. Scales as a single shuffle on the doc id
-    * with map-side partial mins — unlike a per-row higher-order-
-    * function signature, whose repeated array traversals interpret
-    * (not codegen) and re-hash per seed. */
+  /** MinHash signatures: (id, h0..h_{n-1}) — one row per doc with at
+    * least one token. Computed NARROWLY by the fused
+    * [[graft.functions.MinhashKernel]] expression (distinct shingle
+    * set + packed-md5 minima per doc, values bit-identical to the
+    * relational seededHash32Packed formulation this replaced). The
+    * signature is a pure per-doc function of the token stream, but
+    * the relational form paid three corpus-wide shuffles to compute
+    * it — the shingle window (partitionBy id), the (id, shingle)
+    * distinct, and the groupBy(id) min fold. Now the first exchange
+    * of the whole MinHash-LSH chain is the band-key join itself. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, n: Int): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, k)
-    // packed hashing: 4 signature positions per md5 evaluation
-    val hashed = sh.select(col("id") +:
-      (0 until n).map(i =>
-        TextOps.seededHash32Packed(col("shingle"), i).as(s"h$i")): _*)
-    hashed.groupBy("id").agg(
-      min(col("h0")).as("h0"),
-      (1 until n).map(i => min(col(s"h$i")).as(s"h$i")): _*)
-  }
+      k: Int, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        TextOps.tokens(col(textCol)).as("__tk"))
+      // tokenless docs produce no signature row (relational parity).
+      // Filtered HERE on the token array, not on sig IS NOT NULL
+      // downstream: predicate pushdown substitutes project aliases
+      // into pushed filter conditions, which would re-evaluate the
+      // kernel once for the filter and once per consumer.
+      .filter(size(col("__tk")) >= 1)
+      .select(col("id"),
+        graft.functions.MinhashKernel.signature(col("__tk"), k, n)
+          .as("__sig"))
+      .select(col("id") +:
+        (0 until n).map(i => col("__sig").getItem(i).as(s"h$i")): _*)
 
   /** MinHash/LSH candidate pairs: docs sharing >= 1 of `bands` band
     * keys (signature length = bands*rows). Returns (id_a, id_b,

@@ -62,6 +62,36 @@ class TextOpsSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getAs[Long]("id_b") == 3L))
   }
 
+  test("fused minhash signatures match the relational formulation") {
+    // the shuffle-free kernel must be value-identical to explode
+    // distinct shingles -> seededHash32Packed columns -> min per doc
+    // (the formulation it replaced), including short-doc collapse,
+    // repeated shingles, punctuation, and tokenless-doc absence.
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog!"),
+      (2L, "a b"),                       // short: one whole-doc shingle
+      (3L, "x x x x x x"),               // one distinct shingle
+      (4L, "Lorem ipsum, dolor; sit amet con sed do eiusmod tempor"),
+      (5L, ""),                          // tokenless: no signature row
+      (6L, "..."),                       // tokenless after cleaning
+      (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val n = 8
+    val fused = DedupOps.minhashSignatures(docs, "doc_id", "text", 3, n)
+      .collect().map(r => r.getLong(0) ->
+        (1 to n).map(r.getLong).toVector).toMap
+    val sh = DedupOps.shingleRows(docs, "doc_id", "text", 3)
+    val relational = sh.select(col("id") +: (0 until n).map(i =>
+        TextOps.seededHash32Packed(col("shingle"), i).as(s"h$i")): _*)
+      .groupBy("id")
+      .agg(min(col("h0")).as("h0"),
+        (1 until n).map(i => min(col(s"h$i")).as(s"h$i")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to n).map(r.getLong).toVector).toMap
+    assert(fused == relational)
+    assert(!fused.contains(5L) && !fused.contains(6L) && !fused.contains(7L))
+  }
+
   test("simhash of identical texts is equal; hamming 0") {
     val docs = Seq((1L, "spark scala engine"), (2L, "spark scala engine"))
       .toDF("doc_id", "text")
