@@ -455,31 +455,21 @@ object DedupOps {
     corpus.join(flagged.hint("shuffle_hash"), Seq(corpusId), "left_anti")
   }
 
-  /** Relational 16-bit SimHash: explode tokens, hash each once, 16
-    * conditional-sum bit votes in one aggregation pass. Semantically
-    * identical to [[TextOps.simhash16]] but hashes each token exactly
-    * once (the per-row expression re-evaluates the token->md5 chain
-    * for every bit) and distributes as explode + single groupBy.
-    * Docs with no tokens get all bits set (vote 0 >= 0), like the
-    * per-row form. */
+  /** 16-bit SimHash table: (id, sh) — word 0 of the fused
+    * [[graft.functions.SimhashKernel]] signature, computed NARROWLY
+    * (no token explode, no vote shuffle, no join-back; values
+    * bit-identical to the relational 16-conditional-sum-votes
+    * formulation this replaced, and to [[TextOps.simhash16]]). Docs
+    * with no tokens get all bits set (vote 0 >= 0); a null token
+    * array (null text) coalesces to the same all-ones signature the
+    * relational left join produced. */
   def simhashTable(docs: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
-      explode(TextOps.tokens(col(textCol))).as("t"))
-    val h = tok.select(col("id"),
-      conv(substring(md5(col("t")), 1, 4), 16, 10).cast("long").as("h"))
-    val votes = h.groupBy("id").agg(
-      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1L)
-        .otherwise(-1L)).as("v0"),
-      (1 until 16).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
-          .otherwise(-1L)).as(s"v$b")): _*)
-    val bits = (0 until 16).map(b =>
-      when(coalesce(col(s"v$b"), lit(0L)) >= 0, lit(1L << b))
-        .otherwise(lit(0L))).reduce(_ + _)
-    docs.select(col(idCol).as("id")).join(votes, Seq("id"), "left")
-      .select(col("id"), bits.as("sh"))
-  }
+      : DataFrame =
+    docs.select(col(idCol).as("id"),
+        graft.functions.SimhashKernel.words(TextOps.tokens(col(textCol)))
+          .as("__sw"))
+      .select(col("id"),
+        coalesce(col("__sw").getItem(0), lit(0xFFFFL)).as("sh"))
 
   /** SimHash near-dup pairs within a hamming radius, bucketed by the
     * high byte to avoid the full cross join (docs differing only in
@@ -499,34 +489,23 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** 64-bit relational SimHash as four 16-bit words (w0..w3): word j's
-    * bit b votes on bit b of hex digits [4j+1, 4j+4] of md5(token).
-    * Storing the signature as four words keeps every value within
-    * 16-bit range (portable long math — no unsigned-64 overflow
-    * anywhere) and the words double as the rotated-table bucket keys
-    * of [[simhashPairs64]]. w0 equals [[simhashTable]]'s 16-bit
+  /** 64-bit SimHash as four 16-bit words (w0..w3): word j's bit b
+    * votes on bit b of hex digits [4j+1, 4j+4] of md5(token), fused
+    * into one narrow [[graft.functions.SimhashKernel]] call per doc
+    * (the relational explode + 64-vote groupBy + join-back it
+    * replaced cost a corpus-wide shuffle for a pure per-doc
+    * function; values bit-identical). Four 16-bit words keep every
+    * value in portable long math — no unsigned-64 overflow anywhere —
+    * and double as the rotated-table bucket keys of
+    * [[simhashPairs64]]. w0 equals [[simhashTable]]'s 16-bit
     * signature. Token-less docs get all-ones words (vote 0 >= 0). */
   def simhashTable64(docs: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
-      explode(TextOps.tokens(col(textCol))).as("t"))
-    val h = tok.select(col("id") +: (0 until 4).map(j =>
-      conv(substring(md5(col("t")), 1 + 4 * j, 4), 16, 10)
-        .cast("long").as(s"hw$j")): _*)
-    // One aggregation pass: 64 conditional-sum bit votes (codegen'd,
-    // map-side combinable) — each token row is hashed once per word.
-    val voteCols = for (j <- 0 until 4; b <- 0 until 16) yield
-      sum(when(shiftright(col(s"hw$j"), b).bitwiseAND(1) === 1, 1L)
-        .otherwise(-1L)).as(s"v${j}_$b")
-    val votes = h.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
-    val words = (0 until 4).map { j =>
-      (0 until 16).map(b =>
-        when(coalesce(col(s"v${j}_$b"), lit(0L)) >= 0, lit(1L << b))
-          .otherwise(lit(0L))).reduce(_ + _).as(s"w$j")
-    }
-    docs.select(col(idCol).as("id")).join(votes, Seq("id"), "left")
-      .select(col("id") +: words: _*)
-  }
+      : DataFrame =
+    docs.select(col(idCol).as("id"),
+        graft.functions.SimhashKernel.words(TextOps.tokens(col(textCol)))
+          .as("__sw"))
+      .select(col("id") +: (0 until 4).map(j =>
+        coalesce(col("__sw").getItem(j), lit(0xFFFFL)).as(s"w$j")): _*)
 
   /** 64-bit SimHash near-dup pairs — the corpus-scale rotated-table
     * scheme (Manku et al., WWW'07): a pair within hamming radius <= 3

@@ -92,6 +92,43 @@ class TextOpsSpec extends SparkSpec {
     assert(!fused.contains(5L) && !fused.contains(6L) && !fused.contains(7L))
   }
 
+  test("fused simhash words match the relational formulation") {
+    // kernel must equal explode tokens -> 4x16 conditional-sum votes
+    // -> join-back (the formulation it replaced), including repeated
+    // tokens (occurrence-weighted votes), tokenless docs (all-ones
+    // words), and null text (all-ones via coalesce).
+    val docs = Seq(
+      (1L, "the quick brown fox the quick"),
+      (2L, "lorem ipsum dolor sit amet!"),
+      (3L, ""),
+      (4L, "..."),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val fused = DedupOps.simhashTable64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    val tok = docs.select(col("doc_id").as("id"),
+      explode(TextOps.tokens(col("text"))).as("t"))
+    val h = tok.select(col("id") +: (0 until 4).map(j =>
+      conv(substring(md5(col("t")), 1 + 4 * j, 4), 16, 10)
+        .cast("long").as(s"hw$j")): _*)
+    val voteCols = for (j <- 0 until 4; b <- 0 until 16) yield
+      sum(when(shiftright(col(s"hw$j"), b).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"v${j}_$b")
+    val votes = h.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+    val words = (0 until 4).map { j =>
+      (0 until 16).map(b =>
+        when(coalesce(col(s"v${j}_$b"), lit(0L)) >= 0, lit(1L << b))
+          .otherwise(lit(0L))).reduce(_ + _).as(s"w$j")
+    }
+    val relational = docs.select(col("doc_id").as("id"))
+      .join(votes, Seq("id"), "left")
+      .select(col("id") +: words: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    assert(fused == relational)
+    assert(fused(3L) == Seq.fill(4)(0xFFFFL) &&
+      fused(5L) == Seq.fill(4)(0xFFFFL))
+  }
+
   test("simhash of identical texts is equal; hamming 0") {
     val docs = Seq((1L, "spark scala engine"), (2L, "spark scala engine"))
       .toDF("doc_id", "text")
