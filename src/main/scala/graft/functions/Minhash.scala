@@ -47,29 +47,28 @@ object MinhashKernel {
   def signature(tokens: Column, k: Int, n: Int): Column =
     ColumnBridge.column(MinhashSig(
       ColumnBridge.expression(tokens), k, n))
-}
 
-/** See [[MinhashKernel]]. Output: array<bigint> length n, or null for
-  * a tokenless doc. */
-case class MinhashSig(child: Expression, k: Int, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(k >= 1 && n >= 1, s"k=$k n=$n")
+  /** Column API: the doc's DISTINCT shingle strings (insertion
+    * order), for callers that need shingles as ROWS (explode this) —
+    * same set semantics as [[MinhashSig]]'s internal builder. */
+  def distinctShingles(tokens: Column, k: Int): Column =
+    ColumnBridge.column(DistinctShingles(
+      ColumnBridge.expression(tokens), k))
 
-  override def dataType: DataType =
-    ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = true
-  override def prettyName: String = "minhash_sig"
+  /** Column API: positioned full k-token windows (pos, w). */
+  def positionedWindows(tokens: Column, k: Int): Column =
+    ColumnBridge.column(PositionedWindows(
+      ColumnBridge.expression(tokens), k))
 
-  private val groups = (n + 3) / 4
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val nTok = arr.numElements()
-    if (nTok == 0) return null
-    val toks = new Array[String](nTok)
-    var i = 0
-    while (i < nTok) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
-    val shingles = new java.util.HashSet[String]()
+  /** Shared shingle-set builder: k-token windows joined with a single
+    * space; a doc shorter than k tokens collapses to one whole-doc
+    * shingle; tokenless input yields the empty set. LinkedHashSet —
+    * deterministic first-occurrence order. */
+  private[functions] def shingleSet(toks: Array[String], k: Int)
+      : java.util.LinkedHashSet[String] = {
+    val shingles = new java.util.LinkedHashSet[String]()
+    val nTok = toks.length
+    if (nTok == 0) return shingles
     if (nTok < k) shingles.add(toks.mkString(" "))
     else {
       val sb = new java.lang.StringBuilder
@@ -86,6 +85,113 @@ case class MinhashSig(child: Expression, k: Int, n: Int)
         s += 1
       }
     }
+    shingles
+  }
+
+  private[functions] def toStringArray(arr: ArrayData): Array[String] = {
+    val n = arr.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val u = arr.getUTF8String(i)
+      toks(i) = if (u == null) null else u.toString
+      i += 1
+    }
+    toks
+  }
+}
+
+/** Positioned k-token windows of one doc:
+  * array<struct<pos:int,w:string>> with one entry per FULL window
+  * (0-based start position; docs shorter than k emit nothing, no
+  * whole-doc fallback, and windows are NOT distinct-ed — position
+  * identity is the point). The narrow replacement for the
+  * `lead`-window construction of span-dedup's window table; hash the
+  * `w` string with whatever keying the caller needs (xxhash64 /
+  * md5) as a codegen'd column downstream. */
+case class PositionedWindows(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"k=$k")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("w", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "positioned_windows"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = MinhashKernel.toStringArray(input.asInstanceOf[ArrayData])
+    val nTok = toks.length
+    if (nTok < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nTok - k + 1)
+    val sb = new java.lang.StringBuilder
+    var s = 0
+    while (s <= nTok - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(s + j))
+        j += 1
+      }
+      out(s) = org.apache.spark.sql.catalyst.InternalRow(
+        s, org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PositionedWindows = copy(child = newChild)
+}
+
+/** Distinct shingle strings of one doc as an array — explode for the
+  * relational (id, shingle) table without the window + distinct
+  * shuffles the `lead`-based construction paid (a per-doc pure
+  * function never needs an exchange). See [[MinhashKernel]]. */
+case class DistinctShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"k=$k")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "distinct_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = MinhashKernel.toStringArray(input.asInstanceOf[ArrayData])
+    val shingles = MinhashKernel.shingleSet(toks, k)
+    val out = new Array[Any](shingles.size)
+    val it = shingles.iterator()
+    var i = 0
+    while (it.hasNext) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : DistinctShingles = copy(child = newChild)
+}
+
+/** See [[MinhashKernel]]. Output: array<bigint> length n, or null for
+  * a tokenless doc. */
+case class MinhashSig(child: Expression, k: Int, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && n >= 1, s"k=$k n=$n")
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  private val groups = (n + 3) / 4
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = MinhashKernel.toStringArray(input.asInstanceOf[ArrayData])
+    if (toks.length == 0) return null
+    val shingles = MinhashKernel.shingleSet(toks, k)
     val mins = Array.fill(n)(Long.MaxValue)
     val md = java.security.MessageDigest.getInstance("MD5")
     val it = shingles.iterator()

@@ -39,31 +39,23 @@ object DedupOps {
   private def ckptSer(df: DataFrame): DataFrame =
     df.localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
 
-  /** Relational k-shingle table: (id, shingle) rows, distinct per doc.
-    * posexplode tokens once, build shingles with `lead` windows —
-    * semantically identical to exploding [[TextOps.shingles]] (short
-    * docs collapse to one whole-doc shingle) but ~5x faster: the
-    * higher-order `transform`/`slice` expression interprets per
-    * element, while this path is one window pass over token rows and
-    * partitions by doc id (the 100 TB shape). */
+  /** k-shingle table: (id, shingle) rows, distinct per doc — one
+    * NARROW explode of the fused [[graft.functions.DistinctShingles]]
+    * kernel (short docs collapse to one whole-doc shingle, tokenless
+    * docs emit nothing; same set as the `lead`-window + distinct
+    * construction this replaced, which paid TWO corpus-wide shuffles
+    * — the per-doc window and the (id, shingle) distinct — to
+    * compute a pure per-doc function; an HOF `transform`/`slice`
+    * formulation was also measured and rejected, ~5x slower than the
+    * window form from per-element interpretation). Consumers get
+    * shingle rows straight off the scan. */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String, k: Int)
-      : DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
-      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "t0")))
-    val w = Window.partitionBy("id").orderBy("pos")
-    val withLeads = (1 until k).foldLeft(tok)((d, i) =>
-      d.withColumn(s"t$i", lead(col("t0"), i).over(w)))
-    val parts = (0 until k).map(i => col(s"t$i"))
-    // A row carries a shingle iff it starts a full k-window (last
-    // lead non-null) or it is the head of a short doc (pos 0 with no
-    // full window — concat_ws skips nulls, giving the whole-doc
-    // shingle). One window pass; no per-doc count needed.
-    val shingle = when(
-      col(s"t${k - 1}").isNotNull || col("pos") === 0,
-      concat_ws(" ", parts: _*))
-    withLeads.select(col("id"), shingle.as("shingle"))
-      .filter(col("shingle").isNotNull).distinct()
-  }
+      : DataFrame =
+    docs.select(col(idCol).as("id"),
+        TextOps.tokens(col(textCol)).as("__tk"))
+      .select(col("id"),
+        explode(graft.functions.MinhashKernel.distinctShingles(
+          col("__tk"), k)).as("shingle"))
 
   /** Exact duplicate groups by normalized fingerprint: one row per
     * duplicated fingerprint with the canonical (min) doc id. */
@@ -145,31 +137,31 @@ object DedupOps {
     * FULL window (docs shorter than k tokens contribute nothing —
     * unlike [[shingleRows]] there is no whole-doc fallback, and
     * windows are NOT distinct-ed: position identity is the point).
-    * Same one-window-pass `lead` construction as [[shingleRows]]
-    * (higher-order transform/slice interprets per element; this stays
-    * in codegen and partitions by doc id). `portableHash = false`
-    * (default) keys windows by xxhash64 — 8-byte LONG shuffle rows,
-    * the scale path (the key type differs between variants on
-    * purpose: widening the long to match the md5 path's string would
-    * ~2.5x every shuffle row for nothing — `wh` never leaves this
-    * file); `true` keys by the first 16 md5 hex chars (64-bit),
-    * bit-reproducible in any engine for oracle checking. Either way a
-    * hash collision can flag a false duplicate window (~2⁻⁶⁴ per
-    * pair); exactness-critical pipelines should verify flagged spans
-    * by text comparison within dup groups. */
+    * Windows come NARROWLY from the fused
+    * [[graft.functions.PositionedWindows]] kernel — the `lead`-window
+    * construction it replaced paid a corpus-wide per-doc shuffle for
+    * a pure per-doc function — and are hashed by codegen'd column
+    * expressions after the explode. `portableHash = false` (default)
+    * keys windows by xxhash64 — 8-byte LONG shuffle rows, the scale
+    * path (the key type differs between variants on purpose: widening
+    * the long to match the md5 path's string would ~2.5x every
+    * shuffle row for nothing — `wh` never leaves this file); `true`
+    * keys by the first 16 md5 hex chars (64-bit), bit-reproducible in
+    * any engine for oracle checking. Either way a hash collision can
+    * flag a false duplicate window (~2⁻⁶⁴ per pair);
+    * exactness-critical pipelines should verify flagged spans by text
+    * comparison within dup groups. */
   private def windowRows(docs: DataFrame, idCol: String, textCol: String,
       k: Int, portableHash: Boolean): DataFrame = {
     require(k >= 1, s"window size k = $k")
-    val tok = docs.select(col(idCol).as("id"),
-      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "t0")))
-    val w = Window.partitionBy("id").orderBy("pos")
-    val withLeads = (1 until k).foldLeft(tok)((d, i) =>
-      d.withColumn(s"t$i", lead(col("t0"), i).over(w)))
-    val joined = concat_ws(" ", (0 until k).map(i => col(s"t$i")): _*)
-    val wh = if (portableHash) substring(md5(joined), 1, 16)
-      else xxhash64(joined)
-    withLeads.filter(col(s"t${k - 1}").isNotNull)
-      .select(col("id"), col("pos"), wh.as("wh"))
+    val wh = if (portableHash) substring(md5(col("pw.w")), 1, 16)
+      else xxhash64(col("pw.w"))
+    docs.select(col(idCol).as("id"),
+        TextOps.tokens(col(textCol)).as("__tk"))
+      .select(col("id"),
+        explode(graft.functions.MinhashKernel.positionedWindows(
+          col("__tk"), k)).as("pw"))
+      .select(col("id"), col("pw.pos").as("pos"), wh.as("wh"))
   }
 
   /** Duplicated-span detection — token-granularity ExactSubstr dedup
