@@ -10,12 +10,13 @@ import org.apache.spark.sql.functions._
   * fraction of characters in duplicate lines, and (c) the fraction of
   * characters covered by the most frequent word n-gram.
   *
-  * Scale shapes: every signal is an explode + two-level aggregation
-  * ((doc, unit) then doc) — the per-unit counts combine map-side, the
-  * final reduce is keyed by doc id, and nothing is quadratic in
-  * document length (the naive per-element `filter()` lambda over the
-  * line array is O(L²) interpreted per doc — the exact
-  * higher-order-function trap BENCH_NOTES documents on q65).
+  * Scale shape: every signal is a per-doc pure function with state
+  * bounded by document length, computed in one fused
+  * [[graft.functions.RepetitionKernel]] call per doc — NO exchange
+  * anywhere (the earlier relational form shuffled (doc, unit) rows
+  * corpus-wide per signal; a naive per-element `filter()` lambda over
+  * the line array would be O(L²) interpreted per doc — the
+  * higher-order-function trap BENCH_NOTES documents).
   *
   * Reference scope: no counterpart in the reference (flux-tower ETL);
   * part of the training-data extension surface of the build brief.
@@ -62,54 +63,30 @@ object QualityOps {
     *     repetition can push the ratio past 1 — by design: the signal
     *     is thresholded, not summed.
     *
-    * Documents with no tokens report 0 everywhere. One explode +
-    * aggregation pair per signal, all reduced on the doc key. */
+    * Documents with no tokens report 0 everywhere. All signals come
+    * from ONE fused [[graft.functions.RepetitionKernel]] call per doc
+    * — state bounded by document length, arithmetic bit-identical to
+    * the relational explode + two-level-agg chains this replaced,
+    * which paid one corpus-wide (doc, unit) shuffle AND a join-back
+    * PER SIGNAL (three shuffles + three joins at the defaults) for
+    * per-doc pure functions. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
       lineWidth: Int = 10, ns: Seq[Int] = Seq(2, 3)): DataFrame = {
     val id = col(idCol)
-
-    val base = df.select(id, col(textCol).as("__text"))
-
-    // Line signals: (doc, line) counts -> per-doc fractions.
-    val lineAgg = base
-      .select(id, explode(tokenLines(col("__text"), lineWidth)).as("__line"))
-      .groupBy(id, col("__line"))
-      .agg(count(lit(1)).as("__cnt"), length(col("__line")).as("__len"))
-      .groupBy(id)
-      .agg(
-        sum(col("__cnt")).as("n_lines"),
-        (lit(1.0) - count(lit(1)).cast("double") / sum(col("__cnt")))
-          .as("dup_line_frac"),
-        (sum((col("__cnt") - 1) * col("__len")).cast("double") /
-          sum(col("__cnt") * col("__len"))).as("dup_line_char_frac"))
-
-    // Top-n-gram signals: (doc, gram) counts -> per-doc max coverage.
-    val streamChars = base.select(id,
-      length(concat_ws(" ", TextOps.tokens(col("__text")))).as("__chars"))
-    val topAggs = ns.map { n =>
-      base
-        .select(id, explode(wordNgrams(col("__text"), n)).as("__g"))
-        .groupBy(id, col("__g"))
-        .agg(count(lit(1)).as("__c"))
-        .groupBy(id)
-        .agg(max(col("__c") * length(col("__g"))).as(s"__top$n"))
-    }
-
-    val joined = topAggs.foldLeft(streamChars.join(lineAgg, Seq(idCol), "left")) {
-      (acc, t) => acc.join(t, Seq(idCol), "left")
-    }
-    val topCols = ns.map { n =>
-      coalesce(
-        when(col("__chars") > 0,
-          col(s"__top$n").cast("double") / col("__chars")),
-        lit(0.0)).as(s"top${n}_char_frac")
-    }
-    joined.select(
-      id +:
-      coalesce(col("n_lines"), lit(0L)).as("n_lines") +:
-      coalesce(col("dup_line_frac"), lit(0.0)).as("dup_line_frac") +:
-      coalesce(col("dup_line_char_frac"), lit(0.0)).as("dup_line_char_frac") +:
-      topCols: _*)
+    // null text -> null tokens -> null struct: coalesce each field to
+    // the zero the relational left-join chain reported for it.
+    df.select(id, TextOps.tokens(col(textCol)).as("__tk"))
+      .select(id,
+        graft.functions.RepetitionKernel.stats(col("__tk"), lineWidth, ns)
+          .as("__r"))
+      .select(
+        id +:
+        coalesce(col("__r.n_lines"), lit(0L)).as("n_lines") +:
+        coalesce(col("__r.dup_line_frac"), lit(0.0)).as("dup_line_frac") +:
+        coalesce(col("__r.dup_line_char_frac"), lit(0.0))
+          .as("dup_line_char_frac") +:
+        ns.map(n => coalesce(col(s"__r.top${n}_char_frac"), lit(0.0))
+          .as(s"top${n}_char_frac")): _*)
   }
 
   /** Composite Gopher-style keep/drop decision joined onto `df`: a
