@@ -8,15 +8,16 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** DSIR's hashed unigram+bigram feature buckets as ONE native
+/** DSIR's hashed unigram+bigram feature-bucket COUNTS as ONE native
   * Catalyst expression over a pre-tokenized array: for token stream
-  * t_1..t_n emit bucket(t_1), then for i>1 bucket(t_i) and
-  * bucket(t_{i-1} + " " + t_i) — exactly the feature order of the
-  * relational formulation it replaces, with bucket(f) =
-  * seededHash32(f, seed) mod B computed BIT-IDENTICALLY: the first 4
-  * bytes of md5("<seed>:<f>") as a big-endian unsigned int, mod B.
-  * Oracle SQL and spec re-derivations are untouched — this changes
-  * where the hash runs, not what it is.
+  * t_1..t_n the features are t_1, then for i>1 t_i and
+  * t_{i-1} + " " + t_i, with bucket(f) = seededHash32(f, seed) mod B
+  * computed BIT-IDENTICALLY to the relational chain: the first 4
+  * bytes of md5("<seed>:<f>") as a big-endian unsigned int, mod B —
+  * counted per doc inside the kernel, so the exploded output is the
+  * final (bucket, n) table with no aggregation exchange. Oracle SQL
+  * and spec re-derivations are untouched — this changes where the
+  * hash and the count run, not what they are.
   *
   * WHY: the HOF formulation paid ~3-5 us of per-element
   * interpretation (array-building lambda + flatten + md5 expression
@@ -40,23 +41,31 @@ object HashedNgrams {
     h % buckets
   }
 
-  /** Column API over a token-array column. */
-  def featureBuckets(tokens: Column, buckets: Int, seed: Int): Column =
-    ColumnBridge.column(HashedNgramBuckets(
+  /** Column API over a token-array column: per-doc (bucket, n)
+    * counts. */
+  def featureBucketCounts(tokens: Column, buckets: Int, seed: Int): Column =
+    ColumnBridge.column(HashedNgramCountsExpr(
       ColumnBridge.expression(tokens), buckets, seed))
 }
 
 /** See [[HashedNgrams]]. Null-safe unary over array<string>; null
   * tokens inside the array are skipped (TextOps.tokens never emits
-  * them — defensive only). Output: array<bigint> of bucket ids, one
-  * per feature occurrence (2n-1 entries for n tokens, 0 for empty). */
-case class HashedNgramBuckets(child: Expression, buckets: Int, seed: Int)
+  * them — defensive only). Output: the doc's COMPRESSED feature
+  * stream, array<struct<bucket:bigint,n:bigint>> — per-doc bucket
+  * counts, already the final (id, bucket, n) rows once exploded, so
+  * the consumer needs NO aggregation exchange at all (the earlier
+  * occurrence-stream variant still paid a groupBy exchange to merge
+  * the map-side partials). First-occurrence bucket order. */
+case class HashedNgramCountsExpr(child: Expression, buckets: Int, seed: Int)
     extends UnaryExpression with CodegenFallback {
   require(buckets > 0, s"buckets=$buckets")
 
-  override def dataType: DataType =
-    ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "hashed_ngram_buckets"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("bucket", LongType, nullable = false),
+      StructField("n", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "hashed_ngram_counts"
 
   @transient private lazy val seedPrefix =
     (seed.toString + ":").getBytes("UTF-8")
@@ -73,28 +82,38 @@ case class HashedNgramBuckets(child: Expression, buckets: Int, seed: Int)
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
       h % buckets
     }
-    val out = new java.util.ArrayList[Any](2 * n)
+    val counts = new java.util.LinkedHashMap[java.lang.Long, Long]()
+    def add(b: Long): Unit = counts.merge(b, 1L, (x, y) => x + y)
     var prev: Array[Byte] = null
     var i = 0
     while (i < n) {
       val tok = arr.getUTF8String(i)
       if (tok != null) {
         val tb = tok.getBytes
-        out.add(bucketOf(tb))
+        add(bucketOf(tb))
         if (prev != null) {
           val big = new Array[Byte](prev.length + 1 + tb.length)
           System.arraycopy(prev, 0, big, 0, prev.length)
           big(prev.length) = ' '
           System.arraycopy(tb, 0, big, prev.length + 1, tb.length)
-          out.add(bucketOf(big))
+          add(bucketOf(big))
         }
         prev = tb
       }
       i += 1
     }
-    new GenericArrayData(out.toArray)
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(
+        e.getKey.longValue(), e.getValue)
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression)
-      : HashedNgramBuckets = copy(child = newChild)
+      : HashedNgramCountsExpr = copy(child = newChild)
 }

@@ -48,25 +48,25 @@ object DsirOps {
   private val MicroScale = 1e6
 
   /** Per-doc bucket counts: (idCol, bucket, n) — the compressed
-    * feature stream, one map-side-combined aggregation. The tokenizer
-    * runs once per doc in its own projection (codegen'd regexp land);
-    * feature construction + hashing run as ONE fused kernel over the
-    * token array ([[graft.functions.HashedNgrams]]), bit-identical to
-    * the relational seededHash32-mod-B formulation it replaced. Two
-    * HOF formulations were measured and rejected: an UNstaged lambda
-    * re-tokenized the full text per element — O(n_tokens × text_len)
-    * per doc, 126 s for q89 at sf0.1 (the r10 scale-killer) — and the
-    * staged version still paid ~3-5 us interpretation per feature
-    * occurrence (md5 expression chain with hex round-trip), the
-    * dominant per-row cost at corpus scale. */
+    * feature stream, with NO exchange at all: the tokenizer runs once
+    * per doc in its own projection (codegen'd regexp land), and
+    * feature construction + hashing + per-doc counting run as ONE
+    * fused kernel ([[graft.functions.HashedNgrams]]) whose exploded
+    * output IS the final counts table, bit-identical to the
+    * relational seededHash32-mod-B + groupBy formulation it replaced.
+    * Two HOF formulations were measured and rejected: an UNstaged
+    * lambda re-tokenized the full text per element — O(n_tokens ×
+    * text_len) per doc, 126 s for q89 at sf0.1 (the r10
+    * scale-killer) — and the staged version still paid ~3-5 us
+    * interpretation per feature occurrence plus a groupBy exchange to
+    * merge map-side partials. */
   def hashedNgramCounts(df: DataFrame, idCol: String, textCol: String,
       buckets: Int, seed: Int): DataFrame =
     df.select(col(idCol), TextOps.tokens(col(textCol)).as("__tk"))
       .select(col(idCol),
-        explode(graft.functions.HashedNgrams.featureBuckets(
-          col("__tk"), buckets, seed)).as("bucket"))
-      .groupBy(col(idCol), col("bucket"))
-      .agg(count(lit(1)).as("n"))
+        explode(graft.functions.HashedNgrams.featureBucketCounts(
+          col("__tk"), buckets, seed)).as("bc"))
+      .select(col(idCol), col("bc.bucket").as("bucket"), col("bc.n").as("n"))
 
   /** Importance weights of every `corpus` doc against `target`:
     * (idCol, n_feat, logw_micro). Smoothed bucket distributions are

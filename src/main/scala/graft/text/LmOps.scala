@@ -46,9 +46,10 @@ import org.apache.spark.sql.functions._
   *      VOCAB-sized, never corpus-sized.
   *   2. The corpus position stream never meets the count tables
   *      row-by-row: positions compress FIRST to per-doc bigram type
-  *      counts — groupBy (doc, v, w) with map-side combine, the
-  *      wordcount shape — which collapses repetitive text by orders
-  *      of magnitude.
+  *      counts — inside the [[graft.functions.BigramKernel]]
+  *      expression, per doc, with no exchange — which collapses
+  *      repetitive text by orders of magnitude before anything
+  *      shuffles.
   *   3. Bigram TYPES (distinct (v,w) of the compressed stream) are
   *      scored once against the three count tables; the count tables
   *      are corpus-derived and scale with vocabulary, so every join
@@ -63,44 +64,24 @@ object LmOps {
 
   private val MicroScale = 1e6
 
-  /** Per-position (context, token) pairs over a PRE-MATERIALIZED
-    * token-array column: element i scores token i against token i−1
-    * (`<s>` at i=1). Pure narrow expression — pair construction never
-    * windows or shuffles.
-    *
-    * `tk` MUST be a bound attribute reference to a token array staged
-    * by a previous projection, never an inline `TextOps.tokens(text)`
-    * expression: higher-order-function lambdas are evaluated per
-    * element with NO common-subexpression elimination, so an inlined
-    * tokenizer would re-run the full-text normalize+split once per
-    * `element_at` — O(n_tokens × text_len) per doc (the trap measured
-    * in [[DedupOps.winnowFingerprints]]; it put q89 at 126 s and q91
-    * at 72 s on 5k ~50-token docs in the r10 bench). With a bound
-    * attribute, `element_at` is an O(1) array index per element. */
-  private def pairsOfTokens(tk: org.apache.spark.sql.Column) = {
-    // Guard the empty doc: Spark's sequence(1, 0) runs DESCENDING and
-    // would emit index 0 -> ANSI element_at error (the q75 trap).
-    val idx = when(size(tk) >= 1, sequence(lit(1), size(tk)))
-      .otherwise(array().cast("array<int>"))
-    transform(idx, i =>
-      struct(
-        when(i === 1, lit("<s>"))
-          .otherwise(element_at(tk, i - 1)).as("v"),
-        element_at(tk, i).as("w")))
-  }
-
-  /** Exploded (keep..., p:struct<v,w>) pair rows of `textCol`,
-    * tokenizing each doc exactly ONCE: the tokenizer lands in its own
-    * projection whose output [[pairsOfTokens]] consumes as a bound
-    * attribute. The consumer references `__tk` four times (size guard
-    * twice, two `element_at`s per lambda), and the tokenizer is
-    * non-cheap, so CollapseProject keeps the stage — the same
-    * staging contract as [[DedupOps.winnowFingerprints]]. */
+  /** Exploded per-doc bigram-count rows of `textCol`:
+    * (keep..., p:struct<v,w,n>) — tokenized once per doc (codegen'd
+    * regexp land), paired AND counted inside the fused
+    * [[graft.functions.BigramKernel]] expression, so the exploded
+    * output is already the compressed per-doc pair table and NO
+    * aggregation exchange exists anywhere upstream of the model
+    * joins. (History: an unstaged HOF formulation re-ran the full
+    * tokenizer per `element_at` — O(n_tokens × text_len) per doc, q89
+    * at 126 s / q91 at 72 s in the r10 bench; the staged HOF fix
+    * still paid per-element interpretation plus a groupBy exchange.
+    * BENCH_NOTES round 11.) */
   private def pairRows(df: DataFrame, keep: Seq[String],
       textCol: String): DataFrame = {
     val keepCols = keep.map(col)
     df.select(keepCols :+ TextOps.tokens(col(textCol)).as("__tk"): _*)
-      .select(keepCols :+ explode(pairsOfTokens(col("__tk"))).as("p"): _*)
+      .select(keepCols :+
+        explode(graft.functions.BigramKernel.pairCounts(col("__tk")))
+          .as("p"): _*)
   }
 
   /** Perplexity of every `corpus` doc under an interpolated bigram LM
@@ -113,11 +94,12 @@ object LmOps {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda")
 
     val refPairs = pairRows(ref, Nil, textCol)
-      .select(col("p.v").as("v"), col("p.w").as("w"))
+      .select(col("p.v").as("v"), col("p.w").as("w"), col("p.n").as("n"))
 
-    // Vocab-sized model tables, each one agg with map-side combine.
-    val uni = refPairs.groupBy("w").agg(count(lit(1)).as("c_w"))
-    val bi  = refPairs.groupBy("v", "w").agg(count(lit(1)).as("c_vw"))
+    // Vocab-sized model tables, each one agg with map-side combine
+    // (inputs are already per-doc-compressed counts — sum, not count).
+    val uni = refPairs.groupBy("w").agg(sum("n").as("c_w"))
+    val bi  = refPairs.groupBy("v", "w").agg(sum("n").as("c_vw"))
     val ctx = bi.groupBy("v").agg(sum("c_vw").as("c_v"))
 
     // T (token instances) and V (distinct types) are two scalars of a
@@ -128,11 +110,12 @@ object LmOps {
     val bigT = totRow.getLong(0)
     val bigV = totRow.getLong(1)
 
-    // Corpus positions compress to per-doc bigram type counts BEFORE
-    // meeting any model table (wordcount shape, map-side combine).
+    // Corpus positions arrive ALREADY compressed to per-doc bigram
+    // type counts — the kernel counted them in-doc, so there is no
+    // aggregation exchange before the model joins.
     val docPairs = pairRows(corpus, Seq(idCol), textCol)
-      .groupBy(col(idCol), col("p.v").as("v"), col("p.w").as("w"))
-      .agg(count(lit(1)).as("n_occ"))
+      .select(col(idCol), col("p.v").as("v"), col("p.w").as("w"),
+        col("p.n").as("n_occ"))
 
     // Score each bigram TYPE once. The model tables scale with the
     // reference vocabulary -> SHUFFLE_HASH equi-joins, no broadcast.
