@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDotExpr, Fp2Decode, NfcNormalize, StripAccentsExpr, WinnowSelect}
+import graft.functions.{ArrayDotExpr, BigramCountsExpr, DistinctShingles, Fp2Decode, HashedNgramCountsExpr, MinhashSig, NfcNormalize, PositionedWindows, RepetitionStatsExpr, SimhashWords, StripAccentsExpr, WinnowSelect}
 
 /** Session-extension entry point: registers graft's native Catalyst
   * expressions into every session built with
@@ -30,18 +30,66 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("strip_accents"),
       new ExpressionInfo(classOf[StripAccentsExpr].getName, "strip_accents"),
       (exprs: Seq[Expression]) => StripAccentsExpr(exprs.head)))
-    // winnow_select(cleaned_text, k, w, seed): k/w/seed must be
-    // foldable literals — they parameterize the kernel, not the data.
+    // Text-kernel family. Numeric parameters must be foldable
+    // literals — they parameterize the kernels, not the data.
+    def litInt(fn: String)(e: Expression, name: String): Int = {
+      require(e.foldable, s"$fn: $name must be a literal")
+      e.eval().asInstanceOf[Number].intValue
+    }
     ext.injectFunction((
       FunctionIdentifier("winnow_select"),
       new ExpressionInfo(classOf[WinnowSelect].getName, "winnow_select"),
       (exprs: Seq[Expression]) => {
-        def litInt(e: Expression, name: String): Int = {
-          require(e.foldable, s"winnow_select: $name must be a literal")
-          e.eval().asInstanceOf[Number].intValue
-        }
-        WinnowSelect(exprs(0), litInt(exprs(1), "k"),
-          litInt(exprs(2), "w"), litInt(exprs(3), "seed"))
+        val li = litInt("winnow_select") _
+        WinnowSelect(exprs(0), li(exprs(1), "k"),
+          li(exprs(2), "w"), li(exprs(3), "seed"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        val li = litInt("minhash_sig") _
+        MinhashSig(exprs(0), li(exprs(1), "k"), li(exprs(2), "n"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_words"),
+      new ExpressionInfo(classOf[SimhashWords].getName, "simhash_words"),
+      (exprs: Seq[Expression]) => SimhashWords(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bigram_counts"),
+      new ExpressionInfo(classOf[BigramCountsExpr].getName, "bigram_counts"),
+      (exprs: Seq[Expression]) => BigramCountsExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("hashed_ngram_counts"),
+      new ExpressionInfo(
+        classOf[HashedNgramCountsExpr].getName, "hashed_ngram_counts"),
+      (exprs: Seq[Expression]) => {
+        val li = litInt("hashed_ngram_counts") _
+        HashedNgramCountsExpr(exprs(0),
+          li(exprs(1), "buckets"), li(exprs(2), "seed"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("distinct_shingles"),
+      new ExpressionInfo(
+        classOf[DistinctShingles].getName, "distinct_shingles"),
+      (exprs: Seq[Expression]) => DistinctShingles(exprs(0),
+        litInt("distinct_shingles")(exprs(1), "k"))))
+    ext.injectFunction((
+      FunctionIdentifier("positioned_windows"),
+      new ExpressionInfo(
+        classOf[PositionedWindows].getName, "positioned_windows"),
+      (exprs: Seq[Expression]) => PositionedWindows(exprs(0),
+        litInt("positioned_windows")(exprs(1), "k"))))
+    // repetition_stats(tokens, line_width, n1[, n2, ...])
+    ext.injectFunction((
+      FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(
+        classOf[RepetitionStatsExpr].getName, "repetition_stats"),
+      (exprs: Seq[Expression]) => {
+        val li = litInt("repetition_stats") _
+        RepetitionStatsExpr(exprs(0), li(exprs(1), "line_width"),
+          exprs.drop(2).zipWithIndex.map { case (e, i) =>
+            li(e, s"n$i") })
       }))
   }
 }

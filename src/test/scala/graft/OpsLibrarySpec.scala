@@ -141,6 +141,20 @@ class OpsLibrarySpec extends SparkSpec {
       .getSeq[org.apache.spark.sql.Row](0)
       .map(x => (x.getLong(0), x.getLong(1)))
     assert(fps == graft.functions.Winnow.selectScalar("abcdefgh", 5, 4, 11))
+    // the rest of the text-kernel family resolves and evaluates in SQL
+    val k = spark.sql(
+      "SELECT size(minhash_sig(array('a','b','c'), 2, 8)) AS m, " +
+      "simhash_words(array('a','b'))[0] AS s0, " +
+      "size(bigram_counts(array('a','b','a','b'))) AS bg, " +
+      "size(hashed_ngram_counts(array('a','b'), 64, 7)) AS hn, " +
+      "size(distinct_shingles(array('a','b','c'), 2)) AS ds, " +
+      "size(positioned_windows(array('a','b','c'), 2)) AS pw, " +
+      "repetition_stats(array('a','b','a','b'), 2, 2).n_lines AS rl")
+      .head()
+    assert(k.getInt(0) == 8 &&
+      k.getLong(1) == graft.functions.SimhashKernel.wordsScalar(Seq("a", "b"))(0) &&
+      k.getInt(2) == 3 && k.getInt(3) == 3 &&
+      k.getInt(4) == 2 && k.getInt(5) == 2 && k.getLong(6) == 2L)
   }
 
   test("ArrayDot matches the composed zip_with form bit-for-bit") {
