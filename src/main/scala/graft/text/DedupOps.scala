@@ -408,10 +408,11 @@ object DedupOps {
   def contamination(corpus: DataFrame, corpusId: String,
       corpusText: String, evalDf: DataFrame, evalId: String,
       evalText: String, k: Int, minShared: Long): DataFrame = {
-    // shingleRows, not the array expression: higher-order transforms
-    // are interpreted per element (the 4x cost documented on
-    // TextOps.tokens), while the posexplode+lead shape stays in
-    // codegen — the same reason ngramJaccardPairs uses it.
+    // shingleRows (the fused DistinctShingles kernel), not an HOF
+    // array expression: higher-order transforms are interpreted per
+    // element — the same reason ngramJaccardPairs uses it. The corpus
+    // shingle stream here is narrow all the way into the broadcast
+    // join.
     val cs = shingleRows(corpus, corpusId, corpusText, k)
       .withColumnRenamed("id", corpusId)
     val es = shingleRows(evalDf, evalId, evalText, k)
