@@ -91,6 +91,14 @@ object SemDedup {
     val centDf = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).cast("long").as("c_id"),
         col(vecCol).cast("array<double>").as("c_vec"))
+    // Eager serialized checkpoint: `members` embeds the fused
+    // nearest-centroid assignment (|C| dot products per row) and
+    // feeds FOUR consumers — both sides of the pair self-join, the
+    // CC node set, and the final labeling — which would otherwise
+    // re-run the quantizer per consumer (the multi-action recompute
+    // class VERDICT_r10 flagged in DSIR). MEMORY_AND_DISK_SER: the
+    // checkpoint carries the embeddings, which step 4's join needs
+    // resident anyway.
     val members = base
       .withColumn("cluster", element_at(
         graft.functions.NearestCentroids.topIds(col("vec"), cIds, cVecs,
@@ -100,6 +108,8 @@ object SemDedup {
       .withColumn("cos_c",
         rcos(p)(col("vec"), col("norm"), col("c_vec"), col("c_norm")))
       .select("id", "vec", "norm", "cluster", "cos_c")
+      .localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val a = members.select(col("cluster"), col("id").as("id_a"),
       col("vec").as("va"), col("norm").as("na"))
     val b = members.select(col("cluster"), col("id").as("id_b"),
