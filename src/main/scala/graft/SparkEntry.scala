@@ -846,10 +846,18 @@ object SparkEntry {
         .select(explode(sequence(col("t0"), col("t1"),
           expr("INTERVAL 1 HOUR"))).as("hour_ts"))
       val base = grid.join(sub, Seq("hour_ts"), "left").groupBy("hour_ts")
-      if (withCount)
-        base.agg(rnd(avg(col("value")), 6).as(vName),
-          count(col("value")).as("n_click"))
-      else base.agg(rnd(avg(col("value")), 6).as(vName))
+      // Order-invariant hourly mean: quantize each value to exact
+      // micro-BIGINTs, sum exactly, divide once. A raw avg() is
+      // summation-order-dependent, and at sf0.1 (~800 values/hour)
+      // the accumulated ulp noise flipped the floor in 8/1440 cells
+      // between Spark and DuckDB (caught by the local sf0.1 gate —
+      // the driver's sf0.01 gate never hit a boundary). The output
+      // differs from rnd(avg) by at most 0.5e-6.
+      val q = floor(col("value") * 1e6 + lit(0.5)).cast("long")
+      val meanQ = (floor(sum(q).cast("double") / count(col("value"))
+        + lit(0.5)) / 1e6).as(vName)
+      if (withCount) base.agg(meanQ, count(col("value")).as("n_click"))
+      else base.agg(meanQ)
     }
     val master = hourly("click", "2024-01-01 00:00:00",
       "2024-01-21 00:00:00", "v_click", withCount = true)
@@ -2707,7 +2715,9 @@ object SparkEntry {
       mgrid AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR))
                   AS hour_ts FROM mspan),
       m AS (SELECT g.hour_ts,
-              floor((avg(h.value)) * 1000000.0 + 0.5) / 1000000.0
+              -- order-invariant mean: exact micro-BIGINT sum, one division
+              floor(sum(floor(h.value * 1000000.0 + 0.5))::DOUBLE
+                  / count(h.value) + 0.5) / 1000000.0
                 AS v_click
             FROM mgrid g LEFT JOIN mh h ON h.hour_ts = g.hour_ts
             GROUP BY g.hour_ts),
@@ -2726,7 +2736,8 @@ object SparkEntry {
       vgrid AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR))
                   AS hour_ts FROM vspan),
       v AS (SELECT g.hour_ts,
-              floor((avg(h.value)) * 1000000.0 + 0.5) / 1000000.0
+              floor(sum(floor(h.value * 1000000.0 + 0.5))::DOUBLE
+                  / count(h.value) + 0.5) / 1000000.0
                 AS v_view
             FROM vgrid g LEFT JOIN vh h ON h.hour_ts = g.hour_ts
             GROUP BY g.hour_ts),
