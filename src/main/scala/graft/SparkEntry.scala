@@ -31,7 +31,19 @@ object SparkEntry {
     * TIMESTAMP_NTZ micros (isAdjustedToUTC=false) since round 11.
     * The loader normalizes every generation to plain TIMESTAMP with
     * unix_micros == the stored int64, so operators and collect-side
-    * code (java.sql.Timestamp) are generation-independent. */
+    * code (java.sql.Timestamp) are generation-independent.
+    *
+    * SESSION CONTRACT (a deliberate, documented side effect): every
+    * `t()` call pins three session confs — UTC zone, nanosAsLong,
+    * inferTimestampNTZ=false — and does NOT restore them, because all
+    * three are read at EXECUTION time (zone by timestamp casts,
+    * the parquet annotations by each task's footer-to-Catalyst
+    * conversion), so a save/restore around the eager schema read
+    * would silently flip semantics when the action later runs.
+    * Queries in this object assume these settings for oracle parity;
+    * run them in a dedicated session (as Verify/Bench do, setting the
+    * same confs at construction) rather than one whose timestamp
+    * semantics other code depends on. */
   private val nanosCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
@@ -1419,13 +1431,15 @@ object SparkEntry {
     * 256-token training blocks, one row per (block, doc) overlap. The
     * oracle re-derives the identical layout with a global-window
     * cumulative sum — tractable in DuckDB at test SF, and exactly the
-    * plan shape the Spark side exists to avoid at scale. */
+    * plan shape the Spark side exists to avoid at scale. Uses the
+    * EAGER variant so repeated bench/verify runs retain no substrate
+    * (retainedSubstrates stays 0 after the result materializes). */
   private def q70(s: SparkSession, dir: String): DataFrame = {
     import graft.text.{PackOps, TextOps}
     val docs = t(s, dir, "documents")
       .select(col("doc_id"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-    PackOps.packBlocks(docs, "doc_id", "n_tokens", 256, "pk")
+    PackOps.packBlocksEager(docs, "doc_id", "n_tokens", 256, "pk")
       .select(col("block_id"), col("doc_id"), col("start_in_block"),
         col("span_tokens"), col("start_off"), col("end_off"))
       .orderBy("block_id", "doc_id")
@@ -3120,9 +3134,11 @@ object SparkEntry {
              WHEN ppl <= c2 THEN 'middle'
              ELSE 'tail' END AS bucket
       FROM outq CROSS JOIN cuts ORDER BY doc_id"""),
-    // Winnowing re-derived: cleaned char stream, 5-gram md5 hashes
-    // ('11:' seed prefix), window-4 rightmost-min selection (the
-    // nested-lambda min/filter/max), DISTINCT after unnest.
+    // Winnowing re-derived: cleaned char stream, 5-gram base-31
+    // polynomial hashes (seed 11, mod 2^31 per step, final
+    // golden-ratio multiplicative mix — exact BIGINT throughout),
+    // window-4 rightmost-min selection (the nested-lambda
+    // min/filter/max), DISTINCT after unnest.
     "q92_winnow_fp" -> """
       WITH s AS (SELECT doc_id,
           regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS cs
@@ -3130,12 +3146,13 @@ object SparkEntry {
       hs AS (SELECT doc_id,
           CASE WHEN len(cs) >= 5 THEN
             list_transform(range(1, len(cs) - 5 + 2), i ->
-              {'h': (((((((((11::BIGINT*31
+              {'h': ((((((((((11::BIGINT*31
                    + ascii(substr(cs, i,   1))) % 2147483648)*31
                    + ascii(substr(cs, i+1, 1))) % 2147483648)*31
                    + ascii(substr(cs, i+2, 1))) % 2147483648)*31
                    + ascii(substr(cs, i+3, 1))) % 2147483648)*31
-                   + ascii(substr(cs, i+4, 1))) % 2147483648,
+                   + ascii(substr(cs, i+4, 1))) % 2147483648)
+                   * 2654435761 % 2147483648,
                'pos': i::BIGINT})
           ELSE [] END AS hv
         FROM s),

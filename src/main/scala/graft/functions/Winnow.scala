@@ -34,14 +34,32 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The hash is the paper's own Karp-Rabin polynomial family: base 31
   * over char codes, accumulator seeded with `seed`, mod 2^31 after
-  * every step (every intermediate < 2^36 — exact BIGINT arithmetic in
-  * any engine, so a SQL oracle re-derives hashes with plain
-  * ascii/mod; no digest function needed). Not a dedup-grade 32-bit
-  * mix — fine for fingerprint sampling, not for content identity.
+  * every step, then one multiplicative FINAL MIX (× 2654435761, the
+  * 32-bit golden-ratio constant, mod 2^31). The mix matters: at the
+  * defaults (k=5, seed=11) the raw polynomial never wraps the 2^31
+  * modulus (max accumulator ≈ 4.3e8), so without it hashes are
+  * MONOTONE in char codes and window-min selection systematically
+  * favors digit-heavy / low-codepoint k-grams — a content-type bias
+  * in fingerprint density. Multiplying by an odd constant mod 2^31
+  * is a bijection that wraps ~600× across the raw range, breaking
+  * the monotonicity while staying exact BIGINT arithmetic in any SQL
+  * engine (intermediates < 2^63; the oracle re-derives hashes with
+  * plain ascii/mod — no digest function needed). Still not a
+  * dedup-grade 32-bit mix — fine for fingerprint sampling, not for
+  * content identity. NOTE: the mix was added in round 12 —
+  * fingerprints persisted by earlier builds use the unmixed family
+  * and do NOT compare against post-r12 fingerprints.
   */
 object Winnow {
 
-  /** Scalar reference implementation (specs + scaladoc contract). */
+  /** Final multiplicative mix (see class doc). Exact for h < 2^31. */
+  @inline private[functions] def mix(h: Long): Long =
+    (h * 2654435761L) % 2147483648L
+
+  /** Scalar reference implementation (specs + scaladoc contract).
+    * Deliberately the naive O(n·w) formulation from the paper — the
+    * kernel's O(n) monotonic-deque selection is property-tested
+    * against this. */
   def selectScalar(cs: String, k: Int, w: Int, seed: Int)
       : Seq[(Long, Long)] = {
     val n = cs.length - k + 1
@@ -50,7 +68,7 @@ object Winnow {
       var h = seed.toLong
       var j = 0
       while (j < k) { h = (h * 31 + cs.charAt(i + j)) % 2147483648L; j += 1 }
-      h
+      mix(h)
     }
     (0 until math.max(n - w + 1, 1)).map { p =>
       val end = math.min(p + w, n)
@@ -72,7 +90,22 @@ object Winnow {
 
 /** See [[Winnow]]. Null-safe unary; empty array when the input is
   * shorter than k (no k-grams — the caller's explode drops the doc,
-  * matching the relational formulation it replaced). */
+  * matching the relational formulation it replaced).
+  *
+  * Input encoding: ASCII inputs take a byte-level fast path (bytes ==
+  * char codes, no UTF8String materialization). Non-ASCII inputs —
+  * possible through the registered `winnow_select` SQL function,
+  * whose callers don't go through [[DedupOps.winnowFingerprints]]'
+  * `[^a-z0-9]` cleaning — fall back to UTF-16 char-code iteration,
+  * matching [[Winnow.selectScalar]] exactly, so SQL results never
+  * silently diverge from the scalar reference.
+  *
+  * Window-min selection is O(n) via a monotonic deque (indices with
+  * strictly increasing hash; pushing pops every back entry with
+  * hash >= new, so the front is always the window's RIGHTMOST min —
+  * an equal-hash earlier entry can never survive in front of a later
+  * one). The scalar reference keeps the paper's naive O(n·w) scan;
+  * [[KernelPropertySpec]] pins bit-parity between the two. */
 case class WinnowSelect(child: Expression, k: Int, w: Int, seed: Int)
     extends UnaryExpression with CodegenFallback {
   require(k >= 1 && w >= 1, s"k=$k w=$w")
@@ -85,33 +118,43 @@ case class WinnowSelect(child: Expression, k: Int, w: Int, seed: Int)
   override def prettyName: String = "winnow_select"
 
   override def nullSafeEval(input: Any): Any = {
-    // Cleaned input is ASCII by contract, so bytes == char codes —
-    // no UTF8String -> String materialization per row.
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    val n = bytes.length - k + 1
+    val u = input.asInstanceOf[UTF8String]
+    val bytes = u.getBytes
+    // ASCII iff byte count == char count (every UTF-8 multi-byte char
+    // inflates bytes past chars).
+    val ascii = u.numChars() == bytes.length
+    val chars = if (ascii) null else u.toString
+    val n = (if (ascii) bytes.length else chars.length) - k + 1
     if (n < 1) return new GenericArrayData(Array.empty[Any])
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) {
       var h = seed.toLong
       var j = 0
-      while (j < k) { h = (h * 31 + (bytes(i + j) & 0xff)) % 2147483648L; j += 1 }
-      hs(i) = h
+      while (j < k) {
+        val c = if (ascii) bytes(i + j) & 0xff else chars.charAt(i + j).toInt
+        h = (h * 31 + c) % 2147483648L
+        j += 1
+      }
+      hs(i) = Winnow.mix(h)
       i += 1
     }
     val nw = math.max(n - w + 1, 1)
     val out = new Array[Any](nw)
+    // Monotonic deque over a ring buffer of k-gram indices.
+    val dq = new Array[Int](n)
+    var head = 0; var tail = 0 // [head, tail): front = current min
+    var q = 0
     var p = 0
     while (p < nw) {
       val end = math.min(p + w, n)
-      var minH = Long.MaxValue
-      var pos = -1
-      var q = p
-      while (q < end) {
-        if (hs(q) <= minH) { minH = hs(q); pos = q } // <=: rightmost tie
+      while (q < end) { // admit new k-grams; >=: rightmost tie wins
+        while (tail > head && hs(dq(tail - 1)) >= hs(q)) tail -= 1
+        dq(tail) = q; tail += 1
         q += 1
       }
-      out(p) = InternalRow(minH, (pos + 1).toLong)
+      while (dq(head) < p) head += 1 // evict out-of-window front
+      out(p) = InternalRow(hs(dq(head)), (dq(head) + 1).toLong)
       p += 1
     }
     new GenericArrayData(out)

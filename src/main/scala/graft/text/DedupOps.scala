@@ -653,9 +653,9 @@ object DedupOps {
     *
     * Returns the DISTINCT (idCol, h, pos) fingerprint rows (1-based
     * k-gram positions; [[graft.functions.Winnow]] base-31 Karp-Rabin
-    * hashes — the paper's own family, engine-portable through plain
-    * ascii/mod arithmetic so the oracle re-derives them without a
-    * digest). Narrow until the final distinct — winnowing itself
+    * hashes with a final multiplicative mix — the paper's own family,
+    * engine-portable through plain ascii/mod arithmetic so the oracle
+    * re-derives them without a digest). Narrow until the final distinct — winnowing itself
     * rides the scan as ONE fused Catalyst expression; join
     * fingerprints with the q28/q41 machinery for dedup.
     *

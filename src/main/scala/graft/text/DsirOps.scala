@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Data Selection via Importance Resampling — DSIR (Xie et al. 2023,
   * arXiv:2302.03169): pick the corpus subset that looks most like a
@@ -70,18 +71,33 @@ object DsirOps {
 
   /** Importance weights of every `corpus` doc against `target`:
     * (idCol, n_feat, logw_micro). Smoothed bucket distributions are
-    * fit on target (p̂) and on the corpus itself (q̂). */
+    * fit on target (p̂) and on the corpus itself (q̂).
+    *
+    * `reuseCounts=false` skips the corpus-sized checkpoint and
+    * recomputes featurization per consumer (3×) — the right trade
+    * when the (id, bucket, n) frame would dwarf cluster storage.
+    * Checkpoint caveats at scale: storage is serialized
+    * MEMORY_AND_DISK_SER (the deserialized default pins ~3-4× the
+    * footprint), and `localCheckpoint` truncates lineage — executor
+    * loss makes the job unrecoverable; on a preemptible cluster
+    * prefer `reuseCounts=false` or reliable `checkpoint()` against
+    * the checkpoint dir. */
   def importanceWeights(corpus: DataFrame, target: DataFrame,
       idCol: String, textCol: String, buckets: Int = 1024,
-      seed: Int = 7): DataFrame = {
+      seed: Int = 7, reuseCounts: Boolean = true): DataFrame = {
     require(buckets > 0, s"buckets=$buckets")
     // corpusCounts feeds the q̂-total action, the λ table, AND the
     // per-doc weight join — localCheckpoint (eager) so featurization
     // runs once, not once per action. The checkpoint holds only
     // (id, bucket, n) — ≤ B buckets per doc, never the text (the
     // same contract as LmOps.perplexityBuckets' scoring frame).
-    val corpusCounts = hashedNgramCounts(corpus, idCol, textCol,
-      buckets, seed).localCheckpoint(true)
+    val rawCounts = hashedNgramCounts(corpus, idCol, textCol,
+      buckets, seed)
+    val corpusCounts =
+      if (reuseCounts)
+        rawCounts.localCheckpoint(eager = true,
+          StorageLevel.MEMORY_AND_DISK_SER)
+      else rawCounts
 
     // ≤ B rows by construction — eager checkpoint makes the total
     // action free and lets the λ join read the same materialization
@@ -89,7 +105,7 @@ object DsirOps {
     // re-featurize for each consumer).
     def dist(counts: DataFrame): (DataFrame, Long) = {
       val byBucket = counts.groupBy("bucket").agg(sum("n").as("c"))
-        .localCheckpoint(true)
+        .localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
       val total = byBucket.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
       (byBucket, total)
     }
@@ -142,7 +158,7 @@ object DsirOps {
       .withColumn("g_micro",
         floor(-log(-log(u)) * MicroScale + 0.5).cast("long"))
       .withColumn("key_micro", col("logw_micro") + col("g_micro"))
-      .localCheckpoint(true)
+      .localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
 
     // k-th threshold under (key DESC, id ASC): a parameter-bounded
     // driver merge (TakeOrderedAndProject), never a global sort.

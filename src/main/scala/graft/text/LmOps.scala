@@ -169,7 +169,8 @@ object LmOps {
       idCol: String, textCol: String, sampleSize: Int = 400,
       lambda: Double = 0.75, salt: String = "qs"): DataFrame = {
     val ppl = perplexity(corpus, ref, idCol, textCol, lambda)
-      .localCheckpoint(true)
+      .localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val cuts = SampleOps.sampleRankCuts(ppl, "ppl", idCol,
       Seq(1.0 / 3, 2.0 / 3), sampleSize, salt)
     ppl.withColumn("bucket",

@@ -197,7 +197,7 @@ object PackOps {
           array_sort(collect_list(
             struct(col("start_in_block").as("o"), col("__slice").as("s")))),
           x => x.getField("s"))))).as("content_md5"))
-      .localCheckpoint(true)
+      .localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
     sub.unpersist(blocking = false)
     out
   }
@@ -218,6 +218,24 @@ object PackOps {
     require(blockTokens > 0, "blockTokens must be positive")
     blockSpans(packOffsets(df, idCol, tokenCol, salt),
       tokenCol, blockTokens)
+  }
+
+  /** [[packBlocks]] with the [[packedBlocks]] retention contract:
+    * the span table (one narrow row per (block, doc) overlap — input
+    * columns + 5 longs, NEVER token content) is eagerly materialized
+    * (serialized local checkpoint) and the range-shuffled substrate
+    * unpersisted before returning. Retains nothing — the right
+    * variant for long-lived sessions and benches; the lazy
+    * [[packBlocks]] remains for pipelines that compose further
+    * narrow work before materializing. */
+  def packBlocksEager(df: DataFrame, idCol: String, tokenCol: String,
+      blockTokens: Int, salt: String): DataFrame = {
+    require(blockTokens > 0, "blockTokens must be positive")
+    val (withOff, sub) = packOffsetsRetaining(df, idCol, tokenCol, salt)
+    val out = blockSpans(withOff, tokenCol, blockTokens)
+      .localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
+    sub.unpersist(blocking = false)
+    out
   }
 
   /** Span explosion of a pack-offsets frame (shared by the lazy

@@ -143,6 +143,43 @@ class StreamingStatusSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 3) // byte re-send: nothing
   }
 
+  test("streaming dedup drains identically on the RocksDB state store") {
+    import graft.streaming.IncrementalDedup
+    // Same cross-run scenario as above, state backend = RocksDB (the
+    // 100 TB-scale provider — see IncrementalDedup's state-size
+    // arithmetic). Cross-run suppression must be byte-identical.
+    val in = Files.createTempDirectory("ddr_in").toString
+    val out = Files.createTempDirectory("ddr_out").toString
+    val ckpt = Files.createTempDirectory("ddr_ckpt").toString
+    val b1 = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((10L, "alpha beta"), (11L, "epsilon zeta"))
+      .toDF("doc_id", "text")
+    val schema = b1.schema
+    val rocks = Some(IncrementalDedup.RocksDbProvider)
+    b1.write.mode("append").parquet(in)
+    IncrementalDedup.dedupRun(spark, in, out, ckpt, schema, rocks)
+    b2.write.mode("append").parquet(in)
+    IncrementalDedup.dedupRun(spark, in, out, ckpt, schema, rocks)
+    b2.write.mode("append").parquet(in)
+    IncrementalDedup.dedupRun(spark, in, out, ckpt, schema, rocks)
+    val r = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(r.values.toSet == Set(1L, 2L, 11L))
+    // The provider choice is pinned in the checkpoint's offset-log
+    // metadata (first-start capture) — prove RocksDB actually ran.
+    val off = java.nio.file.Paths.get(ckpt, "offsets", "0")
+    assert(new String(Files.readAllBytes(off), "UTF-8")
+      .contains("RocksDBStateStoreProvider"))
+    // And the save/restore contract held: the session is NOT left on
+    // RocksDB. (getOption surfaces the conf's DEFAULT — the HDFS
+    // provider — even when never set, so "not RocksDB" is the
+    // observable restore contract.)
+    assert(spark.conf
+      .get("spark.sql.streaming.stateStore.providerClass")
+      != IncrementalDedup.RocksDbProvider)
+  }
+
   test("K7/K8 status sinks render geojson and JSON array") {
     val df = Seq(
       ("SiteA", -34.0, 140.5, 0.4, "ok"),

@@ -429,6 +429,7 @@ class TextOpsSpec extends SparkSpec {
     if (cs.length < k) return Set.empty
     def h32(s: String): Long =
       s.foldLeft(seed.toLong)((acc, c) => (acc * 31 + c.toInt) % 2147483648L)
+        .*(2654435761L) % 2147483648L // final golden-ratio mix
     val hv = (0 to cs.length - k).map(i => (h32(cs.substring(i, i + k)),
       (i + 1).toLong))
     (0 until math.max(hv.length - w + 1, 1)).map { p =>
