@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -57,7 +56,7 @@ object HashedNgrams {
   * occurrence-stream variant still paid a groupBy exchange to merge
   * the map-side partials). First-occurrence bucket order. */
 case class HashedNgramCountsExpr(child: Expression, buckets: Int, seed: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
   require(buckets > 0, s"buckets=$buckets")
 
   override def dataType: DataType = ArrayType(

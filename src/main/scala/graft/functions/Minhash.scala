@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -88,6 +87,43 @@ object MinhashKernel {
     shingles
   }
 
+  /** Full signature evaluation (shared by interpreted eval and the
+    * generated code's static invoke — a top-level object method gets
+    * a static forwarder, callable from codegen'd Java). Null for a
+    * tokenless doc. */
+  def evalSig(input: ArrayData, k: Int, n: Int): ArrayData = {
+    val toks = toStringArray(input)
+    if (toks.length == 0) return null
+    val shingles = shingleSet(toks, k)
+    val groups = (n + 3) / 4
+    val mins = Array.fill(n)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val it = shingles.iterator()
+    while (it.hasNext) {
+      val sh = it.next()
+      val shBytes = sh.getBytes("UTF-8")
+      var g = 0
+      while (g < groups) {
+        md.reset()
+        md.update((g.toString + ":").getBytes("UTF-8"))
+        val d = md.digest(shBytes)
+        var lane = 0
+        while (lane < 4) {
+          val seed = g * 4 + lane
+          if (seed < n) {
+            val o = 4 * lane
+            val h = ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+              ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+            if (h < mins(seed)) mins(seed) = h
+          }
+          lane += 1
+        }
+        g += 1
+      }
+    }
+    new GenericArrayData(mins.map(x => x: Any))
+  }
+
   private[functions] def toStringArray(arr: ArrayData): Array[String] = {
     val n = arr.numElements()
     val toks = new Array[String](n)
@@ -110,7 +146,7 @@ object MinhashKernel {
   * `w` string with whatever keying the caller needs (xxhash64 /
   * md5) as a codegen'd column downstream. */
 case class PositionedWindows(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
   require(k >= 1, s"k=$k")
 
   override def dataType: DataType = ArrayType(
@@ -151,7 +187,7 @@ case class PositionedWindows(child: Expression, k: Int)
   * shuffles the `lead`-based construction paid (a per-doc pure
   * function never needs an exchange). See [[MinhashKernel]]. */
 case class DistinctShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
   require(k >= 1, s"k=$k")
 
   override def dataType: DataType =
@@ -176,9 +212,23 @@ case class DistinctShingles(child: Expression, k: Int)
 }
 
 /** See [[MinhashKernel]]. Output: array<bigint> length n, or null for
-  * a tokenless doc. */
+  * a tokenless doc.
+  *
+  * Unlike its CodegenFallback siblings, this kernel implements
+  * `doGenCode` — a one-line static invoke of
+  * [[MinhashKernel.evalSig]] (a Scala object's static forwarder, so
+  * the generated Java calls it directly). The kernel work itself is
+  * identical either way (one boxed ArrayData in/out per ROW,
+  * amortized over the per-doc md5 loop); what the static invoke buys
+  * is the ENCLOSING stage: CodegenFallback forces the whole stage
+  * out of WholeStageCodegen, interpreting every surrounding
+  * expression (tokenizer regexps, band-key md5/concat_ws), while
+  * this keeps the stage fused. Measured at factor 100 (probe
+  * `MinhashCodegenProbe`, BENCH_NOTES round 12) and adopted as the
+  * precedent for hot kernels; the fallback siblings sit in stages
+  * whose surrounding work is trivial by comparison. */
 case class MinhashSig(child: Expression, k: Int, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k >= 1 && n >= 1, s"k=$k n=$n")
 
   override def dataType: DataType =
@@ -186,39 +236,17 @@ case class MinhashSig(child: Expression, k: Int, n: Int)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
 
-  private val groups = (n + 3) / 4
+  override def nullSafeEval(input: Any): Any =
+    MinhashKernel.evalSig(input.asInstanceOf[ArrayData], k, n)
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = MinhashKernel.toStringArray(input.asInstanceOf[ArrayData])
-    if (toks.length == 0) return null
-    val shingles = MinhashKernel.shingleSet(toks, k)
-    val mins = Array.fill(n)(Long.MaxValue)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val it = shingles.iterator()
-    while (it.hasNext) {
-      val sh = it.next()
-      val shBytes = sh.getBytes("UTF-8")
-      var g = 0
-      while (g < groups) {
-        md.reset()
-        md.update((g.toString + ":").getBytes("UTF-8"))
-        val d = md.digest(shBytes)
-        var lane = 0
-        while (lane < 4) {
-          val seed = g * 4 + lane
-          if (seed < n) {
-            val o = 4 * lane
-            val h = ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
-              ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
-            if (h < mins(seed)) mins(seed) = h
-          }
-          lane += 1
-        }
-        g += 1
-      }
-    }
-    new GenericArrayData(mins.map(x => x: Any))
-  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinhashKernel.evalSig($c, $k, $n);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
 
   override protected def withNewChildInternal(newChild: Expression)
       : MinhashSig = copy(child = newChild)

@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -41,7 +40,7 @@ object RepetitionKernel {
 
 /** See [[RepetitionKernel]]. */
 case class RepetitionStatsExpr(child: Expression, lineWidth: Int,
-    ns: Seq[Int]) extends UnaryExpression with CodegenFallback {
+    ns: Seq[Int]) extends UnaryExpression with KernelCodegen {
   require(lineWidth > 0, "lineWidth must be positive")
   require(ns.nonEmpty && ns.forall(_ > 0), s"ns=$ns")
 

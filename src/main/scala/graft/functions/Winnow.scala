@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -29,8 +28,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * of the build brief — a custom Catalyst expression where built-in
   * operators can't express the semantics efficiently — the same
   * pattern as [[Fp2Decode]] and the sim-kernel expressions.
-  * CodegenFallback costs one boxed call per ROW, amortized across the
-  * whole per-doc loop (unlike per-element lambda interpretation).
+  * The [[KernelCodegen]] invoke costs one boxed call per ROW,
+  * amortized across the whole per-doc loop (unlike per-element
+  * lambda interpretation), and keeps the enclosing stage in
+  * WholeStageCodegen.
   *
   * The hash is the paper's own Karp-Rabin polynomial family: base 31
   * over char codes, accumulator seeded with `seed`, mod 2^31 after
@@ -107,7 +108,7 @@ object Winnow {
   * one). The scalar reference keeps the paper's naive O(n·w) scan;
   * [[KernelPropertySpec]] pins bit-parity between the two. */
 case class WinnowSelect(child: Expression, k: Int, w: Int, seed: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
   require(k >= 1 && w >= 1, s"k=$k w=$w")
 
   override def dataType: DataType = ArrayType(

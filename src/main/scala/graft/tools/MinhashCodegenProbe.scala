@@ -61,14 +61,18 @@ object MinhashCodegenProbe {
           sum(crc32(col("key"))).as("chk"))
     }
 
-    val plan = chain.queryExecution.executedPlan.toString
-    val wscg = "\\*\\(\\d+\\)".r.findAllIn(plan).length
-    val kernelFused = plan.linesIterator
-      .exists(l => l.contains("minhash_sig") && l.trim.startsWith("*"))
     (1 to reps).foreach { i =>
+      val c = chain
       val t0 = System.nanoTime()
-      val row = chain.collect()(0)
+      val row = c.collect()(0)
       val sec = (System.nanoTime() - t0) / 1e9
+      // Inspect AFTER execution: under AQE the pre-execution plan
+      // string shows query stages before codegen insertion, so WSCG
+      // spans are only visible in the final executed plan.
+      val plan = c.queryExecution.executedPlan.toString
+      val wscg = "\\*\\(\\d+\\)".r.findAllIn(plan).length
+      val kernelFused = plan.linesIterator
+        .exists(l => l.contains("minhash_sig") && l.contains("*("))
       println(f"""{"probe":"minhash_sig_chain","factor":$factor,""" +
         f""""rep":$i,"sec":$sec%.2f,"rows":${row.getLong(0)},""" +
         f""""chk":${row.getLong(1)},"wscg_spans":$wscg,""" +
