@@ -152,8 +152,11 @@ object L1ScaleSmoke {
         val masked = L1Pipeline.maskPlausible(converted)
         val out = L1Pipeline.withQcFlags(masked.df, "hour_ts")
           .withColumn("year", L1Pipeline.labelYear(col("hour_ts"), step))
-        val exch = "(?i)exchange".r
-          .findAllIn(out.queryExecution.executedPlan.toString).length
+        val planStr = out.queryExecution.executedPlan.toString
+        val exch = "(?i)exchange".r.findAllIn(planStr).length
+        if (sys.env.contains("L1SMOKE_PLAN"))
+          planStr.linesIterator.filter(_.toLowerCase.contains("exchange"))
+            .foreach(l => println(s"[plan f$f] ${l.trim.take(120)}"))
         (out, exch)
       }
 

@@ -427,6 +427,59 @@ class OpsLibrarySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
 
+  test("text-kernel family: codegen == interpreted over SQL; literal params") {
+    // The KernelCodegen doGenCode paths (round 12) reintroduce the
+    // silent-fallback bug class the CODEGEN_ONLY pin exists for: a
+    // generated-code bug quietly downgrades to interpreted eval under
+    // the default FALLBACK factory. Run the SAME SQL over every
+    // kernel twice — fully codegen'd (CODEGEN_ONLY + WSCG) and fully
+    // interpreted (NO_CODEGEN + WSCG off) — and require identical
+    // results. Inputs exercise the interesting edges: non-ASCII
+    // winnow input (UTF-16 fallback path), repeated tokens, a
+    // tokenless doc (minhash_sig's null contract).
+    val sql = """SELECT
+        winnow_select('abcdefghij', 5, 4, 11) AS w_ascii,
+        winnow_select('café résumé 99x', 3, 2, 11) AS w_utf,
+        minhash_sig(array('a','b','c','a','b'), 2, 8) AS mh,
+        minhash_sig(array(), 2, 8) AS mh_null,
+        simhash_words(array('x','y','z','x')) AS sh,
+        bigram_counts(array('a','b','a','b')) AS bg,
+        hashed_ngram_counts(array('a','b','a'), 64, 7) AS hn,
+        distinct_shingles(array('a','b','c','a','b'), 2) AS ds,
+        positioned_windows(array('a','b','c'), 2) AS pw,
+        repetition_stats(array('a','b','a','b','c','d'), 2, 2, 3) AS rs"""
+    def run(): org.apache.spark.sql.Row = spark.sql(sql).head()
+    val wscg = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val gen = try run()
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = try run() finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", wscg)
+    }
+    assert(gen == interp, s"codegen/interpreted divergence:\n$gen\n$interp")
+    assert(gen.isNullAt(3)) // tokenless doc -> null signature
+    // And spot-pin SQL against the scalar references (not just
+    // self-consistency): winnow ASCII + non-ASCII, simhash word 0.
+    def fps(i: Int) = gen.getSeq[org.apache.spark.sql.Row](i)
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(fps(0) == graft.functions.Winnow.selectScalar("abcdefghij", 5, 4, 11))
+    assert(fps(1) ==
+      graft.functions.Winnow.selectScalar("café résumé 99x", 3, 2, 11))
+    assert(gen.getSeq[Long](4) ==
+      graft.functions.SimhashKernel.wordsScalar(Seq("x", "y", "z", "x")))
+    // Literal-parameter contract: a column where a kernel parameter
+    // belongs must be rejected at planning, not computed per row.
+    val err = intercept[Exception] {
+      spark.sql("SELECT winnow_select('abc', id, 4, 11) " +
+        "FROM range(3)").collect()
+    }
+    assert(err.getMessage.contains("must be a literal"),
+      s"unexpected error: ${err.getMessage}")
+  }
+
   test("cosineNearDupPairs candidate volume stays linear at defaults") {
     import graft.sim.Similarity
     val dim = 64
