@@ -49,6 +49,25 @@ class PackQualityScrubSpec extends SparkSpec {
     assert(PackOps.retainedSubstrates == 0)
   }
 
+  test("packBlocksEager: rows == lazy variant, retains nothing") {
+    PackOps.releaseSubstrates()
+    assert(PackOps.retainedSubstrates == 0)
+    val docs = (0L until 60L).map(i => (i, 1L + i % 7)).toDF("id", "tok")
+    val eager = PackOps.packBlocksEager(docs, "id", "tok", 16, "se")
+    // the q70 contract (VERDICT_r11 #6): nothing retained after the
+    // call returns — the span table is already materialized
+    assert(PackOps.retainedSubstrates == 0)
+    val lazyRows = PackOps.packBlocks(docs, "id", "tok", 16, "se")
+      .collect().map(_.toString).sorted
+    PackOps.releaseSubstrates()
+    assert(eager.collect().map(_.toString).sorted.toSeq
+      == lazyRows.toSeq)
+    // and the eager result survives a cache purge (it is a
+    // checkpoint, not a view over the released substrate)
+    spark.catalog.clearCache()
+    assert(eager.count() == lazyRows.length)
+  }
+
   test("packBlocks: block spans partition each doc; boundaries split") {
     val docs = Seq((1L, 10L), (2L, 300L), (3L, 5L)).toDF("id", "tok")
     val blocks = PackOps.packBlocks(docs, "id", "tok", 256, "s2").collect()
