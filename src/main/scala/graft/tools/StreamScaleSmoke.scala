@@ -1,0 +1,96 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Factor smoke for cross-batch streaming exact dedup
+  * ([[graft.streaming.IncrementalDedup]]) under BOTH state-store
+  * providers: amplify the sf0.1 `documents` table (the ScaleSmoke
+  * fused-marker protocol, so cross-copy texts never collide), split
+  * it into three drains (run 1 = 60% of ids, run 2 = the rest +
+  * re-sent duplicates of run 1's texts, run 3 = byte-identical
+  * re-send of run 2's files), and drain the sequence once per
+  * provider with separate checkpoints. Reports per-run drain wall,
+  * survivor counts, and the on-disk state-store footprint under the
+  * checkpoint — the number that decides HDFS-on-heap vs RocksDB at
+  * corpus scale (the scaladoc arithmetic: ~100 B/key ⇒ 2.5 TB of
+  * state for 100 TB of docs; this smoke validates the per-key cost
+  * constant at 6-digit key counts).
+  *
+  * Expectation: identical survivor sets under both providers (the
+  * provider changes WHERE state lives, never the dataflow), drain
+  * wall dominated by the per-micro-batch fingerprint shuffle, and
+  * state footprint linear in distinct fingerprints.
+  *
+  * Usage: `runMain graft.tools.StreamScaleSmoke [sfDir] [factor]`
+  * (defaults `/root/testdata/sf0.1`, 20).
+  */
+object StreamScaleSmoke {
+
+  private def dirSize(p: java.nio.file.Path): Long = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.exists(p)) return 0L
+    java.nio.file.Files.walk(p).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(f => java.nio.file.Files.size(f)).sum
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.streaming.IncrementalDedup
+
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_streamsmoke_$factor")
+    org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+      .select((col("doc_id") * factor + col("copy")).as("doc_id"),
+        expr("regexp_replace(regexp_replace(lower(text), " +
+          "'[^a-z0-9]+', ' '), '([a-z0-9]+)', '$1q' || copy)")
+          .as("text"))
+      .localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val total = docs.count()
+    val cut = total * 3 / 5
+
+    Seq("hdfs" -> None,
+        "rocksdb" -> Some(IncrementalDedup.RocksDbProvider))
+      .foreach { case (label, provider) =>
+      val in = s"$root/$label/in"; val out = s"$root/$label/out"
+      val ckpt = s"$root/$label/ckpt"
+      def drain(run: Int): Double = {
+        val t0 = System.nanoTime()
+        IncrementalDedup.dedupRun(spark, in, out, ckpt,
+          spark.read.parquet(in).schema, provider)
+        (System.nanoTime() - t0) / 1e9
+      }
+      docs.filter(col("doc_id") < cut).write.parquet(in)
+      val t1 = drain(1)
+      // run 2: the remaining ids PLUS re-sent duplicates of 10% of
+      // run 1's texts under fresh ids — cross-run suppression work
+      docs.filter(col("doc_id") >= cut).write.mode("append").parquet(in)
+      docs.filter(col("doc_id") < cut / 10)
+        .select((col("doc_id") + total * 10).as("doc_id"), col("text"))
+        .write.mode("append").parquet(in)
+      val t2 = drain(2)
+      val t3 = drain(3) // nothing new: pure state-probe cost
+      val survivors = spark.read.parquet(out).count()
+      val stateMb = dirSize(java.nio.file.Paths.get(ckpt, "state")) >> 20
+      println(f"""{"provider":"$label","factor":$factor,""" +
+        f""""docs":$total,"survivors":$survivors,""" +
+        f""""drain1_sec":$t1%.1f,"drain2_sec":$t2%.1f,""" +
+        f""""drain3_sec":$t3%.1f,"state_mb":$stateMb}""")
+    }
+    spark.stop()
+  }
+}
