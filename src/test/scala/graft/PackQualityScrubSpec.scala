@@ -390,6 +390,22 @@ class PackQualityScrubSpec extends SparkSpec {
     assert(out.filter(_._2._3).keys.count(_ % 3 == 0) >= 7)
   }
 
+  test("importanceWeights: reuseCounts=false matches the checkpointed path") {
+    // The storage-constrained opt-out (ADVICE_r11 #4) recomputes
+    // featurization per consumer instead of checkpointing the
+    // corpus-sized counts frame — values must be identical.
+    val docs = (0L until 30L).map(i =>
+      i -> s"alpha tok${i % 5} beta tok${i % 3} gamma")
+    val df = docs.toDF("doc_id", "text")
+    val tgt = df.filter(col("doc_id") % 4 === 0)
+    def run(reuse: Boolean) = graft.text.DsirOps.importanceWeights(
+        df, tgt, "doc_id", "text", buckets = 32, seed = 7,
+        reuseCounts = reuse)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_feat"), r.getAs[Long]("logw_micro"))).toMap
+    assert(run(reuse = true) == run(reuse = false))
+  }
+
   test("dsirSelect is partition-layout invariant; k > corpus selects all") {
     val docs = (0L until 20L).map(i => i -> s"tok$i alpha beta tok${i % 4}")
     val df = docs.toDF("doc_id", "text")
