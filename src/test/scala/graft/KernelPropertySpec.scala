@@ -161,6 +161,31 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(holds(pShare, 100))
   }
 
+  test("WinnowSelect deque == naive scalar over random (k, w); unicode") {
+    // The r12 monotonic-deque selection and the UTF-16 non-ASCII
+    // fallback are only exercised at (k=5, w=4, ASCII) above — sweep
+    // the parameter space (w up to 32, far beyond the oracle
+    // setting) and a codepoint alphabet spanning ASCII, Latin-1,
+    // CJK, and a surrogate-pair emoji (UTF-16 code-unit iteration is
+    // the contract, matching selectScalar's charAt exactly).
+    val genKW = for {
+      k <- Gen.choose(1, 8); w <- Gen.choose(1, 32)
+    } yield (k, w)
+    val genUni = Gen.choose(0, 48).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf(Gen.alphaLowerChar.map(_.toString), Gen.numChar.map(_.toString),
+        Gen.oneOf("é", "ß", "中", "語", "😀"))).map(_.mkString))
+    val p = Prop.forAll(genUni, genKW) { case (cs, (k, w)) =>
+      val res = WinnowSelect(null, k, w, 11)
+        .nullSafeEval(UTF8String.fromString(cs))
+      val a = res.asInstanceOf[ArrayData]
+      val got = (0 until a.numElements()).map { i =>
+        val r = a.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+      }
+      got == Winnow.selectScalar(cs, k, w, 11)
+    }
+    assert(holds(p, 400))
+  }
+
   // --------------------------------------------------------- repetition
 
   test("RepetitionStatsExpr == brute line/gram re-derivation") {
