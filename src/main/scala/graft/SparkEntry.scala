@@ -1900,6 +1900,35 @@ object SparkEntry {
       .fuzzyDedupDocs(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Streaming cross-batch NEAR-dedup (MinHash/LSH buckets in the
+    * state store): q86's drive shape — drain the low-id half, append
+    * the high-id half and drain, re-send it byte-identical and drain
+    * (appends nothing) — over q29's banding (k=3, 4 bands x 2 rows).
+    * Ids are fed in nondecreasing batches, so the drained survivor
+    * set equals the global batch semantics the oracle states: docs
+    * sharing no band key with any lower-id doc. */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.IncrementalNearDup
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_q95")
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    }
+    val inDir = s"$root/in"; val outDir = s"$root/survivors"
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val cut = 250L
+    docs.filter(col("doc_id") < cut).write.parquet(inDir)
+    val schema = s.read.parquet(inDir).schema
+    IncrementalNearDup.nearDedupRun(s, inDir, outDir, s"$root/ckpt", schema)
+    docs.filter(col("doc_id") >= cut).write.mode("append").parquet(inDir)
+    IncrementalNearDup.nearDedupRun(s, inDir, outDir, s"$root/ckpt", schema)
+    docs.filter(col("doc_id") >= cut).write.mode("append").parquet(inDir)
+    IncrementalNearDup.nearDedupRun(s, inDir, outDir, s"$root/ckpt", schema)
+    s.read.parquet(outDir).orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -1908,7 +1937,8 @@ object SparkEntry {
     * operator under test. They still run in Verify's correctness
     * gate. */
   val benchExclude: Set[String] =
-    Set("q56_streaming_append", "q67_stateful_gaps", "q86_streaming_dedup")
+    Set("q56_streaming_append", "q67_stateful_gaps", "q86_streaming_dedup",
+      "q95_streaming_near_dedup")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2006,6 +2036,7 @@ object SparkEntry {
     "q92_winnow_fp"        -> (q92 _),
     "q93_line_dedup"       -> (q93 _),
     "q94_fuzzy_dedup"      -> (q94 _),
+    "q95_streaming_near_dedup" -> (q95 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -2618,6 +2649,23 @@ object SparkEntry {
       SELECT id AS doc_id, min(r) AS component,
              (id = min(r)) AS keep
       FROM reach GROUP BY id ORDER BY doc_id"""),
+    // Global restatement of q95's drained stream: q29's banding,
+    // survivor = doc sharing no band key with any lower-id doc
+    // (ids are fed to the stream in nondecreasing batches, so
+    // first-ingested-wins == smallest-id-wins).
+    "q95_streaming_near_dedup" -> (shingleCte + """,
+      mins AS (SELECT doc_id, j,
+          min(('0x' || substr(md5((j // 4)::VARCHAR || ':' || shingle),
+            1 + 8 * (j % 4), 8))::BIGINT) AS h
+        FROM sh CROSS JOIN range(0, 8) t(j) GROUP BY doc_id, j),
+      bands AS (SELECT doc_id, j // 2 AS band,
+          md5(string_agg(h::VARCHAR, ',' ORDER BY j)) AS key
+        FROM mins GROUP BY doc_id, j // 2),
+      matched AS (SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+      SELECT DISTINCT doc_id FROM bands
+      WHERE doc_id NOT IN (SELECT doc_id FROM matched)
+      ORDER BY doc_id"""),
     "q33_lsh_ann" -> lshAnnOracle,
     "q42_embed_neardup" -> neardupOracle(4, 4, 0.35),
     "q51_neardup_scaled" -> neardupOracle(8, 16, 0.35),

@@ -180,6 +180,98 @@ class StreamingStatusSpec extends SparkSpec {
       != IncrementalDedup.RocksDbProvider)
   }
 
+  test("streaming near-dedup transitions: bucket claim and doc emit") {
+    import graft.streaming.{BandFlag, BandHit, IncrementalNearDup, Survivor}
+    import org.apache.spark.sql.streaming.TestGroupState
+
+    def longState(v: Option[Long]) = TestGroupState.create[Long](
+      optionalState = v.fold(
+        org.apache.spark.api.java.Optional.empty[Long]())(
+        x => org.apache.spark.api.java.Optional.of(x)),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+
+    // fresh bucket: smallest batch id wins, higher ids matched
+    val st = longState(None)
+    val flags = IncrementalNearDup.bucketClaim("0:k",
+      Iterator(BandHit("0:k", 9L), BandHit("0:k", 4L), BandHit("0:k", 7L)),
+      st).toSeq
+    assert(flags.toSet ==
+      Set(BandFlag(9L, true), BandFlag(4L, false), BandFlag(7L, true)))
+    assert(st.get == 4L)
+    // occupied bucket: state min out-ranks the whole batch; a
+    // byte-identical re-send of the winner is NOT matched (it IS
+    // the min — the doc-emit marker suppresses the re-emit instead)
+    val again = IncrementalNearDup.bucketClaim("0:k",
+      Iterator(BandHit("0:k", 4L), BandHit("0:k", 12L)), st).toSeq
+    assert(again.toSet == Set(BandFlag(4L, false), BandFlag(12L, true)))
+    assert(st.get == 4L)
+
+    def boolState = TestGroupState.create[Boolean](
+      optionalState = org.apache.spark.api.java.Optional.empty[Boolean](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    // all buckets clean -> emit once, marker set; re-send suppressed
+    val es = boolState
+    assert(IncrementalNearDup.docEmit(4L,
+      Iterator(BandFlag(4L, false), BandFlag(4L, false)), es).toSeq ==
+      Seq(Survivor(4L)))
+    assert(es.get)
+    assert(IncrementalNearDup.docEmit(4L,
+      Iterator(BandFlag(4L, false)), es).isEmpty)
+    // any matched bucket -> dropped, no marker needed
+    val ds = boolState
+    assert(IncrementalNearDup.docEmit(9L,
+      Iterator(BandFlag(9L, false), BandFlag(9L, true)), ds).isEmpty)
+    assert(!ds.exists)
+  }
+
+  test("streaming near-dedup equals global batch LSH semantics across runs") {
+    import graft.streaming.IncrementalNearDup
+    // Low-id batch first, then the high-id batch, then a
+    // byte-identical re-send (appends nothing) — the q95 drive.
+    // Survivor set must equal the batch restatement: docs sharing
+    // no band key with any lower-id doc.
+    val in = Files.createTempDirectory("nd_in").toString
+    val out = Files.createTempDirectory("nd_out").toString
+    val ckpt = Files.createTempDirectory("nd_ckpt").toString
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "entirely different words about streaming state stores"),
+      (3L, "the quick brown fox jumps over the lazy dog today")) // dup of 1
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // dup of 1
+      (11L, "fresh unrelated content with zero shared shingles here"),
+      (12L, "entirely different words about streaming state stores")) // dup of 2
+      .toDF("doc_id", "text")
+    val schema = b1.schema
+    b1.write.mode("append").parquet(in)
+    IncrementalNearDup.nearDedupRun(spark, in, out, ckpt, schema)
+    b2.write.mode("append").parquet(in)
+    IncrementalNearDup.nearDedupRun(spark, in, out, ckpt, schema)
+    b2.write.mode("append").parquet(in)
+    IncrementalNearDup.nearDedupRun(spark, in, out, ckpt, schema)
+    val streamed = spark.read.parquet(out)
+      .collect().map(_.getLong(0)).toSet
+
+    // batch restatement over the SAME banding: survivors = banded
+    // docs never appearing as the higher id of a candidate pair
+    val all = b1.union(b2).dropDuplicates("doc_id")
+    val matched = graft.text.DedupOps
+      .minhashCandidatePairs(all, "doc_id", "text", 3, 4, 2)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    val banded = IncrementalNearDup
+      .bandHits(all, "doc_id", "text", 3, 4, 2)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(streamed == banded -- matched)
+    assert(streamed == Set(1L, 2L, 11L))
+  }
+
   test("K7/K8 status sinks render geojson and JSON array") {
     val df = Seq(
       ("SiteA", -34.0, 140.5, 0.4, "ok"),
