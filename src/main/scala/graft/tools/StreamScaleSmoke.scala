@@ -86,7 +86,41 @@ object StreamScaleSmoke {
       val t3 = drain(3) // nothing new: pure state-probe cost
       val survivors = spark.read.parquet(out).count()
       val stateMb = dirSize(java.nio.file.Paths.get(ckpt, "state")) >> 20
-      println(f"""{"provider":"$label","factor":$factor,""" +
+      println(f"""{"op":"exact","provider":"$label","factor":$factor,""" +
+        f""""docs":$total,"survivors":$survivors,""" +
+        f""""drain1_sec":$t1%.1f,"drain2_sec":$t2%.1f,""" +
+        f""""drain3_sec":$t3%.1f,"state_mb":$stateMb}""")
+    }
+
+    // Same drive for cross-batch NEAR-dedup (LSH buckets in the
+    // state store): two stateful stages, so state = 4 band buckets
+    // per distinct-signature doc (stage 1) + one marker per survivor
+    // (stage 2). The re-sent-duplicate slice of run 2 exercises the
+    // cross-run bucket hit; run 3's byte re-send exercises the
+    // emit-once marker.
+    import graft.streaming.IncrementalNearDup
+    Seq("hdfs" -> None,
+        "rocksdb" -> Some(IncrementalDedup.RocksDbProvider))
+      .foreach { case (label, provider) =>
+      val in = s"$root/nd_$label/in"; val out = s"$root/nd_$label/out"
+      val ckpt = s"$root/nd_$label/ckpt"
+      def drain(run: Int): Double = {
+        val t0 = System.nanoTime()
+        IncrementalNearDup.nearDedupRun(spark, in, out, ckpt,
+          spark.read.parquet(in).schema, stateStoreProvider = provider)
+        (System.nanoTime() - t0) / 1e9
+      }
+      docs.filter(col("doc_id") < cut).write.parquet(in)
+      val t1 = drain(1)
+      docs.filter(col("doc_id") >= cut).write.mode("append").parquet(in)
+      docs.filter(col("doc_id") < cut / 10)
+        .select((col("doc_id") + total * 10).as("doc_id"), col("text"))
+        .write.mode("append").parquet(in)
+      val t2 = drain(2)
+      val t3 = drain(3)
+      val survivors = spark.read.parquet(out).count()
+      val stateMb = dirSize(java.nio.file.Paths.get(ckpt, "state")) >> 20
+      println(f"""{"op":"neardup","provider":"$label","factor":$factor,""" +
         f""""docs":$total,"survivors":$survivors,""" +
         f""""drain1_sec":$t1%.1f,"drain2_sec":$t2%.1f,""" +
         f""""drain3_sec":$t3%.1f,"state_mb":$stateMb}""")

@@ -272,6 +272,67 @@ class StreamingStatusSpec extends SparkSpec {
     assert(streamed == Set(1L, 2L, 11L))
   }
 
+  test("streaming near-dedup transitions equal global semantics (property)") {
+    import graft.streaming.{BandFlag, BandHit, IncrementalNearDup}
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+    // Random doc->bucket assignments split into id-ordered batches
+    // (plus a re-send of the final batch), driven through the pure
+    // bucketClaim/docEmit transitions with persistent TestGroupState
+    // per key — must equal the global model: survivor iff no bucket
+    // shared with a lower-id doc, each survivor emitted exactly once.
+    val genCorpus: Gen[List[(Long, List[String])]] =
+      Gen.choose(1, 14).flatMap(n =>
+        Gen.sequence[List[(Long, List[String])], (Long, List[String])](
+          (1 to n).map(id => Gen.choose(1, 3).flatMap(b =>
+            Gen.listOfN(b, Gen.oneOf("a", "b", "c", "d", "e"))
+              .map(bs => (id.toLong, bs.distinct))))))
+
+    def freshLong = TestGroupState.create[Long](
+      optionalState = org.apache.spark.api.java.Optional.empty[Long](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    def freshBool = TestGroupState.create[Boolean](
+      optionalState = org.apache.spark.api.java.Optional.empty[Boolean](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+
+    val p = Prop.forAll(genCorpus, Gen.choose(1, 3)) { (corpus, nBatches) =>
+      val slices = corpus.grouped(
+        math.max(1, (corpus.size + nBatches - 1) / nBatches)).toList
+      val batches = slices :+ slices.last // byte-identical re-send
+      val bucketState = scala.collection.mutable.Map
+        .empty[String, TestGroupState[Long]]
+      val docState = scala.collection.mutable.Map
+        .empty[Long, TestGroupState[Boolean]]
+      val emitted = scala.collection.mutable.ListBuffer.empty[Long]
+      batches.foreach { batch =>
+        val hits = batch.flatMap { case (id, bs) =>
+          bs.map(b => BandHit(b, id)) }
+        val flags = hits.groupBy(_.bkey).toList.flatMap { case (bk, hs) =>
+          IncrementalNearDup.bucketClaim(bk, hs.iterator,
+            bucketState.getOrElseUpdate(bk, freshLong)).toList
+        }
+        flags.groupBy(_.doc_id).foreach { case (id, fs) =>
+          IncrementalNearDup.docEmit(id, fs.iterator,
+            docState.getOrElseUpdate(id, freshBool))
+            .foreach(s => emitted += s.doc_id)
+        }
+      }
+      val model = corpus.collect { case (id, bs)
+        if !corpus.exists { case (o, obs) =>
+          o < id && obs.exists(bs.contains) } => id }
+      emitted.sorted == model.sorted && emitted.distinct == emitted.toList
+    }
+    assert(SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(300), p).passed)
+  }
+
   test("K7/K8 status sinks render geojson and JSON array") {
     val df = Seq(
       ("SiteA", -34.0, 140.5, 0.4, "ok"),
