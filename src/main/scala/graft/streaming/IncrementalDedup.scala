@@ -90,13 +90,21 @@ object IncrementalDedup {
     * start-time, so the restore can't affect the running drain. */
   def dedupRun(spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, schema: org.apache.spark.sql.types.StructType,
-      stateStoreProvider: Option[String] = None): Unit = {
+      stateStoreProvider: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
     import spark.implicits._
     val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
     val saved = spark.conf.getOption(ProviderConf)
     stateStoreProvider.foreach(spark.conf.set(ProviderConf, _))
     try {
-      val in = spark.readStream.schema(schema).parquet(inDir)
+      // AvailableNow + maxFilesPerTrigger drains the backlog as a
+      // sequence of bounded triggers (backfill-sized ingests must
+      // not be one micro-batch); precedence follows trigger order,
+      // which the file source feeds in modification-time order.
+      val reader = spark.readStream.schema(schema)
+      maxFilesPerTrigger.foreach(n =>
+        reader.option("maxFilesPerTrigger", n))
+      val in = reader.parquet(inDir)
         .select(graft.text.TextOps.fingerprint(col("text")).as("fp"),
           col("doc_id"))
         .as[FpDoc]

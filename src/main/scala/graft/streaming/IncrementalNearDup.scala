@@ -73,7 +73,16 @@ object IncrementalNearDup {
 
   /** Stage 1 — pure per-group transition (unit-testable): update the
     * bucket's running min id, flag every doc of the batch that sits
-    * strictly above it. */
+    * strictly above it.
+    *
+    * The batch group buffers its ids (one long each) because every
+    * row's verdict depends on the batch min — a lazy single-pass
+    * emit would make verdicts iteration-order-dependent. The buffer
+    * is bounded by the bucket's row count WITHIN ONE TRIGGER, so a
+    * viral bucket (boilerplate near-dup family) is capped by the
+    * trigger size, not the corpus: size triggers via
+    * `maxFilesPerTrigger` ([[nearDedupRun]]'s `maxFilesPerTrigger`)
+    * on backfills. */
   def bucketClaim(bkey: String, rows: Iterator[BandHit],
       state: GroupState[Long]): Iterator[BandFlag] = {
     val ids = rows.map(_.doc_id).toArray
@@ -141,12 +150,23 @@ object IncrementalNearDup {
   def nearDedupRun(spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, schema: org.apache.spark.sql.types.StructType,
       k: Int = 3, bands: Int = 4, rows: Int = 2,
-      stateStoreProvider: Option[String] = None): Unit = {
+      stateStoreProvider: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
     val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
     val saved = spark.conf.getOption(ProviderConf)
     stateStoreProvider.foreach(spark.conf.set(ProviderConf, _))
     try {
-      val in = spark.readStream.schema(schema).parquet(inDir)
+      // AvailableNow honors maxFilesPerTrigger by draining the
+      // backlog as a SEQUENCE of bounded triggers — the knob that
+      // keeps per-trigger state-update groups (and shuffle blocks)
+      // memory-sized on a backfill. The file source feeds triggers
+      // in modification-time order, so the ids-nondecreasing
+      // precedence contract holds per-trigger exactly when files
+      // land in ingestion order (true for append-style producers).
+      val reader = spark.readStream.schema(schema)
+      maxFilesPerTrigger.foreach(n =>
+        reader.option("maxFilesPerTrigger", n))
+      val in = reader.parquet(inDir)
       val q = nearDedup(bandHits(in, "doc_id", "text", k, bands, rows))
         .writeStream
         .format("parquet")

@@ -272,6 +272,33 @@ class StreamingStatusSpec extends SparkSpec {
     assert(streamed == Set(1L, 2L, 11L))
   }
 
+  test("near-dedup backlog split into bounded triggers matches one-shot drain") {
+    import graft.streaming.IncrementalNearDup
+    // A backfill drained under maxFilesPerTrigger=1 (one file per
+    // trigger, modification-time order) must produce the same
+    // survivor set as the run-per-batch drive: precedence follows
+    // trigger order, and the files land in id order.
+    val in = Files.createTempDirectory("ndt_in").toString
+    val out = Files.createTempDirectory("ndt_out").toString
+    val ckpt = Files.createTempDirectory("ndt_ckpt").toString
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "entirely different words about streaming state stores"),
+      (3L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "fresh unrelated content with zero shared shingles here"),
+      (12L, "entirely different words about streaming state stores"))
+      .toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("append").parquet(in)
+    b2.coalesce(1).write.mode("append").parquet(in)
+    IncrementalNearDup.nearDedupRun(spark, in, out, ckpt, b1.schema,
+      maxFilesPerTrigger = Some(1))
+    assert(spark.read.parquet(out).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 11L))
+  }
+
   test("streaming near-dedup transitions equal global semantics (property)") {
     import graft.streaming.{BandFlag, BandHit, IncrementalNearDup}
     import org.apache.spark.sql.streaming.TestGroupState
