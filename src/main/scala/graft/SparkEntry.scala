@@ -2108,6 +2108,16 @@ object SparkEntry {
 
   /** Shared DuckDB CTE: normalized token list per document, mirroring
     * [[graft.text.TextOps.tokens]] exactly. */
+  /** Splice `{uXXXX}` placeholders into real unicode characters —
+    * lexer `\uXXXX` escapes are deprecated inside triple-quoted
+    * strings, and literal combining characters in source are
+    * editor-hostile; the placeholder form keeps the codepoints
+    * explicit and the source ASCII. */
+  private def uSplice(sql: String): String =
+    "\\{u([0-9a-fA-F]{4})\\}".r.replaceAllIn(sql, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        Integer.parseInt(m.group(1), 16).toChar.toString))
+
   private val tokCte = """
       WITH tk AS (SELECT doc_id,
         list_filter(string_split_regex(
@@ -3069,15 +3079,16 @@ object SparkEntry {
       SELECT d.doc_id, d.source, d.n_chars FROM documents d
       WHERE d.doc_id NOT IN (SELECT doc_id FROM fl)
       ORDER BY doc_id"""),
-    // Corpus literals: \uXXXX resolve in the Scala lexer (real
-    // chars reach DuckDB); \t and \n stay backslash sequences in a
+    // Corpus literals: real unicode chars are spliced via {uXXXX}
+    // placeholders below (lexer \u escapes are deprecated inside
+    // triple quotes); \t and \n stay backslash sequences in a
     // triple quote, so the E'' strings let DuckDB decode them —
     // matching the real tab/newline in the Spark literals.
-    "q83_normalize_text" -> """
+    "q83_normalize_text" -> uSplice("""
       WITH c AS (SELECT doc_id, concat_ws(' ', text,
-          'Caf\u00e9', E'Cafe\u0301 au\tlait',
-          'M\u00dcNCHEN \u00d8resund',
-          E'nai\u0308ve  \n coordinaci\u00f3n') AS raw
+          'Caf{u00e9}', E'Cafe{u0301} au\tlait',
+          'M{u00dc}NCHEN {u00d8}resund',
+          E'nai{u0308}ve  \n coordinaci{u00f3}n') AS raw
         FROM documents),
       n AS (SELECT doc_id,
           trim(regexp_replace(lower(nfc_normalize(raw)),
@@ -3086,7 +3097,7 @@ object SparkEntry {
             '\s+', ' ', 'g')) AS norm_folded
         FROM c)
       SELECT doc_id, norm, norm_folded, md5(norm_folded) AS fp
-      FROM n ORDER BY doc_id""",
+      FROM n ORDER BY doc_id"""),
     "q84_domain_stats" -> (urlAugCte + """,
       """ + hostCte + """
       SELECT host, count(DISTINCT doc_id) AS n_docs,
