@@ -1929,6 +1929,34 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy("doc_id")
   }
 
+  /** q95's audit form: every doc (dropped included) gets exactly one
+    * (doc_id, kept) verdict row in its first-seen batch — the
+    * streaming counterpart of the batch keep-flag convention. Same
+    * drive and banding as q95. */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.IncrementalNearDup
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_q96")
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    }
+    val inDir = s"$root/in"; val outDir = s"$root/verdicts"
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val cut = 250L
+    docs.filter(col("doc_id") < cut).write.parquet(inDir)
+    val schema = s.read.parquet(inDir).schema
+    def drain(): Unit = IncrementalNearDup.nearDedupRun(
+      s, inDir, outDir, s"$root/ckpt", schema, audit = true)
+    drain()
+    docs.filter(col("doc_id") >= cut).write.mode("append").parquet(inDir)
+    drain()
+    docs.filter(col("doc_id") >= cut).write.mode("append").parquet(inDir)
+    drain()
+    s.read.parquet(outDir).orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -1938,7 +1966,7 @@ object SparkEntry {
     * gate. */
   val benchExclude: Set[String] =
     Set("q56_streaming_append", "q67_stateful_gaps", "q86_streaming_dedup",
-      "q95_streaming_near_dedup")
+      "q95_streaming_near_dedup", "q96_streaming_near_dedup_audit")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2037,6 +2065,7 @@ object SparkEntry {
     "q93_line_dedup"       -> (q93 _),
     "q94_fuzzy_dedup"      -> (q94 _),
     "q95_streaming_near_dedup" -> (q95 _),
+    "q96_streaming_near_dedup_audit" -> (q96 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -2675,6 +2704,22 @@ object SparkEntry {
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
       SELECT DISTINCT doc_id FROM bands
       WHERE doc_id NOT IN (SELECT doc_id FROM matched)
+      ORDER BY doc_id"""),
+    // q95's audit form: one verdict row per banded doc, dropped
+    // docs included.
+    "q96_streaming_near_dedup_audit" -> (shingleCte + """,
+      mins AS (SELECT doc_id, j,
+          min(('0x' || substr(md5((j // 4)::VARCHAR || ':' || shingle),
+            1 + 8 * (j % 4), 8))::BIGINT) AS h
+        FROM sh CROSS JOIN range(0, 8) t(j) GROUP BY doc_id, j),
+      bands AS (SELECT doc_id, j // 2 AS band,
+          md5(string_agg(h::VARCHAR, ',' ORDER BY j)) AS key
+        FROM mins GROUP BY doc_id, j // 2),
+      matched AS (SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+      SELECT doc_id,
+             (doc_id NOT IN (SELECT doc_id FROM matched)) AS kept
+      FROM (SELECT DISTINCT doc_id FROM bands)
       ORDER BY doc_id"""),
     "q33_lsh_ann" -> lshAnnOracle,
     "q42_embed_neardup" -> neardupOracle(4, 4, 0.35),

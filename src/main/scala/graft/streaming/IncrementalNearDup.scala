@@ -16,6 +16,10 @@ final case class BandFlag(doc_id: Long, matched: Boolean)
 /** A near-dup survivor. */
 final case class Survivor(doc_id: Long)
 
+/** Per-doc audit verdict: emitted once in the doc's first-seen
+  * batch, kept = survived near-dedup. */
+final case class Verdict(doc_id: Long, kept: Boolean)
+
 /** LLM-extension: cross-batch streaming NEAR-deduplication.
   *
   * [[IncrementalDedup]] suppresses byte-duplicates across
@@ -101,17 +105,46 @@ object IncrementalNearDup {
     if (state.exists || flags.exists(_.matched)) Iterator.empty
     else { state.update(true); Iterator.single(Survivor(id)) }
 
-  /** Survivors of a (possibly streaming) banded dataset. */
-  def nearDedup(bands: Dataset[BandHit]): Dataset[Survivor] = {
+  /** Stage 2, audit form — pure per-group transition: every doc gets
+    * ONE verdict row in its first-seen batch (kept = no bucket
+    * matched); re-sends emit nothing. Unlike [[docEmit]], dropped
+    * docs are visible — the per-doc marker therefore covers EVERY
+    * seen doc, so audit state is exact-dedup-sized (one marker per
+    * distinct doc) on top of the bucket store. */
+  def docVerdict(id: Long, flags: Iterator[BandFlag],
+      state: GroupState[Boolean]): Iterator[Verdict] =
+    if (state.exists) Iterator.empty
+    else {
+      state.update(true)
+      Iterator.single(Verdict(id, !flags.exists(_.matched)))
+    }
+
+  private def flagged(bands: Dataset[BandHit]): Dataset[BandFlag] = {
     import bands.sparkSession.implicits._
     bands.groupByKey(_.bkey)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (k: String, it: Iterator[BandHit], st: GroupState[Long]) =>
           bucketClaim(k, it, st))
-      .groupByKey(_.doc_id)
+  }
+
+  /** Survivors of a (possibly streaming) banded dataset. */
+  def nearDedup(bands: Dataset[BandHit]): Dataset[Survivor] = {
+    import bands.sparkSession.implicits._
+    flagged(bands).groupByKey(_.doc_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (id: Long, it: Iterator[BandFlag], st: GroupState[Boolean]) =>
           docEmit(id, it, st))
+  }
+
+  /** Audit stream: one (doc_id, kept) verdict per doc, dropped docs
+    * included — the streaming counterpart of the batch keep-flag
+    * convention ([[graft.text.DedupOps.fuzzyDedupDocs]]). */
+  def nearDedupAudit(bands: Dataset[BandHit]): Dataset[Verdict] = {
+    import bands.sparkSession.implicits._
+    flagged(bands).groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: Long, it: Iterator[BandFlag], st: GroupState[Boolean]) =>
+          docVerdict(id, it, st))
   }
 
   /** Band-key rows of a document frame — the [[graft.text.DedupOps]]
@@ -151,7 +184,8 @@ object IncrementalNearDup {
       checkpoint: String, schema: org.apache.spark.sql.types.StructType,
       k: Int = 3, bands: Int = 4, rows: Int = 2,
       stateStoreProvider: Option[String] = None,
-      maxFilesPerTrigger: Option[Int] = None): Unit = {
+      maxFilesPerTrigger: Option[Int] = None,
+      audit: Boolean = false): Unit = {
     val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
     val saved = spark.conf.getOption(ProviderConf)
     stateStoreProvider.foreach(spark.conf.set(ProviderConf, _))
@@ -167,7 +201,10 @@ object IncrementalNearDup {
       maxFilesPerTrigger.foreach(n =>
         reader.option("maxFilesPerTrigger", n))
       val in = reader.parquet(inDir)
-      val q = nearDedup(bandHits(in, "doc_id", "text", k, bands, rows))
+      val hits = bandHits(in, "doc_id", "text", k, bands, rows)
+      val outDs: org.apache.spark.sql.DataFrame =
+        if (audit) nearDedupAudit(hits).toDF() else nearDedup(hits).toDF()
+      val q = outDs
         .writeStream
         .format("parquet")
         .option("path", outDir)

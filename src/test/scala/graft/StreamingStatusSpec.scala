@@ -299,6 +299,53 @@ class StreamingStatusSpec extends SparkSpec {
       Set(1L, 2L, 11L))
   }
 
+  test("near-dedup audit emits one verdict per doc, dropped docs visible") {
+    import graft.streaming.{BandFlag, IncrementalNearDup, Verdict}
+    import org.apache.spark.sql.streaming.TestGroupState
+    def boolState = TestGroupState.create[Boolean](
+      optionalState = org.apache.spark.api.java.Optional.empty[Boolean](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    // dropped doc: verdict kept=false, marker set, re-send silent
+    val ds = boolState
+    assert(IncrementalNearDup.docVerdict(9L,
+      Iterator(BandFlag(9L, false), BandFlag(9L, true)), ds).toSeq ==
+      Seq(Verdict(9L, kept = false)))
+    assert(ds.get)
+    assert(IncrementalNearDup.docVerdict(9L,
+      Iterator(BandFlag(9L, true)), ds).isEmpty)
+
+    // end-to-end: audit drive produces one row per doc with the
+    // batch keep semantics
+    val in = Files.createTempDirectory("nda_in").toString
+    val out = Files.createTempDirectory("nda_out").toString
+    val ckpt = Files.createTempDirectory("nda_ckpt").toString
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "entirely different words about streaming state stores"),
+      (3L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "fresh unrelated content with zero shared shingles here"))
+      .toDF("doc_id", "text")
+    b1.write.mode("append").parquet(in)
+    IncrementalNearDup.nearDedupRun(spark, in, out, ckpt, b1.schema,
+      audit = true)
+    b2.write.mode("append").parquet(in)
+    IncrementalNearDup.nearDedupRun(spark, in, out, ckpt, b1.schema,
+      audit = true)
+    b2.write.mode("append").parquet(in)
+    IncrementalNearDup.nearDedupRun(spark, in, out, ckpt, b1.schema,
+      audit = true)
+    val verdicts = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(verdicts == Map(1L -> true, 2L -> true, 3L -> false,
+      10L -> false, 11L -> true))
+  }
+
   test("streaming near-dedup transitions equal global semantics (property)") {
     import graft.streaming.{BandFlag, BandHit, IncrementalNearDup}
     import org.apache.spark.sql.streaming.TestGroupState
