@@ -125,6 +125,36 @@ object StreamScaleSmoke {
         f""""drain1_sec":$t1%.1f,"drain2_sec":$t2%.1f,""" +
         f""""drain3_sec":$t3%.1f,"state_mb":$stateMb}""")
     }
+
+    // Audit form (one verdict per doc, dropped docs visible): state
+    // adds one marker per SEEN doc on top of the bucket store —
+    // measure the footprint delta vs the survivor-only form above.
+    locally {
+      val in = s"$root/nda/in"; val out = s"$root/nda/out"
+      val ckpt = s"$root/nda/ckpt"
+      def drain(): Double = {
+        val t0 = System.nanoTime()
+        IncrementalNearDup.nearDedupRun(spark, in, out, ckpt,
+          spark.read.parquet(in).schema, audit = true)
+        (System.nanoTime() - t0) / 1e9
+      }
+      docs.filter(col("doc_id") < cut).write.parquet(in)
+      val t1 = drain()
+      docs.filter(col("doc_id") >= cut).write.mode("append").parquet(in)
+      docs.filter(col("doc_id") < cut / 10)
+        .select((col("doc_id") + total * 10).as("doc_id"), col("text"))
+        .write.mode("append").parquet(in)
+      val t2 = drain()
+      val t3 = drain()
+      val verdicts = spark.read.parquet(out).count()
+      val kept = spark.read.parquet(out)
+        .filter(col("kept")).count()
+      val stateMb = dirSize(java.nio.file.Paths.get(ckpt, "state")) >> 20
+      println(f"""{"op":"neardup_audit","provider":"hdfs",""" +
+        f""""factor":$factor,"docs":$total,"verdicts":$verdicts,""" +
+        f""""kept":$kept,"drain1_sec":$t1%.1f,"drain2_sec":$t2%.1f,""" +
+        f""""drain3_sec":$t3%.1f,"state_mb":$stateMb}""")
+    }
     spark.stop()
   }
 }
