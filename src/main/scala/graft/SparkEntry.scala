@@ -1957,6 +1957,44 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy("doc_id")
   }
 
+  /** Bounded-state approximate streaming dedup: q86's three-drain
+    * drive through the sharded-Bloom operator (64 shards x 32768
+    * bits, k=4 — 256 KB of state TOTAL regardless of corpus size).
+    * Deterministic md5-derived bit positions + id-ordered shard
+    * processing make the approximate answer a closed form the
+    * oracle restates in SQL. */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.BloomDedup
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_q97")
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    }
+    val inDir = s"$root/in"; val outDir = s"$root/survivors"
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val cut = 250L
+    // run 2 re-sends the first 50 texts under fresh ids (+10000) —
+    // the corpus fps are all distinct, so these re-keyed dups are
+    // what makes the Bloom suppression load-bearing; run 3 is the
+    // byte-identical re-send (appends nothing).
+    val resent = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    docs.filter(col("doc_id") < cut).write.parquet(inDir)
+    val schema = s.read.parquet(inDir).schema
+    def drain(): Unit = BloomDedup.bloomDedupRun(
+      s, inDir, outDir, s"$root/ckpt", schema)
+    drain()
+    docs.filter(col("doc_id") >= cut).union(resent)
+      .write.mode("append").parquet(inDir)
+    drain()
+    docs.filter(col("doc_id") >= cut).union(resent)
+      .write.mode("append").parquet(inDir)
+    drain()
+    s.read.parquet(outDir).orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -1966,7 +2004,8 @@ object SparkEntry {
     * gate. */
   val benchExclude: Set[String] =
     Set("q56_streaming_append", "q67_stateful_gaps", "q86_streaming_dedup",
-      "q95_streaming_near_dedup", "q96_streaming_near_dedup_audit")
+      "q95_streaming_near_dedup", "q96_streaming_near_dedup_audit",
+      "q97_bloom_dedup")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2066,6 +2105,7 @@ object SparkEntry {
     "q94_fuzzy_dedup"      -> (q94 _),
     "q95_streaming_near_dedup" -> (q95 _),
     "q96_streaming_near_dedup_audit" -> (q96 _),
+    "q97_bloom_dedup"      -> (q97 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -2720,6 +2760,36 @@ object SparkEntry {
       SELECT doc_id,
              (doc_id NOT IN (SELECT doc_id FROM matched)) AS kept
       FROM (SELECT DISTINCT doc_id FROM bands)
+      ORDER BY doc_id"""),
+    // Closed form of the sharded-Bloom check-then-insert stream
+    // (BloomDedup scaladoc): set bits after docs 1..i equal the
+    // union of ALL processed docs' positions, so doc d is suppressed
+    // iff every one of its k=4 positions is covered by some
+    // lower-id doc of the same shard.
+    "q97_bloom_dedup" -> ("""
+      WITH docs2 AS (SELECT doc_id, text FROM documents
+                     UNION ALL
+                     SELECT doc_id + 10000, text FROM documents
+                     WHERE doc_id < 50),
+      tk AS (SELECT doc_id,
+        list_filter(string_split_regex(
+          regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+          x -> x <> '') AS toks
+      FROM docs2),
+      f AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp
+            FROM tk),
+      pos AS (SELECT doc_id, fp,
+          ('0x' || substr(fp, 1, 2))::BIGINT % 64 AS shard, j,
+          ('0x' || substr(md5(j::VARCHAR || ':' || fp), 1, 8))::BIGINT
+            % 32768 AS p
+        FROM f CROSS JOIN range(0, 4) t(j)),
+      covered AS (SELECT d.doc_id, count(DISTINCT d.j) AS ncov
+        FROM pos d JOIN pos e
+          ON e.shard = d.shard AND e.p = d.p AND e.doc_id < d.doc_id
+        GROUP BY d.doc_id)
+      SELECT f.fp, f.doc_id FROM f
+      WHERE f.doc_id NOT IN
+        (SELECT doc_id FROM covered WHERE ncov = 4)
       ORDER BY doc_id"""),
     "q33_lsh_ann" -> lshAnnOracle,
     "q42_embed_neardup" -> neardupOracle(4, 4, 0.35),

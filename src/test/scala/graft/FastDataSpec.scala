@@ -88,11 +88,11 @@ class FastDataSpec extends SparkSpec {
   }
 
   test("writeShards leaves no cached RDDs behind") {
-    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val out = Files.createTempDirectory("shards_leak")
     FastData.writeShards(frame(2), meta, "DATETIME", 1,
       out.toString, "Site_fast")
-    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val added = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     assert(added.isEmpty, s"leaked cached RDDs: $added")
   }
 

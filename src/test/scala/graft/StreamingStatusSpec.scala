@@ -407,6 +407,57 @@ class StreamingStatusSpec extends SparkSpec {
       .withMinSuccessfulTests(300), p).passed)
   }
 
+  test("bloom dedup transition matches the closed form, state bounded") {
+    import graft.streaming.{BloomDedup, FpDoc}
+    import org.apache.spark.sql.streaming.TestGroupState
+    def bloomState = TestGroupState.create[Array[Byte]](
+      optionalState = org.apache.spark.api.java.Optional.empty[Array[Byte]](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+
+    // Tiny filter (32 bits, k=2) over 20 distinct fps: collisions are
+    // certain, and the emitted set must equal the closed form — doc
+    // suppressed iff all its positions are covered by a lower-id doc.
+    val bits = 32; val k = 2
+    val docs = (1L to 20L).map(i => FpDoc(f"fp$i%02d", i))
+    val expect = docs.filterNot { d =>
+      val pos = (0 until k).map(j => BloomDedup.position(d.fp, j, bits))
+      pos.forall(p => docs.exists(e => e.doc_id < d.doc_id &&
+        (0 until k).exists(j => BloomDedup.position(e.fp, j, bits) == p)))
+    }.map(_.doc_id)
+    val st = bloomState
+    val half = docs.partition(_.doc_id <= 10L)
+    val got1 = BloomDedup.bloomSight(0, half._1.iterator, st, bits, k)
+      .map(_.doc_id).toSeq
+    val got2 = BloomDedup.bloomSight(0, half._2.iterator, st, bits, k)
+      .map(_.doc_id).toSeq
+    assert((got1 ++ got2) == expect) // cross-batch carry included
+    assert(expect.size < docs.size)  // the tiny filter really collides
+    assert(st.get.length == bits / 8) // state is the parameter bound
+    // a byte-identical re-send emits nothing (true dups one-sided)
+    assert(BloomDedup.bloomSight(0, docs.iterator, st, bits, k).isEmpty)
+
+    // end-to-end drive: production-sized filter, tiny corpus — no
+    // collisions, so survivors equal exact first-per-fingerprint
+    val in = Files.createTempDirectory("bd_in").toString
+    val out = Files.createTempDirectory("bd_out").toString
+    val ckpt = Files.createTempDirectory("bd_ckpt").toString
+    val b1 = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((10L, "alpha beta"), (11L, "epsilon zeta"))
+      .toDF("doc_id", "text")
+    b1.write.mode("append").parquet(in)
+    BloomDedup.bloomDedupRun(spark, in, out, ckpt, b1.schema)
+    b2.write.mode("append").parquet(in)
+    BloomDedup.bloomDedupRun(spark, in, out, ckpt, b1.schema)
+    b2.write.mode("append").parquet(in)
+    BloomDedup.bloomDedupRun(spark, in, out, ckpt, b1.schema)
+    assert(spark.read.parquet(out).collect()
+      .map(_.getLong(1)).toSet == Set(1L, 2L, 11L))
+  }
+
   test("K7/K8 status sinks render geojson and JSON array") {
     val df = Seq(
       ("SiteA", -34.0, 140.5, 0.4, "ok"),
