@@ -155,6 +155,46 @@ object StreamScaleSmoke {
         f""""kept":$kept,"drain1_sec":$t1%.1f,"drain2_sec":$t2%.1f,""" +
         f""""drain3_sec":$t3%.1f,"state_mb":$stateMb}""")
     }
+
+    // Bounded-state Bloom dedup: the claim under test is that state
+    // is a PARAMETER (shards x bits/8 bytes), independent of corpus
+    // size — compare state_kb across factors. 256 shards x 2^20
+    // bits = 32 MB of filter absorbs the amplified corpora at
+    // comfortably low fill; survivors differ from exact dedup only
+    // by deterministic false positives (counted here).
+    locally {
+      import graft.streaming.BloomDedup
+      val in = s"$root/bloom/in"; val out = s"$root/bloom/out"
+      val ckpt = s"$root/bloom/ckpt"
+      val (shards, bits, k) = (256, 1 << 20, 4)
+      def drain(): Double = {
+        val t0 = System.nanoTime()
+        BloomDedup.bloomDedupRun(spark, in, out, ckpt,
+          spark.read.parquet(in).schema, shards, bits, k)
+        (System.nanoTime() - t0) / 1e9
+      }
+      docs.filter(col("doc_id") < cut).write.parquet(in)
+      val t1 = drain()
+      docs.filter(col("doc_id") >= cut).write.mode("append").parquet(in)
+      docs.filter(col("doc_id") < cut / 10)
+        .select((col("doc_id") + total * 10).as("doc_id"), col("text"))
+        .write.mode("append").parquet(in)
+      val t2 = drain()
+      val t3 = drain()
+      val survivors = spark.read.parquet(out).count()
+      // exact-dedup survivors of the same feed = distinct fps
+      val exactSurvivors = docs
+        .union(docs.filter(col("doc_id") < cut / 10)
+          .select((col("doc_id") + total * 10).as("doc_id"), col("text")))
+        .select(graft.text.TextOps.fingerprint(col("text")))
+        .distinct().count()
+      val stateKb = dirSize(java.nio.file.Paths.get(ckpt, "state")) >> 10
+      println(f"""{"op":"bloom","provider":"hdfs","factor":$factor,""" +
+        f""""docs":$total,"survivors":$survivors,""" +
+        f""""false_positives":${exactSurvivors - survivors},""" +
+        f""""drain1_sec":$t1%.1f,"drain2_sec":$t2%.1f,""" +
+        f""""drain3_sec":$t3%.1f,"state_kb":$stateKb}""")
+    }
     spark.stop()
   }
 }
