@@ -458,6 +458,42 @@ class StreamingStatusSpec extends SparkSpec {
       .map(_.getLong(1)).toSet == Set(1L, 2L, 11L))
   }
 
+  test("bloom transition equals the closed form (property)") {
+    import graft.streaming.{BloomDedup, FpDoc}
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def bloomState = TestGroupState.create[Array[Byte]](
+      optionalState = org.apache.spark.api.java.Optional.empty[Array[Byte]](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    // Random fingerprints (duplicates included), random batch count,
+    // tiny filters (8..64 bits) so collisions and the byte-boundary
+    // bit arithmetic are both exercised; must equal the closed form:
+    // suppressed iff all k positions covered by a lower-id doc.
+    val genFps: Gen[List[String]] = Gen.choose(1, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf((0 until 12).map(i => f"fp$i%02x"))))
+    val p = Prop.forAll(genFps, Gen.oneOf(8, 16, 24, 64),
+        Gen.choose(1, 4), Gen.choose(1, 3)) { (fps, bits, k, nb) =>
+      val docs = fps.zipWithIndex.map { case (f, i) => FpDoc(f, i + 1L) }
+      val expect = docs.filterNot { d =>
+        val pos = (0 until k).map(j => BloomDedup.position(d.fp, j, bits))
+        pos.forall(p => docs.exists(e => e.doc_id < d.doc_id &&
+          (0 until k).exists(j =>
+            BloomDedup.position(e.fp, j, bits) == p)))
+      }.map(_.doc_id)
+      val st = bloomState
+      val got = docs.grouped(
+        math.max(1, (docs.size + nb - 1) / nb)).toList.flatMap(b =>
+        BloomDedup.bloomSight(0, b.iterator, st, bits, k)
+          .map(_.doc_id).toList)
+      got == expect
+    }
+    assert(SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(300), p).passed)
+  }
+
   test("K7/K8 status sinks render geojson and JSON array") {
     val df = Seq(
       ("SiteA", -34.0, 140.5, 0.4, "ok"),
