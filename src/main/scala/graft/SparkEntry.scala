@@ -1995,6 +1995,80 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy("doc_id")
   }
 
+  /** Token-budget corpus selection ([[graft.text.BudgetOps]]): score
+    * the pool (priority = stopword ratio, a single integer-ratio
+    * division — bit-identical in both engines), lay it out in
+    * (priority DESC, doc_id) order, and admit documents until HALF
+    * the corpus's tokens are taken (budget = floor(total/2), one
+    * parameter-bounded agg action). The oracle re-derives the
+    * priority, the total-order cumulative sum (as the window cumsum
+    * the operator's two-pass distributed scan replaces), the
+    * floor-half budget, and the greedy selection flag. */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{BudgetOps, TextOps}
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+      TextOps.stopwordRatio(col("text")).as("priority"))
+    val budget = docs.agg(sum(col("n_tok"))).head().getLong(0) / 2
+    BudgetOps.budgetSelect(docs, "doc_id", "n_tok", "priority", budget)
+      .select(col("doc_id"), col("n_tok"),
+        rnd(col("priority"), 6).as("priority"),
+        col("cum_tokens"), col("selected"))
+      .orderBy("doc_id")
+  }
+
+  /** C4 cleaning verdicts ([[graft.text.C4Ops.c4Filter]]) over an
+    * engineered multi-line corpus in which every rule trips at least
+    * once: a no-terminal-punctuation doc (all lines dropped), a
+    * javascript notice line, a too-short line, a lorem-ipsum page, a
+    * curly-brace code page, a bad-word page, and a 3-sentence page
+    * (under the 5-sentence gate). The full signal vector, keep, and
+    * the cleaned-text md5 are re-derived in SQL. */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.C4Ops
+    def l(off: Int, p: String): Column =
+      concat(col("text").substr(lit(off), lit(30)), lit(p))
+    val base5 = concat_ws("\n", l(1, "."), l(31, "!"), l(61, "."),
+      l(91, "?"), l(121, "."))
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 20 === 1, concat_ws("\n",
+          col("text").substr(lit(1), lit(30)),
+          col("text").substr(lit(31), lit(30)),
+          col("text").substr(lit(61), lit(30))))
+        .when(col("doc_id") % 20 === 2, concat(base5,
+          lit("\nplease enable javascript to view this site.")))
+        .when(col("doc_id") % 20 === 3, concat(base5, lit("\nok.")))
+        .when(col("doc_id") % 20 === 4, concat(base5,
+          lit("\nlorem ipsum dolor sit amet.")))
+        .when(col("doc_id") % 20 === 5, concat(base5,
+          lit("\nif (x) { return y; }")))
+        .when(col("doc_id") % 20 === 6, concat(base5,
+          lit("\nthis page mentions swearword twice.")))
+        .when(col("doc_id") % 20 === 7, concat_ws("\n",
+          l(1, "."), l(31, "!"), l(61, ".")))
+        .otherwise(base5).as("text"))
+    C4Ops.c4Filter(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        col("n_sentences"), col("has_lorem"), col("has_brace"),
+        col("has_bad_word"), col("keep"),
+        md5(col("text_out")).as("out_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Fuzzy dedup with the QUALITY-canonical survivor
+    * ([[graft.text.DedupOps.fuzzyDedupDocsBest]]): q94's verified
+    * component chain, but per cluster the HIGHEST-token-count doc
+    * survives (smallest id on ties) — the keep-longest convention.
+    * The oracle re-derives the whole chain plus the per-component
+    * argmax via a window rank. */
+  private def q100(s: SparkSession, dir: String): DataFrame =
+    graft.text.DedupOps.fuzzyDedupDocsBest(t(s, dir, "documents"),
+        "doc_id", "text",
+        graft.text.TextOps.tokenCount(col("text")).cast("long"))
+      .select(col("doc_id"), col("component"), col("survivor"),
+        col("keep"), col("quality").as("q_tokens"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -2106,6 +2180,9 @@ object SparkEntry {
     "q95_streaming_near_dedup" -> (q95 _),
     "q96_streaming_near_dedup_audit" -> (q96 _),
     "q97_bloom_dedup"      -> (q97 _),
+    "q98_budget_select"    -> (q98 _),
+    "q99_c4_filter"        -> (q99 _),
+    "q100_fuzzy_best"      -> (q100 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -2791,6 +2868,135 @@ object SparkEntry {
       WHERE f.doc_id NOT IN
         (SELECT doc_id FROM covered WHERE ncov = 4)
       ORDER BY doc_id"""),
+    // Budget fill as the window cumsum the two-pass scan replaces:
+    // total order (priority DESC, doc_id), budget = floor(total/2),
+    // selected = exclusive offset < budget. Priority is one integer
+    // ratio divided in double — bit-identical across engines — and
+    // the cumsum is a BIGINT sum in a unique total order, so every
+    // column hash-matches exactly.
+    "q98_budget_select" -> (tokCte + """,
+      d AS (SELECT doc_id, len(toks)::BIGINT AS n_tok,
+          CASE WHEN len(toks) > 0
+            THEN len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], x)))::DOUBLE
+              / len(toks) ELSE 0.0 END AS priority
+        FROM tk),
+      c AS (SELECT doc_id, n_tok, priority,
+          (sum(n_tok) OVER (ORDER BY priority DESC, doc_id))::BIGINT
+            AS cum_tokens
+        FROM d),
+      b AS (SELECT (sum(n_tok) // 2)::BIGINT AS budget FROM d)
+      SELECT doc_id, n_tok,
+        floor(priority * 1000000.0 + 0.5) / 1000000.0 AS priority,
+        cum_tokens, (cum_tokens - n_tok < budget) AS selected
+      FROM c, b ORDER BY doc_id"""),
+    // Same engineered corpus CASE-for-CASE; C4 line rules (terminal
+    // punctuation on the trimmed line, >= 3 words, no "javascript"),
+    // sentence proxy = [.!?] marks in the CLEANED text, document
+    // flags on the raw text, bad words as whole tokens.
+    "q99_c4_filter" -> """
+      WITH b AS (SELECT doc_id,
+          substr(text, 1, 30) || '.' || chr(10) ||
+          substr(text, 31, 30) || '!' || chr(10) ||
+          substr(text, 61, 30) || '.' || chr(10) ||
+          substr(text, 91, 30) || '?' || chr(10) ||
+          substr(text, 121, 30) || '.' AS b5,
+          substr(text, 1, 30) AS r1, substr(text, 31, 30) AS r2,
+          substr(text, 61, 30) AS r3
+        FROM documents),
+      corp AS (SELECT doc_id,
+          CASE WHEN doc_id % 20 = 1
+                 THEN r1 || chr(10) || r2 || chr(10) || r3
+               WHEN doc_id % 20 = 2 THEN b5 || chr(10) ||
+                 'please enable javascript to view this site.'
+               WHEN doc_id % 20 = 3 THEN b5 || chr(10) || 'ok.'
+               WHEN doc_id % 20 = 4 THEN b5 || chr(10) ||
+                 'lorem ipsum dolor sit amet.'
+               WHEN doc_id % 20 = 5 THEN b5 || chr(10) ||
+                 'if (x) { return y; }'
+               WHEN doc_id % 20 = 6 THEN b5 || chr(10) ||
+                 'this page mentions swearword twice.'
+               WHEN doc_id % 20 = 7 THEN r1 || '.' || chr(10) ||
+                 r2 || '!' || chr(10) || r3 || '.'
+               ELSE b5 END AS text
+        FROM b),
+      k AS (SELECT doc_id, text,
+          string_split(text, chr(10)) AS lines,
+          list_filter(string_split(text, chr(10)), x ->
+            regexp_matches(trim(x), '[.!?"]$')
+            AND len(list_filter(string_split_regex(trim(x), ' +'),
+              w -> w <> '')) >= 3
+            AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+        FROM corp),
+      c AS (SELECT doc_id, text, len(lines) AS n_lines,
+          len(kept) AS n_kept,
+          -- array_to_string([]) is NULL in DuckDB, '' in Spark
+          coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+        FROM k)
+      SELECT doc_id, n_lines, n_kept,
+        length(cleaned)
+          - length(regexp_replace(cleaned, '[.!?]', '', 'g'))
+          AS n_sentences,
+        contains(lower(text), 'lorem ipsum') AS has_lorem,
+        contains(text, '{') AS has_brace,
+        len(list_intersect(list_filter(string_split_regex(lower(text),
+          '[^a-z0-9]+'), w -> w <> ''),
+          ['swearword', 'slur', 'nsfw'])) > 0 AS has_bad_word,
+        (length(cleaned)
+            - length(regexp_replace(cleaned, '[.!?]', '', 'g')) >= 5
+          AND NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{')
+          AND NOT len(list_intersect(list_filter(string_split_regex(
+            lower(text), '[^a-z0-9]+'), w -> w <> ''),
+            ['swearword', 'slur', 'nsfw'])) > 0) AS keep,
+        md5(cleaned) AS out_md5
+      FROM c ORDER BY doc_id""",
+    // q94's verified-component chain; survivor = per-component
+    // argmax on (q_tokens DESC, doc_id ASC) via a window rank.
+    "q100_fuzzy_best" ->
+      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+      mins AS (SELECT doc_id, j,
+          min(('0x' || substr(md5((j // 4)::VARCHAR || ':' || shingle),
+            1 + 8 * (j % 4), 8))::BIGINT) AS h
+        FROM sh CROSS JOIN range(0, 8) t(j) GROUP BY doc_id, j),
+      bands AS (SELECT doc_id, j // 2 AS band,
+          md5(string_agg(h::VARCHAR, ',' ORDER BY j)) AS key
+        FROM mins GROUP BY doc_id, j // 2),
+      cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh
+                GROUP BY doc_id),
+      inter AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_shared
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b),
+      ver AS (SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE i.n_shared::DOUBLE / (sa.n_sh + sb.n_sh - i.n_shared)
+          >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+                UNION SELECT id_b, id_a FROM ver),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      comp AS (SELECT id AS doc_id, min(r) AS component
+        FROM reach GROUP BY id),
+      ql AS (SELECT doc_id, len(toks)::BIGINT AS q_tokens FROM tk),
+      j AS (SELECT comp.doc_id, comp.component, ql.q_tokens
+        FROM comp JOIN ql USING (doc_id)),
+      s AS (SELECT component, doc_id AS survivor FROM
+          (SELECT component, doc_id, row_number() OVER
+            (PARTITION BY component
+             ORDER BY q_tokens DESC, doc_id ASC) AS rn FROM j)
+        WHERE rn = 1)
+      SELECT j.doc_id, j.component, s.survivor,
+        (j.doc_id = s.survivor) AS keep, j.q_tokens
+      FROM j JOIN s USING (component) ORDER BY j.doc_id"""),
     "q33_lsh_ann" -> lshAnnOracle,
     "q42_embed_neardup" -> neardupOracle(4, 4, 0.35),
     "q51_neardup_scaled" -> neardupOracle(8, 16, 0.35),

@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
+
+/** Token-budget corpus selection: the "fill the training budget"
+  * step every large-scale pipeline runs last — rank the scored pool
+  * by priority and admit documents greedily until a token budget is
+  * reached (e.g. "take the best 1.4T tokens from the scored crawl").
+  *
+  * Semantics: documents are laid out in the total order
+  * (priority DESC, id ASC) — ties are broken by id, so the layout is
+  * deterministic on any partitioning and re-derivable by an auditor —
+  * and a document is selected iff the budget was not already
+  * exhausted when the stream reaches it (its EXCLUSIVE cumulative
+  * token offset is < budget). The selection therefore yields at
+  * least `budget` tokens whenever the corpus holds them; the one
+  * straddling document may overflow the budget, the convention that
+  * keeps the rule one-pass and cut-point-exact (dropping the
+  * straddler instead would under-fill; callers wanting that apply
+  * `cum_tokens <= budget` to the returned frame).
+  *
+  * The hard part at scale is the same GLOBAL prefix sum as
+  * [[PackOps]]: every document needs its absolute token offset in
+  * priority order, and a `Window.orderBy` over the corpus is a
+  * single-partition stage. This uses the identical two-pass
+  * distributed scan — range-shuffle on the order key (persisted so
+  * both passes read the SAME sampled range bounds), per-partition
+  * totals whose driver collect is bounded by the shuffle-partition
+  * count, then a second pass adding each partition's exclusive
+  * prefix — so the only corpus-wide movement is the one range
+  * exchange any global ordering costs.
+  *
+  * Contract: the result is eagerly materialized (serialized
+  * localCheckpoint) and the shuffle substrate released before
+  * returning — the [[PackOps.packedBlocks]] retention contract, so a
+  * long-lived session retains nothing. Lineage truncation means the
+  * result is not recomputable on executor loss; re-run the selection
+  * in that case (it is deterministic, so the re-run is identical).
+  *
+  * Reference scope: the reference pipeline has no budget operator
+  * (it is a flux-tower ETL); this extends the engine for the
+  * large-scale training-data use cases in the build brief.
+  */
+object BudgetOps {
+
+  /** Select documents in (priority DESC, `idCol` ASC) order until
+    * `budget` tokens are admitted. Returns every input row plus
+    * `cum_tokens` (INCLUSIVE running token total in selection order)
+    * and `selected` (= exclusive offset < budget). Null tokens count
+    * 0; priorities must be non-null (cast to double for ordering).
+    * budget <= 0 selects nothing; budget >= total selects all. */
+  def budgetSelect(df: DataFrame, idCol: String, tokenCol: String,
+      priorityCol: String, budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
+
+    val ranged = df
+      .withColumn("__tok", coalesce(col(tokenCol).cast("long"), lit(0L)))
+      .withColumn("__pri", col(priorityCol).cast("double"))
+      .repartitionByRange(n, col("__pri").desc, col(idCol))
+      .sortWithinPartitions(col("__pri").desc, col(idCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tokIdx = ranged.schema.fieldIndex("__tok")
+
+    // Pass 1: per-partition totals (materializes the persist; one
+    // row per partition, so the collect is partition-count-bounded).
+    val totals = ranged.select(col("__tok"))
+      .queryExecution.toRdd.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var s = 0L
+        while (it.hasNext) s += it.next().getLong(0)
+        Iterator((pid, s))
+      }.collect().toMap
+    val prefix = new Array[Long](n)
+    var acc = 0L
+    (0 until n).foreach { p =>
+      prefix(p) = acc
+      acc += totals.getOrElse(p, 0L)
+    }
+
+    // Pass 2: running sum within the SAME persisted partitions.
+    val outSchema = ranged.schema
+      .add("cum_tokens", LongType, nullable = false)
+    val out = ranged.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var run = prefix(pid)
+      it.map { r =>
+        run += r.getLong(tokIdx)
+        Row.fromSeq(r.toSeq :+ run)
+      }
+    }(Encoders.row(outSchema))
+      .withColumn("selected",
+        col("cum_tokens") - col("__tok") < lit(budget))
+      .drop("__tok", "__pri")
+      .localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
+    ranged.unpersist(blocking = false)
+    out
+  }
+}

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-scale deduplication operators.
@@ -581,6 +581,44 @@ object DedupOps {
         docs.select(col(idCol).cast("long").as("id")), verified)
       .select(col("id").as(idCol), col("component"),
         (col("id") === col("component")).as("keep"))
+  }
+
+  /** [[fuzzyDedupDocs]] with a QUALITY-canonical survivor: per
+    * near-dup cluster keep the highest-`quality` doc (smallest id on
+    * ties) instead of the smallest-id doc — the SlimPajama/FineWeb
+    * convention (keep the longest / best-scored member; min-id
+    * discards a long original whenever a truncated copy got the
+    * smaller id). `quality` is any per-doc column expression over
+    * `docs` (token count, a Gopher signal, a classifier score);
+    * component labels stay min-reachable-id, so cluster identity is
+    * unchanged — only the survivor policy moves.
+    *
+    * Scale shape: the dedup chain is [[fuzzyDedupDocs]] unchanged;
+    * the survivor adds one `max_by` aggregation keyed by component
+    * (per-cluster state is one (quality, id) pair — O(1) per key)
+    * and one component-keyed join back, both on the already-shuffled
+    * component key.
+    *
+    * Returns every doc: (idCol, component, survivor, keep, quality)
+    * with keep ⇔ id == survivor. */
+  def fuzzyDedupDocsBest(docs: DataFrame, idCol: String,
+      textCol: String, quality: Column, k: Int = 3, bands: Int = 4,
+      rows: Int = 2, minJaccard: Double = 0.5): DataFrame = {
+    val comps = fuzzyDedupDocs(docs, idCol, textCol, k, bands, rows,
+        minJaccard)
+      .select(col(idCol), col("component"))
+    val q = docs.select(col(idCol).cast("long").as(idCol),
+      quality.cast("long").as("quality"))
+    val labeled = comps.join(q, Seq(idCol))
+    // max over the lexicographic (quality, -id) order: highest
+    // quality, then SMALLEST id among equals — deterministic because
+    // ids are unique, so no two structs compare equal.
+    val surv = labeled.groupBy("component")
+      .agg(max_by(col(idCol),
+        struct(col("quality"), -col(idCol))).as("survivor"))
+    labeled.join(surv, Seq("component"))
+      .select(col(idCol), col("component"), col("survivor"),
+        (col(idCol) === col("survivor")).as("keep"), col("quality"))
   }
 
   /** Corpus-wide duplicate-LINE removal with keep-first semantics —

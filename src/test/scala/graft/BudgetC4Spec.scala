@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{BudgetOps, C4Ops, DedupOps}
+
+class BudgetC4Spec extends SparkSpec {
+  import spark.implicits._
+
+  // --------------------------------------------------------- BudgetOps
+
+  test("budgetSelect: literal greedy re-derivation") {
+    // priorities with ties (id breaks them), varied token counts
+    val rows = (0L until 50L).map(i => (i, 1L + i % 9, (i % 5).toDouble))
+    val docs = rows.toDF("id", "tok", "pri")
+    val budget = 60L
+    val got = BudgetOps.budgetSelect(docs, "id", "tok", "pri", budget)
+      .select("id", "cum_tokens", "selected").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // scalar reference: sort (pri DESC, id ASC), cumulate, cut
+    var run = 0L
+    val exp = rows.sortBy { case (id, _, p) => (-p, id) }.map {
+      case (id, tok, _) =>
+        val start = run; run += tok
+        id -> ((run, start < budget))
+    }.toMap
+    assert(got == exp)
+    // the selection over-fills by at most the straddling doc
+    val selTok = rows.filter(r => exp(r._1)._2).map(_._2).sum
+    assert(selTok >= budget && selTok < budget + 9)
+  }
+
+  test("budgetSelect: partition-invariant; budget edges") {
+    val rows = (0L until 40L).map(i => (i, 2L + i % 4, (i % 7).toDouble))
+    val docs = rows.toDF("id", "tok", "pri")
+    val a = BudgetOps.budgetSelect(docs.repartition(1), "id", "tok",
+        "pri", 30L)
+      .select("id", "cum_tokens", "selected").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val b = BudgetOps.budgetSelect(docs.repartition(13), "id", "tok",
+        "pri", 30L)
+      .select("id", "cum_tokens", "selected").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(a == b)
+    val none = BudgetOps.budgetSelect(docs, "id", "tok", "pri", 0L)
+    assert(none.filter(col("selected")).count() == 0)
+    val total = rows.map(_._2).sum
+    val all = BudgetOps.budgetSelect(docs, "id", "tok", "pri", total)
+    assert(all.filter(col("selected")).count() == 40)
+  }
+
+  // ------------------------------------------------------------- C4Ops
+
+  test("c4Filter: line rules select exactly the conforming lines") {
+    val text = Seq(
+      "a good first sentence here.",     // kept
+      "no terminal punctuation",         // dropped: no terminal mark
+      "too short.",                      // dropped: < 3 words
+      "please enable javascript now.",   // dropped: javascript
+      "  padded line still counts.  ",   // kept (trimmed before rules)
+      "is this a question?",             // kept
+      "an exclamation happens here!").mkString("\n")
+    val out = C4Ops.c4Filter(Seq((1L, text)).toDF("id", "t"), "id", "t")
+      .collect().head
+    assert(out.getAs[Int]("n_lines") == 7)
+    assert(out.getAs[Int]("n_kept") == 4)
+    assert(out.getAs[Int]("n_sentences") == 4)
+    assert(out.getAs[String]("text_out") ==
+      Seq("a good first sentence here.", "  padded line still counts.  ",
+        "is this a question?", "an exclamation happens here!")
+        .mkString("\n"))
+    // 4 sentences < 5 -> dropped by the sentence gate alone
+    assert(!out.getAs[Boolean]("keep"))
+  }
+
+  test("c4Filter: document flags and the sentence gate") {
+    val five = (1 to 5).map(i => s"this is sentence number $i.")
+      .mkString("\n")
+    val docs = Seq(
+      (0L, five),                                    // clean: keep
+      (1L, five + "\nlorem ipsum dolor sit amet."),  // lorem
+      (2L, five + "\ncode { is } here."),            // brace
+      (3L, five + "\nmentions swearword openly."),   // bad word
+      (4L, (1 to 4).map(i => s"only four sentences here $i.")
+        .mkString("\n")),                            // under the gate
+      (5L, "")                                       // empty doc
+    ).toDF("id", "t")
+    val got = C4Ops.c4Filter(docs, "id", "t").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(got(0L).getAs[Boolean]("keep"))
+    assert(got(1L).getAs[Boolean]("has_lorem") &&
+      !got(1L).getAs[Boolean]("keep"))
+    assert(got(2L).getAs[Boolean]("has_brace") &&
+      !got(2L).getAs[Boolean]("keep"))
+    assert(got(3L).getAs[Boolean]("has_bad_word") &&
+      !got(3L).getAs[Boolean]("keep"))
+    assert(got(4L).getAs[Int]("n_sentences") == 4 &&
+      !got(4L).getAs[Boolean]("keep"))
+    assert(got(5L).getAs[Int]("n_kept") == 0 &&
+      got(5L).getAs[String]("text_out") == "" &&
+      !got(5L).getAs[Boolean]("keep"))
+  }
+
+  test("c4Filter: bad words match whole tokens, not substrings") {
+    val base = (1 to 5).map(i => s"a classic compassionate tale $i.")
+      .mkString("\n")
+    val docs = Seq((0L, base), (1L, base + "\nan ass appears here."))
+      .toDF("id", "t")
+    val got = C4Ops.c4Filter(docs, "id", "t", badWords = Seq("ass"))
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // "classic"/"compassionate" must NOT trip a list entry "ass"
+    assert(!got(0L).getAs[Boolean]("has_bad_word"))
+    assert(got(0L).getAs[Boolean]("keep"))
+    assert(got(1L).getAs[Boolean]("has_bad_word"))
+  }
+
+  // ---------------------------------------------- fuzzyDedupDocsBest
+
+  test("fuzzyDedupDocsBest: highest quality survives, min id on ties") {
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, base),                    // cluster {0,1,2}: near-identical
+      (1L, base + " extra"),         // ... 1 is LONGEST -> survivor
+      (2L, base),                    // same text as 0 (quality tie)
+      (7L, "a completely different standalone document entirely")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.fuzzyDedupDocsBest(docs, "doc_id", "text",
+        graft.text.TextOps.tokenCount(col("text")).cast("long"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("component"), r.getAs[Long]("survivor"),
+          r.getAs[Boolean]("keep")))).toMap
+    // components keep the min-id label; the survivor is the longest
+    assert(got(0L) == ((0L, 1L, false)))
+    assert(got(1L) == ((0L, 1L, true)))
+    assert(got(2L) == ((0L, 1L, false)))
+    // singleton keeps itself
+    assert(got(7L) == ((7L, 7L, true)))
+    // quality tie (drop doc 1): survivor falls to the SMALLEST id
+    val tied = DedupOps.fuzzyDedupDocsBest(
+        docs.filter(col("doc_id") =!= 1L), "doc_id", "text",
+        graft.text.TextOps.tokenCount(col("text")).cast("long"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("survivor")).toMap
+    assert(tied(0L) == 0L && tied(2L) == 0L)
+  }
+}
