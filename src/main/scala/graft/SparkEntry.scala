@@ -2006,11 +2006,21 @@ object SparkEntry {
     * floor-half budget, and the greedy selection flag. */
   private def q98(s: SparkSession, dir: String): DataFrame = {
     import graft.text.{BudgetOps, TextOps}
-    val docs = t(s, dir, "documents").select(col("doc_id"),
-      TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
-      TextOps.stopwordRatio(col("text")).as("priority"))
-    val budget = docs.agg(sum(col("n_tok"))).head().getLong(0) / 2
-    BudgetOps.budgetSelect(docs, "doc_id", "n_tok", "priority", budget)
+    // Stage the token array ONCE (the winnowFingerprints contract —
+    // the inlined tokenCount/stopwordRatio pair would re-tokenize
+    // ~4x per row), and derive the floor-half budget from the
+    // selection's own pass-1 totals instead of a separate agg pass.
+    val tk = t(s, dir, "documents").select(col("doc_id"),
+      TextOps.tokens(col("text")).as("__tk"))
+    val sw = array(TextOps.EnglishStopwords.map(lit): _*)
+    val docs = tk.select(col("doc_id"),
+      size(col("__tk")).cast("long").as("n_tok"),
+      when(size(col("__tk")) > 0,
+        size(filter(col("__tk"), x => array_contains(sw, x)))
+          .cast("double") / size(col("__tk")))
+        .otherwise(lit(0.0)).as("priority"))
+    BudgetOps.budgetSelectFraction(docs, "doc_id", "n_tok",
+        "priority", 1L, 2L)
       .select(col("doc_id"), col("n_tok"),
         rnd(col("priority"), 6).as("priority"),
         col("cum_tokens"), col("selected"))
@@ -2068,6 +2078,24 @@ object SparkEntry {
       .select(col("doc_id"), col("component"), col("survivor"),
         col("keep"), col("quality").as("q_tokens"))
       .orderBy("doc_id")
+
+  /** NB quality classifier ([[graft.text.ClassifierOps]]): train on
+    * the doc_id%10<3 slice labeled (lang == 'en') — the same
+    * trusted-slice convention as q88/q89 — with 256 hashed
+    * unigram+bigram buckets, then score the WHOLE corpus. The oracle
+    * re-derives the feature hashing (q89's CTE), both class count
+    * tables, the smoothed micro-quantized log-odds over ALL 256
+    * buckets, the prior, and every doc's exact BIGINT score. */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.ClassifierOps
+    val docs = t(s, dir, "documents")
+    val labeled = docs.filter(col("doc_id") % 10 < 3)
+      .select(col("doc_id"), (col("lang") === "en").as("y"), col("text"))
+    val model = ClassifierOps.trainNaiveBayes(labeled, "doc_id", "y",
+      "text", buckets = 256, seed = 7)
+    ClassifierOps.scoreNaiveBayes(docs, model, "doc_id", "text")
+      .orderBy("doc_id")
+  }
 
   // ---------------------------------------------------------------
 
@@ -2183,6 +2211,7 @@ object SparkEntry {
     "q98_budget_select"    -> (q98 _),
     "q99_c4_filter"        -> (q99 _),
     "q100_fuzzy_best"      -> (q100 _),
+    "q101_nb_classifier"   -> (q101 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -2997,6 +3026,49 @@ object SparkEntry {
       SELECT j.doc_id, j.component, s.survivor,
         (j.doc_id = s.survivor) AS keep, j.q_tokens
       FROM j JOIN s USING (component) ORDER BY j.doc_id"""),
+    // NB classifier re-derived end to end: q89's hashed-feature CTE,
+    // per-class bucket counts over the labeled slice, add-one
+    // smoothed log-odds over ALL 256 buckets (micro-quantized
+    // BIGINT), smoothed log prior, exact integer per-doc scores.
+    "q101_nb_classifier" -> (tokCte + """,
+      fs AS (SELECT doc_id, unnest(
+          flatten(list_transform(range(1, len(toks)+1), i ->
+            CASE WHEN i = 1 THEN [toks[i]]
+                 ELSE [toks[i], toks[i-1] || ' ' || toks[i]] END))) AS f
+        FROM tk),
+      fb AS (SELECT doc_id,
+          ('0x' || substr(md5('7:' || f), 1, 8))::BIGINT % 256 AS bucket
+        FROM fs),
+      dc AS (SELECT doc_id, bucket, count(*)::BIGINT AS n
+             FROM fb GROUP BY doc_id, bucket),
+      lab AS (SELECT doc_id, (lang = 'en') AS y FROM documents
+              WHERE doc_id % 10 < 3),
+      cc AS (SELECT bucket,
+          sum(CASE WHEN y THEN n ELSE 0 END)::BIGINT AS c_pos,
+          sum(CASE WHEN NOT y THEN n ELSE 0 END)::BIGINT AS c_neg
+        FROM dc JOIN lab USING (doc_id) GROUP BY bucket),
+      tot AS (SELECT
+          (SELECT coalesce(sum(c_pos), 0) FROM cc)::DOUBLE AS tp,
+          (SELECT coalesce(sum(c_neg), 0) FROM cc)::DOUBLE AS tn),
+      w AS (SELECT g.bucket,
+          CAST(floor((ln((coalesce(cc.c_pos, 0) + 1.0)
+                / (tot.tp + 256.0))
+              - ln((coalesce(cc.c_neg, 0) + 1.0) / (tot.tn + 256.0)))
+            * 1000000.0 + 0.5) AS BIGINT) AS w_micro
+        FROM range(0, 256) g(bucket) CROSS JOIN tot
+        LEFT JOIN cc ON g.bucket = cc.bucket),
+      pri AS (SELECT CAST(floor(ln(
+            (sum(CASE WHEN y THEN 1 ELSE 0 END) + 1.0)
+            / (sum(CASE WHEN NOT y THEN 1 ELSE 0 END) + 1.0))
+          * 1000000.0 + 0.5) AS BIGINT) AS bias FROM lab),
+      perdoc AS (SELECT dc.doc_id, sum(dc.n)::BIGINT AS n_feat,
+          sum(dc.n * w.w_micro)::BIGINT AS ll
+        FROM dc JOIN w USING (bucket) GROUP BY dc.doc_id)
+      SELECT d.doc_id, coalesce(n_feat, 0)::BIGINT AS n_feat,
+        (coalesce(ll, 0) + pri.bias)::BIGINT AS score_micro,
+        (coalesce(ll, 0) + pri.bias) > 0 AS predicted
+      FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id
+      CROSS JOIN pri ORDER BY d.doc_id"""),
     "q33_lsh_ann" -> lshAnnOracle,
     "q42_embed_neardup" -> neardupOracle(4, 4, 0.35),
     "q51_neardup_scaled" -> neardupOracle(8, 16, 0.35),

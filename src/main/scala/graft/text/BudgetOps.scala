@@ -49,12 +49,35 @@ object BudgetOps {
 
   /** Select documents in (priority DESC, `idCol` ASC) order until
     * `budget` tokens are admitted. Returns every input row plus
-    * `cum_tokens` (INCLUSIVE running token total in selection order)
-    * and `selected` (= exclusive offset < budget). Null tokens count
-    * 0; priorities must be non-null (cast to double for ordering).
-    * budget <= 0 selects nothing; budget >= total selects all. */
+    * `cum_tokens` (INCLUSIVE running token total in selection order),
+    * `selected` (= exclusive offset < budget), and `budget` (the
+    * resolved budget — telemetry for the fraction variant). Null
+    * tokens count 0; priorities must be non-null (cast to double for
+    * ordering). budget <= 0 selects nothing; >= total selects all.
+    * The token and priority columns are evaluated ONCE, during the
+    * range-shuffle materialization — pass expensive scoring
+    * expressions directly rather than pre-materializing them. */
   def budgetSelect(df: DataFrame, idCol: String, tokenCol: String,
-      priorityCol: String, budget: Long): DataFrame = {
+      priorityCol: String, budget: Long): DataFrame =
+    run(df, idCol, tokenCol, priorityCol, _ => budget)
+
+  /** [[budgetSelect]] with budget = floor(total·num/den) — "take
+    * half the corpus's tokens" without the caller paying a separate
+    * corpus-wide agg action for the total: pass 1 of the prefix-sum
+    * scan already sums every partition's tokens, so the fraction is
+    * derived from the SAME materialization the selection reads (the
+    * caller's scoring projection is evaluated exactly once). Exact
+    * integer arithmetic (BigInt intermediate, no double rounding). */
+  def budgetSelectFraction(df: DataFrame, idCol: String,
+      tokenCol: String, priorityCol: String, num: Long, den: Long)
+      : DataFrame = {
+    require(den > 0 && num >= 0, s"num=$num den=$den")
+    run(df, idCol, tokenCol, priorityCol,
+      total => (BigInt(total) * num / den).toLong)
+  }
+
+  private def run(df: DataFrame, idCol: String, tokenCol: String,
+      priorityCol: String, budgetOf: Long => Long): DataFrame = {
     val spark = df.sparkSession
     val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
 
@@ -81,6 +104,7 @@ object BudgetOps {
       prefix(p) = acc
       acc += totals.getOrElse(p, 0L)
     }
+    val budget = budgetOf(acc)
 
     // Pass 2: running sum within the SAME persisted partitions.
     val outSchema = ranged.schema
@@ -95,6 +119,7 @@ object BudgetOps {
     }(Encoders.row(outSchema))
       .withColumn("selected",
         col("cum_tokens") - col("__tok") < lit(budget))
+      .withColumn("budget", lit(budget))
       .drop("__tok", "__pri")
       .localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
     ranged.unpersist(blocking = false)

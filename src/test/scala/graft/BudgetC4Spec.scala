@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.text.{BudgetOps, C4Ops, DedupOps}
+import graft.text.{BudgetOps, C4Ops, ClassifierOps, DedupOps}
 
 class BudgetC4Spec extends SparkSpec {
   import spark.implicits._
@@ -46,6 +46,22 @@ class BudgetC4Spec extends SparkSpec {
     val total = rows.map(_._2).sum
     val all = BudgetOps.budgetSelect(docs, "id", "tok", "pri", total)
     assert(all.filter(col("selected")).count() == 40)
+  }
+
+  test("budgetSelectFraction == budgetSelect at the derived budget") {
+    val rows = (0L until 30L).map(i => (i, 1L + i % 6, (i % 4).toDouble))
+    val docs = rows.toDF("id", "tok", "pri")
+    val total = rows.map(_._2).sum
+    val frac = BudgetOps.budgetSelectFraction(docs, "id", "tok",
+        "pri", 1L, 3L)
+      .select("id", "cum_tokens", "selected", "budget").collect()
+    assert(frac.forall(_.getAs[Long]("budget") == total / 3))
+    val fixed = BudgetOps.budgetSelect(docs, "id", "tok", "pri",
+        total / 3)
+      .select("id", "cum_tokens", "selected").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(frac.map(r =>
+      (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet == fixed)
   }
 
   // ------------------------------------------------------------- C4Ops
@@ -141,5 +157,65 @@ class BudgetC4Spec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") ->
         r.getAs[Long]("survivor")).toMap
     assert(tied(0L) == 0L && tied(2L) == 0L)
+  }
+
+  // ----------------------------------------------------- ClassifierOps
+
+  private def nbFixture = Seq(
+    (0L, true, "good prose reads well and flows with clear words"),
+    (1L, true, "clear good words flow in well made prose here"),
+    (2L, false, "spam junk click now buy cheap spam junk offer"),
+    (3L, false, "cheap spam buy junk click offer now junk spam")
+  ).toDF("id", "y", "t")
+
+  test("naiveBayes: separates held-out docs; empty doc scores prior") {
+    val model = ClassifierOps.trainNaiveBayes(nbFixture, "id", "y",
+      "t", buckets = 64, seed = 7)
+    assert(model.weights.count() == 64) // every bucket materialized
+    val held = Seq(
+      (10L, "clear prose with good words"),
+      (11L, "buy cheap spam junk now"),
+      (12L, "")).toDF("id", "t")
+    val got = ClassifierOps.scoreNaiveBayes(held, model, "id", "t")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(got(10L).getAs[Boolean]("predicted"))
+    assert(!got(11L).getAs[Boolean]("predicted"))
+    // feature-free doc scores the bare prior (balanced classes:
+    // bias = floor(ln(3/3)*1e6+0.5) = 0, and predicted needs > 0)
+    assert(got(12L).getAs[Long]("n_feat") == 0L)
+    assert(got(12L).getAs[Long]("score_micro") == model.biasMicro)
+    assert(model.biasMicro == 0L && !got(12L).getAs[Boolean]("predicted"))
+  }
+
+  test("naiveBayes: prior and totals match the scalar closed form") {
+    val model = ClassifierOps.trainNaiveBayes(
+      nbFixture.filter(col("id") =!= 3L), "id", "y", "t",
+      buckets = 64, seed = 7)
+    // 2 pos vs 1 neg docs: bias = floor(ln(3/2)*1e6+0.5)
+    assert(model.biasMicro ==
+      math.floor(math.log(3.0 / 2.0) * 1e6 + 0.5).toLong)
+    // a bucket with no training mass carries the both-zero smoothed
+    // weight: docs have 9 tokens -> 17 unigram+bigram features each
+    val (tp, tn) = (2 * 17.0, 1 * 17.0)
+    val w0 = math.floor((math.log(1.0 / (tp + 64))
+      - math.log(1.0 / (tn + 64))) * 1e6 + 0.5).toLong
+    val ws = model.weights.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ws.size == 64 && ws.values.exists(_ == w0))
+  }
+
+  test("naiveBayes: scores are partition-invariant") {
+    val corpus = (0L until 40L).map(i =>
+      (i, s"doc $i mixes good prose with spam junk ${i % 5}"))
+      .toDF("id", "t")
+    val model = ClassifierOps.trainNaiveBayes(nbFixture, "id", "y",
+      "t", buckets = 64, seed = 7)
+    val a = ClassifierOps.scoreNaiveBayes(corpus.repartition(1),
+        model, "id", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val b = ClassifierOps.scoreNaiveBayes(corpus.repartition(11),
+        model, "id", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(a == b)
   }
 }

@@ -138,4 +138,31 @@ class PropertySpec extends SparkSpec {
     }
     assert(holds(p, 200))
   }
+
+  test("budgetSelect matches the scalar greedy fill on random pools") {
+    import graft.text.BudgetOps
+    val gen = for {
+      rows <- Gen.nonEmptyListOf(for {
+        tok <- Gen.choose(0L, 20L)
+        pri <- Gen.choose(0, 6)
+      } yield (tok, pri.toDouble))
+      budget <- Gen.choose(-5L, 300L)
+    } yield (rows.zipWithIndex.map { case ((t, p), i) =>
+      (i.toLong, t, p) }, budget)
+    val p = Prop.forAll(gen) { case (rows, budget) =>
+      val got = BudgetOps.budgetSelect(
+          rows.toDF("id", "tok", "pri"), "id", "tok", "pri", budget)
+        .select("id", "cum_tokens", "selected").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+        .toMap
+      var run = 0L
+      val exp = rows.sortBy { case (id, _, p) => (-p, id) }.map {
+        case (id, tok, _) =>
+          val start = run; run += tok
+          id -> ((run, start < budget))
+      }.toMap
+      got == exp
+    }
+    assert(holds(p, 10)) // each trial shuffles + checkpoints
+  }
 }
