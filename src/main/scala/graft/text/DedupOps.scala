@@ -596,8 +596,13 @@ object DedupOps {
     * Scale shape: the dedup chain is [[fuzzyDedupDocs]] unchanged;
     * the survivor adds one `max_by` aggregation keyed by component
     * (per-cluster state is one (quality, id) pair — O(1) per key)
-    * and one component-keyed join back, both on the already-shuffled
-    * component key.
+    * and one component-keyed join back. The labeled frame fans into
+    * both (the agg and the final join), so it is eagerly
+    * serialized-checkpointed — 3 longs/row, the SemDeDup
+    * member-assignment precedent — and both corpus-derived join
+    * sides are SHUFFLE_HASH-pinned (the per-component survivor
+    * table scales with the corpus; it must never ride an AQE
+    * broadcast that only fits at test SF).
     *
     * Returns every doc: (idCol, component, survivor, keep, quality)
     * with keep ⇔ id == survivor. */
@@ -609,14 +614,14 @@ object DedupOps {
       .select(col(idCol), col("component"))
     val q = docs.select(col(idCol).cast("long").as(idCol),
       quality.cast("long").as("quality"))
-    val labeled = comps.join(q, Seq(idCol))
+    val labeled = ckptSer(comps.join(q.hint("shuffle_hash"), Seq(idCol)))
     // max over the lexicographic (quality, -id) order: highest
     // quality, then SMALLEST id among equals — deterministic because
     // ids are unique, so no two structs compare equal.
     val surv = labeled.groupBy("component")
       .agg(max_by(col(idCol),
         struct(col("quality"), -col(idCol))).as("survivor"))
-    labeled.join(surv, Seq("component"))
+    labeled.join(surv.hint("shuffle_hash"), Seq("component"))
       .select(col(idCol), col("component"), col("survivor"),
         (col(idCol) === col("survivor")).as("keep"), col("quality"))
   }
