@@ -56,7 +56,9 @@ object BudgetOps {
     * ordering). budget <= 0 selects nothing; >= total selects all.
     * The token and priority columns are evaluated ONCE, during the
     * range-shuffle materialization — pass expensive scoring
-    * expressions directly rather than pre-materializing them. */
+    * expressions directly rather than pre-materializing them.
+    * `cum_tokens`/`selected`/`budget` are reserved output names —
+    * input columns with those names are overwritten. */
   def budgetSelect(df: DataFrame, idCol: String, tokenCol: String,
       priorityCol: String, budget: Long): DataFrame =
     run(df, idCol, tokenCol, priorityCol, _ => budget)

@@ -107,4 +107,26 @@ object ClassifierOps {
           .as("score_micro"))
       .withColumn("predicted", col("score_micro") > 0L)
   }
+
+  /** Held-out evaluation: join `scored` ([[scoreNaiveBayes]] output)
+    * to true labels and reduce to exact confusion counts — one row
+    * (tp, fp, tn, fn). Counts, not ratios: integer counts are exact
+    * and order-invariant; precision/recall are one division away and
+    * their rounding is the caller's policy. One SHUFFLE_HASH join +
+    * an O(1)-state global agg — nothing corpus-sized concentrates. */
+  def confusion(scored: DataFrame, labels: DataFrame, idCol: String,
+      labelCol: String): DataFrame =
+    scored
+      .join(labels.select(col(idCol),
+        col(labelCol).cast("boolean").as("__y")).hint("shuffle_hash"),
+        Seq(idCol))
+      .agg(
+        sum(when(col("predicted") && col("__y"), 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("predicted") && !col("__y"), 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(!col("predicted") && !col("__y"), 1L).otherwise(0L))
+          .as("tn"),
+        sum(when(!col("predicted") && col("__y"), 1L).otherwise(0L))
+          .as("fn"))
 }

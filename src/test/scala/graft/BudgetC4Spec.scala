@@ -204,6 +204,23 @@ class BudgetC4Spec extends SparkSpec {
     assert(ws.size == 64 && ws.values.exists(_ == w0))
   }
 
+  test("naiveBayes confusion: exact counts against held-out labels") {
+    val model = ClassifierOps.trainNaiveBayes(nbFixture, "id", "y",
+      "t", buckets = 64, seed = 7)
+    val held = Seq(
+      (20L, true, "good clear prose flows well"),
+      (21L, true, "spam junk spam junk spam"), // mislabeled pos -> fn
+      (22L, false, "cheap junk click spam buy"),
+      (23L, false, "well made good clear words")) // mislabeled neg -> fp
+      .toDF("id", "y", "t")
+    val scored = ClassifierOps.scoreNaiveBayes(
+      held.select("id", "t"), model, "id", "t")
+    val c = ClassifierOps.confusion(scored, held, "id", "y")
+      .collect().head
+    assert(c.getAs[Long]("tp") == 1 && c.getAs[Long]("fn") == 1 &&
+      c.getAs[Long]("tn") == 1 && c.getAs[Long]("fp") == 1)
+  }
+
   test("naiveBayes: scores are partition-invariant") {
     val corpus = (0L until 40L).map(i =>
       (i, s"doc $i mixes good prose with spam junk ${i % 5}"))
