@@ -2097,6 +2097,32 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Token-proportioned data MIXING
+    * ([[graft.text.BudgetOps.budgetSelectPerStratum]]): within each
+    * `source` stratum, admit docs in (priority DESC, id) order until
+    * HALF that source's tokens are taken — budgets derived per
+    * stratum from the scan's own pass-1 totals. The oracle restates
+    * it as a per-source window cumsum + per-source floor-half
+    * budgets. */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{BudgetOps, TextOps}
+    val tk = t(s, dir, "documents").select(col("doc_id"),
+      col("source"), TextOps.tokens(col("text")).as("__tk"))
+    val sw = array(TextOps.EnglishStopwords.map(lit): _*)
+    val docs = tk.select(col("doc_id"), col("source"),
+      size(col("__tk")).cast("long").as("n_tok"),
+      when(size(col("__tk")) > 0,
+        size(filter(col("__tk"), x => array_contains(sw, x)))
+          .cast("double") / size(col("__tk")))
+        .otherwise(lit(0.0)).as("priority"))
+    BudgetOps.budgetSelectPerStratumFraction(docs, "doc_id", "n_tok",
+        "priority", "source", 1L, 2L)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        rnd(col("priority"), 6).as("priority"),
+        col("cum_tokens"), col("budget"), col("selected"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -2212,6 +2238,7 @@ object SparkEntry {
     "q99_c4_filter"        -> (q99 _),
     "q100_fuzzy_best"      -> (q100 _),
     "q101_nb_classifier"   -> (q101 _),
+    "q102_token_mixing"    -> (q102 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -3069,6 +3096,25 @@ object SparkEntry {
         (coalesce(ll, 0) + pri.bias) > 0 AS predicted
       FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id
       CROSS JOIN pri ORDER BY d.doc_id"""),
+    // q98's cumsum restated per source: window partitioned by the
+    // stratum, per-source floor-half budgets, same greedy flag.
+    "q102_token_mixing" -> (tokCte + """,
+      d AS (SELECT tk.doc_id, d0.source, len(toks)::BIGINT AS n_tok,
+          CASE WHEN len(toks) > 0
+            THEN len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], x)))::DOUBLE
+              / len(toks) ELSE 0.0 END AS priority
+        FROM tk JOIN documents d0 ON tk.doc_id = d0.doc_id),
+      c AS (SELECT doc_id, source, n_tok, priority,
+          (sum(n_tok) OVER (PARTITION BY source
+            ORDER BY priority DESC, doc_id))::BIGINT AS cum_tokens
+        FROM d),
+      b AS (SELECT source, (sum(n_tok) // 2)::BIGINT AS budget
+            FROM d GROUP BY source)
+      SELECT c.doc_id, c.source, c.n_tok,
+        floor(c.priority * 1000000.0 + 0.5) / 1000000.0 AS priority,
+        c.cum_tokens, b.budget,
+        (c.cum_tokens - c.n_tok < b.budget) AS selected
+      FROM c JOIN b USING (source) ORDER BY c.doc_id"""),
     "q33_lsh_ann" -> lshAnnOracle,
     "q42_embed_neardup" -> neardupOracle(4, 4, 0.35),
     "q51_neardup_scaled" -> neardupOracle(8, 16, 0.35),

@@ -78,6 +78,113 @@ object BudgetOps {
       total => (BigInt(total) * num / den).toLong)
   }
 
+  /** Per-stratum budget fill — token-proportioned data MIXING (the
+    * FineWeb/Dolma "mix sources to a token recipe" step): within
+    * EACH stratum (source, language, domain tier), admit documents
+    * in (priority DESC, id ASC) order until that stratum's token
+    * budget is reached. `budgets` maps stratum (as string) to its
+    * budget; absent strata get `defaultBudget` (0 = excluded).
+    *
+    * Same two-pass distributed scan, range-partitioned on
+    * (stratum, priority DESC, id): rows of a stratum are contiguous
+    * across the partition sequence, so pass 1's driver collect is
+    * one row per (partition, stratum-run) — bounded by the partition
+    * count plus the stratum cardinality, which is parameter-sized by
+    * assumption (sources/languages — the same contract as
+    * [[SampleOps.stratifiedSample]]'s broadcast rate table). A NULL
+    * stratum folds to the empty string.
+    *
+    * Output adds `cum_tokens` (within-stratum inclusive running
+    * total), `budget` (the stratum's resolved budget), `selected`. */
+  def budgetSelectPerStratum(df: DataFrame, idCol: String,
+      tokenCol: String, priorityCol: String, stratumCol: String,
+      budgets: Map[String, Long], defaultBudget: Long = 0L)
+      : DataFrame =
+    runPerStratum(df, idCol, tokenCol, priorityCol, stratumCol,
+      totals => totals.map { case (s, _) =>
+        s -> budgets.getOrElse(s, defaultBudget) })
+
+  /** [[budgetSelectPerStratum]] with every stratum's budget derived
+    * as floor(stratumTotal·num/den) from pass-1 totals — "half of
+    * every source" costs no extra pass (the [[budgetSelectFraction]]
+    * contract, per stratum). */
+  def budgetSelectPerStratumFraction(df: DataFrame, idCol: String,
+      tokenCol: String, priorityCol: String, stratumCol: String,
+      num: Long, den: Long): DataFrame = {
+    require(den > 0 && num >= 0, s"num=$num den=$den")
+    runPerStratum(df, idCol, tokenCol, priorityCol, stratumCol,
+      totals => totals.map { case (s, t) =>
+        s -> (BigInt(t) * num / den).toLong })
+  }
+
+  private def runPerStratum(df: DataFrame, idCol: String,
+      tokenCol: String, priorityCol: String, stratumCol: String,
+      budgetsOf: Map[String, Long] => Map[String, Long]): DataFrame = {
+    val spark = df.sparkSession
+    val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
+
+    val ranged = df
+      .withColumn("__tok", coalesce(col(tokenCol).cast("long"), lit(0L)))
+      .withColumn("__pri", col(priorityCol).cast("double"))
+      .withColumn("__strat",
+        coalesce(col(stratumCol).cast("string"), lit("")))
+      .repartitionByRange(n, col("__strat"), col("__pri").desc,
+        col(idCol))
+      .sortWithinPartitions(col("__strat"), col("__pri").desc,
+        col(idCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tokIdx = ranged.schema.fieldIndex("__tok")
+    val stratIdx = ranged.schema.fieldIndex("__strat")
+
+    // Pass 1: per-(partition, stratum) totals. Strata are contiguous
+    // across the partition sequence, so this collect is bounded by
+    // partitions + strata, never by data size.
+    val totalsRows = ranged.select(col("__strat"), col("__tok"))
+      .queryExecution.toRdd.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val acc = scala.collection.mutable.LinkedHashMap
+          .empty[String, Long]
+        while (it.hasNext) {
+          val r = it.next()
+          val s = r.getUTF8String(0).toString
+          acc(s) = acc.getOrElse(s, 0L) + r.getLong(1)
+        }
+        acc.iterator.map { case (s, t) => (pid, s, t) }
+      }.collect()
+    val stratTotals = totalsRows.groupBy(_._2)
+      .map { case (s, rs) => s -> rs.map(_._3).sum }
+    val budgets = budgetsOf(stratTotals)
+    val prefix: Map[(Int, String), Long] =
+      totalsRows.groupBy(_._2).flatMap { case (s, rs) =>
+        var acc = 0L
+        rs.sortBy(_._1).map { case (pid, _, t) =>
+          val entry = ((pid, s), acc); acc += t; entry
+        }
+      }
+
+    // Pass 2: per-stratum running sums within the SAME partitions.
+    val outSchema = ranged.schema
+      .add("cum_tokens", LongType, nullable = false)
+      .add("budget", LongType, nullable = false)
+    val out = ranged.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val run = scala.collection.mutable.HashMap.empty[String, Long]
+      it.map { r =>
+        val s = r.getString(stratIdx)
+        val cur = run.getOrElse(s, prefix.getOrElse((pid, s), 0L)) +
+          r.getLong(tokIdx)
+        run(s) = cur
+        Row.fromSeq(r.toSeq :+ cur :+ budgets.getOrElse(s, 0L))
+      }
+    }(Encoders.row(outSchema))
+      .withColumn("selected",
+        col("cum_tokens") - col("__tok") < col("budget"))
+      .drop("__tok", "__pri", "__strat")
+      .localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
+    ranged.unpersist(blocking = false)
+    out
+  }
+
   private def run(df: DataFrame, idCol: String, tokenCol: String,
       priorityCol: String, budgetOf: Long => Long): DataFrame = {
     val spark = df.sparkSession

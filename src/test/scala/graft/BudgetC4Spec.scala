@@ -64,6 +64,50 @@ class BudgetC4Spec extends SparkSpec {
       (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet == fixed)
   }
 
+  test("budgetSelectPerStratum: literal per-stratum greedy fill") {
+    // 3 strata, interleaved input order, ties broken by id
+    val rows = (0L until 60L).map(i =>
+      (i, s"src${i % 3}", 1L + i % 7, (i % 4).toDouble))
+    val docs = rows.toDF("id", "src", "tok", "pri")
+    val budgets = Map("src0" -> 20L, "src1" -> 0L) // src2 -> default 5
+    val got = BudgetOps.budgetSelectPerStratum(docs, "id", "tok",
+        "pri", "src", budgets, defaultBudget = 5L)
+      .select("id", "cum_tokens", "budget", "selected").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val exp = rows.groupBy(_._2).flatMap { case (src, rs) =>
+      val b = budgets.getOrElse(src, 5L)
+      var run = 0L
+      rs.sortBy { case (id, _, _, p) => (-p, id) }.map {
+        case (id, _, tok, _) =>
+          val start = run; run += tok
+          id -> ((run, b, start < b))
+      }
+    }
+    assert(got == exp)
+    // src1's zero budget admits nothing
+    assert(rows.filter(_._2 == "src1").forall(r => !got(r._1)._3))
+  }
+
+  test("budgetSelectPerStratumFraction: half of EVERY stratum; " +
+      "partition-invariant") {
+    val rows = (0L until 80L).map(i =>
+      (i, s"s${i % 4}", 2L + i % 5, (i % 6).toDouble))
+    val docs = rows.toDF("id", "src", "tok", "pri")
+    def run(parts: Int) = BudgetOps.budgetSelectPerStratumFraction(
+        docs.repartition(parts), "id", "tok", "pri", "src", 1L, 2L)
+      .select("id", "cum_tokens", "budget", "selected").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    val a = run(1); val b = run(13)
+    assert(a == b)
+    // every stratum's budget is floor(its own total / 2)
+    val budgetByStrat = a.map(t => rows(t._1.toInt)._2 -> t._3).toMap
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      assert(budgetByStrat(src) == rs.map(_._3).sum / 2)
+    }
+  }
+
   // ------------------------------------------------------------- C4Ops
 
   test("c4Filter: line rules select exactly the conforming lines") {
