@@ -131,6 +131,15 @@ object TextScaleSmoke {
         graft.text.BudgetOps.budgetSelectFraction(
           scored, "doc_id", "n_tok", "pri", 1L, 2L)
       }
+      timed("budgetMix", f) {
+        val scored = docs.select(col("doc_id"),
+          concat(lit("src"), (col("doc_id") % 16).cast("string"))
+            .as("src"),
+          length(col("text")).cast("long").as("n_tok"),
+          (col("doc_id") % 7).cast("double").as("pri"))
+        graft.text.BudgetOps.budgetSelectPerStratumFraction(
+          scored, "doc_id", "n_tok", "pri", "src", 1L, 2L)
+      }
       // force the cleaned text + verdict to actually compute — a bare
       // count() lets Catalyst prune every C4 expression away
       timed("c4Filter", f) {
