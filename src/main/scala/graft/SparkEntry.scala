@@ -2123,6 +2123,17 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Overlapping token-window chunking
+    * ([[graft.text.ChunkOps.chunkDocs]]): 64-token chunks every 48
+    * tokens (16-token overlap). The oracle re-derives the chunk
+    * grid, the ragged tail, and every chunk's md5 via list_slice. */
+  private def q103(s: SparkSession, dir: String): DataFrame =
+    graft.text.ChunkOps.chunkDocs(t(s, dir, "documents"), "doc_id",
+        "text", chunkTokens = 64, stride = 48)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -2239,6 +2250,7 @@ object SparkEntry {
     "q100_fuzzy_best"      -> (q100 _),
     "q101_nb_classifier"   -> (q101 _),
     "q102_token_mixing"    -> (q102 _),
+    "q103_chunking"        -> (q103 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -3115,6 +3127,20 @@ object SparkEntry {
         c.cum_tokens, b.budget,
         (c.cum_tokens - c.n_tok < b.budget) AS selected
       FROM c JOIN b USING (source) ORDER BY c.doc_id"""),
+    // Chunk grid re-derived: floor((n-1)/stride)+1 windows, 1-based
+    // INCLUSIVE list_slice bounds == Spark's (start, length) slice.
+    "q103_chunking" -> (tokCte + """,
+      n AS (SELECT doc_id, toks, len(toks) AS n FROM tk
+            WHERE len(toks) > 0),
+      ch AS (SELECT doc_id, toks,
+          unnest(range(0, (n - 1) // 48 + 1)) AS chunk_idx
+        FROM n)
+      SELECT doc_id, chunk_idx::INT AS chunk_idx,
+        len(list_slice(toks, chunk_idx * 48 + 1,
+          chunk_idx * 48 + 64))::INT AS n_tokens,
+        md5(array_to_string(list_slice(toks, chunk_idx * 48 + 1,
+          chunk_idx * 48 + 64), ' ')) AS chunk_md5
+      FROM ch ORDER BY doc_id, chunk_idx"""),
     "q33_lsh_ann" -> lshAnnOracle,
     "q42_embed_neardup" -> neardupOracle(4, 4, 0.35),
     "q51_neardup_scaled" -> neardupOracle(8, 16, 0.35),

@@ -203,6 +203,39 @@ class BudgetC4Spec extends SparkSpec {
     assert(tied(0L) == 0L && tied(2L) == 0L)
   }
 
+  // ---------------------------------------------------------- ChunkOps
+
+  test("chunkDocs: windows, overlap, ragged tail, empty doc") {
+    import graft.text.ChunkOps
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, doc), (2L, ""), (3L, "only two")).toDF("id", "t")
+    val got = ChunkOps.chunkDocs(docs, "id", "t", chunkTokens = 5,
+        stride = 3)
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Int]("chunk_idx"), r.getAs[Int]("n_tokens"),
+        r.getAs[String]("chunk_text"))).toSet
+    // doc 1: n=10, starts 0,3,6,9 -> lengths 5,5,4,1
+    assert(got == Set(
+      (1L, 0, 5, "t1 t2 t3 t4 t5"),
+      (1L, 1, 5, "t4 t5 t6 t7 t8"),
+      (1L, 2, 4, "t7 t8 t9 t10"),
+      (1L, 3, 1, "t10"),
+      (3L, 0, 2, "only two"))) // empty doc 2 emits nothing
+    // consecutive full chunks share chunk - stride = 2 tokens
+    assert("t4 t5 t6 t7 t8".startsWith("t4 t5"))
+  }
+
+  test("chunkDocs: stride == chunk tiles without overlap") {
+    import graft.text.ChunkOps
+    val doc = (1 to 9).map(i => s"w$i").mkString(" ")
+    val got = ChunkOps.chunkDocs(Seq((1L, doc)).toDF("id", "t"),
+        "id", "t", chunkTokens = 4, stride = 4)
+      .collect().map(r => r.getAs[Int]("chunk_idx") ->
+        r.getAs[String]("chunk_text")).toMap
+    assert(got == Map(0 -> "w1 w2 w3 w4", 1 -> "w5 w6 w7 w8",
+      2 -> "w9"))
+  }
+
   // ----------------------------------------------------- ClassifierOps
 
   private def nbFixture = Seq(
