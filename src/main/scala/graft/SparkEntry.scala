@@ -2134,6 +2134,23 @@ object SparkEntry {
         md5(col("chunk_text")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Cross-snapshot near-dedup
+    * ([[graft.text.DedupOps.nearDupAgainst]]): reference = even-id
+    * docs, incoming = odd-id docs plus 100 even-id TEXTS re-sent
+    * under fresh ids (+10000) — the re-keyed copies are what makes
+    * the against-reference flag load-bearing, as in q97. The oracle
+    * re-derives both band-key tables and the distinct-key semi join
+    * in SQL. */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val resent = ref.filter(col("doc_id") < 200)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    val incoming = docs.filter(col("doc_id") % 2 === 1).union(resent)
+    graft.text.DedupOps.nearDupAgainst(incoming, ref, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -2251,6 +2268,7 @@ object SparkEntry {
     "q101_nb_classifier"   -> (q101 _),
     "q102_token_mixing"    -> (q102 _),
     "q103_chunking"        -> (q103 _),
+    "q104_dedup_against"   -> (q104 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -3141,6 +3159,40 @@ object SparkEntry {
         md5(array_to_string(list_slice(toks, chunk_idx * 48 + 1,
           chunk_idx * 48 + 64), ' ')) AS chunk_md5
       FROM ch ORDER BY doc_id, chunk_idx"""),
+    // Both corpora's band keys re-derived (q41's minhash CTE over
+    // the widened corpus), reference reduced to distinct keys, and
+    // the semi-join membership restated as an IN.
+    "q104_dedup_against" -> """
+      WITH corp AS (
+        SELECT doc_id, text, (doc_id % 2 = 0) AS is_ref FROM documents
+        UNION ALL
+        SELECT doc_id + 10000, text, false FROM documents
+        WHERE doc_id % 2 = 0 AND doc_id < 200),
+      tk AS (SELECT doc_id, is_ref,
+          list_filter(string_split_regex(
+            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+            x -> x <> '') AS toks
+        FROM corp),
+      sh AS (SELECT doc_id, is_ref, unnest(list_distinct(
+          CASE WHEN len(toks) >= 3
+            THEN list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END)) AS shingle
+        FROM tk),
+      mins AS (SELECT doc_id, is_ref, j,
+          min(('0x' || substr(md5((j // 4)::VARCHAR || ':' || shingle),
+            1 + 8 * (j % 4), 8))::BIGINT) AS h
+        FROM sh CROSS JOIN range(0, 8) t(j)
+        GROUP BY doc_id, is_ref, j),
+      bands AS (SELECT doc_id, is_ref, j // 2 AS band,
+          md5(string_agg(h::VARCHAR, ',' ORDER BY j)) AS key
+        FROM mins GROUP BY doc_id, is_ref, j // 2),
+      refk AS (SELECT DISTINCT band, key FROM bands WHERE is_ref),
+      hit AS (SELECT DISTINCT b.doc_id FROM bands b
+        JOIN refk USING (band, key) WHERE NOT b.is_ref)
+      SELECT doc_id,
+        (doc_id IN (SELECT doc_id FROM hit)) AS dup_against_ref
+      FROM corp WHERE NOT is_ref ORDER BY doc_id""",
     "q33_lsh_ann" -> lshAnnOracle,
     "q42_embed_neardup" -> neardupOracle(4, 4, 0.35),
     "q51_neardup_scaled" -> neardupOracle(8, 16, 0.35),

@@ -269,27 +269,72 @@ object DedupOps {
       .select(col("id") +:
         (0 until n).map(i => col("__sig").getItem(i).as(s"h$i")): _*)
 
+  /** LSH band-key table: (id, band, key) — one row per (doc, band),
+    * band key = md5 of the band's joined signature values. The
+    * narrow substrate of every MinHash banding consumer (self-join
+    * candidates, cross-corpus dedup, streaming buckets). */
+  def minhashBandKeys(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, rows: Int): DataFrame =
+    minhashSignatures(docs, idCol, textCol, k, bands * rows)
+      .select(col("id"), explode(array(
+        (0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws(",", (0 until rows).map(r =>
+              col(s"h${b * rows + r}").cast("string")): _*)).as("key"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+
   /** MinHash/LSH candidate pairs: docs sharing >= 1 of `bands` band
     * keys (signature length = bands*rows). Returns (id_a, id_b,
     * n_shared_bands). The band-key equi-join is the only shuffle
     * touching pairs; band keys are md5 of the joined band values. */
   def minhashCandidatePairs(docs: DataFrame, idCol: String,
       textCol: String, k: Int, bands: Int, rows: Int): DataFrame = {
-    val sig = minhashSignatures(docs, idCol, textCol, k, bands * rows)
-    val banded = sig.select(col("id"), explode(array(
-        (0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            md5(concat_ws(",", (0 until rows).map(r =>
-              col(s"h${b * rows + r}").cast("string")): _*)).as("key"))
-        }: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      // feeds both sides of the candidate-pair self-join
-      .transform(ckptSer)
+    // feeds both sides of the candidate-pair self-join
+    val banded = ckptSer(
+      minhashBandKeys(docs, idCol, textCol, k, bands, rows))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Cross-snapshot near-dedup — dedup an INCOMING batch against an
+    * existing REFERENCE corpus (each new crawl snapshot against
+    * everything already ingested, the RefinedWeb/Dolma snapshot
+    * workflow): an incoming doc is flagged iff it shares at least
+    * one LSH band key with ANY reference doc. The batch counterpart
+    * of [[graft.streaming.IncrementalNearDup]]'s state-store probe
+    * (same kernel signatures and band keys, so batch and streaming
+    * verdicts agree on identical corpora).
+    *
+    * Scale shape: both band tables are narrow kernel scans; the one
+    * shuffle is the (band, key) LEFT SEMI join, with the reference
+    * side reduced to DISTINCT keys first (map-side combinable) and
+    * SHUFFLE_HASH-pinned — the reference is corpus-sized and must
+    * never ride an AQE broadcast that only fits at test SF.
+    *
+    * Returns every incoming row: (idCol, dup_against_ref) —
+    * keep-flag convention; filter `!dup_against_ref` to admit. */
+  def nearDupAgainst(incoming: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, k: Int = 3, bands: Int = 4,
+      rows: Int = 2): DataFrame = {
+    val incB = minhashBandKeys(incoming, idCol, textCol, k, bands, rows)
+    val refKeys = minhashBandKeys(reference, idCol, textCol, k, bands,
+        rows)
+      .select("band", "key").distinct()
+    val flagged = incB
+      .join(refKeys.hint("shuffle_hash"), Seq("band", "key"),
+        "left_semi")
+      .select(col("id")).distinct()
+    incoming.select(col(idCol).cast("long").as(idCol))
+      .join(flagged.select(col("id").as(idCol))
+        .withColumn("__hit", lit(true)).hint("shuffle_hash"),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__hit"), lit(false)).as("dup_against_ref"))
   }
 
   /** Estimated MinHash Jaccard for given pairs: fraction of equal

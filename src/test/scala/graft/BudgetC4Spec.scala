@@ -203,6 +203,22 @@ class BudgetC4Spec extends SparkSpec {
     assert(tied(0L) == 0L && tied(2L) == 0L)
   }
 
+  test("nearDupAgainst: flags incoming docs colliding with reference") {
+    val a = (0 until 25).map(i => s"a$i").mkString(" ")
+    val b = (0 until 25).map(i => s"b$i").mkString(" ")
+    val ref = Seq((0L, a), (2L, b)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "entirely unrelated fresh content here today"),
+      (10L, a),              // byte-identical to ref 0 -> flagged
+      (11L, a + " extra")    // near-identical -> bands collide
+    ).toDF("doc_id", "text")
+    val got = DedupOps.nearDupAgainst(incoming, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> false, 10L -> true, 11L -> true))
+    // every incoming doc gets exactly one verdict row
+    assert(got.size == 3)
+  }
+
   // ---------------------------------------------------------- ChunkOps
 
   test("chunkDocs: windows, overlap, ragged tail, empty doc") {
