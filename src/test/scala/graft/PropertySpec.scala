@@ -165,4 +165,37 @@ class PropertySpec extends SparkSpec {
     }
     assert(holds(p, 10)) // each trial shuffles + checkpoints
   }
+
+  test("budgetSelectPerStratum matches the scalar per-stratum fill") {
+    import graft.text.BudgetOps
+    val gen = for {
+      rows <- Gen.nonEmptyListOf(for {
+        strat <- Gen.choose(0, 3)
+        tok <- Gen.choose(0L, 15L)
+        pri <- Gen.choose(0, 4)
+      } yield (s"s$strat", tok, pri.toDouble))
+      budgets <- Gen.listOfN(4, Gen.choose(0L, 120L))
+    } yield (rows.zipWithIndex.map { case ((s, t, p), i) =>
+      (i.toLong, s, t, p) },
+      (0 until 4).map(i => s"s$i" -> budgets(i)).toMap)
+    val p = Prop.forAll(gen) { case (rows, budgets) =>
+      val got = BudgetOps.budgetSelectPerStratum(
+          rows.toDF("id", "src", "tok", "pri"), "id", "tok", "pri",
+          "src", budgets)
+        .select("id", "cum_tokens", "selected").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+        .toMap
+      val exp = rows.groupBy(_._2).flatMap { case (src, rs) =>
+        val b = budgets(src)
+        var run = 0L
+        rs.sortBy { case (id, _, _, p) => (-p, id) }.map {
+          case (id, _, tok, _) =>
+            val start = run; run += tok
+            id -> ((run, start < b))
+        }
+      }
+      got == exp
+    }
+    assert(holds(p, 10))
+  }
 }
