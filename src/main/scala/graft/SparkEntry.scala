@@ -2151,6 +2151,18 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Corpus composition report
+    * ([[graft.text.ReportOps.compositionReport]]): docs / tokens /
+    * chars by source, by lang, by source×lang, and overall — one
+    * CUBE pass. The oracle restates it as GROUP BY CUBE with the
+    * same `(all)` sentinel fold. */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{ReportOps, TextOps}
+    ReportOps.compositionReport(t(s, dir, "documents"), "source",
+        "lang", TextOps.tokenCount(col("text")), "text")
+      .orderBy("source", "lang")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -2269,6 +2281,7 @@ object SparkEntry {
     "q102_token_mixing"    -> (q102 _),
     "q103_chunking"        -> (q103 _),
     "q104_dedup_against"   -> (q104 _),
+    "q105_corpus_report"   -> (q105 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -3193,6 +3206,19 @@ object SparkEntry {
       SELECT doc_id,
         (doc_id IN (SELECT doc_id FROM hit)) AS dup_against_ref
       FROM corp WHERE NOT is_ref ORDER BY doc_id""",
+    // CUBE rollup with the same (all) sentinel fold; token counts
+    // from the shared tokenizer CTE.
+    "q105_corpus_report" -> (tokCte + """,
+      d AS (SELECT d0.source, d0.lang, len(tk.toks)::BIGINT AS n_tok,
+          length(d0.text)::BIGINT AS n_chars
+        FROM documents d0 JOIN tk ON d0.doc_id = tk.doc_id)
+      SELECT coalesce(source, '(all)') AS source,
+             coalesce(lang, '(all)') AS lang,
+             count(*)::BIGINT AS n_docs,
+             sum(n_tok)::BIGINT AS n_tokens,
+             sum(n_chars)::BIGINT AS n_chars
+      FROM d GROUP BY CUBE (source, lang)
+      ORDER BY 1, 2"""),
     "q33_lsh_ann" -> lshAnnOracle,
     "q42_embed_neardup" -> neardupOracle(4, 4, 0.35),
     "q51_neardup_scaled" -> neardupOracle(8, 16, 0.35),

@@ -1,0 +1,45 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus composition reporting — the "what is actually in this
+  * corpus" table every curation run publishes (docs/tokens/bytes by
+  * source, by language, by source×language, and overall): one CUBE
+  * aggregation over the dimension columns, so all 2^d marginal
+  * rollups come out of a single pass.
+  *
+  * Scale shape: CUBE expands each input row into 2^d grouping rows
+  * BEFORE the aggregation, but the aggregation is hash-based with
+  * map-side partial combine, so the expansion never materializes —
+  * what shuffles is at most (|dim1|+1)·(|dim2|+1)·… partial rows per
+  * map task, and the final table is dimension-cardinality-sized.
+  * NULL dimension values from the rollup are folded to the sentinel
+  * `(all)` so the report is a plain hash-stable table (the corpus
+  * columns themselves are non-null in this engine's data model).
+  *
+  * Reference scope: the reference pipeline has no corpus reporting
+  * (it is a flux-tower ETL); this extends the engine for the
+  * large-scale training-data use cases in the build brief.
+  */
+object ReportOps {
+
+  /** Composition over two dimensions: one row per (d1, d2) cell of
+    * the CUBE, with `(all)` marking rolled-up dimensions. Output:
+    * (dim1, dim2, n_docs, n_tokens, n_chars). `tokenCount` is any
+    * per-row token-count expression (e.g.
+    * [[TextOps.tokenCount]](col("text"))). */
+  def compositionReport(df: DataFrame, dim1: String, dim2: String,
+      tokenCount: Column, textCol: String): DataFrame =
+    df.select(col(dim1), col(dim2),
+        tokenCount.cast("long").as("__tok"),
+        length(col(textCol)).cast("long").as("__chars"))
+      .cube(col(dim1), col(dim2))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        sum(col("__chars")).as("n_chars"))
+      .select(
+        coalesce(col(dim1), lit("(all)")).as(dim1),
+        coalesce(col(dim2), lit("(all)")).as(dim2),
+        col("n_docs"), col("n_tokens"), col("n_chars"))
+}

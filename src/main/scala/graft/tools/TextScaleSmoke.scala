@@ -151,6 +151,16 @@ object TextScaleSmoke {
         graft.text.DedupOps.fuzzyDedupDocsBest(docs, "doc_id", "text",
           graft.text.TextOps.tokenCount(col("text")).cast("long"))
       }
+      // md5 over chunk_text forces the slices to materialize
+      timed("chunkDocs", f) {
+        graft.text.ChunkOps.chunkDocs(docs, "doc_id", "text", 64, 48)
+          .filter(md5(col("chunk_text")).isNotNull)
+      }
+      timed("nearDupAgainst", f) {
+        graft.text.DedupOps.nearDupAgainst(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      }
       spark.catalog.clearCache()
     }
 

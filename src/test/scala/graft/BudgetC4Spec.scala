@@ -219,6 +219,28 @@ class BudgetC4Spec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("compositionReport: cube cells, marginals, and grand total") {
+    import graft.text.{ReportOps, TextOps}
+    val docs = Seq(
+      (1L, "wiki", "en", "one two three"),
+      (2L, "wiki", "fr", "un deux"),
+      (3L, "web", "en", "a b c d"),
+      (4L, "web", "en", "x y")
+    ).toDF("doc_id", "source", "lang", "text")
+    val got = ReportOps.compositionReport(docs, "source", "lang",
+        TextOps.tokenCount(col("text")), "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // 2 sources x 2 langs -> cells + marginals + grand total = 8 rows
+    // (wiki,fr) exists, (web,fr) doesn't
+    assert(got.size == 8)
+    assert(got(("wiki", "en")) == ((1L, 3L)))
+    assert(got(("web", "en")) == ((2L, 6L)))
+    assert(got(("wiki", "(all)")) == ((2L, 5L)))
+    assert(got(("(all)", "en")) == ((3L, 9L)))
+    assert(got(("(all)", "(all)")) == ((4L, 11L)))
+  }
+
   // ---------------------------------------------------------- ChunkOps
 
   test("chunkDocs: windows, overlap, ragged tail, empty doc") {
