@@ -29,24 +29,19 @@ object ChunkOps {
   /** Chunk `textCol` into overlapping token windows. Output: one row
     * per chunk — (idCol, chunk_idx, n_tokens, chunk_text). The chunk
     * count per doc is floor((n−1)/stride)+1, so every token is
-    * covered and the last window starts before position n. */
+    * covered and the last window starts before position n.
+    *
+    * All windows are assembled per DOC inside the fused
+    * [[graft.functions.ChunkWindowsExpr]] kernel and only the small
+    * chunk structs are exploded (the relational alternatives carry
+    * the whole token array through the Generate or re-enter HOF
+    * interpretation — measured 3–10× slower; see the kernel doc). */
   def chunkDocs(df: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int, stride: Int): DataFrame = {
-    require(chunkTokens >= 1, s"chunkTokens=$chunkTokens")
-    require(stride >= 1 && stride <= chunkTokens,
-      s"stride=$stride must be in [1, chunkTokens]")
-    val tk = df.select(col(idCol),
-      TextOps.tokens(col(textCol)).as("__tk"))
-    tk.select(col(idCol), col("__tk"), size(col("__tk")).as("__n"))
-      .filter(col("__n") > 0)
-      .select(col(idCol), col("__tk"),
-        explode(sequence(lit(0),
-          ((col("__n") - 1) / stride).cast("int"))).as("chunk_idx"))
-      .select(col(idCol), col("chunk_idx"),
-        slice(col("__tk"), col("chunk_idx") * stride + 1,
-          lit(chunkTokens)).as("__c"))
-      .select(col(idCol), col("chunk_idx"),
-        size(col("__c")).as("n_tokens"),
-        array_join(col("__c"), " ").as("chunk_text"))
-  }
+      chunkTokens: Int, stride: Int): DataFrame =
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), posexplode(
+        graft.functions.ChunkKernel.windows(col("__tk"), chunkTokens,
+          stride)))
+      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+        col("col.n").as("n_tokens"), col("col.t").as("chunk_text"))
 }

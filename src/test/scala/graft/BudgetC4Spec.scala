@@ -263,6 +263,29 @@ class BudgetC4Spec extends SparkSpec {
     assert("t4 t5 t6 t7 t8".startsWith("t4 t5"))
   }
 
+  test("chunkDocs: kernel matches scalar slicing over random shapes") {
+    import graft.text.ChunkOps
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 30L).map { i =>
+      val n = rnd.nextInt(40) // 0..39 tokens
+      (i, (0 until n).map(j => s"w${rnd.nextInt(9)}x$j").mkString(" "))
+    }
+    val (chunk, stride) = (7, 5)
+    val got = ChunkOps.chunkDocs(docs.toDF("id", "t"), "id", "t",
+        chunk, stride)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getString(3)))).toMap
+    val exp = docs.flatMap { case (id, t) =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      if (toks.isEmpty) Nil
+      else (0 to (toks.length - 1) / stride).map { p =>
+        val w = toks.slice(p * stride, p * stride + chunk)
+        (id, p) -> ((w.length, w.mkString(" ")))
+      }
+    }.toMap
+    assert(got == exp)
+  }
+
   test("chunkDocs: stride == chunk tiles without overlap") {
     import graft.text.ChunkOps
     val doc = (1 to 9).map(i => s"w$i").mkString(" ")
