@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDotExpr, BigramCountsExpr, DistinctShingles, Fp2Decode, HashedNgramCountsExpr, MinhashSig, NfcNormalize, PositionedWindows, RepetitionStatsExpr, SimhashWords, StripAccentsExpr, WinnowSelect}
+import graft.functions.{ArrayDotExpr, BigramCountsExpr, ChunkWindowsExpr, DistinctShingles, Fp2Decode, HashedNgramCountsExpr, MinhashSig, NfcNormalize, PositionedWindows, RepetitionStatsExpr, SimhashWords, StripAccentsExpr, WinnowSelect}
 
 /** Session-extension entry point: registers graft's native Catalyst
   * expressions into every session built with
@@ -80,6 +80,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[PositionedWindows].getName, "positioned_windows"),
       (exprs: Seq[Expression]) => PositionedWindows(exprs(0),
         litInt("positioned_windows")(exprs(1), "k"))))
+    ext.injectFunction((
+      FunctionIdentifier("chunk_windows"),
+      new ExpressionInfo(
+        classOf[ChunkWindowsExpr].getName, "chunk_windows"),
+      (exprs: Seq[Expression]) => {
+        val li = litInt("chunk_windows") _
+        ChunkWindowsExpr(exprs(0), li(exprs(1), "chunk"),
+          li(exprs(2), "stride"))
+      }))
     // repetition_stats(tokens, line_width, n1[, n2, ...])
     ext.injectFunction((
       FunctionIdentifier("repetition_stats"),

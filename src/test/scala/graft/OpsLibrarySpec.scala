@@ -447,7 +447,9 @@ class OpsLibrarySpec extends SparkSpec {
         hashed_ngram_counts(array('a','b','a'), 64, 7) AS hn,
         distinct_shingles(array('a','b','c','a','b'), 2) AS ds,
         positioned_windows(array('a','b','c'), 2) AS pw,
-        repetition_stats(array('a','b','a','b','c','d'), 2, 2, 3) AS rs"""
+        repetition_stats(array('a','b','a','b','c','d'), 2, 2, 3) AS rs,
+        chunk_windows(array('a','b','c','d','e','f','g'), 3, 2) AS cw,
+        chunk_windows(array(), 3, 2) AS cw_empty"""
     def run(): org.apache.spark.sql.Row = spark.sql(sql).head()
     val wscg = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
@@ -470,6 +472,11 @@ class OpsLibrarySpec extends SparkSpec {
       graft.functions.Winnow.selectScalar("café résumé 99x", 3, 2, 11))
     assert(gen.getSeq[Long](4) ==
       graft.functions.SimhashKernel.wordsScalar(Seq("x", "y", "z", "x")))
+    // chunk_windows: 7 tokens, chunk 3, stride 2 -> starts 0,2,4,6
+    assert(gen.getSeq[org.apache.spark.sql.Row](10)
+      .map(x => (x.getInt(0), x.getString(1))) ==
+      Seq((3, "a b c"), (3, "c d e"), (3, "e f g"), (1, "g")))
+    assert(gen.getSeq[org.apache.spark.sql.Row](11).isEmpty)
     // Literal-parameter contract: a column where a kernel parameter
     // belongs must be rejected at planning, not computed per row.
     val err = intercept[Exception] {
