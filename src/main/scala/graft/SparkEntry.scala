@@ -2163,6 +2163,25 @@ object SparkEntry {
       .orderBy("source", "lang")
   }
 
+  /** BPE tokenizer train + apply ([[graft.text.BpeOps]]): learn 100
+    * merges from the deterministic 20% hash sample (top-2000 words),
+    * tokenize the whole corpus with the fused kernel. THE one
+    * rows-only row in the suite — greedy iterative merge application
+    * is not SQL-expressible (each merge rewrites the adjacency the
+    * next lookup keys on), so no `oracleSql` entry exists by
+    * documented necessity; correctness is pinned by `BudgetC4Spec`'s
+    * hand-derived merge sequences and properties instead. */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.BpeOps
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val model = BpeOps.learnBpe(docs, "doc_id", "text",
+      numMerges = 100, sampleRate = 0.2, maxWords = 2000)
+    BpeOps.applyBpe(docs, "text", model)
+      .select(col("doc_id"), col("n_subwords"),
+        md5(concat_ws(" ", col("subwords"))).as("subword_md5"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -2282,6 +2301,7 @@ object SparkEntry {
     "q103_chunking"        -> (q103 _),
     "q104_dedup_against"   -> (q104 _),
     "q105_corpus_report"   -> (q105 _),
+    "q106_bpe_tokenize"    -> (q106 _),
   )
 
   private def planeLit(p: Array[Double]): String =

@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training + application (Sennrich et al. 2016) —
+  * the tokenizer-building step of an LLM data pipeline, done the way
+  * production tokenizers are actually trained: learn the merge table
+  * from a SAMPLE of the corpus, apply it to everything.
+  *
+  *   - LEARNING is driver-side by design and fully deterministic:
+  *     the sample is the md5-coordinate order statistic
+  *     ([[SampleOps.hashCoord]] — identical on any partitioning/
+  *     engine/re-run), its word-frequency table is cut to the top
+  *     `maxWords` by the exact (count DESC, word ASC) order via
+  *     orderBy+limit (TakeOrderedAndProject — a parameter-bounded
+  *     driver merge, the DSIR top-k pattern), and the classic merge
+  *     loop runs over that ≤ maxWords-row dict. Nothing corpus-sized
+  *     ever reaches the driver; tie-breaks (max pair count, then
+  *     lexicographic pair) are total, so the learned table is
+  *     reproducible bit-for-bit.
+  *   - APPLICATION is distributed via the fused
+  *     [[graft.functions.BpeApplyExpr]] kernel: the merge table is
+  *     parameter-sized and rides the expression tree; the corpus
+  *     never shuffles.
+  *
+  * No SQL oracle exists for this operator: greedy iterative merge
+  * application (each merge rewrites the adjacency the next lookup
+  * keys on) is not expressible in set-oriented SQL, so its oracle
+  * row is the driver's weaker rows-only check — the ONE such row in
+  * the suite, by documented necessity; correctness is pinned by the
+  * spec layer instead (hand-derived merge sequences, reconstruction
+  * and determinism properties, partition invariance).
+  */
+object BpeOps {
+
+  /** Learned model: ranked merges (rank = position). */
+  final case class BpeModel(merges: Seq[(String, String)])
+
+  /** Learn `numMerges` merges from a deterministic sample of
+    * `sampleRate` of the docs (hash-coordinate membership), over the
+    * top `maxWords` words of the sample. */
+  def learnBpe(df: DataFrame, idCol: String, textCol: String,
+      numMerges: Int, sampleRate: Double = 0.1,
+      maxWords: Int = 10000, salt: String = "bpe"): BpeModel = {
+    require(numMerges >= 0, s"numMerges=$numMerges")
+    val sampled = SampleOps.sampleFraction(
+      df.select(col(idCol), col(textCol)), idCol, sampleRate, salt)
+    val words = sampled
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxWords)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    BpeModel(learnMerges(words, numMerges))
+  }
+
+  /** The classic merge loop over a (word, count) dict — driver-side,
+    * O(numMerges · total symbols). Deterministic: best pair = max
+    * summed count, ties to the lexicographically smallest pair. */
+  private[graft] def learnMerges(words: Seq[(String, Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    var dict = words.map { case (w, c) =>
+      (w.map(_.toString).toVector, c) }
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String)]
+    var m = 0
+    var exhausted = false
+    while (m < numMerges && !exhausted) {
+      val counts = scala.collection.mutable
+        .HashMap.empty[(String, String), Long]
+      dict.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) =>
+          (-c, a, b) }._1
+        merges += best
+        dict = dict.map { case (syms, c) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 &&
+                syms(i + 1) == best._2) {
+              out += syms(i) + syms(i + 1); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toVector, c)
+        }
+        m += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Apply a learned model: adds `subwords` (the doc's full subword
+    * stream) and `n_subwords`. Narrow — rides the scan. */
+  def applyBpe(df: DataFrame, textCol: String, model: BpeModel)
+      : DataFrame = {
+    val subs = graft.functions.BpeKernel.applyMerges(
+      TextOps.tokens(col(textCol)), model.merges)
+    df.withColumn("subwords", subs)
+      .withColumn("n_subwords", size(col("subwords")))
+  }
+}

@@ -297,6 +297,66 @@ class BudgetC4Spec extends SparkSpec {
       2 -> "w9"))
   }
 
+  // ------------------------------------------------------------ BpeOps
+
+  test("learnMerges: hand-derived merge sequence and tie-breaks") {
+    import graft.text.BpeOps
+    // pair (a,b) weighs 2*2+3=7; after merging, (ab,ab) weighs 2
+    val merges = BpeOps.learnMerges(
+      Seq(("abab", 2L), ("ab", 3L)), numMerges = 3)
+    assert(merges.take(2) == Seq(("a", "b"), ("ab", "ab")))
+    // exhaustion: nothing left to merge after abab/ab are atoms
+    assert(merges.length <= 3)
+    // tie-break: equal counts fall to the lexicographically smallest
+    val tied = BpeOps.learnMerges(Seq(("ba", 1L), ("ab", 1L)), 1)
+    assert(tied == Seq(("a", "b")))
+  }
+
+  test("encodeWordScalar: lowest rank first, leftmost on rank ties") {
+    import graft.functions.BpeKernel
+    val ranks = Map(("a", "b") -> 0, ("ab", "ab") -> 1)
+    assert(BpeKernel.encodeWordScalar("ababab", ranks) ==
+      Seq("abab", "ab"))
+    assert(BpeKernel.encodeWordScalar("xyz", ranks) ==
+      Seq("x", "y", "z"))
+    assert(BpeKernel.encodeWordScalar("a", ranks) == Seq("a"))
+  }
+
+  test("applyBpe: doc subword stream; reconstruction; invariance") {
+    import graft.text.BpeOps
+    import graft.text.BpeOps.BpeModel
+    val model = BpeModel(Seq(("a", "b"), ("ab", "ab")))
+    val docs = Seq((1L, "ab abab cd"), (2L, "")).toDF("id", "text")
+    val got = BpeOps.applyBpe(docs, "text", model)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Seq[String]]("subwords"), r.getAs[Int]("n_subwords"))))
+      .toMap
+    assert(got(1L) == ((Seq("ab", "abab", "c", "d"), 4)))
+    assert(got(2L) == ((Seq(), 0)))
+    // reconstruction: joining a word's subwords yields the word
+    val rnd = new scala.util.Random(3)
+    val words = (0 until 50).map(_ =>
+      (0 until 1 + rnd.nextInt(8)).map(_ => "abcd"(rnd.nextInt(4)))
+        .mkString)
+    val learned = BpeOps.learnMerges(
+      words.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy(_._1), 20)
+    val ranks = learned.zipWithIndex.toMap
+    words.foreach { w =>
+      assert(graft.functions.BpeKernel.encodeWordScalar(w, ranks)
+        .mkString == w)
+    }
+    // learning is partition-invariant (hash sample + exact top cut)
+    val corpus = (0L until 200L).map(i =>
+      (i, s"w${i % 9} token stream sample t${i % 13}"))
+      .toDF("doc_id", "text")
+    val m1 = BpeOps.learnBpe(corpus.repartition(1), "doc_id", "text",
+      30, sampleRate = 0.5, maxWords = 100)
+    val m2 = BpeOps.learnBpe(corpus.repartition(13), "doc_id", "text",
+      30, sampleRate = 0.5, maxWords = 100)
+    assert(m1 == m2)
+  }
+
   // ----------------------------------------------------- ClassifierOps
 
   private def nbFixture = Seq(
