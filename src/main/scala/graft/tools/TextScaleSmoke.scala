@@ -167,6 +167,15 @@ object TextScaleSmoke {
             docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
           .filter(col("dup_against_ref"))
       }
+      // end-to-end: sample-learn (driver, parameter-bounded) + fused
+      // kernel application; the size filter forces the kernel
+      timed("bpeTrainApply", f) {
+        val model = graft.text.BpeOps.learnBpe(docs, "doc_id", "text",
+          numMerges = 100, sampleRate = 0.05, maxWords = 2000)
+        graft.text.BpeOps.applyBpe(docs, "text", model)
+          .select(col("doc_id"), col("n_subwords"))
+          .filter(col("n_subwords") >= 0)
+      }
       spark.catalog.clearCache()
     }
 
