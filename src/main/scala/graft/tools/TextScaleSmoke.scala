@@ -68,7 +68,16 @@ object TextScaleSmoke {
         exch: Int)
     val readings = scala.collection.mutable.ArrayBuffer.empty[Reading]
 
+    // Optional phase filter (comma-separated prefixes) so deep
+    // factors can target the cheap phases — e.g.
+    // SPARK_GRAFT_PHASES=budgetMix,c4,chunk,bpe for a factor-1000
+    // run that skips the minute-scale chains.
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_PHASES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
     def timed(phase: String, f: Int)(mk: => DataFrame): Unit = {
+      if (only.nonEmpty && !only.exists(phase.startsWith)) return
       val w0 = metrics.shufWrite.get(); val r0 = metrics.shufRead.get()
       val tm0 = metrics.taskMs.get(); val g0 = metrics.gcMs.get()
       val t0 = System.nanoTime()
