@@ -3178,13 +3178,16 @@ object SparkEntry {
         c.cum_tokens, b.budget,
         (c.cum_tokens - c.n_tok < b.budget) AS selected
       FROM c JOIN b USING (source) ORDER BY c.doc_id"""),
-    // Chunk grid re-derived: floor((n-1)/stride)+1 windows, 1-based
-    // INCLUSIVE list_slice bounds == Spark's (start, length) slice.
+    // Chunk grid re-derived: one window when n <= chunk, else
+    // ceil((n-chunk)/stride)+1 (windows stop at the first that
+    // reaches the doc end); 1-based INCLUSIVE list_slice bounds ==
+    // Spark's (start, length) slice.
     "q103_chunking" -> (tokCte + """,
       n AS (SELECT doc_id, toks, len(toks) AS n FROM tk
             WHERE len(toks) > 0),
       ch AS (SELECT doc_id, toks,
-          unnest(range(0, (n - 1) // 48 + 1)) AS chunk_idx
+          unnest(range(0, CASE WHEN n <= 64 THEN 1
+            ELSE (n - 64 + 47) // 48 + 1 END)) AS chunk_idx
         FROM n)
       SELECT doc_id, chunk_idx::INT AS chunk_idx,
         len(list_slice(toks, chunk_idx * 48 + 1,
@@ -3206,12 +3209,16 @@ object SparkEntry {
             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
             x -> x <> '') AS toks
         FROM corp),
+      -- len(toks) = 0 is EXCLUDED: Spark's minhashBandKeys drops
+      -- tokenless docs (no signature row), so they never band and
+      -- can never flag. The shared shingleCte's ['']-fallback would
+      -- give them a common key here.
       sh AS (SELECT doc_id, is_ref, unnest(list_distinct(
           CASE WHEN len(toks) >= 3
             THEN list_transform(range(1, len(toks) - 1),
               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
             ELSE [array_to_string(toks, ' ')] END)) AS shingle
-        FROM tk),
+        FROM tk WHERE len(toks) > 0),
       mins AS (SELECT doc_id, is_ref, j,
           min(('0x' || substr(md5((j // 4)::VARCHAR || ':' || shingle),
             1 + 8 * (j % 4), 8))::BIGINT) AS h

@@ -10,10 +10,14 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Overlapping token windows (RAG/embedding chunking) as ONE native
   * Catalyst expression over a pre-tokenized array: window p covers
-  * tokens [p·stride, p·stride + chunk), windows exist while their
-  * start is inside the doc (floor((n−1)/stride)+1 of them), the tail
-  * is ragged, a tokenless doc emits the empty array (the caller's
-  * explode drops it).
+  * tokens [p·stride, p·stride + chunk), and windows stop at the
+  * FIRST one that reaches the doc end — n ≤ chunk gives one window,
+  * else ceil((n−chunk)/stride)+1 of them — so every token is covered
+  * and no window is a suffix of its predecessor (emitting while the
+  * start is merely inside the doc would duplicate the tail as a
+  * contained sub-window on ~(chunk−stride)/stride of docs: duplicate
+  * embeddings downstream). The tail is ragged; a tokenless doc
+  * emits the empty array (the caller's explode drops it).
   *
   * WHY a kernel and not explode+slice or transform+slice: both
   * relational formulations were measured at factor 100 in
@@ -59,7 +63,7 @@ case class ChunkWindowsExpr(child: Expression, chunk: Int, stride: Int)
     val toks = new Array[UTF8String](n)
     var i = 0
     while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
-    val nw = (n - 1) / stride + 1
+    val nw = if (n <= chunk) 1 else (n - chunk + stride - 1) / stride + 1
     val out = new Array[Any](nw)
     var p = 0
     while (p < nw) {

@@ -117,9 +117,11 @@ object BudgetOps {
         s -> (BigInt(t) * num / den).toLong })
   }
 
-  private def runPerStratum(df: DataFrame, idCol: String,
+  private def runPerStratum(df0: DataFrame, idCol: String,
       tokenCol: String, priorityCol: String, stratumCol: String,
       budgetsOf: Map[String, Long] => Map[String, Long]): DataFrame = {
+    // reserved-name contract, as in run()
+    val df = df0.drop("cum_tokens", "selected", "budget")
     val spark = df.sparkSession
     val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
 
@@ -185,8 +187,12 @@ object BudgetOps {
     out
   }
 
-  private def run(df: DataFrame, idCol: String, tokenCol: String,
+  private def run(df0: DataFrame, idCol: String, tokenCol: String,
       priorityCol: String, budgetOf: Long => Long): DataFrame = {
+    // honor the reserved-name contract: pre-existing output-named
+    // columns are replaced, not duplicated (schema.add would emit an
+    // ambiguous twin)
+    val df = df0.drop("cum_tokens", "selected", "budget")
     val spark = df.sparkSession
     val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
 

@@ -252,12 +252,12 @@ class BudgetC4Spec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id"),
         r.getAs[Int]("chunk_idx"), r.getAs[Int]("n_tokens"),
         r.getAs[String]("chunk_text"))).toSet
-    // doc 1: n=10, starts 0,3,6,9 -> lengths 5,5,4,1
+    // doc 1: n=10 -> ceil((10-5)/3)+1 = 3 windows at 0,3,6; the
+    // third reaches the end, so no suffix-duplicate tail follows
     assert(got == Set(
       (1L, 0, 5, "t1 t2 t3 t4 t5"),
       (1L, 1, 5, "t4 t5 t6 t7 t8"),
       (1L, 2, 4, "t7 t8 t9 t10"),
-      (1L, 3, 1, "t10"),
       (3L, 0, 2, "only two"))) // empty doc 2 emits nothing
     // consecutive full chunks share chunk - stride = 2 tokens
     assert("t4 t5 t6 t7 t8".startsWith("t4 t5"))
@@ -278,12 +278,23 @@ class BudgetC4Spec extends SparkSpec {
     val exp = docs.flatMap { case (id, t) =>
       val toks = t.split(" ").filter(_.nonEmpty)
       if (toks.isEmpty) Nil
-      else (0 to (toks.length - 1) / stride).map { p =>
-        val w = toks.slice(p * stride, p * stride + chunk)
-        (id, p) -> ((w.length, w.mkString(" ")))
+      else {
+        val nw = if (toks.length <= chunk) 1
+          else (toks.length - chunk + stride - 1) / stride + 1
+        (0 until nw).map { p =>
+          val w = toks.slice(p * stride, p * stride + chunk)
+          (id, p) -> ((w.length, w.mkString(" ")))
+        }
       }
     }.toMap
     assert(got == exp)
+    // no window is ever a suffix of its predecessor: every token is
+    // covered and the last window reaches the end exactly once
+    got.keys.groupBy(_._1).foreach { case (id, ks) =>
+      val toks = docs.toMap.apply(id).split(" ").filter(_.nonEmpty)
+      val last = ks.map(_._2).max
+      assert(last * stride + got((id, last))._1 == toks.length)
+    }
   }
 
   test("chunkDocs: stride == chunk tiles without overlap") {

@@ -472,10 +472,11 @@ class OpsLibrarySpec extends SparkSpec {
       graft.functions.Winnow.selectScalar("café résumé 99x", 3, 2, 11))
     assert(gen.getSeq[Long](4) ==
       graft.functions.SimhashKernel.wordsScalar(Seq("x", "y", "z", "x")))
-    // chunk_windows: 7 tokens, chunk 3, stride 2 -> starts 0,2,4,6
+    // chunk_windows: 7 tokens, chunk 3, stride 2 -> ceil(4/2)+1 = 3
+    // windows at 0,2,4; the third reaches the end, no suffix tail
     assert(gen.getSeq[org.apache.spark.sql.Row](10)
       .map(x => (x.getInt(0), x.getString(1))) ==
-      Seq((3, "a b c"), (3, "c d e"), (3, "e f g"), (1, "g")))
+      Seq((3, "a b c"), (3, "c d e"), (3, "e f g")))
     assert(gen.getSeq[org.apache.spark.sql.Row](11).isEmpty)
     // Literal-parameter contract: a column where a kernel parameter
     // belongs must be rejected at planning, not computed per row.
