@@ -2154,31 +2154,56 @@ object SparkEntry {
   /** Corpus composition report
     * ([[graft.text.ReportOps.compositionReport]]): docs / tokens /
     * chars by source, by lang, by source×lang, and overall — one
-    * CUBE pass. The oracle restates it as GROUP BY CUBE with the
-    * same `(all)` sentinel fold. */
+    * CUBE pass. Every doc_id % 97 == 0 row gets a NULL lang first,
+    * so the query exercises the grouping()-mask distinction between
+    * a genuinely-NULL data value (keeps its own cell) and a rollup
+    * marginal (folded to `(all)`). The oracle restates it as GROUP
+    * BY CUBE with the same GROUPING()-gated sentinel fold. */
   private def q105(s: SparkSession, dir: String): DataFrame = {
     import graft.text.{ReportOps, TextOps}
-    ReportOps.compositionReport(t(s, dir, "documents"), "source",
+    val docs = t(s, dir, "documents").withColumn("lang",
+      when(col("doc_id") % 97 === 0, lit(null).cast("string"))
+        .otherwise(col("lang")))
+    ReportOps.compositionReport(docs, "source",
         "lang", TextOps.tokenCount(col("text")), "text")
       .orderBy("source", "lang")
   }
 
-  /** BPE tokenizer train + apply ([[graft.text.BpeOps]]): learn 100
+  /** BPE tokenizer train + apply ([[graft.text.BpeOps]]): learn 50
     * merges from the deterministic 20% hash sample (top-2000 words),
-    * tokenize the whole corpus with the fused kernel. THE one
-    * rows-only row in the suite — greedy iterative merge application
+    * tokenize the whole corpus with the fused kernel. The merge LOOP
     * is not SQL-expressible (each merge rewrites the adjacency the
-    * next lookup keys on), so no `oracleSql` entry exists by
-    * documented necessity; correctness is pinned by `BudgetC4Spec`'s
-    * hand-derived merge sequences and properties instead. */
+    * next lookup keys on), so the oracle checks an invariant
+    * RESTATEMENT of the output instead: per doc, the subword stream
+    * must concatenate back to the normalized token stream exactly
+    * (`recon_md5` — DuckDB re-derives it from `text` alone), the
+    * subword count must lie in [n_tok, n_chars] (each token yields
+    * ≥1 subword of ≥1 char; `bounds_ok` is TRUE on the oracle side),
+    * and the learned merge table must have exactly the requested 50
+    * rows (`n_merges` — 50 is learnable at every test SF: the
+    * sf0.001 sample exhausts the top-2000-word dict at 89 merges, so
+    * a 100-row request would come back short there and the count
+    * would stop being an SF-independent constant). This pins the
+    * distributed `BpeApplyExpr`
+    * kernel against an independent engine; the exact segmentation is
+    * additionally pinned by `BudgetC4Spec`'s hand-derived merge
+    * sequences. */
   private def q106(s: SparkSession, dir: String): DataFrame = {
-    import graft.text.BpeOps
+    import graft.text.{BpeOps, TextOps}
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val model = BpeOps.learnBpe(docs, "doc_id", "text",
-      numMerges = 100, sampleRate = 0.2, maxWords = 2000)
+      numMerges = 50, sampleRate = 0.2, maxWords = 2000)
+    val toks = TextOps.tokens(col("text"))
     BpeOps.applyBpe(docs, "text", model)
       .select(col("doc_id"), col("n_subwords"),
-        md5(concat_ws(" ", col("subwords"))).as("subword_md5"))
+        size(toks).as("n_tok"),
+        length(concat_ws("", toks)).as("n_chars"),
+        md5(concat_ws("", col("subwords"))).as("recon_md5"))
+      .select(col("doc_id"), col("n_tok"), col("n_chars"),
+        col("n_subwords").between(col("n_tok"), col("n_chars"))
+          .as("bounds_ok"),
+        col("recon_md5"),
+        lit(model.merges.size).as("n_merges"))
       .orderBy("doc_id")
   }
 
@@ -3042,7 +3067,7 @@ object SparkEntry {
           string_split(text, chr(10)) AS lines,
           list_filter(string_split(text, chr(10)), x ->
             regexp_matches(trim(x), '[.!?"]$')
-            AND len(list_filter(string_split_regex(trim(x), ' +'),
+            AND len(list_filter(string_split_regex(trim(x), '\s+'),
               w -> w <> '')) >= 3
             AND NOT contains(lower(trim(x)), 'javascript')) AS kept
         FROM corp),
@@ -3233,19 +3258,39 @@ object SparkEntry {
       SELECT doc_id,
         (doc_id IN (SELECT doc_id FROM hit)) AS dup_against_ref
       FROM corp WHERE NOT is_ref ORDER BY doc_id""",
-    // CUBE rollup with the same (all) sentinel fold; token counts
-    // from the shared tokenizer CTE.
+    // CUBE rollup with the GROUPING()-gated (all) sentinel fold (a
+    // genuinely-NULL lang — injected for doc_id % 97 == 0 — keeps
+    // its own cell); token counts from the shared tokenizer CTE.
     "q105_corpus_report" -> (tokCte + """,
-      d AS (SELECT d0.source, d0.lang, len(tk.toks)::BIGINT AS n_tok,
+      d AS (SELECT d0.source,
+          CASE WHEN d0.doc_id % 97 = 0 THEN NULL ELSE d0.lang END
+            AS lang,
+          len(tk.toks)::BIGINT AS n_tok,
           length(d0.text)::BIGINT AS n_chars
         FROM documents d0 JOIN tk ON d0.doc_id = tk.doc_id)
-      SELECT coalesce(source, '(all)') AS source,
-             coalesce(lang, '(all)') AS lang,
+      SELECT CASE WHEN GROUPING(source) = 1 THEN '(all)'
+                  ELSE source END AS source,
+             CASE WHEN GROUPING(lang) = 1 THEN '(all)'
+                  ELSE lang END AS lang,
              count(*)::BIGINT AS n_docs,
              sum(n_tok)::BIGINT AS n_tokens,
              sum(n_chars)::BIGINT AS n_chars
       FROM d GROUP BY CUBE (source, lang)
       ORDER BY 1, 2"""),
+    // The BPE merge LOOP is not SQL-expressible, so the oracle checks
+    // the invariant restatement the Spark side emits: reconstruction
+    // (subword concatenation == token concatenation, derived here
+    // from `text` alone), count bounds (TRUE literal — a kernel that
+    // emitted out-of-bounds counts hash-mismatches on bounds_ok),
+    // and the learned merge-table size (exactly the 100 requested).
+    "q106_bpe_tokenize" -> (tokCte + """
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             length(array_to_string(toks, '')) AS n_chars,
+             TRUE AS bounds_ok,
+             md5(array_to_string(toks, '')) AS recon_md5,
+             50 AS n_merges
+      FROM tk ORDER BY doc_id"""),
     "q33_lsh_ann" -> lshAnnOracle,
     "q42_embed_neardup" -> neardupOracle(4, 4, 0.35),
     "q51_neardup_scaled" -> neardupOracle(8, 16, 0.35),

@@ -24,13 +24,16 @@ import org.apache.spark.sql.functions._
   *     parameter-sized and rides the expression tree; the corpus
   *     never shuffles.
   *
-  * No SQL oracle exists for this operator: greedy iterative merge
-  * application (each merge rewrites the adjacency the next lookup
-  * keys on) is not expressible in set-oriented SQL, so its oracle
-  * row is the driver's weaker rows-only check — the ONE such row in
-  * the suite, by documented necessity; correctness is pinned by the
-  * spec layer instead (hand-derived merge sequences, reconstruction
-  * and determinism properties, partition invariance).
+  * The merge LOOP is not expressible in set-oriented SQL (each merge
+  * rewrites the adjacency the next lookup keys on), so the oracle
+  * (q106) hash-checks an invariant RESTATEMENT of the output
+  * instead: per-doc reconstruction (the subword stream concatenates
+  * back to the normalized token stream — DuckDB re-derives the md5
+  * from `text` alone), subword-count bounds (n_tok ≤ n_subwords ≤
+  * n_chars), and the learned merge-table size. The exact
+  * segmentation is additionally pinned by the spec layer
+  * (hand-derived merge sequences, determinism properties, partition
+  * invariance).
   */
 object BpeOps {
 

@@ -117,6 +117,17 @@ object BudgetOps {
         s -> (BigInt(t) * num / den).toLong })
   }
 
+  /** Internal working-column name that cannot collide with any input
+    * column: `base`, or `base` + the first integer suffix free in
+    * `cols`. Keeps the only reserved OUTPUT names the documented
+    * three (cum_tokens/selected/budget). */
+  private def freshName(base: String, cols: Seq[String]): String = {
+    var n = base
+    var i = 0
+    while (cols.contains(n)) { i += 1; n = base + i }
+    n
+  }
+
   private def runPerStratum(df0: DataFrame, idCol: String,
       tokenCol: String, priorityCol: String, stratumCol: String,
       budgetsOf: Map[String, Long] => Map[String, Long]): DataFrame = {
@@ -124,67 +135,70 @@ object BudgetOps {
     val df = df0.drop("cum_tokens", "selected", "budget")
     val spark = df.sparkSession
     val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val tokC = freshName("__tok", df.columns)
+    val priC = freshName("__pri", df.columns)
+    val stratC = freshName("__strat", df.columns)
 
     val ranged = df
-      .withColumn("__tok", coalesce(col(tokenCol).cast("long"), lit(0L)))
-      .withColumn("__pri", col(priorityCol).cast("double"))
-      .withColumn("__strat",
+      .withColumn(tokC, coalesce(col(tokenCol).cast("long"), lit(0L)))
+      .withColumn(priC, col(priorityCol).cast("double"))
+      .withColumn(stratC,
         coalesce(col(stratumCol).cast("string"), lit("")))
-      .repartitionByRange(n, col("__strat"), col("__pri").desc,
+      .repartitionByRange(n, col(stratC), col(priC).desc,
         col(idCol))
-      .sortWithinPartitions(col("__strat"), col("__pri").desc,
+      .sortWithinPartitions(col(stratC), col(priC).desc,
         col(idCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val tokIdx = ranged.schema.fieldIndex("__tok")
-    val stratIdx = ranged.schema.fieldIndex("__strat")
+    try {
+      val tokIdx = ranged.schema.fieldIndex(tokC)
+      val stratIdx = ranged.schema.fieldIndex(stratC)
 
-    // Pass 1: per-(partition, stratum) totals. Strata are contiguous
-    // across the partition sequence, so this collect is bounded by
-    // partitions + strata, never by data size.
-    val totalsRows = ranged.select(col("__strat"), col("__tok"))
-      .queryExecution.toRdd.mapPartitions { it =>
+      // Pass 1: per-(partition, stratum) totals. Strata are contiguous
+      // across the partition sequence, so this collect is bounded by
+      // partitions + strata, never by data size.
+      val totalsRows = ranged.select(col(stratC), col(tokC))
+        .queryExecution.toRdd.mapPartitions { it =>
+          val pid = TaskContext.getPartitionId()
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[String, Long]
+          while (it.hasNext) {
+            val r = it.next()
+            val s = r.getUTF8String(0).toString
+            acc(s) = acc.getOrElse(s, 0L) + r.getLong(1)
+          }
+          acc.iterator.map { case (s, t) => (pid, s, t) }
+        }.collect()
+      val stratTotals = totalsRows.groupBy(_._2)
+        .map { case (s, rs) => s -> rs.map(_._3).sum }
+      val budgets = budgetsOf(stratTotals)
+      val prefix: Map[(Int, String), Long] =
+        totalsRows.groupBy(_._2).flatMap { case (s, rs) =>
+          var acc = 0L
+          rs.sortBy(_._1).map { case (pid, _, t) =>
+            val entry = ((pid, s), acc); acc += t; entry
+          }
+        }
+
+      // Pass 2: per-stratum running sums within the SAME partitions.
+      val outSchema = ranged.schema
+        .add("cum_tokens", LongType, nullable = false)
+        .add("budget", LongType, nullable = false)
+      ranged.mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
-        val acc = scala.collection.mutable.LinkedHashMap
-          .empty[String, Long]
-        while (it.hasNext) {
-          val r = it.next()
-          val s = r.getUTF8String(0).toString
-          acc(s) = acc.getOrElse(s, 0L) + r.getLong(1)
+        val run = scala.collection.mutable.HashMap.empty[String, Long]
+        it.map { r =>
+          val s = r.getString(stratIdx)
+          val cur = run.getOrElse(s, prefix.getOrElse((pid, s), 0L)) +
+            r.getLong(tokIdx)
+          run(s) = cur
+          Row.fromSeq(r.toSeq :+ cur :+ budgets.getOrElse(s, 0L))
         }
-        acc.iterator.map { case (s, t) => (pid, s, t) }
-      }.collect()
-    val stratTotals = totalsRows.groupBy(_._2)
-      .map { case (s, rs) => s -> rs.map(_._3).sum }
-    val budgets = budgetsOf(stratTotals)
-    val prefix: Map[(Int, String), Long] =
-      totalsRows.groupBy(_._2).flatMap { case (s, rs) =>
-        var acc = 0L
-        rs.sortBy(_._1).map { case (pid, _, t) =>
-          val entry = ((pid, s), acc); acc += t; entry
-        }
-      }
-
-    // Pass 2: per-stratum running sums within the SAME partitions.
-    val outSchema = ranged.schema
-      .add("cum_tokens", LongType, nullable = false)
-      .add("budget", LongType, nullable = false)
-    val out = ranged.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      val run = scala.collection.mutable.HashMap.empty[String, Long]
-      it.map { r =>
-        val s = r.getString(stratIdx)
-        val cur = run.getOrElse(s, prefix.getOrElse((pid, s), 0L)) +
-          r.getLong(tokIdx)
-        run(s) = cur
-        Row.fromSeq(r.toSeq :+ cur :+ budgets.getOrElse(s, 0L))
-      }
-    }(Encoders.row(outSchema))
-      .withColumn("selected",
-        col("cum_tokens") - col("__tok") < col("budget"))
-      .drop("__tok", "__pri", "__strat")
-      .localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
-    ranged.unpersist(blocking = false)
-    out
+      }(Encoders.row(outSchema))
+        .withColumn("selected",
+          col("cum_tokens") - col(tokC) < col("budget"))
+        .drop(tokC, priC, stratC)
+        .localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
+    } finally ranged.unpersist(blocking = false)
   }
 
   private def run(df0: DataFrame, idCol: String, tokenCol: String,
@@ -195,49 +209,51 @@ object BudgetOps {
     val df = df0.drop("cum_tokens", "selected", "budget")
     val spark = df.sparkSession
     val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val tokC = freshName("__tok", df.columns)
+    val priC = freshName("__pri", df.columns)
 
     val ranged = df
-      .withColumn("__tok", coalesce(col(tokenCol).cast("long"), lit(0L)))
-      .withColumn("__pri", col(priorityCol).cast("double"))
-      .repartitionByRange(n, col("__pri").desc, col(idCol))
-      .sortWithinPartitions(col("__pri").desc, col(idCol))
+      .withColumn(tokC, coalesce(col(tokenCol).cast("long"), lit(0L)))
+      .withColumn(priC, col(priorityCol).cast("double"))
+      .repartitionByRange(n, col(priC).desc, col(idCol))
+      .sortWithinPartitions(col(priC).desc, col(idCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val tokIdx = ranged.schema.fieldIndex("__tok")
+    try {
+      val tokIdx = ranged.schema.fieldIndex(tokC)
 
-    // Pass 1: per-partition totals (materializes the persist; one
-    // row per partition, so the collect is partition-count-bounded).
-    val totals = ranged.select(col("__tok"))
-      .queryExecution.toRdd.mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        var s = 0L
-        while (it.hasNext) s += it.next().getLong(0)
-        Iterator((pid, s))
-      }.collect().toMap
-    val prefix = new Array[Long](n)
-    var acc = 0L
-    (0 until n).foreach { p =>
-      prefix(p) = acc
-      acc += totals.getOrElse(p, 0L)
-    }
-    val budget = budgetOf(acc)
-
-    // Pass 2: running sum within the SAME persisted partitions.
-    val outSchema = ranged.schema
-      .add("cum_tokens", LongType, nullable = false)
-    val out = ranged.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      var run = prefix(pid)
-      it.map { r =>
-        run += r.getLong(tokIdx)
-        Row.fromSeq(r.toSeq :+ run)
+      // Pass 1: per-partition totals (materializes the persist; one
+      // row per partition, so the collect is partition-count-bounded).
+      val totals = ranged.select(col(tokC))
+        .queryExecution.toRdd.mapPartitions { it =>
+          val pid = TaskContext.getPartitionId()
+          var s = 0L
+          while (it.hasNext) s += it.next().getLong(0)
+          Iterator((pid, s))
+        }.collect().toMap
+      val prefix = new Array[Long](n)
+      var acc = 0L
+      (0 until n).foreach { p =>
+        prefix(p) = acc
+        acc += totals.getOrElse(p, 0L)
       }
-    }(Encoders.row(outSchema))
-      .withColumn("selected",
-        col("cum_tokens") - col("__tok") < lit(budget))
-      .withColumn("budget", lit(budget))
-      .drop("__tok", "__pri")
-      .localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
-    ranged.unpersist(blocking = false)
-    out
+      val budget = budgetOf(acc)
+
+      // Pass 2: running sum within the SAME persisted partitions.
+      val outSchema = ranged.schema
+        .add("cum_tokens", LongType, nullable = false)
+      ranged.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var run = prefix(pid)
+        it.map { r =>
+          run += r.getLong(tokIdx)
+          Row.fromSeq(r.toSeq :+ run)
+        }
+      }(Encoders.row(outSchema))
+        .withColumn("selected",
+          col("cum_tokens") - col(tokC) < lit(budget))
+        .withColumn("budget", lit(budget))
+        .drop(tokC, priC)
+        .localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
+    } finally ranged.unpersist(blocking = false)
   }
 }

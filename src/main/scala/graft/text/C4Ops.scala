@@ -49,7 +49,7 @@ object C4Ops {
     filter(split(text, "\n"), l => {
       val tl = trim(l)
       tl.rlike("[.!?\"]$") &&
-        size(array_remove(split(tl, " +"), "")) >= minLineWords &&
+        size(array_remove(split(tl, "\\s+"), "")) >= minLineWords &&
         !contains(lower(tl), lit("javascript"))
     })
 

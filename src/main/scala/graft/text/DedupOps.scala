@@ -288,12 +288,30 @@ object DedupOps {
   /** MinHash/LSH candidate pairs: docs sharing >= 1 of `bands` band
     * keys (signature length = bands*rows). Returns (id_a, id_b,
     * n_shared_bands). The band-key equi-join is the only shuffle
-    * touching pairs; band keys are md5 of the joined band values. */
+    * touching pairs; band keys are md5 of the joined band values.
+    *
+    * `maxBandFreq` caps LSH bucket size: a degenerate band key held
+    * by m docs yields m² pairs out of the self-join (the boilerplate-
+    * heavy-corpus failure mode at 100 TB — one hot bucket of 10⁶
+    * docs is 10¹² candidate pairs), so buckets larger than the cap
+    * are dropped wholesale before pairing, exactly as the q33 LSH-ANN
+    * oversize-bucket cap and production posting-list caps do. The
+    * default is a no-op (plans are unchanged when uncapped); the cap
+    * semi-join is corpus-derived and therefore SHUFFLE_HASH-pinned. */
   def minhashCandidatePairs(docs: DataFrame, idCol: String,
-      textCol: String, k: Int, bands: Int, rows: Int): DataFrame = {
+      textCol: String, k: Int, bands: Int, rows: Int,
+      maxBandFreq: Long = Long.MaxValue): DataFrame = {
     // feeds both sides of the candidate-pair self-join
-    val banded = ckptSer(
+    val banded0 = ckptSer(
       minhashBandKeys(docs, idCol, textCol, k, bands, rows))
+    val banded = if (maxBandFreq == Long.MaxValue) banded0 else {
+      val ok = banded0.groupBy("band", "key")
+        .agg(count(lit(1)).as("__freq"))
+        .filter(col("__freq") <= maxBandFreq)
+        .select("band", "key")
+        .hint("shuffle_hash")
+      banded0.join(ok, Seq("band", "key"), "left_semi")
+    }
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.id") < col("b.id"))
@@ -597,13 +615,23 @@ object DedupOps {
     * (band collisions of disjoint sets) drop at the inner join —
     * they would fail any positive threshold.
     *
+    * Hot-key control: verification is EXACT Jaccard, so no shingle-
+    * frequency cap applies here (capping would change the measured
+    * similarity — [[ngramJaccardPairs]] owns that trade, where the
+    * shingle key itself drives the pair join). The hot-key risk on
+    * THIS path is a degenerate LSH bucket (m docs sharing a band key
+    * → m² candidates); `maxBandFreq` (default uncapped) drops
+    * oversize buckets before pairing — see
+    * [[minhashCandidatePairs]].
+    *
     * Returns every doc: (idCol, component, keep) with component =
     * min reachable id and keep ⇔ id == component. */
   def fuzzyDedupDocs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, bands: Int = 4, rows: Int = 2,
-      minJaccard: Double = 0.5, maxShingleFreq: Long = 1000L)
+      minJaccard: Double = 0.5, maxBandFreq: Long = Long.MaxValue)
       : DataFrame = {
-    val cands = minhashCandidatePairs(docs, idCol, textCol, k, bands, rows)
+    val cands = minhashCandidatePairs(docs, idCol, textCol, k, bands,
+        rows, maxBandFreq)
       .select("id_a", "id_b")
     val sh = ckptSer(shingleRows(docs, idCol, textCol, k)
       .select(col("id"), xxhash64(col("shingle")).as("shingle")))
@@ -653,9 +681,10 @@ object DedupOps {
     * with keep ⇔ id == survivor. */
   def fuzzyDedupDocsBest(docs: DataFrame, idCol: String,
       textCol: String, quality: Column, k: Int = 3, bands: Int = 4,
-      rows: Int = 2, minJaccard: Double = 0.5): DataFrame = {
+      rows: Int = 2, minJaccard: Double = 0.5,
+      maxBandFreq: Long = Long.MaxValue): DataFrame = {
     val comps = fuzzyDedupDocs(docs, idCol, textCol, k, bands, rows,
-        minJaccard)
+        minJaccard, maxBandFreq)
       .select(col(idCol), col("component"))
     val q = docs.select(col(idCol).cast("long").as(idCol),
       quality.cast("long").as("quality"))

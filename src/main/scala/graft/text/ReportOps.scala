@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * map-side partial combine, so the expansion never materializes —
   * what shuffles is at most (|dim1|+1)·(|dim2|+1)·… partial rows per
   * map task, and the final table is dimension-cardinality-sized.
-  * NULL dimension values from the rollup are folded to the sentinel
-  * `(all)` so the report is a plain hash-stable table (the corpus
-  * columns themselves are non-null in this engine's data model).
+  * Rolled-up dimensions are folded to the sentinel `(all)` so the
+  * report is a plain hash-stable table; rollup cells are identified
+  * by the `grouping()` mask, not by NULL-ness, so a data row whose
+  * dimension value is genuinely NULL (or the literal string
+  * `"(all)"`) keeps its own cell and can never alias a marginal.
   *
   * Reference scope: the reference pipeline has no corpus reporting
   * (it is a flux-tower ETL); this extends the engine for the
@@ -25,21 +27,26 @@ import org.apache.spark.sql.functions._
 object ReportOps {
 
   /** Composition over two dimensions: one row per (d1, d2) cell of
-    * the CUBE, with `(all)` marking rolled-up dimensions. Output:
-    * (dim1, dim2, n_docs, n_tokens, n_chars). `tokenCount` is any
-    * per-row token-count expression (e.g.
-    * [[TextOps.tokenCount]](col("text"))). */
+    * the CUBE, with `(all)` marking rolled-up dimensions (decided by
+    * the `grouping()` bit, so NULL or literal-`"(all)"` data values
+    * keep their own cells). Output: (dim1, dim2, n_docs, n_tokens,
+    * n_chars). `tokenCount` is any per-row token-count expression
+    * (e.g. [[TextOps.tokenCount]](col("text"))). */
   def compositionReport(df: DataFrame, dim1: String, dim2: String,
       tokenCount: Column, textCol: String): DataFrame =
     df.select(col(dim1), col(dim2),
         tokenCount.cast("long").as("__tok"),
         length(col(textCol)).cast("long").as("__chars"))
       .cube(col(dim1), col(dim2))
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(grouping(col(dim1)).as("__g1"),
+        grouping(col(dim2)).as("__g2"),
+        count(lit(1)).as("n_docs"),
         sum(col("__tok")).as("n_tokens"),
         sum(col("__chars")).as("n_chars"))
       .select(
-        coalesce(col(dim1), lit("(all)")).as(dim1),
-        coalesce(col(dim2), lit("(all)")).as(dim2),
+        when(col("__g1") === 1, lit("(all)")).otherwise(col(dim1))
+          .as(dim1),
+        when(col("__g2") === 1, lit("(all)")).otherwise(col(dim2))
+          .as(dim2),
         col("n_docs"), col("n_tokens"), col("n_chars"))
 }

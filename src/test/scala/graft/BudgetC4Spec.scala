@@ -203,6 +203,45 @@ class BudgetC4Spec extends SparkSpec {
     assert(tied(0L) == 0L && tied(2L) == 0L)
   }
 
+  test("fuzzyDedupDocs: maxBandFreq drops oversize LSH buckets " +
+      "wholesale; default is uncapped") {
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    // three identical docs share EVERY band key -> every bucket has 3
+    val docs = Seq((0L, base), (1L, base), (2L, base))
+      .toDF("doc_id", "text")
+    val uncapped = DedupOps.fuzzyDedupDocs(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("component")).toMap
+    assert(uncapped == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+    // cap = 2 < bucket size 3: no candidates, so no merging at all
+    val capped = DedupOps.fuzzyDedupDocs(docs, "doc_id", "text",
+        maxBandFreq = 2L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("component")).toMap
+    assert(capped == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    // cap >= bucket size: identical to uncapped
+    val wide = DedupOps.fuzzyDedupDocs(docs, "doc_id", "text",
+        maxBandFreq = 3L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("component")).toMap
+    assert(wide == uncapped)
+  }
+
+  test("budgetSelect: internal working names dodge colliding input " +
+      "columns (__tok/__pri preserved verbatim)") {
+    val docs = Seq(
+      (0L, 5L, 2.0, "a"), (1L, 5L, 1.0, "b"), (2L, 5L, 3.0, "c")
+    ).toDF("id", "tok", "pri", "__tok").withColumn("__pri", lit(-1.0))
+    val got = BudgetOps.budgetSelect(docs, "id", "tok", "pri", 10L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Boolean]("selected"), r.getAs[String]("__tok"),
+          r.getAs[Double]("__pri")))).toMap
+    // selection order (pri DESC): 2, 0, 1 -> 2 and 0 selected
+    assert(got(2L) == ((true, "c", -1.0)))
+    assert(got(0L) == ((true, "a", -1.0)))
+    assert(got(1L) == ((false, "b", -1.0)))
+  }
+
   test("nearDupAgainst: flags incoming docs colliding with reference") {
     val a = (0 until 25).map(i => s"a$i").mkString(" ")
     val b = (0 until 25).map(i => s"b$i").mkString(" ")
@@ -239,6 +278,34 @@ class BudgetC4Spec extends SparkSpec {
     assert(got(("wiki", "(all)")) == ((2L, 5L)))
     assert(got(("(all)", "en")) == ((3L, 9L)))
     assert(got(("(all)", "(all)")) == ((4L, 11L)))
+  }
+
+  test("compositionReport: NULL and literal-(all) dim values keep " +
+      "their own cells (grouping mask, not null-ness)") {
+    import graft.text.{ReportOps, TextOps}
+    val docs = Seq(
+      (1L, "wiki", Option("en"), "one two three"),
+      (2L, "wiki", None: Option[String], "un deux"),
+      (3L, "web", Option("(all)"), "a b c d"),
+      (4L, "web", Option("en"), "x y")
+    ).toDF("doc_id", "source", "lang", "text")
+    val rows = ReportOps.compositionReport(docs, "source", "lang",
+        TextOps.tokenCount(col("text")), "text")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    // a genuinely-NULL lang keeps its own cell; the literal "(all)"
+    // data value does NOT absorb the wiki marginal or the grand total
+    val expected = Seq(
+      ("wiki", "en", 1L, 3L), ("wiki", null, 1L, 2L),
+      ("web", "(all)", 1L, 4L), ("web", "en", 1L, 2L),
+      ("wiki", "(all)", 2L, 5L), ("web", "(all)", 2L, 6L),
+      ("(all)", "en", 2L, 5L), ("(all)", null, 1L, 2L),
+      ("(all)", "(all)", 1L, 4L), ("(all)", "(all)", 4L, 11L))
+    assert(rows.sorted(Ordering.by((t: (String, String, Long, Long)) =>
+        (t._1, Option(t._2).getOrElse(""), t._3, t._4))).toSeq ==
+      expected.sorted(Ordering.by((t: (String, String, Long, Long)) =>
+        (t._1, Option(t._2).getOrElse(""), t._3, t._4))))
   }
 
   // ---------------------------------------------------------- ChunkOps
