@@ -173,17 +173,24 @@ object Multimodal {
       * uncompressed DIB frames ("00db" chunks, 24-bit BGR — the RIFF
       * layout every capture tool can emit and the one video format
       * decodable with zero codec dependencies; the chunk walker is a
-      * plain RIFF parser, the same container grammar as WAV). Frame
-      * sampling happens INSIDE the kernel (every `frameStride`-th
-      * frame), the batch-shape analogue of decode-then-sample: a
-      * pipeline never pays for frames it won't featurize. Features
-      * (dim 8): [width, height, n_frames, n_sampled, mean R, mean G,
-      * mean B, bright fraction (R+G+B >= 384, the [[ImageIo]]
-      * convention)] over sampled frames; channel sums accumulate as
-      * exact longs and divide once in double, so features are
-      * bit-reproducible and oracle re-derivable. Non-AVI payloads,
-      * compressed streams, or bit depths other than 24 fall back /
-      * return null like the other kernels. */
+      * plain RIFF parser, the same container grammar as WAV) or
+      * MJPEG streams (strf biCompression 'MJPG': each frame chunk is
+      * a complete JPEG payload, which `javax.imageio` decodes with
+      * no external codec — the one COMPRESSED video format pure-JDK
+      * decodable, so capture-tool MJPEG AVIs get real features
+      * instead of the deterministic fallback). Frame sampling
+      * happens INSIDE the kernel (every `frameStride`-th frame), the
+      * batch-shape analogue of decode-then-sample: a pipeline never
+      * pays for frames it won't featurize — for MJPEG that includes
+      * the JPEG decode itself. Features (dim 8): [width, height,
+      * n_frames, n_sampled, mean R, mean G, mean B, bright fraction
+      * (R+G+B >= 384, the [[ImageIo]] convention)] over sampled
+      * frames; channel sums accumulate as exact longs and divide
+      * once in double, so features are bit-reproducible (JPEG
+      * decode is deterministic for a given JDK decoder) and, for
+      * DIB, oracle re-derivable. Non-AVI payloads, other codecs, or
+      * DIB bit depths other than 24 fall back / return null like
+      * the other kernels. */
     final case class AviDib(frameStride: Int = 1,
         fallback: Option[MediaDecoder] = None) extends MediaDecoder {
       require(frameStride >= 1, s"frameStride must be >= 1: $frameStride")
@@ -205,9 +212,11 @@ object Multimodal {
           return bail
         // One linear chunk walk: RIFF nesting only adds a 4-byte list
         // type after each LIST header, so a recursive descent collects
-        // the stream format (strf -> BITMAPINFOHEADER) and every DIB
-        // frame chunk (id "NNdb") in file order.
+        // the stream format (strf -> BITMAPINFOHEADER, including the
+        // biCompression fourcc) and every frame chunk — uncompressed
+        // "NNdb" or compressed "NNdc" — in file order.
         var width = 0; var height = 0; var bitCount = 0
+        var comp = ""
         val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
         def walk(start: Int, end: Int): Unit = {
           var p = start
@@ -220,13 +229,22 @@ object Multimodal {
               width = le32(payload, p + 8 + 4)
               height = le32(payload, p + 8 + 8)
               bitCount = le32(payload, p + 8 + 14) & 0xffff
-            } else if (id.length == 4 && id.endsWith("db"))
+              comp = if (le32(payload, p + 8 + 16) == 0) "RGB"
+                     else fourcc(payload, p + 8 + 16)
+            } else if (id.length == 4 &&
+                (id.endsWith("db") || id.endsWith("dc")))
               frames += ((p + 8, sz))
             p += 8 + sz + (sz & 1) // chunks are word-aligned
           }
         }
         walk(12, math.min(payload.length, 8 + le32(payload, 4)))
-        if (width <= 0 || height <= 0 || bitCount != 24 || frames.isEmpty)
+        if (frames.isEmpty) return bail
+        if (comp == "MJPG") {
+          val out = decodeMjpeg(payload, frames)
+          return if (out == null) bail else out
+        }
+        if (width <= 0 || height <= 0 || bitCount != 24 ||
+            comp != "RGB")
           return bail
         val rowBytes = (width * 3 + 3) & ~3 // DIB rows pad to 4 bytes
         var sumR = 0L; var sumG = 0L; var sumB = 0L; var bright = 0L
@@ -254,6 +272,53 @@ object Multimodal {
         }
         val n = sampled.toLong * width * height
         Array(width.toFloat, height.toFloat, frames.length.toFloat,
+          sampled.toFloat, (sumR.toDouble / n).toFloat,
+          (sumG.toDouble / n).toFloat, (sumB.toDouble / n).toFloat,
+          (bright.toDouble / n).toFloat)
+      }
+
+      /** MJPEG arm: each sampled frame chunk is a complete JPEG
+        * decoded via ImageIO; stats accumulate over the DECODED
+        * pixels, with dims taken from the first decoded frame
+        * (mixed-dimension or undecodable streams return null →
+        * caller bails to the fallback). Only sampled frames pay the
+        * JPEG decode — stride skipping costs no codec work. */
+      private def decodeMjpeg(payload: Array[Byte],
+          frames: scala.collection.Seq[(Int, Int)]): Array[Float] = {
+        var sumR = 0L; var sumG = 0L; var sumB = 0L; var bright = 0L
+        var sampled = 0; var w0 = 0; var h0 = 0
+        var f = 0
+        while (f < frames.length) {
+          if (f % frameStride == 0) {
+            val (off, sz) = frames(f)
+            val img =
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload, off, sz))
+              catch { case _: Exception => null }
+            if (img == null) return null
+            if (sampled == 0) { w0 = img.getWidth; h0 = img.getHeight }
+            else if (img.getWidth != w0 || img.getHeight != h0)
+              return null
+            sampled += 1
+            var y = 0
+            while (y < h0) {
+              var x = 0
+              while (x < w0) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+                val b = rgb & 0xff
+                sumR += r; sumG += g; sumB += b
+                if (r + g + b >= 384) bright += 1
+                x += 1
+              }
+              y += 1
+            }
+          }
+          f += 1
+        }
+        if (sampled == 0 || w0 <= 0 || h0 <= 0) return null
+        val n = sampled.toLong * w0 * h0
+        Array(w0.toFloat, h0.toFloat, frames.length.toFloat,
           sampled.toFloat, (sumR.toDouble / n).toFloat,
           (sumG.toDouble / n).toFloat, (sumB.toDouble / n).toFloat,
           (bright.toDouble / n).toFloat)
@@ -478,6 +543,82 @@ object Multimodal {
         f += 1
       }
       buf.array()
+    }
+
+    /** MJPEG-in-AVI container around caller-provided complete JPEG
+      * frame payloads — the layout [[MediaDecoder.AviDib]]'s MJPEG
+      * arm decodes: same RIFF skeleton as [[aviDib]] but with strh
+      * handler / strf biCompression 'MJPG' and each frame a "00dc"
+      * chunk holding one JPEG (word-aligned with a pad byte, sizes
+      * vary per frame). */
+    def aviMjpeg(width: Int, height: Int, jpegs: Seq[Array[Byte]])
+        : Array[Byte] = {
+      require(jpegs.nonEmpty, "aviMjpeg needs >= 1 frame")
+      val strl = 8 + 56 + 8 + 40            // strh + strf chunks
+      val hdrl = 8 + 56 + (8 + 4 + strl)    // avih + LIST strl
+      val movi = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+      val riff = 4 + (8 + 4 + hdrl) + (8 + movi)
+      val maxFrame = jpegs.map(_.length).max
+      val buf = java.nio.ByteBuffer.allocate(8 + riff)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def cc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+      cc("RIFF"); buf.putInt(riff); cc("AVI ")
+      cc("LIST"); buf.putInt(4 + hdrl); cc("hdrl")
+      cc("avih"); buf.putInt(56)
+      buf.putInt(40000) // us/frame (25 fps)
+      buf.putInt(0); buf.putInt(0); buf.putInt(0)
+      buf.putInt(jpegs.length); buf.putInt(0); buf.putInt(1)
+      buf.putInt(maxFrame); buf.putInt(width); buf.putInt(height)
+      (0 until 4).foreach(_ => buf.putInt(0))
+      cc("LIST"); buf.putInt(4 + strl); cc("strl")
+      cc("strh"); buf.putInt(56)
+      cc("vids"); cc("MJPG")
+      (0 until 3).foreach(_ => buf.putInt(0))  // flags, prio, initial
+      buf.putInt(1); buf.putInt(25)            // scale, rate
+      buf.putInt(0); buf.putInt(jpegs.length)  // start, length
+      buf.putInt(maxFrame); buf.putInt(-1); buf.putInt(0)
+      buf.putShort(0); buf.putShort(0); buf.putInt(0)
+      cc("strf"); buf.putInt(40)
+      buf.putInt(40); buf.putInt(width); buf.putInt(height)
+      buf.putShort(1); buf.putShort(24)        // planes, bitcount
+      cc("MJPG"); buf.putInt(maxFrame)         // biCompression, size
+      buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0)
+      cc("LIST"); buf.putInt(movi); cc("movi")
+      jpegs.foreach { j =>
+        cc("00dc"); buf.putInt(j.length); buf.put(j)
+        if ((j.length & 1) == 1) buf.put(0.toByte)
+      }
+      buf.array()
+    }
+
+    /** Per-document MJPEG test video: deterministic frame images
+      * (same congruence family as [[docAvi]]) encoded to real JPEGs
+      * via ImageIO, wrapped by [[aviMjpeg]]. Returns the container
+      * AND the raw per-frame JPEG payloads so a spec can re-decode
+      * the identical bytes independently of the RIFF walker. */
+    def docAviMjpeg(seed: Long, width: Int = 16, height: Int = 12,
+        nFrames: Int = 4): (Array[Byte], Seq[Array[Byte]]) = {
+      val s = java.lang.Math.floorMod(seed, 1009L).toInt
+      val jpegs = (0 until nFrames).map { f =>
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val r = (s * 7 + f * 11 + x * 3 + y * 13) % 256
+            val g = (s * 3 + f * 5 + x * 7 + y * 11) % 256
+            val b = (s * 11 + f * 3 + x * 13 + y * 5) % 256
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      (aviMjpeg(width, height, jpegs), jpegs)
     }
 
     /** Per-document test video: channel values are linear congruences

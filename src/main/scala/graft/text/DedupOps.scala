@@ -377,6 +377,12 @@ object DedupOps {
     * ~log2(d) rounds, so the default `maxIters` covers diameters into
     * the thousands instead of aborting the job.
     */
+  /** Instrumentation only: rounds taken by the most recent
+    * [[connectedComponents]] call in this JVM (scale smokes record
+    * it next to wall/exchange metrics); not part of the operator
+    * contract and not synchronized across concurrent callers. */
+  @volatile private[graft] var lastCcRounds: Int = -1
+
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       maxIters: Int = 10): DataFrame = {
     // localCheckpoint (eager) rather than persist: an iterative
@@ -442,6 +448,7 @@ object DedupOps {
       converged = changed == 0
       iter += 1
     }
+    lastCcRounds = iter
     // Hop+jump covers ~2^maxIters diameter, so hitting this bound
     // means the graph is far outside any plausible near-dup shape —
     // fail loudly rather than silently mislabel.

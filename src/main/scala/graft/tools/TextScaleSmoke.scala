@@ -160,6 +160,9 @@ object TextScaleSmoke {
         graft.text.DedupOps.fuzzyDedupDocsBest(docs, "doc_id", "text",
           graft.text.TextOps.tokenCount(col("text")).cast("long"))
       }
+      if (only.isEmpty || only.exists("fuzzyDedupBest".startsWith))
+        println(s"""{"phase":"fuzzyDedupBest","factor":$f,""" +
+          s""""cc_rounds":${graft.text.DedupOps.lastCcRounds}}""")
       // md5 over chunk_text forces the slices to materialize
       timed("chunkDocs", f) {
         graft.text.ChunkOps.chunkDocs(docs, "doc_id", "text", 64, 48)

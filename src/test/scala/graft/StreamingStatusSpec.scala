@@ -847,6 +847,52 @@ class StreamingStatusSpec extends SparkSpec {
       .decodeToFeatures("avi", Array[Byte](1, 2, 3)).length == 8)
   }
 
+  test("AviDib decoder: MJPEG-in-AVI frames decode via ImageIO, " +
+      "stride skips decodes, corrupt JPEG falls back") {
+    import graft.multimodal.Multimodal
+    import Multimodal.{MediaDecoder, SyntheticMedia}
+    val (avi, jpegs) = SyntheticMedia.docAviMjpeg(7L, 16, 12, 4)
+    // independent expectation: re-decode the SAME JPEG bytes outside
+    // the RIFF walker and accumulate the kernel's stats by hand
+    def stats(sel: Seq[Array[Byte]]): (Long, Long, Long, Long) = {
+      var sr = 0L; var sg = 0L; var sb = 0L; var br = 0L
+      sel.foreach { j =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(j))
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          sr += r; sg += g; sb += b
+          if (r + g + b >= 384) br += 1
+        }
+      }
+      (sr, sg, sb, br)
+    }
+    val all = MediaDecoder.AviDib().decodeToFeatures("avi", avi)
+    assert(all(0) == 16.0f && all(1) == 12.0f)
+    assert(all(2) == 4.0f && all(3) == 4.0f)
+    val (sr, sg, sb, br) = stats(jpegs)
+    val n = 4L * 16 * 12
+    assert(all(4) == (sr.toDouble / n).toFloat)
+    assert(all(5) == (sg.toDouble / n).toFloat)
+    assert(all(6) == (sb.toDouble / n).toFloat)
+    assert(all(7) == (br.toDouble / n).toFloat)
+    // stride 2: frames 0 and 2 only — half the decodes
+    val s2 = MediaDecoder.AviDib(frameStride = 2)
+      .decodeToFeatures("avi", avi)
+    val (sr2, _, _, _) = stats(Seq(jpegs(0), jpegs(2)))
+    assert(s2(2) == 4.0f && s2(3) == 2.0f)
+    assert(s2(4) == (sr2.toDouble / (2L * 16 * 12)).toFloat)
+    // corrupt frame payload: MJPEG arm bails -> fallback engages
+    val bad = SyntheticMedia.aviMjpeg(16, 12,
+      Seq(Array[Byte](1, 2, 3, 4)))
+    assert(MediaDecoder.AviDib().decodeToFeatures("avi", bad) == null)
+    assert(MediaDecoder.AviDib(
+        fallback = Some(MediaDecoder.Deterministic(8)))
+      .decodeToFeatures("avi", bad).length == 8)
+  }
+
   test("multimodal payload transform keeps schema, shrinks payload") {
     import graft.multimodal.Multimodal
     val media = Seq((1L, "utf8", "hello world payload".getBytes),
