@@ -153,6 +153,15 @@ object Tob {
   /** Decode one TOB1 file's bytes to rows of (DATETIME us, fields...).
     * Leading SECONDS/NANOSECONDS channels collapse into the timestamp. */
   def decodeTob1(bytes: Array[Byte]): (Seq[Row], TobHeader) = {
+    val (it, h) = decodeTob1Rows(bytes)
+    (it.toVector, h)
+  }
+
+  /** Streaming TOB1 decode: records are stored sequentially (no
+    * frame reordering exists in TOB1), so file order IS the
+    * contract order and the iterator never materializes the file's
+    * row set — O(one record) live memory per reader. */
+  def decodeTob1Rows(bytes: Array[Byte]): (Iterator[Row], TobHeader) = {
     val (h, dataStart) = parseHeader(bytes)
     require(h.format == "TOB1", s"expected TOB1, got ${h.format}")
     val chans = h.types.map(channel(_, tob1 = true))
@@ -162,7 +171,7 @@ object Tob {
       Seq("SECONDS", "NANOSECONDS"),
       s"TOB1 must lead with SECONDS,NANOSECONDS (got ${h.names.take(2)})")
     val buf = ByteBuffer.wrap(bytes)
-    val rows = (0 until nRec).map { i =>
+    val it = (0 until nRec).iterator.map { i =>
       buf.position(dataStart + i * recSize)
       val vals = chans.map(_.read(buf))
       val us = Epoch1990Us +
@@ -170,7 +179,7 @@ object Tob {
         vals(1).asInstanceOf[Long] / 1000L
       Row.fromSeq(us +: vals.drop(2))
     }
-    (rows, h)
+    (it, h)
   }
 
   // --- TOB3 -----------------------------------------------------------
@@ -213,8 +222,26 @@ object Tob {
   /** Decode one TOB3 file: frames -> (DATETIME us, RECORD, fields...).
     * Invalid-stamp frames are skipped; minor frames contribute only
     * their declared record count; output sorted by record number
-    * (reference sorts by timestamp; record no is the same order). */
+    * (reference sorts by timestamp; record no is the same order).
+    * Materializes the file's row set for the sort — streaming callers
+    * that can prove the order use [[decodeTob3Rows]] instead. */
   def decodeTob3(bytes: Array[Byte]): (Seq[Row], TobHeader) = {
+    val (it, h) = decodeTob3Rows(bytes)
+    (it.toVector.sortBy(_.getLong(1)), h)
+  }
+
+  /** Streaming TOB3 decode: rows in FILE order, O(one frame) live
+    * memory — nothing file-sized is ever materialized, so 32
+    * concurrent partition readers hold 32 frames, not 32 files' row
+    * sets (the difference between a few KB and a few GB of old-gen
+    * pressure on a wide executor). File order equals the
+    * [[decodeTob3]] record-number order iff valid frames are stored
+    * with nondecreasing begin-record numbers — the normal shape for
+    * a closed-out daily file; [[tob3FramesInOrder]] checks exactly
+    * that from frame headers alone (16 bytes per frame, no record
+    * decode), and callers fall back to [[decodeTob3]] on ring-buffer
+    * wraps. */
+  def decodeTob3Rows(bytes: Array[Byte]): (Iterator[Row], TobHeader) = {
     val (h, dataStart) = parseHeader(bytes)
     require(h.format == "TOB3", s"expected TOB3, got ${h.format}")
     val spec = tob3Spec(h)
@@ -223,38 +250,87 @@ object Tob {
     val hdrSize = 12; val footSize = 4
     val nRecFrame = (spec.frameSize - hdrSize - footSize) / recSize
 
-    val out = Seq.newBuilder[Row]
-    var pos = dataStart
-    while (pos + spec.frameSize <= bytes.length) {
-      val b = ByteBuffer.wrap(bytes, pos, spec.frameSize)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      val seconds = java.lang.Integer.toUnsignedLong(b.getInt)
-      val subSeconds = java.lang.Integer.toUnsignedLong(b.getInt)
-      val begRecord = java.lang.Integer.toUnsignedLong(b.getInt)
-      val fb = ByteBuffer.wrap(bytes, pos + spec.frameSize - footSize, footSize)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      val word0 = java.lang.Short.toUnsignedInt(fb.getShort)
-      val stamp = java.lang.Short.toUnsignedInt(fb.getShort)
+    val it = new Iterator[Row] {
+      private val buf = ByteBuffer.wrap(bytes)
+      private var pos = dataStart
+      private var framePos = 0
+      private var i = 0
+      private var nRecs = 0
+      private var seconds = 0L
+      private var subSeconds = 0L
+      private var begRecord = 0L
 
-      if (stamp == spec.validation || stamp == spec.validationAlt) {
-        // minor frame: low 12 bits of word0 = used byte count incl.
-        // header+footer; major frame: word0 == 0 -> all records.
-        val nRecs =
-          if (word0 == 0) nRecFrame
-          else math.min(nRecFrame,
-            math.max(0, ((word0 & 0x0fff) - hdrSize - footSize) / recSize))
-        val buf = ByteBuffer.wrap(bytes)
-        for (i <- 0 until nRecs) {
-          buf.position(pos + hdrSize + i * recSize)
-          val vals = chans.map(_.read(buf))
-          val us = Epoch1990Us + seconds * 1000000L +
-            i * spec.subStepUs + subSeconds * spec.subScaleUs
-          out += Row.fromSeq(us +: (begRecord + i) +: vals)
+      /** Advance to the next frame with >= 1 usable record. */
+      private def advanceFrame(): Unit = {
+        nRecs = 0; i = 0
+        while (nRecs == 0 && pos + spec.frameSize <= bytes.length) {
+          val b = ByteBuffer.wrap(bytes, pos, spec.frameSize)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          seconds = java.lang.Integer.toUnsignedLong(b.getInt)
+          subSeconds = java.lang.Integer.toUnsignedLong(b.getInt)
+          begRecord = java.lang.Integer.toUnsignedLong(b.getInt)
+          val fb = ByteBuffer.wrap(bytes,
+            pos + spec.frameSize - footSize, footSize)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          val word0 = java.lang.Short.toUnsignedInt(fb.getShort)
+          val stamp = java.lang.Short.toUnsignedInt(fb.getShort)
+          if (stamp == spec.validation || stamp == spec.validationAlt) {
+            // minor frame: low 12 bits of word0 = used byte count
+            // incl. header+footer; major frame: word0 == 0 -> all.
+            nRecs =
+              if (word0 == 0) nRecFrame
+              else math.min(nRecFrame, math.max(0,
+                ((word0 & 0x0fff) - hdrSize - footSize) / recSize))
+          }
+          framePos = pos
+          pos += spec.frameSize
         }
+      }
+      advanceFrame()
+
+      override def hasNext: Boolean = i < nRecs
+      override def next(): Row = {
+        buf.position(framePos + hdrSize + i * recSize)
+        val vals = chans.map(_.read(buf))
+        val us = Epoch1990Us + seconds * 1000000L +
+          i * spec.subStepUs + subSeconds * spec.subScaleUs
+        val r = Row.fromSeq(us +: (begRecord + i) +: vals)
+        i += 1
+        if (i >= nRecs) advanceFrame()
+        r
+      }
+    }
+    (it, h)
+  }
+
+  /** Header-only order probe: true iff the file's VALID frames carry
+    * nondecreasing begin-record numbers (16 bytes read per frame —
+    * no record decode), i.e. streaming file order satisfies the
+    * record-number sort contract. False for ring-buffer wraps. */
+  def tob3FramesInOrder(bytes: Array[Byte]): Boolean = {
+    val (h, dataStart) = parseHeader(bytes)
+    require(h.format == "TOB3", s"expected TOB3, got ${h.format}")
+    val spec = tob3Spec(h)
+    val footSize = 4
+    var pos = dataStart
+    var last = Long.MinValue
+    var ok = true
+    while (ok && pos + spec.frameSize <= bytes.length) {
+      val b = ByteBuffer.wrap(bytes, pos, 12)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.getInt; b.getInt
+      val beg = java.lang.Integer.toUnsignedLong(b.getInt)
+      val fb = ByteBuffer.wrap(bytes,
+        pos + spec.frameSize - footSize, footSize)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      fb.getShort
+      val stamp = java.lang.Short.toUnsignedInt(fb.getShort)
+      if (stamp == spec.validation || stamp == spec.validationAlt) {
+        if (beg < last) ok = false else last = beg
       }
       pos += spec.frameSize
     }
-    (out.result().sortBy(_.getLong(1)), h)
+    ok
   }
 
   /** TOB1 encoder (test/round-trip utility): rows of

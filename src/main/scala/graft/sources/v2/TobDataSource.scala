@@ -75,9 +75,11 @@ private[v2] class TobReaderFactory(fullSchema: StructType,
       partition.asInstanceOf[Toa5InputPartition].file, fullSchema, required)
 }
 
-/** Whole-file frame decode (TOB3 frames are fixed-size and the file is
-  * one logger day — bounded memory per task), then required-column
-  * materialization to InternalRow. */
+/** Frame decode to InternalRow with required-column pruning. The file
+  * BYTES are read whole (one logger day — bounded per task); the ROWS
+  * stream frame-by-frame whenever the frame order already satisfies
+  * the record-number contract, so live heap per task is one frame,
+  * not one file's boxed rows. */
 private[v2] class TobPartitionReader(file: String,
     fullSchema: StructType, required: StructType)
     extends PartitionReader[InternalRow] {
@@ -100,10 +102,17 @@ private[v2] class TobPartitionReader(file: String,
         s"declared schema marks ${d.name} non-nullable but the TOB " +
         s"decoder can emit nulls for it in $file")
     }
-    val decoded =
-      if (fh.format == "TOB1") Tob.decodeTob1(bytes)._1
-      else Tob.decodeTob3(bytes)._1
-    decoded.iterator
+    // TOB3 streams frame-by-frame when valid frames are already in
+    // record order (the normal closed-out daily file — checked from
+    // frame headers alone): O(one frame) live memory per task
+    // instead of the whole file's boxed row set, which at 32
+    // concurrent day-file readers is the difference between KBs and
+    // GBs of old-gen pressure. Ring-buffer wraps (out-of-order
+    // frames) take the materialize+sort path, preserving the
+    // record-number order contract exactly.
+    if (fh.format == "TOB1") Tob.decodeTob1Rows(bytes)._1
+    else if (Tob.tob3FramesInOrder(bytes)) Tob.decodeTob3Rows(bytes)._1
+    else Tob.decodeTob3(bytes)._1.iterator
   }
   // decode rows are in full-schema field order
   private val srcIdx: Array[Int] =

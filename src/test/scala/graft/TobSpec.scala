@@ -150,6 +150,38 @@ class TobSpec extends SparkSpec {
     assert(rows(1).getDouble(3) == 2.0)
   }
 
+  test("TOB3 streaming decode == sorted decode on ordered files; " +
+      "order probe flags ring-buffer wraps") {
+    // the fixture's valid frames are in record order (10.., then 20..)
+    val fx = tob3Fixture()
+    assert(Tob.tob3FramesInOrder(fx))
+    val sorted = Tob.decodeTob3(fx)._1
+    val streamed = Tob.decodeTob3Rows(fx)._1.toVector
+    assert(streamed == sorted)
+    // ring-buffer wrap: swap the two valid 28-byte frames (header is
+    // everything before the first frame; frames are good1|bad|minor)
+    val headerLen = fx.length - 3 * 28
+    val wrapped = fx.take(headerLen) ++
+      fx.slice(headerLen + 56, headerLen + 84) ++  // minor (beg 20)
+      fx.slice(headerLen + 28, headerLen + 56) ++  // bad (skipped)
+      fx.slice(headerLen, headerLen + 28)          // good1 (beg 10)
+    assert(!Tob.tob3FramesInOrder(wrapped))
+    // the sorted decoder restores record order on the wrapped file
+    assert(Tob.decodeTob3(wrapped)._1.map(_.getLong(1)) ==
+      Seq(10L, 11L, 20L))
+    // the v2 source (which picks the path itself) agrees on both
+    val dir = Files.createTempDirectory("tob3order")
+    Files.write(dir.resolve("a.dat"), fx)
+    val viaV2 = spark.read.format("tob").load(dir.toString)
+      .orderBy("RECORD").collect()
+    assert(viaV2.map(_.getLong(1)).toSeq == Seq(10L, 11L, 20L))
+    val dir2 = Files.createTempDirectory("tob3wrap")
+    Files.write(dir2.resolve("a.dat"), wrapped)
+    val viaV2w = spark.read.format("tob").load(dir2.toString)
+      .orderBy("RECORD").collect()
+    assert(viaV2w.map(_.getLong(1)).toSeq == Seq(10L, 11L, 20L))
+  }
+
   test("TOB3 truncated tail is ignored; TOB1 via Spark source (S8/S9)") {
     val full = tob3Fixture()
     val truncated = full.dropRight(10)
