@@ -612,15 +612,25 @@ object DedupOps {
     * clusters through false-positive edges.
     *
     * Scale shape: candidates come from [[minhashCandidatePairs]]
-    * (band-key equi-join only); verification attaches each side's
-    * hashed shingle rows by id and counts equal-shingle matches —
-    * the intermediate is Σ|A| over candidate pairs, bounded by the
-    * LSH candidate volume, never corpus²; the shingle table is
-    * corpus-derived so both attach joins are SHUFFLE_HASH-pinned;
-    * components run on the verified sliver via the adaptive
-    * pointer-jump loop. Candidate pairs with zero shared shingles
-    * (band collisions of disjoint sets) drop at the inner join —
-    * they would fail any positive threshold.
+    * (band-key equi-join only). Verification only ever touches DOCS
+    * THAT APPEAR IN A CANDIDATE PAIR: the corpus is semi-joined to
+    * the candidate id set before shingling, so the verification
+    * shingle table scales with the near-dup population, not the
+    * corpus (candidates are rare in a real crawl; non-candidate
+    * docs pay zero shingling or shuffle here). The attach joins and
+    * the size aggregate then run over that filtered table; the
+    * intermediate is Σ|A| over candidate pairs, bounded by the LSH
+    * candidate volume, never corpus². Both attach joins are
+    * MERGE-pinned (sort-merge): the shingle side is corpus-derived
+    * — worst-case every doc is a candidate — so it must neither
+    * broadcast (the AQE small-at-test-SF trap) nor build a
+    * per-partition hash map (a factor-1000 smoke at 5M docs OOMed
+    * ShuffledHashJoin's build exactly here; sort-merge spills and
+    * AQE skew-splits instead). Components run on the verified
+    * sliver via the adaptive pointer-jump loop. Candidate pairs
+    * with zero shared shingles (band collisions of disjoint sets)
+    * drop at the inner join — they would fail any positive
+    * threshold.
     *
     * Hot-key control: verification is EXACT Jaccard, so no shingle-
     * frequency cap applies here (capping would change the measured
@@ -637,23 +647,37 @@ object DedupOps {
       k: Int = 3, bands: Int = 4, rows: Int = 2,
       minJaccard: Double = 0.5, maxBandFreq: Long = Long.MaxValue)
       : DataFrame = {
-    val cands = minhashCandidatePairs(docs, idCol, textCol, k, bands,
-        rows, maxBandFreq)
-      .select("id_a", "id_b")
-    val sh = ckptSer(shingleRows(docs, idCol, textCol, k)
+    // checkpoint: candidates feed the doc prefilter AND the
+    // verification join, and the band self-join behind them is the
+    // expensive part of the chain
+    val cands = ckptSer(minhashCandidatePairs(docs, idCol, textCol, k,
+        bands, rows, maxBandFreq)
+      .select("id_a", "id_b"))
+    // verification only needs shingles of docs that appear in some
+    // candidate pair — semi-filter BEFORE shingling so non-candidate
+    // docs pay nothing past the banding stage
+    val candDocs = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
+    val sh = ckptSer(shingleRows(
+        docs.select(col(idCol), col(textCol))
+          .join(candDocs.hint("shuffle_hash"), Seq(idCol), "left_semi"),
+        idCol, textCol, k)
       .select(col("id"), xxhash64(col("shingle")).as("shingle")))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = cands
       .join(sh.select(col("id").as("id_a"), col("shingle"))
-        .hint("shuffle_hash"), Seq("id_a"))
+        .hint("merge"), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("shingle"))
-        .hint("shuffle_hash"), Seq("id_b", "shingle"))
+        .hint("merge"), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    // sizes is candidate-doc-derived (worst case corpus-sized): pin
+    // SHUFFLE_HASH — its per-partition build is two longs per doc,
+    // but an AQE broadcast that fits at test SF would not at scale
     val verified = inter
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")),
-        "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")),
-        "id_b")
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b"))
+        .hint("shuffle_hash"), "id_b")
       .filter(col("n_shared").cast("double")
         / (col("n_a") + col("n_b") - col("n_shared")) >= minJaccard)
       .select("id_a", "id_b")
