@@ -240,6 +240,19 @@ class BudgetC4Spec extends SparkSpec {
     assert(got(2L) == ((true, "c", -1.0)))
     assert(got(0L) == ((true, "a", -1.0)))
     assert(got(1L) == ((false, "b", -1.0)))
+    // per-stratum runner: same contract incl. a colliding __strat
+    val sdocs = Seq(
+      (0L, 5L, 2.0, "s1", "keep0"), (1L, 5L, 1.0, "s1", "keep1"),
+      (2L, 5L, 3.0, "s2", "keep2")
+    ).toDF("id", "tok", "pri", "src", "__strat")
+    val sgot = BudgetOps.budgetSelectPerStratum(sdocs, "id", "tok",
+        "pri", "src", Map("s1" -> 5L, "s2" -> 5L))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Boolean]("selected"), r.getAs[String]("__strat"))))
+      .toMap
+    assert(sgot(0L) == ((true, "keep0")))   // s1 best fills its budget
+    assert(sgot(1L) == ((false, "keep1")))
+    assert(sgot(2L) == ((true, "keep2")))   // s2 sole member
   }
 
   test("nearDupAgainst: flags incoming docs colliding with reference") {
