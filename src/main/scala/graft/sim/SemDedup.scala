@@ -114,7 +114,7 @@ object SemDedup {
       col("vec").as("va"), col("norm").as("na"))
     val b = members.select(col("cluster"), col("id").as("id_b"),
       col("vec").as("vb"), col("norm").as("nb"))
-    val pairs = a.join(b, Seq("cluster"))
+    val pairs = a.join(b.hint("merge"), Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
       .filter(rcos(p)(col("va"), col("na"), col("vb"), col("nb"))
         >= threshold)
@@ -124,7 +124,7 @@ object SemDedup {
     val w = Window.partitionBy(col("component"))
       .orderBy(col("cos_c").asc_nulls_first, col("id").asc)
     members.select("id", "cluster", "cos_c")
-      .join(comp, "id")
+      .join(comp.hint("shuffle_hash"), "id")
       .withColumn("rep_id", first(col("id")).over(w))
       .withColumn("keep", col("id") === col("rep_id"))
   }

@@ -107,6 +107,9 @@ object Similarity {
       .agg(count(lit(1)).as("__freq"))
       .filter(col("__freq") <= maxBucketSize)
       .select("band", "key")
+      // corpus-derived key set: pin the build so an estimate-driven
+      // broadcast can never collect it driver-side at scale
+      .hint("shuffle_hash")
     banded.join(ok, Seq("band", "key"), "left_semi")
   }
 
@@ -148,7 +151,7 @@ object Similarity {
           hp.map(_.toIndexedSeq).toIndexedSeq, bands, rowsPerBand))
           .as(Seq("band", "key")))
       .transform(ckptSer), maxBucketSize)
-    val scored = banded.as("a").join(banded.as("b"),
+    val scored = banded.as("a").join(banded.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -242,7 +245,7 @@ object Similarity {
       .withColumn("list_id", explode(nearest(col("q_vec"), nProbe)))
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
-    probes.join(lists, "list_id")
+    probes.join(lists.hint("merge"), "list_id")
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos",
         rcos(col("q_vec"), col("q_norm"), col("n_vec"), col("n_norm")))
@@ -344,7 +347,7 @@ object Similarity {
         .withColumn("band", lit(0))
         .transform(ckptSer), maxBucketSize)
       .withColumnRenamed("key", "bucket").drop("band")
-    val pairs = bucketed.as("a").join(bucketed.as("b"),
+    val pairs = bucketed.as("a").join(bucketed.as("b").hint("merge"),
         col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("q_id"), col("b.id").as("n_id"),
         (floor(when(col("a.norm") > 0.0 && col("b.norm") > 0.0,

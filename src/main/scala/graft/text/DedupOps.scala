@@ -118,15 +118,22 @@ object DedupOps {
     // (map-side combinable) equals countDistinct without its extra
     // dedup shuffle.
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val pairs = capped.as("a").join(capped.as("b"),
+    // Corpus-derived sides are strategy-PINNED (the factor-1000
+    // ngram run proved why: the unpinned downstream joins here were
+    // planned as BroadcastHashJoin off post-aggregation estimates and
+    // collected a multi-GB side into the driver at 5M docs). Self-
+    // join: merge (spillable, AQE-skew-splittable). Size attach:
+    // shuffled-hash (two longs per doc, per-partition bounded) —
+    // never an estimate-driven broadcast.
+    val pairs = capped.as("a").join(capped.as("b").hint("merge"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
     pairs
       .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("n_sh", "n_a"), "id_a")
+        .withColumnRenamed("n_sh", "n_a").hint("shuffle_hash"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumnRenamed("n_sh", "n_b").hint("shuffle_hash"), "id_b")
       .withColumn("jaccard",
         col("n_shared").cast("double")
           / (col("n_a") + col("n_b") - col("n_shared")))
@@ -229,7 +236,7 @@ object DedupOps {
       .select(col(idCol).as("id"), col("span_start"), col("span_end"))
     val tok = docs.select(col(idCol).as("id"),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val kept = tok.alias("t").join(spans.alias("s"),
+    val kept = tok.alias("t").join(spans.alias("s").hint("merge"),
         col("t.id") === col("s.id")
           && col("t.pos") >= col("s.span_start")
           && col("t.pos") < col("s.span_end"),
@@ -238,7 +245,8 @@ object DedupOps {
       .agg(expr("array_join(transform(" +
         "array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
         .as("clean_text"))
-    docs.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
+    docs.select(col(idCol).as("id"))
+      .join(rebuilt.hint("merge"), Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
@@ -312,7 +320,7 @@ object DedupOps {
         .hint("shuffle_hash")
       banded0.join(ok, Seq("band", "key"), "left_semi")
     }
-    banded.as("a").join(banded.as("b"),
+    banded.as("a").join(banded.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -359,8 +367,10 @@ object DedupOps {
     * signature positions. `pairs` must have id_a/id_b columns. */
   def minhashEstimate(pairs: DataFrame, sigs: DataFrame): DataFrame =
     pairs
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+        .hint("merge"), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+        .hint("merge"), "id_b")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => x === y), b => b)).cast("double") / size(col("sig_a")))

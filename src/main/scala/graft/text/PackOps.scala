@@ -78,48 +78,67 @@ object PackOps {
   /** [[packOffsets]] plus the persisted substrate handle, so callers
     * that fully materialize their result ([[packedBlocks]]) can
     * unpersist immediately instead of retaining session-wide. */
+  /** Internal working-column name that cannot collide with any input
+    * column (the [[BudgetOps]] convention): `base`, or `base` + the
+    * first free integer suffix. */
+  private def freshName(base: String, cols: Seq[String]): String = {
+    var nm = base
+    var i = 0
+    while (cols.contains(nm)) { i += 1; nm = base + i }
+    nm
+  }
+
   private def packOffsetsRetaining(df: DataFrame, idCol: String,
       tokenCol: String, salt: String): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val tokC = freshName("__tok", df.columns)
+    val coordC = freshName("__coord", df.columns)
 
     val ranged = df
-      .withColumn("__tok", coalesce(col(tokenCol).cast("long"), lit(0L)))
-      .withColumn("__coord", SampleOps.hashCoord(col(idCol), salt))
-      .repartitionByRange(n, col("__coord"), col(idCol))
-      .sortWithinPartitions(col("__coord"), col(idCol))
+      .withColumn(tokC, coalesce(col(tokenCol).cast("long"), lit(0L)))
+      .withColumn(coordC, SampleOps.hashCoord(col(idCol), salt))
+      .repartitionByRange(n, col(coordC), col(idCol))
+      .sortWithinPartitions(col(coordC), col(idCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val tokIdx = ranged.schema.fieldIndex("__tok")
+    // on success the substrate stays persisted BY CONTRACT (the lazy
+    // result re-reads it); a pass-1 failure would otherwise leak an
+    // untracked persist, so unpersist on that path only
+    try {
+      val tokIdx = ranged.schema.fieldIndex(tokC)
 
-    // Pass 1: per-partition totals (materializes the persist).
-    val totals = ranged.select(col("__tok"))
-      .queryExecution.toRdd.mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        var s = 0L
-        while (it.hasNext) s += it.next().getLong(0)
-        Iterator((pid, s))
-      }.collect().toMap
-    val prefix = new Array[Long](n)
-    var acc = 0L
-    (0 until n).foreach { p =>
-      prefix(p) = acc
-      acc += totals.getOrElse(p, 0L)
-    }
-
-    // Pass 2: running sum within the SAME partitions + prefix offset.
-    val outSchema = ranged.schema
-      .add("end_off", LongType, nullable = false)
-      .add("start_off", LongType, nullable = false)
-    val out = ranged.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      var run = prefix(pid)
-      it.map { r =>
-        val tok = r.getLong(tokIdx)
-        run += tok
-        Row.fromSeq(r.toSeq :+ run :+ (run - tok))
+      // Pass 1: per-partition totals (materializes the persist).
+      val totals = ranged.select(col(tokC))
+        .queryExecution.toRdd.mapPartitions { it =>
+          val pid = TaskContext.getPartitionId()
+          var s = 0L
+          while (it.hasNext) s += it.next().getLong(0)
+          Iterator((pid, s))
+        }.collect().toMap
+      val prefix = new Array[Long](n)
+      var acc = 0L
+      (0 until n).foreach { p =>
+        prefix(p) = acc
+        acc += totals.getOrElse(p, 0L)
       }
-    }(Encoders.row(outSchema))
-    (out.drop("__tok", "__coord"), ranged)
+
+      // Pass 2: running sum within the SAME partitions + prefix offset.
+      val outSchema = ranged.schema
+        .add("end_off", LongType, nullable = false)
+        .add("start_off", LongType, nullable = false)
+      val out = ranged.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var run = prefix(pid)
+        it.map { r =>
+          val tok = r.getLong(tokIdx)
+          run += tok
+          Row.fromSeq(r.toSeq :+ run :+ (run - tok))
+        }
+      }(Encoders.row(outSchema))
+      (out.drop(tokC, coordC), ranged)
+    } catch { case t: Throwable =>
+      ranged.unpersist(blocking = false); throw t
+    }
   }
 
   /** Absolute [start, end) token offsets per document in the
@@ -183,23 +202,23 @@ object PackOps {
       .withColumn("__n_tokens", size(col("__toks")).cast("long"))
     val (withOff, sub) =
       packOffsetsRetaining(docs, idCol, "__n_tokens", salt)
-    val spans = blockSpans(withOff, "__n_tokens", blockTokens)
-    val localOff = greatest(
-      col("block_id") * blockTokens - col("start_off"), lit(0L))
-    val out = spans
-      .withColumn("__slice", slice(col("__toks"),
-        (localOff + 1).cast("int"), col("span_tokens").cast("int")))
-      .groupBy(col("block_id"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("span_tokens")).as("block_tokens"),
-        md5(concat_ws(" ", flatten(transform(
-          array_sort(collect_list(
-            struct(col("start_in_block").as("o"), col("__slice").as("s")))),
-          x => x.getField("s"))))).as("content_md5"))
-      .localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
-    sub.unpersist(blocking = false)
-    out
+    try {
+      val spans = blockSpans(withOff, "__n_tokens", blockTokens)
+      val localOff = greatest(
+        col("block_id") * blockTokens - col("start_off"), lit(0L))
+      spans
+        .withColumn("__slice", slice(col("__toks"),
+          (localOff + 1).cast("int"), col("span_tokens").cast("int")))
+        .groupBy(col("block_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("span_tokens")).as("block_tokens"),
+          md5(concat_ws(" ", flatten(transform(
+            array_sort(collect_list(
+              struct(col("start_in_block").as("o"), col("__slice").as("s")))),
+            x => x.getField("s"))))).as("content_md5"))
+        .localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
+    } finally sub.unpersist(blocking = false)
   }
 
   /** Explode each document into the fixed-size blocks it overlaps:
@@ -232,10 +251,9 @@ object PackOps {
       blockTokens: Int, salt: String): DataFrame = {
     require(blockTokens > 0, "blockTokens must be positive")
     val (withOff, sub) = packOffsetsRetaining(df, idCol, tokenCol, salt)
-    val out = blockSpans(withOff, tokenCol, blockTokens)
+    try blockSpans(withOff, tokenCol, blockTokens)
       .localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
-    sub.unpersist(blocking = false)
-    out
+    finally sub.unpersist(blocking = false)
   }
 
   /** Span explosion of a pack-offsets frame (shared by the lazy

@@ -63,6 +63,15 @@ object ScaleSmoke {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // Diagnostic headroom, NOT a fix: the 1 GB default exists to
+      // catch accidental driver-side collection, and a factor-1000
+      // run tripped it inside the ngram chain. Raising it here lets
+      // the run complete so the per-phase `joins` line below shows
+      // WHICH strategy shipped data to the driver — a
+      // BroadcastHashJoin on a corpus-derived side in that line is a
+      // finding, never something this setting may hide.
+      .config("spark.driver.maxResultSize",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_RESULT", "8g"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -100,6 +109,18 @@ object ScaleSmoke {
       val (df, planDf) = mk
       val n = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
+      // EXECUTED join strategies (post-AQE): the planning-time count
+      // can't see runtime broadcast conversions, and a broadcast of a
+      // corpus-derived side is exactly the 100 TB failure this smoke
+      // hunts — surface it per phase.
+      val executed = planDf.queryExecution.executedPlan.toString
+      def joins(s: String): String = Seq(
+        "BroadcastHashJoin" -> "bhj", "SortMergeJoin" -> "smj",
+        "ShuffledHashJoin" -> "shj", "BroadcastNestedLoopJoin" -> "bnlj")
+        .map { case (k, a) => s"$a=${k.r.findAllIn(s).length}" }
+        .mkString(",")
+      println(s"""{"phase":"$phase","factor":$f,""" +
+        s""""joins":"${joins(executed)}"}""")
       val storage = spark.sparkContext.getRDDStorageInfo
         .map(i => i.memSize + i.diskSize).sum
       val rd = Reading(phase, f, sec, n, df.rdd.getNumPartitions,
