@@ -57,7 +57,8 @@ object ClassifierOps {
     val counts = DsirOps.hashedNgramCounts(
         labeled.select(col(idCol), col(textCol)), idCol, textCol,
         buckets, seed)
-      .join(labeled.select(col(idCol), y.as("__y")), Seq(idCol))
+      .join(labeled.select(col(idCol), y.as("__y"))
+        .hint("shuffle_hash"), Seq(idCol))
     // B rows by construction; checkpointed so the totals action and
     // the weight projection read one materialization.
     val byClass = counts.groupBy("bucket")

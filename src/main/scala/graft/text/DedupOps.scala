@@ -555,7 +555,7 @@ object DedupOps {
       maxHamming: Int): DataFrame = {
     val sh = ckptSer(simhashTable(docs, idCol, textCol))
     val bucketed = sh.withColumn("bucket", shiftright(col("sh"), 8))
-    bucketed.as("a").join(bucketed.as("b"),
+    bucketed.as("a").join(bucketed.as("b").hint("merge"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         TextOps.hammingDistance(col("a.sh"), col("b.sh")).as("hamming"))
@@ -602,7 +602,7 @@ object DedupOps {
         col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
     val ham = (0 until 4).map(j =>
       TextOps.hammingDistance(col(s"a.w$j"), col(s"b.w$j"))).reduce(_ + _)
-    banded.as("a").join(banded.as("b"),
+    banded.as("a").join(banded.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

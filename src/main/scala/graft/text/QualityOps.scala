@@ -115,7 +115,11 @@ object QualityOps {
         TextOps.punctRatio(col("__t")).as("q_punct"))
     val rep = repetitionStats(df, idCol, textCol, lineWidth = 10,
       ns = Seq(2))
-    df.join(sig, Seq(idCol)).join(rep, Seq(idCol))
+    // per-doc signal attaches: corpus-derived sides, so pin the
+    // build (an estimate-driven broadcast of a per-doc frame is the
+    // scale failure class the round-13 audit hunted down)
+    df.join(sig.hint("shuffle_hash"), Seq(idCol))
+      .join(rep.hint("shuffle_hash"), Seq(idCol))
       .withColumn("keep",
         col("q_tokens").between(minTokens, maxTokens) &&
         col("q_mean_tok").between(minMeanTok, maxMeanTok) &&
