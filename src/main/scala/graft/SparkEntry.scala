@@ -2207,6 +2207,27 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** LSH bucket cap exercised end-to-end
+    * ([[graft.text.DedupOps.fuzzyDedupDocs]] `maxBandFreq = 4`): the
+    * corpus is augmented with FIVE byte-identical re-keyed copies of
+    * every doc_id < 20 doc, so each such group holds 6 identical
+    * signatures and every band bucket containing one exceeds the cap
+    * — the whole group must come back as singletons (degenerate
+    * buckets dropped wholesale), while natural near-dup clusters
+    * under the cap survive exactly as in q94. The oracle replays the
+    * banding, the bucket-frequency filter, exact-Jaccard
+    * verification, and components in DuckDB. */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val extra = docs.filter(col("doc_id") < 20)
+      .withColumn("r", explode(sequence(lit(0), lit(4))))
+      .select((col("doc_id") + 20000 + col("r") * 1000).as("doc_id"),
+        col("text"))
+    graft.text.DedupOps.fuzzyDedupDocs(docs.union(extra), "doc_id",
+        "text", maxBandFreq = 4L)
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -2327,6 +2348,7 @@ object SparkEntry {
     "q104_dedup_against"   -> (q104 _),
     "q105_corpus_report"   -> (q105 _),
     "q106_bpe_tokenize"    -> (q106 _),
+    "q107_banded_cap"      -> (q107 _),
   )
 
   private def planeLit(p: Array[Double]): String =
@@ -3291,6 +3313,64 @@ object SparkEntry {
              md5(array_to_string(toks, '')) AS recon_md5,
              50 AS n_merges
       FROM tk ORDER BY doc_id"""),
+    // q94's chain over the copy-augmented corpus with the band-bucket
+    // frequency filter (<= 4) between banding and pairing: the six
+    // identical-signature group members share every bucket, so all
+    // their buckets drop and the group comes back singleton.
+    "q107_banded_cap" -> """
+      WITH RECURSIVE corp AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 20000 + 1000 * r AS doc_id, text
+        FROM documents CROSS JOIN range(0, 5) t(r) WHERE doc_id < 20),
+      tk AS (SELECT doc_id,
+          list_filter(string_split_regex(
+            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+            x -> x <> '') AS toks
+        FROM corp),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(toks) >= 3
+            THEN list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END)) AS shingle
+        FROM tk),
+      mins AS (SELECT doc_id, j,
+          min(('0x' || substr(md5((j // 4)::VARCHAR || ':' || shingle),
+            1 + 8 * (j % 4), 8))::BIGINT) AS h
+        FROM sh CROSS JOIN range(0, 8) t(j) GROUP BY doc_id, j),
+      bands AS (SELECT doc_id, j // 2 AS band,
+          md5(string_agg(h::VARCHAR, ',' ORDER BY j)) AS key
+        FROM mins GROUP BY doc_id, j // 2),
+      okb AS (SELECT band, key FROM bands
+        GROUP BY band, key HAVING count(*) <= 4),
+      bok AS (SELECT b.doc_id, b.band, b.key
+        FROM bands b JOIN okb USING (band, key)),
+      cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bok a JOIN bok b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh
+                GROUP BY doc_id),
+      inter AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_shared
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b),
+      ver AS (SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE i.n_shared::DOUBLE / (sa.n_sh + sb.n_sh - i.n_shared)
+          >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+                UNION SELECT id_b, id_a FROM ver),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM corp
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+      SELECT id AS doc_id, min(r) AS component,
+             (id = min(r)) AS keep
+      FROM reach GROUP BY id ORDER BY doc_id""",
     "q33_lsh_ann" -> lshAnnOracle,
     "q42_embed_neardup" -> neardupOracle(4, 4, 0.35),
     "q51_neardup_scaled" -> neardupOracle(8, 16, 0.35),
