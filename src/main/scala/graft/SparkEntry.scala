@@ -2228,6 +2228,81 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Product quantization + ADC search ([[graft.sim.PqOps]]): train
+    * 4 codebooks of 4 codes each with ONE deterministic integer Lloyd
+    * round (seed = the 4 smallest-id vectors), PQ-encode the corpus,
+    * and ADC-rank the 5 query vectors' top-5 by looked-up micro-unit
+    * L1. Everything is exact BIGINT, so the oracle replays the whole
+    * pipeline — quantization, seed, the Lloyd update's
+    * `(2s+n)//(2n)` floor-round, encode argmin (ties to the smaller
+    * code), and the per-pair subspace lookup sum — and the hash pins
+    * codebook, codes, and distances bit-for-bit. */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.PqOps
+    val emb = t(s, dir, "embeddings")
+    val model = PqOps.pqTrain(emb, "vec_id", "embedding",
+      subspaces = 4, k = 4, iters = 1)
+    val enc = PqOps.pqEncode(emb, "vec_id", "embedding", model)
+    PqOps.adcTopK(emb.filter(col("vec_id") < 5), enc, 5, model)
+      .orderBy("q_id", "rank")
+  }
+
+  /** IVFADC ([[graft.sim.PqOps.ivfPqTopK]]): coarse lists from the
+    * count-derived id-modulo centroid sample (the q43 seed) assigned
+    * by integer L1, PQ codes from the iters=0 seed codebook (8
+    * smallest-id vectors), each query ADC-scoring only its 2 probed
+    * lists. The oracle replays coarse assignment, probing, encoding,
+    * and the candidate-restricted lookup ranking. */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.PqOps
+    val emb = t(s, dir, "embeddings")
+    val model = PqOps.pqTrain(emb, "vec_id", "embedding",
+      subspaces = 4, k = 8, iters = 0)
+    PqOps.ivfPqTopK(emb.filter(col("vec_id") < 5), emb, 5, model,
+        numCoarse = 20, nProbe = 2)
+      .orderBy("q_id", "rank")
+  }
+
+  /** UniMax budget allocation ([[graft.text.MixOps
+    * .unimaxAllocationFraction]]): per-language token budgets for a
+    * quarter-of-the-corpus training budget under a 1/3-epoch cap —
+    * small languages take their full cap, the head language absorbs
+    * the leftover (water-filling). All-integer closed form; the
+    * oracle replays the cap arithmetic, the sorted prefix test, and
+    * the floor-share + remainder integerization. */
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{MixOps, TextOps}
+    val docs = t(s, dir, "documents").select(col("lang"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    MixOps.unimaxAllocationFraction(docs, "lang", "n_tok",
+        1L, 4L, 1L, 3L)
+      .orderBy("stratum")
+  }
+
+  /** End-to-end UniMax mixing ([[graft.text.BudgetOps
+    * .budgetSelectUnimaxFraction]]): the q110 allocation derived from
+    * the fill's own pass-1 totals, then each language greedily filled
+    * to its allocated budget in (priority DESC, doc_id) order — the
+    * q102 dataflow with DERIVED instead of caller-given budgets. */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{BudgetOps, TextOps}
+    val tk = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextOps.tokens(col("text")).as("__tk"))
+    val sw = array(TextOps.EnglishStopwords.map(lit): _*)
+    val docs = tk.select(col("doc_id"), col("lang"),
+      size(col("__tk")).cast("long").as("n_tok"),
+      when(size(col("__tk")) > 0,
+        size(filter(col("__tk"), x => array_contains(sw, x)))
+          .cast("double") / size(col("__tk")))
+        .otherwise(lit(0.0)).as("priority"))
+    BudgetOps.budgetSelectUnimaxFraction(docs, "doc_id", "n_tok",
+        "priority", "lang", 1L, 4L, 1L, 3L)
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        rnd(col("priority"), 6).as("priority"),
+        col("cum_tokens"), col("budget"), col("selected"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -2349,7 +2424,49 @@ object SparkEntry {
     "q105_corpus_report"   -> (q105 _),
     "q106_bpe_tokenize"    -> (q106 _),
     "q107_banded_cap"      -> (q107 _),
+    "q108_pq_ann"          -> (q108 _),
+    "q109_ivfpq_ann"       -> (q109 _),
+    "q110_unimax_alloc"    -> (q110 _),
+    "q111_unimax_select"   -> (q111 _),
   )
+
+  /** Shared DuckDB restatement of the UniMax closed form
+    * ([[graft.text.MixOps]]): expects a CTE `d` with at least
+    * (lang, n_tok); emits `alloc(stratum, n_tokens, cap_tokens,
+    * budget, capped, alloc_tokens)`. Same cap/budget floor
+    * decomposition, HUGEINT prefix test, and floor-share + remainder
+    * integerization as the Spark window pass. */
+  private def unimaxOracleChain(num: Int, den: Int, capNum: Int,
+      capDen: Int): String = s""",
+      tot AS (SELECT coalesce(lang, '') AS stratum,
+          sum(n_tok)::BIGINT AS n_tokens FROM d GROUP BY 1),
+      cc AS (SELECT stratum, n_tokens,
+          ((n_tokens // $capDen) * $capNum
+            + ((n_tokens % $capDen) * $capNum) // $capDen)::BIGINT
+            AS cap_tokens
+        FROM tot),
+      w AS (SELECT *,
+          row_number() OVER (ORDER BY cap_tokens, stratum) AS pos,
+          (sum(cap_tokens) OVER (ORDER BY cap_tokens, stratum))::BIGINT
+            AS cumcap,
+          count(*) OVER () AS R,
+          (sum(n_tokens) OVER ())::BIGINT AS T
+        FROM cc),
+      b AS (SELECT *, ((T // $den) * $num
+          + ((T % $den) * $num) // $den)::BIGINT AS budget FROM w),
+      p AS (SELECT *, min(CASE WHEN cap_tokens::HUGEINT * (R - pos + 1)
+            > budget::HUGEINT - (cumcap - cap_tokens) THEN pos END)
+            OVER () AS pstar FROM b),
+      alloc AS (SELECT stratum, n_tokens, cap_tokens, budget,
+          (pstar IS NULL OR pos < pstar) AS capped,
+          (CASE WHEN pstar IS NULL OR pos < pstar THEN cap_tokens
+            ELSE (budget - sbefore) // (R - pstar + 1)
+              + CASE WHEN pos - pstar <
+                  (budget - sbefore) % (R - pstar + 1)
+                THEN 1 ELSE 0 END END)::BIGINT AS alloc_tokens
+        FROM (SELECT *, coalesce((sum(CASE WHEN pos < pstar
+            THEN cap_tokens END) OVER ())::BIGINT, 0) AS sbefore
+          FROM p))"""
 
   private def planeLit(p: Array[Double]): String =
     p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
@@ -3371,6 +3488,112 @@ object SparkEntry {
       SELECT id AS doc_id, min(r) AS component,
              (id = min(r)) AS keep
       FROM reach GROUP BY id ORDER BY doc_id""",
+    // Full PQ replay: quantize to the 2^20 micro-unit grid, seed the
+    // 4x4 codebook from the 4 smallest ids, one integer Lloyd round
+    // ((2s+n)//(2n), empty codes keep their centroid), argmin encode
+    // (ties to the smaller code), then ADC = per-subspace lookup sum.
+    "q108_pq_ann" -> """
+      WITH e AS (SELECT vec_id AS id,
+          list_transform(embedding::DOUBLE[],
+            x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) + 2097152)
+            AS qv
+        FROM embeddings),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      seed AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, qv
+               FROM e ORDER BY id LIMIT 4),
+      cb0 AS (SELECT sub, j,
+          list_slice(qv, sub * 16 + 1, sub * 16 + 16) AS cv
+        FROM seed CROSS JOIN subs),
+      sv AS (SELECT id, sub,
+          list_slice(qv, sub * 16 + 1, sub * 16 + 16) AS ssv
+        FROM e CROSS JOIN subs),
+      a0 AS (SELECT id, sub, j, ssv, row_number() OVER (
+            PARTITION BY id, sub ORDER BY
+            list_aggregate(list_transform(range(1, 17),
+              i -> abs(ssv[i] - cv[i])), 'sum') ASC, j ASC) AS r
+        FROM sv JOIN cb0 USING (sub)),
+      stats AS (SELECT sub, j AS cl, d.i AS dim,
+          sum(ssv[d.i])::BIGINT AS s, count(*)::BIGINT AS n
+        FROM (SELECT * FROM a0 WHERE r = 1) a
+        CROSS JOIN range(1, 17) d(i)
+        GROUP BY sub, j, d.i),
+      cb1 AS (SELECT c0.sub, c0.j,
+          coalesce(m.nv, c0.cv) AS cv
+        FROM cb0 c0 LEFT JOIN (
+          SELECT sub, cl, list((2 * s + n) // (2 * n) ORDER BY dim) AS nv
+          FROM stats GROUP BY sub, cl) m
+        ON c0.sub = m.sub AND c0.j = m.cl),
+      enc AS (SELECT id, sub, j AS code FROM (
+          SELECT sv.id, sv.sub, cb1.j, row_number() OVER (
+              PARTITION BY sv.id, sv.sub ORDER BY
+              list_aggregate(list_transform(range(1, 17),
+                i -> abs(ssv[i] - cv[i])), 'sum') ASC, j ASC) AS r
+          FROM sv JOIN cb1 USING (sub)) WHERE r = 1),
+      q AS (SELECT id AS q_id, sub, ssv AS qsv FROM sv WHERE id < 5),
+      d AS (SELECT q.q_id, enc.id AS n_id,
+          sum(list_aggregate(list_transform(range(1, 17),
+            i -> abs(qsv[i] - cv[i])), 'sum'))::BIGINT AS adist
+        FROM q JOIN enc ON q.sub = enc.sub AND q.q_id <> enc.id
+        JOIN cb1 ON cb1.sub = enc.sub AND cb1.j = enc.code
+        GROUP BY q.q_id, enc.id),
+      rk AS (SELECT q_id, n_id, adist, row_number() OVER (
+            PARTITION BY q_id ORDER BY adist ASC, n_id ASC) AS rank
+        FROM d)
+      SELECT q_id, rank::INT AS rank, n_id, adist
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank""",
+    // IVFADC replay: coarse centroids = the q43 id-modulo sample
+    // (0-based index in id order = Spark's list id), full-vector
+    // integer-L1 assignment and probing, iters=0 seed codebook (the
+    // 8 smallest ids), ADC restricted to each query's 2 probed lists.
+    "q109_ivfpq_ann" -> """
+      WITH e AS (SELECT vec_id AS id,
+          list_transform(embedding::DOUBLE[],
+            x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) + 2097152)
+            AS qv
+        FROM embeddings),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      seed AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, qv
+               FROM e ORDER BY id LIMIT 8),
+      cb AS (SELECT sub, j,
+          list_slice(qv, sub * 16 + 1, sub * 16 + 16) AS cv
+        FROM seed CROSS JOIN subs),
+      cent AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c_idx,
+          qv AS cqv
+        FROM e WHERE id % greatest(1,
+          (SELECT count(*) FROM embeddings) // 20) = 0),
+      lst AS (SELECT id, c_idx, row_number() OVER (PARTITION BY id
+            ORDER BY list_aggregate(list_transform(range(1, 65),
+              i -> abs(qv[i] - cqv[i])), 'sum') ASC, c_idx ASC) AS r
+        FROM e CROSS JOIN cent),
+      lists AS (SELECT id AS n_id, c_idx AS list_id FROM lst
+                WHERE r = 1),
+      sv AS (SELECT id, sub,
+          list_slice(qv, sub * 16 + 1, sub * 16 + 16) AS ssv
+        FROM e CROSS JOIN subs),
+      enc AS (SELECT id, sub, j AS code FROM (
+          SELECT sv.id, sv.sub, cb.j, row_number() OVER (
+              PARTITION BY sv.id, sv.sub ORDER BY
+              list_aggregate(list_transform(range(1, 17),
+                i -> abs(ssv[i] - cv[i])), 'sum') ASC, j ASC) AS r
+          FROM sv JOIN cb USING (sub)) WHERE r = 1),
+      probe AS (SELECT id AS q_id, c_idx AS list_id FROM lst
+                WHERE id < 5 AND r <= 2),
+      cand AS (SELECT p.q_id, l.n_id FROM probe p
+        JOIN lists l USING (list_id) WHERE p.q_id <> l.n_id),
+      q AS (SELECT id AS q_id, sub, ssv AS qsv FROM sv WHERE id < 5),
+      d AS (SELECT c.q_id, c.n_id,
+          sum(list_aggregate(list_transform(range(1, 17),
+            i -> abs(qsv[i] - cv[i])), 'sum'))::BIGINT AS adist
+        FROM cand c
+        JOIN q ON q.q_id = c.q_id
+        JOIN enc ON enc.id = c.n_id AND enc.sub = q.sub
+        JOIN cb ON cb.sub = enc.sub AND cb.j = enc.code
+        GROUP BY c.q_id, c.n_id),
+      rk AS (SELECT q_id, n_id, adist, row_number() OVER (
+            PARTITION BY q_id ORDER BY adist ASC, n_id ASC) AS rank
+        FROM d)
+      SELECT q_id, rank::INT AS rank, n_id, adist
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank""",
     "q33_lsh_ann" -> lshAnnOracle,
     "q42_embed_neardup" -> neardupOracle(4, 4, 0.35),
     "q51_neardup_scaled" -> neardupOracle(8, 16, 0.35),

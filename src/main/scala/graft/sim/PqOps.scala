@@ -1,0 +1,285 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Product quantization (PQ) for embedding search at corpus scale —
+  * the memory-compression leg of the ANN family (Jégou, Douze &
+  * Schmid, "Product Quantization for Nearest Neighbor Search",
+  * IEEE TPAMI 33(1), 2011). A d-dim vector is split into `m`
+  * contiguous subspaces; each subspace is vector-quantized against
+  * its own `k`-entry codebook, so the stored form is `m` small codes
+  * (here `array<int>`, conceptually bytes for k<=256) instead of `d`
+  * floats — 4 B·d → m codes, a 32–64× footprint cut at the classic
+  * d=768/m=96 shape. Search is ADC (asymmetric distance
+  * computation): the query stays exact, each candidate's distance is
+  * approximated as the sum over subspaces of table-looked-up
+  * query→centroid distances — m lookups per candidate instead of d
+  * multiplies.
+  *
+  * Why it matters at 100 TB: brute-force and IVF both carry the full
+  * embedding through every scan and shuffle; with PQ the corpus-side
+  * scan payload is the code array, so a 1000-executor top-k touches
+  * ~1/40th the bytes and the hot set fits in memory where raw
+  * vectors spill. Compose with IVF ([[ivfPqTopK]]) for the standard
+  * IVFADC layout: coarse lists bound the candidate count, PQ codes
+  * bound the bytes per candidate.
+  *
+  * Determinism (the property every oracle check here leans on): all
+  * arithmetic is exact BIGINT in micro-units — vectors quantize once
+  * via the repo's portable floor-round (`floor(x·2^scaleBits + 0.5)
+  * + 2^(scaleBits+1)`, the [[ClusterOps]] scheme; the offset keeps
+  * values positive so floor and truncating division coincide), L1
+  * distances are order-invariant integer sums, argmin ties break to
+  * the smallest code index, and the Lloyd update floor-rounds back
+  * to integer micro-units as `(2s+n) div (2n)`. Two runs — or two
+  * engines — produce bit-identical codebooks, codes, and distances.
+  * L1 in the quantized domain differs from float-L2 PQ by the metric
+  * choice only; the dataflow is metric-agnostic and the integer
+  * domain is what makes the whole pipeline hash-checkable.
+  *
+  * Scale shape: training checkpoints the quantized corpus once and
+  * scans it `iters` times; each iteration is ONE shuffle
+  * (groupBy(sub, code, dim) with map-side combine → at most
+  * partitions·m·k·dsub rows) and a driver collect of exactly m·k·dsub
+  * centroid cells — parameter-bounded, never corpus-bounded. Encoding
+  * is NARROW (per-row argmin against plan-literal codebooks; the
+  * corpus never shuffles to learn its codes). ADC search broadcasts
+  * nothing corpus-derived: the query side carries its own lookup
+  * table as a computed column.
+  *
+  * Reference scope: the reference pipeline (a flux-tower ETL) has no
+  * ANN operator; this extends the engine's similarity family
+  * ([[Similarity]], [[ClusterOps]], [[SemDedup]]) per the build
+  * brief's training-data mandate. */
+object PqOps {
+
+  /** PQ model: `codebook(s)(j)` is subspace `s`'s centroid `j` in
+    * micro-units (length d/m each); `scaleBits` fixes the
+    * quantization grid the codes were trained on. */
+  final case class PqModel(codebook: Array[Array[Array[Long]]],
+      scaleBits: Int) {
+    def subspaces: Int = codebook.length
+    def codes: Int = codebook.head.length
+    def subDim: Int = codebook.head.head.length
+    def dim: Int = subspaces * subDim
+  }
+
+  private def ckptSer(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
+
+  /** Quantize a float/double array column to positive BIGINT
+    * micro-units (the [[ClusterOps]] grid — offsets cancel in every
+    * L1 difference, so only the update's floor division needs the
+    * all-positive guarantee). */
+  private def quantize(vec: Column, scaleBits: Int): Column = {
+    val scale = (1L << scaleBits).toDouble
+    val offset = 1L << (scaleBits + 1)
+    transform(vec, x =>
+      floor(x.cast("double") * lit(scale) + lit(0.5d)) + lit(offset))
+  }
+
+  /** Literal column for one subspace's codebook: array<array<long>>. */
+  private def cbLit(cb: Array[Array[Long]]): Column =
+    array(cb.map(c => array(c.toIndexedSeq.map(lit): _*)).toIndexedSeq: _*)
+
+  /** Staged per-subspace argmin projections over `qv` (the quantized
+    * full vector): appends `__c0..__c{m-1}` code columns (0-based,
+    * ties to the smallest index). Distances stage through a `__d`
+    * column referenced twice (min + position) so CollapseProject
+    * cannot re-inline the k·dsub arithmetic — the [[ClusterOps]]
+    * staging rule. */
+  private def withCodes(df: DataFrame, model: PqModel): DataFrame = {
+    val dsub = model.subDim
+    (0 until model.subspaces).foldLeft(df) { (d, s) =>
+      val cents = cbLit(model.codebook(s))
+      d.withColumn(s"__d$s",
+          transform(cents, c =>
+            aggregate(zip_with(slice(col("qv"), s * dsub + 1, dsub), c,
+              (a, b) => abs(a - b)), lit(0L), (acc, x) => acc + x)))
+        .withColumn(s"__c$s",
+          (array_position(col(s"__d$s"), array_min(col(s"__d$s"))) - 1)
+            .cast("int"))
+        .drop(s"__d$s")
+    }
+  }
+
+  /** Train `subspaces` codebooks of `k` centroids each with
+    * deterministic integer Lloyd iterations (init = the k
+    * smallest-id vectors' sub-slices — an engine-independent seed;
+    * `iters = 0` returns that seed codebook unchanged). One corpus
+    * scan + one bounded shuffle per iteration, all subspaces fused.
+    * Requires dim % subspaces == 0 and at least k input rows. */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+      subspaces: Int = 4, k: Int = 16, iters: Int = 2,
+      scaleBits: Int = 20): PqModel = {
+    require(subspaces >= 1 && k >= 1 && iters >= 0
+      && scaleBits >= 1 && scaleBits <= 30,
+      s"subspaces=$subspaces k=$k iters=$iters scaleBits=$scaleBits")
+    val q = ckptSer(df.select(col(idCol).cast("long").as("id"),
+      quantize(col(vecCol), scaleBits).as("qv")))
+    val seed = q.orderBy(col("id")).limit(k).collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(seed.length == k,
+      s"pqTrain: need >= $k rows, got ${seed.length}")
+    val dim = seed.head.length
+    require(dim % subspaces == 0, s"dim $dim % subspaces $subspaces != 0")
+    val dsub = dim / subspaces
+    var cb: Array[Array[Array[Long]]] = Array.tabulate(subspaces, k) {
+      (s, j) => seed(j).slice(s * dsub, (s + 1) * dsub)
+    }
+    for (_ <- 1 to iters) {
+      val model = PqModel(cb, scaleBits)
+      // (sub, code, dim) -> (sum, count): map-side combine bounds the
+      // shuffle at partitions·m·k·dsub rows; the collect is exactly
+      // the codebook cell count.
+      val stats = withCodes(q, model)
+        .select(posexplode(array((0 until subspaces).map { s =>
+          struct(lit(s).as("sub"), col(s"__c$s").as("cl"),
+            slice(col("qv"), s * dsub + 1, dsub).as("sv"))
+        }: _*)).as(Seq("__p", "e")))
+        .select(col("e.sub"), col("e.cl"),
+          posexplode(col("e.sv")).as(Seq("dim", "v")))
+        .groupBy("sub", "cl", "dim")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+          (r.getLong(3), r.getLong(4)))
+        .toMap
+      cb = Array.tabulate(subspaces, k) { (s, j) =>
+        if (!stats.contains((s, j, 0))) cb(s)(j) // empty: keep centroid
+        else Array.tabulate(dsub) { i =>
+          val (sm, n) = stats((s, j, i))
+          (2 * sm + n) / (2 * n) // all-positive: floor == truncate
+        }
+      }
+    }
+    PqModel(cb, scaleBits)
+  }
+
+  /** Encode each row as its `m` nearest-centroid codes. NARROW — the
+    * per-row argmin runs against plan-literal codebooks; the corpus
+    * never shuffles or joins to be encoded. Returns
+    * (idCol, codes: array<int>). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame =
+    withCodes(df.select(col(idCol).cast("long").as("id"),
+        quantize(col(vecCol), model.scaleBits).as("qv")), model)
+      .select(col("id").as(idCol),
+        array((0 until model.subspaces).map(s => col(s"__c$s")): _*)
+          .as("codes"))
+
+  /** Query-side ADC lookup table: `lut(s)(j)` = exact L1 (micro-units)
+    * from the query's subspace-s slice to centroid j — computed once
+    * per query ROW in the plan (m·k·dsub work), after which every
+    * candidate costs m element_at lookups. */
+  private def lutCol(qv: Column, model: PqModel): Column = {
+    val dsub = model.subDim
+    val cbAll = array((0 until model.subspaces)
+      .map(s => cbLit(model.codebook(s))): _*)
+    transform(sequence(lit(0), lit(model.subspaces - 1)), s =>
+      transform(element_at(cbAll, s + 1), c =>
+        aggregate(zip_with(
+          slice(qv, s * lit(dsub) + 1, lit(dsub)), c,
+          (a, b) => abs(a - b)), lit(0L), (acc, x) => acc + x)))
+  }
+
+  /** ADC top-k: exact queries against the PQ-encoded corpus
+    * (`encoded` = [[pqEncode]] output). The corpus side moves only
+    * (id, m codes); the query side is broadcast WITH its lookup
+    * table, so the per-pair work is m integer lookups. Self-matches
+    * (equal ids) are excluded. Returns (q_id, rank, n_id, adist) with
+    * adist = approximate L1 in micro-units (BIGINT — exact,
+    * engine-portable) ranked (adist ASC, n_id ASC).
+    *
+    * The query set must be caller-bounded (the [[Similarity
+    * .bruteForceTopK]] contract — it is broadcast); for corpus-sized
+    * query sets compose with IVF ([[ivfPqTopK]]) so each query meets
+    * only its probed lists. */
+  def adcTopK(queries: DataFrame, encoded: DataFrame, k: Int,
+      model: PqModel, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).cast("long").as("q_id"),
+        quantize(col(vecCol), model.scaleBits).as("qv"))
+      .select(col("q_id"), lutCol(col("qv"), model).as("__lut"))
+    val c = encoded.select(col(idCol).cast("long").as("n_id"),
+      col("codes").as("__codes"))
+    val scored = broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        aggregate(zip_with(col("__lut"), col("__codes"),
+          (l, cd) => element_at(l, cd + 1)), lit(0L),
+          (acc, x) => acc + x).as("adist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "adist")
+  }
+
+  /** IVFADC: coarse-quantize the corpus into inverted lists (integer
+    * L1 against a count-derived id-modulo centroid sample — the
+    * [[Similarity.ivfTopK]] seed, kept deterministic and
+    * oracle-expressible), PQ-encode every row, then let each query
+    * score only its `nProbe` nearest lists via ADC. Corpus work per
+    * query drops from N to ~N·nProbe/C and each scored candidate
+    * costs m lookups over an m-code payload — the standard 100 TB ANN
+    * layout (IVFADC, Jégou et al. 2011 §IV; raw-vector codes rather
+    * than residual codes — residual encoding refines recall but does
+    * not change the dataflow). The centroid count is the invariant
+    * (|C| stays collect-small however big the corpus grows); the
+    * probes↔lists join is merge-pinned so the corpus-derived list
+    * table can never be estimate-broadcast. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      model: PqModel, numCoarse: Int = 256, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidStride: Long = 0L): DataFrame = {
+    val stride =
+      if (centroidStride > 0L) centroidStride
+      else math.max(1L, corpus.count() / math.max(1, numCoarse))
+    val qcorp = ckptSer(corpus.select(col(idCol).cast("long").as("id"),
+      quantize(col(vecCol), model.scaleBits).as("qv")))
+    // Coarse centroids: quantized id-modulo sample, ordered by id so
+    // list ids are stable; the collect is |C|-bounded by contract.
+    val cents: Array[Array[Long]] = qcorp
+      .filter(pmod(col("id"), lit(stride)) === 0)
+      .orderBy("id").collect().map(_.getSeq[Long](1).toArray)
+    if (cents.isEmpty)
+      return queries.sparkSession.emptyDataFrame
+        .withColumn("q_id", lit(0L)).withColumn("rank", lit(1))
+        .withColumn("n_id", lit(0L)).withColumn("adist", lit(0L))
+        .limit(0)
+    // (dist, idx) structs sort lexicographically = (L1 ASC, idx ASC)
+    def nearestLists(qv: Column, n: Int): Column = {
+      val cl = cbLit(cents)
+      slice(transform(array_sort(
+        zip_with(cl, sequence(lit(0), lit(cents.length - 1)),
+          (c, i) => struct(
+            aggregate(zip_with(qv, c, (a, b) => abs(a - b)), lit(0L),
+              (acc, x) => acc + x).as("d"), i.as("i")))),
+        e => e.getField("i")), 1, n)
+    }
+    val lists = withCodes(qcorp, model)
+      .select(col("id").as("n_id"),
+        array((0 until model.subspaces).map(s => col(s"__c$s")): _*)
+          .as("__codes"),
+        element_at(nearestLists(col("qv"), 1), 1).as("list_id"))
+    val probes = queries
+      .select(col(idCol).cast("long").as("q_id"),
+        quantize(col(vecCol), model.scaleBits).as("qv"))
+      .select(col("q_id"), lutCol(col("qv"), model).as("__lut"),
+        explode(nearestLists(col("qv"), nProbe)).as("list_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("n_id").asc)
+    probes.join(lists.hint("merge"), "list_id")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        aggregate(zip_with(col("__lut"), col("__codes"),
+          (l, cd) => element_at(l, cd + 1)), lit(0L),
+          (acc, x) => acc + x).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "adist")
+  }
+}

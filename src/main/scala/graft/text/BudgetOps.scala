@@ -117,6 +117,34 @@ object BudgetOps {
         s -> (BigInt(t) * num / den).toLong })
   }
 
+  /** Per-stratum fill with budgets DERIVED by UniMax water-filling
+    * ([[MixOps.unimaxAllocate]]): total budget `totalBudget`, no
+    * stratum over capNum/capDen epochs. The allocation is computed
+    * from the SAME pass-1 stratum totals the fill already collects,
+    * so deriving the recipe costs no extra corpus action — the
+    * [[budgetSelectPerStratumFraction]] contract with the UniMax
+    * closed form as the budget rule. */
+  def budgetSelectUnimax(df: DataFrame, idCol: String,
+      tokenCol: String, priorityCol: String, stratumCol: String,
+      totalBudget: Long, capNum: Long, capDen: Long): DataFrame =
+    runPerStratum(df, idCol, tokenCol, priorityCol, stratumCol,
+      totals => MixOps.unimaxAllocate(totals, totalBudget,
+        capNum, capDen))
+
+  /** [[budgetSelectUnimax]] with totalBudget =
+    * floor(corpusTokens·num/den), both derived from pass-1 totals. */
+  def budgetSelectUnimaxFraction(df: DataFrame, idCol: String,
+      tokenCol: String, priorityCol: String, stratumCol: String,
+      num: Long, den: Long, capNum: Long, capDen: Long): DataFrame = {
+    require(den > 0 && num >= 0, s"num=$num den=$den")
+    runPerStratum(df, idCol, tokenCol, priorityCol, stratumCol,
+      totals => {
+        val total = totals.valuesIterator.map(BigInt(_)).sum
+        MixOps.unimaxAllocate(totals, (total * num / den).toLong,
+          capNum, capDen)
+      })
+  }
+
   /** Internal working-column name that cannot collide with any input
     * column: `base`, or `base` + the first integer suffix free in
     * `cols`. Keeps the only reserved OUTPUT names the documented

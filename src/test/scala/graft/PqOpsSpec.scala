@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sim.PqOps
+
+/** Direct specs for product quantization: codebook training against a
+  * literal re-derivation, encode/search determinism under
+  * repartitioning, ADC exactness in the k=n limit, and the IVFADC
+  * composition's agreement with flat ADC when every list is probed. */
+class PqOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def quant(v: Seq[Double], bits: Int): Array[Long] = {
+    val scale = (1L << bits).toDouble
+    val off = 1L << (bits + 1)
+    v.map(x => math.floor(x * scale + 0.5).toLong + off).toArray
+  }
+
+  private def l1(a: Array[Long], b: Array[Long]): Long =
+    a.indices.map(i => math.abs(a(i) - b(i))).sum
+
+  /** Literal single-threaded PQ trainer with identical semantics. */
+  private def pqBrute(vecs: Seq[(Long, Seq[Double])], m: Int, k: Int,
+      iters: Int, bits: Int): Array[Array[Array[Long]]] = {
+    val q = vecs.sortBy(_._1).map { case (id, v) => id -> quant(v, bits) }
+    val d = q.head._2.length; val dsub = d / m
+    var cb = Array.tabulate(m, k)((s, j) =>
+      q(j)._2.slice(s * dsub, (s + 1) * dsub))
+    def code(s: Int, sv: Array[Long]): Int =
+      cb(s).zipWithIndex.minBy { case (c, j) => (l1(c, sv), j) }._2
+    for (_ <- 1 to iters) {
+      cb = Array.tabulate(m, k) { (s, j) =>
+        val members = q.map(_._2.slice(s * dsub, (s + 1) * dsub))
+          .filter(sv => code(s, sv) == j)
+        if (members.isEmpty) cb(s)(j)
+        else Array.tabulate(dsub) { i =>
+          val sm = members.map(_(i)).sum; val n = members.size.toLong
+          (2 * sm + n) / (2 * n)
+        }
+      }
+    }
+    cb
+  }
+
+  private val vecs: Seq[(Long, Seq[Double])] = Seq(
+    0L -> Seq(0.9, 0.0, 0.1, 0.8), 1L -> Seq(0.8, 0.1, 0.0, 0.9),
+    2L -> Seq(-0.9, 0.0, 0.0, -0.7), 3L -> Seq(-0.8, -0.1, 0.1, -0.9),
+    4L -> Seq(0.0, 0.9, -0.1, 0.1), 5L -> Seq(0.1, 0.8, 0.0, 0.0),
+    6L -> Seq(0.0, 0.85, 0.05, 0.1), 7L -> Seq(0.45, 0.45, 0.0, 0.5))
+  private def df = vecs.map { case (id, v) => (id, v.map(_.toFloat)) }
+    .toDF("vec_id", "embedding")
+
+  test("pqTrain matches literal re-derivation; encode partition-invariant") {
+    // k=4 over 2 subspaces of 2 dims; 3 Lloyd rounds, some codes go
+    // empty in some subspaces and must retain their previous centroid.
+    val want = pqBrute(vecs, 2, 4, 3, 20)
+    val model = PqOps.pqTrain(df, "vec_id", "embedding",
+      subspaces = 2, k = 4, iters = 3)
+    assert(model.codebook.map(_.map(_.toSeq).toSeq).toSeq ==
+      want.map(_.map(_.toSeq).toSeq).toSeq)
+    val enc = PqOps.pqEncode(df, "vec_id", "embedding", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val enc5 = PqOps.pqEncode(df.repartition(5), "vec_id", "embedding",
+      model).collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc == enc5)
+    // codes re-derived literally
+    val dsub = 2
+    vecs.foreach { case (id, v) =>
+      val qv = quant(v, 20)
+      val wantCodes = (0 until 2).map { s =>
+        val sv = qv.slice(s * dsub, (s + 1) * dsub)
+        want(s).zipWithIndex.minBy { case (c, j) => (l1(c, sv), j) }._2
+      }
+      assert(enc(id) == wantCodes, s"id=$id")
+    }
+  }
+
+  test("ADC is exact when every vector is its own centroid (k=n, iters=1)") {
+    // With k = n and one Lloyd round each code converges to (or stays
+    // at) a singleton centroid equal to a quantized vector, so the
+    // looked-up distance equals the exact micro-unit L1.
+    val model = PqOps.pqTrain(df, "vec_id", "embedding",
+      subspaces = 2, k = vecs.size, iters = 1)
+    val enc = PqOps.pqEncode(df, "vec_id", "embedding", model)
+    val got = PqOps.adcTopK(df.filter(col("vec_id") < 2), enc, 3, model)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val q = vecs.map { case (id, v) => id -> quant(v, 20) }.toMap
+    for (qid <- Seq(0L, 1L)) {
+      val exact = vecs.map(_._1).filter(_ != qid)
+        .map(n => n -> l1(q(qid), q(n))).sortBy { case (n, d) => (d, n) }
+      (1 to 3).foreach { r =>
+        assert(got((qid, r)) == exact(r - 1), s"q=$qid rank=$r")
+      }
+    }
+  }
+
+  test("argmin ties break to the smallest code index") {
+    // Two identical seed vectors produce duplicate centroids; every
+    // encode must pick the lower code.
+    val dup = Seq((0L, Seq(0.5f, 0.5f)), (1L, Seq(0.5f, 0.5f)),
+      (2L, Seq(0.4f, 0.6f))).toDF("vec_id", "embedding")
+    val model = PqOps.pqTrain(dup, "vec_id", "embedding",
+      subspaces = 1, k = 2, iters = 0)
+    val codes = PqOps.pqEncode(dup, "vec_id", "embedding", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).head).toMap
+    assert(codes(0L) == 0 && codes(1L) == 0)
+  }
+
+  test("ivfPqTopK with all lists probed equals flat ADC top-k") {
+    val model = PqOps.pqTrain(df, "vec_id", "embedding",
+      subspaces = 2, k = 4, iters = 2)
+    val enc = PqOps.pqEncode(df, "vec_id", "embedding", model)
+    val queries = df.filter(col("vec_id") < 3)
+    val flat = PqOps.adcTopK(queries, enc, 4, model)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // stride 2 -> centroids at ids 0,2,4,6 (4 lists); probe all 4
+    val ivf = PqOps.ivfPqTopK(queries, df, 4, model, nProbe = 4,
+        centroidStride = 2L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(ivf == flat)
+    // nProbe=1 returns a subset of candidates, still correctly ranked
+    val one = PqOps.ivfPqTopK(queries, df, 4, model, nProbe = 1,
+      centroidStride = 2L).collect()
+    one.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ranked = rows.sortBy(_.getInt(1))
+        .map(r => (r.getLong(3), r.getLong(2)))
+      assert(ranked.sameElements(ranked.sorted))
+    }
+  }
+}
