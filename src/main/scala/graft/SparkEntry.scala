@@ -2219,10 +2219,16 @@ object SparkEntry {
     * verification, and components in DuckDB. */
   private def q107(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    // Synthetic ids are offset by multiples of max(doc_id)+1 so they
+    // can never alias a real doc_id at any scale factor (a fixed
+    // constant would collide once the table grows past it, silently
+    // changing what the query tests).
+    val off = docs.agg((max(col("doc_id")) + 1).as("__off"))
     val extra = docs.filter(col("doc_id") < 20)
       .withColumn("r", explode(sequence(lit(0), lit(4))))
-      .select((col("doc_id") + 20000 + col("r") * 1000).as("doc_id"),
-        col("text"))
+      .crossJoin(broadcast(off))
+      .select((col("doc_id") + col("__off") * (col("r") + 1))
+        .as("doc_id"), col("text"))
     graft.text.DedupOps.fuzzyDedupDocs(docs.union(extra), "doc_id",
         "text", maxBandFreq = 4L)
       .orderBy("doc_id")
@@ -3421,7 +3427,8 @@ object SparkEntry {
     // (subword concatenation == token concatenation, derived here
     // from `text` alone), count bounds (TRUE literal — a kernel that
     // emitted out-of-bounds counts hash-mismatches on bounds_ok),
-    // and the learned merge-table size (exactly the 100 requested).
+    // and the learned merge-table size (the 50 requested — capped
+    // below vocabulary exhaustion so the count is SF-independent).
     "q106_bpe_tokenize" -> (tokCte + """
       SELECT doc_id,
              len(toks) AS n_tok,
@@ -3438,7 +3445,9 @@ object SparkEntry {
       WITH RECURSIVE corp AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 20000 + 1000 * r AS doc_id, text
+        SELECT doc_id
+            + (SELECT max(doc_id) + 1 FROM documents) * (r + 1)
+            AS doc_id, text
         FROM documents CROSS JOIN range(0, 5) t(r) WHERE doc_id < 20),
       tk AS (SELECT doc_id,
           list_filter(string_split_regex(
@@ -3594,6 +3603,39 @@ object SparkEntry {
         FROM d)
       SELECT q_id, rank::INT AS rank, n_id, adist
       FROM rk WHERE rank <= 5 ORDER BY q_id, rank""",
+    // UniMax allocation replay: the q25 tokenizer CTE supplies the
+    // per-doc token counts, the shared unimaxOracleChain restates the
+    // cap/budget floors, HUGEINT prefix test, and floor-share +
+    // remainder — budget = floor(T/4), cap = n/3 epochs.
+    "q110_unimax_alloc" -> (tokCte + """,
+      d AS (SELECT d0.lang, len(toks)::BIGINT AS n_tok
+        FROM tk JOIN documents d0 ON tk.doc_id = d0.doc_id)"""
+      + unimaxOracleChain(1, 4, 1, 3) + """
+      SELECT stratum, n_tokens, cap_tokens, alloc_tokens, capped,
+        budget
+      FROM alloc ORDER BY stratum"""),
+    // End-to-end UniMax fill: same chain derives per-lang budgets
+    // (alloc_tokens), then the q102 greedy replay — within-stratum
+    // cumsum in (priority DESC, doc_id) order, exclusive-offset
+    // selection — joined back on the folded stratum key.
+    "q111_unimax_select" -> (tokCte + """,
+      d AS (SELECT tk.doc_id, d0.lang, len(toks)::BIGINT AS n_tok,
+          CASE WHEN len(toks) > 0
+            THEN len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], x)))::DOUBLE
+              / len(toks) ELSE 0.0 END AS priority
+        FROM tk JOIN documents d0 ON tk.doc_id = d0.doc_id)"""
+      + unimaxOracleChain(1, 4, 1, 3) + """,
+      c AS (SELECT doc_id, lang, n_tok, priority,
+          (sum(n_tok) OVER (PARTITION BY coalesce(lang, '')
+            ORDER BY priority DESC, doc_id))::BIGINT AS cum_tokens,
+          coalesce(lang, '') AS strat
+        FROM d)
+      SELECT c.doc_id, c.lang, c.n_tok,
+        floor(c.priority * 1000000.0 + 0.5) / 1000000.0 AS priority,
+        c.cum_tokens, a.alloc_tokens AS budget,
+        (c.cum_tokens - c.n_tok < a.alloc_tokens) AS selected
+      FROM c JOIN alloc a ON c.strat = a.stratum
+      ORDER BY c.doc_id"""),
     "q33_lsh_ann" -> lshAnnOracle,
     "q42_embed_neardup" -> neardupOracle(4, 4, 0.35),
     "q51_neardup_scaled" -> neardupOracle(8, 16, 0.35),

@@ -304,16 +304,25 @@ object Tob {
   }
 
   /** Header-only order probe: true iff the file's VALID frames carry
-    * nondecreasing begin-record numbers (16 bytes read per frame —
-    * no record decode), i.e. streaming file order satisfies the
-    * record-number sort contract. False for ring-buffer wraps. */
+    * non-overlapping, nondecreasing record RANGES (16 bytes read per
+    * frame — no record decode), i.e. streaming file order satisfies
+    * the record-number sort contract. Nondecreasing begin records
+    * alone are not enough: two valid frames with equal or overlapping
+    * begin records (e.g. a duplicated flush) would stream out of
+    * record order, so each frame's begin must be >= the previous
+    * valid frame's END (begin + record count, derived from the same
+    * word0 footer arithmetic the decoder uses). False for ring-buffer
+    * wraps and overlapping flushes. */
   def tob3FramesInOrder(bytes: Array[Byte]): Boolean = {
     val (h, dataStart) = parseHeader(bytes)
     require(h.format == "TOB3", s"expected TOB3, got ${h.format}")
     val spec = tob3Spec(h)
-    val footSize = 4
+    val chans = h.types.map(channel(_, tob1 = false))
+    val recSize = chans.map(_.size).sum
+    val hdrSize = 12; val footSize = 4
+    val nRecFrame = (spec.frameSize - hdrSize - footSize) / recSize
     var pos = dataStart
-    var last = Long.MinValue
+    var lastEnd = Long.MinValue
     var ok = true
     while (ok && pos + spec.frameSize <= bytes.length) {
       val b = ByteBuffer.wrap(bytes, pos, 12)
@@ -323,10 +332,16 @@ object Tob {
       val fb = ByteBuffer.wrap(bytes,
         pos + spec.frameSize - footSize, footSize)
         .order(ByteOrder.LITTLE_ENDIAN)
-      fb.getShort
+      val word0 = java.lang.Short.toUnsignedInt(fb.getShort)
       val stamp = java.lang.Short.toUnsignedInt(fb.getShort)
       if (stamp == spec.validation || stamp == spec.validationAlt) {
-        if (beg < last) ok = false else last = beg
+        val nRecs =
+          if (word0 == 0) nRecFrame
+          else math.min(nRecFrame, math.max(0,
+            ((word0 & 0x0fff) - hdrSize - footSize) / recSize))
+        if (nRecs > 0) {
+          if (beg < lastEnd) ok = false else lastEnd = beg + nRecs
+        }
       }
       pos += spec.frameSize
     }

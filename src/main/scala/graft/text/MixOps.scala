@@ -54,10 +54,16 @@ import org.apache.spark.sql.functions._
 object MixOps {
 
   /** Exact floor(x·num/den) for x ≥ 0 without overflowing the
-    * product: (x div den)·num + ((x mod den)·num) div den. */
-  private def mulDivFloor(x: Column, num: Long, den: Long): Column =
-    expr(s"(${x.toString} div $den) * $num" +
-      s" + ((${x.toString} % $den) * $num) div $den")
+    * product: (x div den)·num + ((x mod den)·num) div den. Built
+    * with native Column arithmetic (integral `div` via
+    * [[call_function]]) so any Column — aliased, computed, lambda —
+    * is safe; a `Column.toString`-into-`expr` round-trip would parse
+    * only simple named columns. */
+  private[graft] def mulDivFloor(x: Column, num: Long, den: Long): Column = {
+    val xl = x.cast("long")
+    call_function("div", xl, lit(den)) * lit(num) +
+      call_function("div", (xl % lit(den)) * lit(num), lit(den))
+  }
 
   /** Driver-side UniMax allocation over per-stratum token totals —
     * the pure closed form, shared by [[unimaxAllocation]]'s window

@@ -51,7 +51,8 @@ object ExecutedJoins {
           if (hasB) flagged += 1
           println(s"""{"query":"$name","joins":"$line"}""")
         } catch { case e: Throwable =>
-          println(s"""{"query":"$name","error":"${e.getMessage
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          println(s"""{"query":"$name","error":"${msg
             .takeWhile(_ != '\n').take(120)}"}""")
         }
       }

@@ -99,6 +99,26 @@ class MixOpsSpec extends SparkSpec {
     assert(got7 == want)
   }
 
+  test("mulDivFloor accepts computed/aliased Columns (no toString round-trip)") {
+    // A composite expression's toString ("(a + b) AS x") is not
+    // parseable SQL — the old expr(x.toString) construction threw or
+    // silently re-resolved; the native-Column build must evaluate it.
+    val df = Seq((7L, 5L), (1000000000000L, 999999999999L))
+      .toDF("a", "b")
+    val got = df.select(
+        MixOps.mulDivFloor(col("a") + col("b"), 3L, 7L).as("y"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = Seq((7L + 5L, 3L, 7L), (1999999999999L, 3L, 7L))
+      .map { case (x, n, d) => (BigInt(x) * n / d).toLong }
+    assert(got == want)
+    // and through the public fraction entry point with aliased inputs
+    val docs = Seq((1L, "a", 5L), (2L, "b", 9L))
+      .toDF("id", "raw.src", "raw tok")
+    val out = MixOps.unimaxAllocationFraction(docs, "`raw.src`",
+      "`raw tok`", 1L, 2L, 1L, 1L).collect()
+    assert(out.map(_.getLong(5)).distinct.toSeq == Seq(7L))
+  }
+
   test("budgetSelectUnimax fills each stratum to its derived budget") {
     // priorities descend with id so the greedy order is id ASC
     val docs = (1L to 40L).map { i =>
