@@ -2309,6 +2309,34 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** IVFADC with residual encoding ([[graft.sim.PqOps
+    * .ivfPqTopKResidual]]): same coarse layout as q109, but the PQ
+    * codebook trains on (and rows encode) `vec − coarseCentroid`,
+    * re-offset to stay all-positive, with ONE Lloyd round on the
+    * residuals — the Jégou §IV.B recall refinement. The oracle
+    * replays assignment, residual arithmetic, the residual-domain
+    * Lloyd update, encode, and the per-probed-list lookup ranking. */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.PqOps
+    val emb = t(s, dir, "embeddings")
+    PqOps.ivfPqTopKResidual(emb.filter(col("vec_id") < 5), emb, 5,
+        subspaces = 4, codes = 8, iters = 1, numCoarse = 20,
+        nProbe = 2)
+      .orderBy("q_id", "rank")
+  }
+
+  /** PQ/SDC SemDeDup ([[graft.sim.SemDedup.semDedupPq]]): q87's exact
+    * dataflow with the quadratic pair stage compressed — codes +
+    * error scalars ride the in-cluster self-join, pairs score by SDC
+    * table lookup under an exact-recall bound, survivors rescore
+    * exactly. Output must be BIT-IDENTICAL to q87 (same oracle). */
+  private def q113(s: SparkSession, dir: String): DataFrame =
+    graft.sim.SemDedup.semDedupPq(t(s, dir, "embeddings"), 0.35,
+        numCentroids = 20)
+      .select(col("id").as("vec_id"), col("cluster"), col("cos_c"),
+        col("component"), col("rep_id"), col("keep"))
+      .orderBy("vec_id")
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -2434,6 +2462,8 @@ object SparkEntry {
     "q109_ivfpq_ann"       -> (q109 _),
     "q110_unimax_alloc"    -> (q110 _),
     "q111_unimax_select"   -> (q111 _),
+    "q112_ivfpq_residual"  -> (q112 _),
+    "q113_semdedup_pq"     -> (q113 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -2473,6 +2503,50 @@ object SparkEntry {
         FROM (SELECT *, coalesce((sum(CASE WHEN pos < pstar
             THEN cap_tokens END) OVER ())::BIGINT, 0) AS sbefore
           FROM p))"""
+
+  /** DuckDB mirror of [[graft.sim.SemDedup.semDedup]] (q87's
+    * parameters: threshold 0.35, C = count/20 id-modulo centroids) —
+    * shared verbatim by q113, whose PQ/SDC pair stage must reproduce
+    * this output exactly. */
+  private def semdedupOracle: String = """
+      WITH RECURSIVE e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      cent AS (SELECT id AS c_id, v AS cv, nrm AS cnrm FROM n
+               WHERE id % greatest(1,
+                 (SELECT count(*) FROM embeddings) // 20) = 0),
+      assign AS (SELECT n.id, n.v, n.nrm, c_id,
+          (CASE WHEN n.nrm > 0.0 AND cnrm > 0.0
+            THEN floor(list_inner_product(n.v, cv) / (n.nrm * cnrm)
+                   * 1000000.0 + 0.5) / 1000000.0 END) AS cosc,
+          row_number() OVER (PARTITION BY n.id ORDER BY
+            (CASE WHEN n.nrm > 0.0 AND cnrm > 0.0
+              THEN floor(list_inner_product(n.v, cv) / (n.nrm * cnrm)
+                     * 1000000.0 + 0.5) / 1000000.0 END) DESC,
+            c_id ASC) AS r
+        FROM n CROSS JOIN cent),
+      m AS (SELECT id, v, nrm, c_id AS cluster, cosc AS cos_c
+            FROM assign WHERE r = 1),
+      pairs AS (SELECT a.id AS id_a, b.id AS id_b
+        FROM m a JOIN m b ON a.cluster = b.cluster AND a.id < b.id
+        WHERE (CASE WHEN a.nrm > 0.0 AND b.nrm > 0.0
+          THEN floor(list_inner_product(a.v, b.v) / (a.nrm * b.nrm)
+                 * 1000000.0 + 0.5) / 1000000.0 END) >= 0.35),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT id, id FROM m
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+      lab AS (SELECT m.id, m.cluster, m.cos_c, comp.component,
+          first_value(m.id) OVER (PARTITION BY component
+            ORDER BY cos_c ASC NULLS FIRST, m.id ASC) AS rep_id
+        FROM m JOIN comp ON m.id = comp.id)
+      SELECT id::BIGINT AS vec_id, cluster::BIGINT AS cluster, cos_c,
+             component::BIGINT AS component, rep_id::BIGINT AS rep_id,
+             (id = rep_id) AS keep
+      FROM lab ORDER BY vec_id"""
 
   private def planeLit(p: Array[Double]): String =
     p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
@@ -3603,6 +3677,87 @@ object SparkEntry {
         FROM d)
       SELECT q_id, rank::INT AS rank, n_id, adist
       FROM rk WHERE rank <= 5 ORDER BY q_id, rank""",
+    // Residual IVFADC replay: q109's coarse assignment, then
+    // residual = qv - assignedCentroid + 2^22 (all-positive
+    // re-offset), seed codebook from the 8 smallest ids' residuals,
+    // ONE Lloyd round in the residual domain ((2s+n)//(2n)), argmin
+    // encode, and per-probed-list query residual lookup tables.
+    "q112_ivfpq_residual" -> """
+      WITH e AS (SELECT vec_id AS id,
+          list_transform(embedding::DOUBLE[],
+            x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) + 2097152)
+            AS qv
+        FROM embeddings),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      cent AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c_idx,
+          qv AS cqv
+        FROM e WHERE id % greatest(1,
+          (SELECT count(*) FROM embeddings) // 20) = 0),
+      lst AS (SELECT id, c_idx, row_number() OVER (PARTITION BY id
+            ORDER BY list_aggregate(list_transform(range(1, 65),
+              i -> abs(qv[i] - cqv[i])), 'sum') ASC, c_idx ASC) AS r
+        FROM e CROSS JOIN cent),
+      asg AS (SELECT id, c_idx AS list_id FROM lst WHERE r = 1),
+      res AS (SELECT e.id, a.list_id,
+          list_transform(range(1, 65),
+            i -> e.qv[i] - c.cqv[i] + 4194304) AS rv
+        FROM e JOIN asg a ON e.id = a.id
+        JOIN cent c ON c.c_idx = a.list_id),
+      seed AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, rv
+               FROM res ORDER BY id LIMIT 8),
+      cb0 AS (SELECT sub, j,
+          list_slice(rv, sub * 16 + 1, sub * 16 + 16) AS cv
+        FROM seed CROSS JOIN subs),
+      sv AS (SELECT id, sub,
+          list_slice(rv, sub * 16 + 1, sub * 16 + 16) AS ssv
+        FROM res CROSS JOIN subs),
+      a0 AS (SELECT id, sub, j, ssv, row_number() OVER (
+            PARTITION BY id, sub ORDER BY
+            list_aggregate(list_transform(range(1, 17),
+              i -> abs(ssv[i] - cv[i])), 'sum') ASC, j ASC) AS r
+        FROM sv JOIN cb0 USING (sub)),
+      stats AS (SELECT sub, j AS cl, d.i AS dim,
+          sum(ssv[d.i])::BIGINT AS s, count(*)::BIGINT AS n
+        FROM (SELECT * FROM a0 WHERE r = 1) a
+        CROSS JOIN range(1, 17) d(i)
+        GROUP BY sub, j, d.i),
+      cb1 AS (SELECT c0.sub, c0.j,
+          coalesce(m.nv, c0.cv) AS cv
+        FROM cb0 c0 LEFT JOIN (
+          SELECT sub, cl, list((2 * s + n) // (2 * n) ORDER BY dim) AS nv
+          FROM stats GROUP BY sub, cl) m
+        ON c0.sub = m.sub AND c0.j = m.cl),
+      enc AS (SELECT id, sub, j AS code FROM (
+          SELECT sv.id, sv.sub, cb1.j, row_number() OVER (
+              PARTITION BY sv.id, sv.sub ORDER BY
+              list_aggregate(list_transform(range(1, 17),
+                i -> abs(ssv[i] - cv[i])), 'sum') ASC, j ASC) AS r
+          FROM sv JOIN cb1 USING (sub)) WHERE r = 1),
+      probe AS (SELECT id AS q_id, c_idx AS list_id FROM lst
+                WHERE id < 5 AND r <= 2),
+      qres AS (SELECT p.q_id, p.list_id,
+          list_transform(range(1, 65),
+            i -> e.qv[i] - c.cqv[i] + 4194304) AS qrv
+        FROM probe p JOIN e ON e.id = p.q_id
+        JOIN cent c ON c.c_idx = p.list_id),
+      qs AS (SELECT q_id, list_id, sub,
+          list_slice(qrv, sub * 16 + 1, sub * 16 + 16) AS qsv
+        FROM qres CROSS JOIN subs),
+      cand AS (SELECT p.q_id, p.list_id, a.id AS n_id FROM probe p
+        JOIN asg a ON a.list_id = p.list_id WHERE p.q_id <> a.id),
+      d AS (SELECT c.q_id, c.n_id,
+          sum(list_aggregate(list_transform(range(1, 17),
+            i -> abs(q.qsv[i] - cb.cv[i])), 'sum'))::BIGINT AS adist
+        FROM cand c
+        JOIN qs q ON q.q_id = c.q_id AND q.list_id = c.list_id
+        JOIN enc ON enc.id = c.n_id AND enc.sub = q.sub
+        JOIN cb1 cb ON cb.sub = enc.sub AND cb.j = enc.code
+        GROUP BY c.q_id, c.n_id),
+      rk AS (SELECT q_id, n_id, adist, row_number() OVER (
+            PARTITION BY q_id ORDER BY adist ASC, n_id ASC) AS rank
+        FROM d)
+      SELECT q_id, rank::INT AS rank, n_id, adist
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank""",
     // UniMax allocation replay: the q25 tokenizer CTE supplies the
     // per-doc token counts, the shared unimaxOracleChain restates the
     // cap/budget floors, HUGEINT prefix test, and floor-share +
@@ -4083,45 +4238,12 @@ object SparkEntry {
     // (cos DESC, c_id ASC) total order, exhaustive within-cluster
     // pair set at 0.35, recursive-CTE reachability (q41's convention),
     // exemplar = first by (cos_c ASC NULLS FIRST, id ASC).
-    "q87_semdedup" -> """
-      WITH RECURSIVE e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
-                 FROM embeddings),
-      n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-      cent AS (SELECT id AS c_id, v AS cv, nrm AS cnrm FROM n
-               WHERE id % greatest(1,
-                 (SELECT count(*) FROM embeddings) // 20) = 0),
-      assign AS (SELECT n.id, n.v, n.nrm, c_id,
-          (CASE WHEN n.nrm > 0.0 AND cnrm > 0.0
-            THEN floor(list_inner_product(n.v, cv) / (n.nrm * cnrm)
-                   * 1000000.0 + 0.5) / 1000000.0 END) AS cosc,
-          row_number() OVER (PARTITION BY n.id ORDER BY
-            (CASE WHEN n.nrm > 0.0 AND cnrm > 0.0
-              THEN floor(list_inner_product(n.v, cv) / (n.nrm * cnrm)
-                     * 1000000.0 + 0.5) / 1000000.0 END) DESC,
-            c_id ASC) AS r
-        FROM n CROSS JOIN cent),
-      m AS (SELECT id, v, nrm, c_id AS cluster, cosc AS cos_c
-            FROM assign WHERE r = 1),
-      pairs AS (SELECT a.id AS id_a, b.id AS id_b
-        FROM m a JOIN m b ON a.cluster = b.cluster AND a.id < b.id
-        WHERE (CASE WHEN a.nrm > 0.0 AND b.nrm > 0.0
-          THEN floor(list_inner_product(a.v, b.v) / (a.nrm * b.nrm)
-                 * 1000000.0 + 0.5) / 1000000.0 END) >= 0.35),
-      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                UNION SELECT id_b, id_a FROM pairs),
-      reach(id, r) AS (
-        SELECT id, id FROM m
-        UNION
-        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
-      comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
-      lab AS (SELECT m.id, m.cluster, m.cos_c, comp.component,
-          first_value(m.id) OVER (PARTITION BY component
-            ORDER BY cos_c ASC NULLS FIRST, m.id ASC) AS rep_id
-        FROM m JOIN comp ON m.id = comp.id)
-      SELECT id::BIGINT AS vec_id, cluster::BIGINT AS cluster, cos_c,
-             component::BIGINT AS component, rep_id::BIGINT AS rep_id,
-             (id = rep_id) AS keep
-      FROM lab ORDER BY vec_id""",
+    "q87_semdedup" -> semdedupOracle,
+    // The PQ/SDC variant is OUTPUT-IDENTICAL to q87 by construction
+    // (exact-recall prefilter + exact rescore), so it is pinned
+    // against the very same replay — any recall loss in the SDC
+    // bound hash-mismatches here.
+    "q113_semdedup_pq" -> semdedupOracle,
     // Full CCNet-style LM chain re-derived: position pairs with the
     // <s> sentinel context, reference count tables (ref = doc_id%10<3),
     // JM interpolation with dyadic 0.75/(1.0-0.75), micro-nat floor

@@ -111,19 +111,79 @@ object PqOps {
     * smallest-id vectors' sub-slices — an engine-independent seed;
     * `iters = 0` returns that seed codebook unchanged). One corpus
     * scan + one bounded shuffle per iteration, all subspaces fused.
-    * Requires dim % subspaces == 0 and at least k input rows. */
+    * Requires dim % subspaces == 0 and at least k input rows.
+    *
+    * `seedPool > k` switches to the deterministic farthest-point
+    * sweep ([[farthestSeed]]): collect the `seedPool` smallest-id
+    * vectors and greedily pick k spread-out seeds — better codebooks
+    * on clustered data (the smallest-id seed can land all k inits in
+    * one cluster), still engine-portable and exact-integer. The
+    * default (0) keeps the plain smallest-id seed. */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String,
       subspaces: Int = 4, k: Int = 16, iters: Int = 2,
-      scaleBits: Int = 20): PqModel = {
-    require(subspaces >= 1 && k >= 1 && iters >= 0
-      && scaleBits >= 1 && scaleBits <= 30,
-      s"subspaces=$subspaces k=$k iters=$iters scaleBits=$scaleBits")
+      scaleBits: Int = 20, seedPool: Int = 0): PqModel = {
+    require(scaleBits >= 1 && scaleBits <= 30, s"scaleBits=$scaleBits")
     val q = ckptSer(df.select(col(idCol).cast("long").as("id"),
       quantize(col(vecCol), scaleBits).as("qv")))
-    val seed = q.orderBy(col("id")).limit(k).collect()
+    pqTrainOnQuantized(q, subspaces, k, iters, scaleBits, seedPool)
+  }
+
+  /** Deterministic farthest-point seed selection over a driver-side
+    * sample (k-means++-style, but argmax instead of random-by-
+    * distance so two engines agree): start from the smallest id,
+    * then repeatedly add the sample vector with the LARGEST minimum
+    * L1 distance to the chosen set (ties to the smaller position —
+    * i.e. the smaller id, the sample being id-ordered). Exact
+    * integer; O(|pool|·k) distance evaluations, driver-side on a
+    * parameter-bounded pool. */
+  private[graft] def farthestSeed(pool: Array[Array[Long]], k: Int)
+      : Array[Array[Long]] = {
+    require(pool.length >= k, s"farthestSeed: pool ${pool.length} < $k")
+    val chosen = scala.collection.mutable.ArrayBuffer(0)
+    // minDist(i) = min L1 distance from pool(i) to the chosen set
+    val minDist = pool.map(v => l1(v, pool(0)))
+    while (chosen.size < k) {
+      var best = -1; var bestD = -1L
+      var i = 0
+      while (i < pool.length) {
+        if (!chosen.contains(i) && minDist(i) > bestD) {
+          bestD = minDist(i); best = i
+        }
+        i += 1
+      }
+      chosen += best
+      i = 0
+      while (i < pool.length) {
+        val d = l1(pool(i), pool(best))
+        if (d < minDist(i)) minDist(i) = d
+        i += 1
+      }
+    }
+    chosen.map(pool(_)).toArray
+  }
+
+  private def l1(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) { s += math.abs(a(i) - b(i)); i += 1 }
+    s
+  }
+
+  /** [[pqTrain]] over an ALREADY-quantized (id, qv) frame — the shared
+    * core, also used by [[ivfPqTopKResidual]] to train on residuals
+    * (which are re-offset to stay all-positive, so the Lloyd floor
+    * division's floor==truncate identity holds there too). `q` must
+    * be materialized (checkpointed) by the caller. */
+  private def pqTrainOnQuantized(q: DataFrame, subspaces: Int, k: Int,
+      iters: Int, scaleBits: Int, seedPool: Int = 0): PqModel = {
+    require(subspaces >= 1 && k >= 1 && iters >= 0,
+      s"subspaces=$subspaces k=$k iters=$iters")
+    val poolN = if (seedPool > k) seedPool else k
+    val pool = q.orderBy(col("id")).limit(poolN).collect()
       .map(_.getSeq[Long](1).toArray)
-    require(seed.length == k,
-      s"pqTrain: need >= $k rows, got ${seed.length}")
+    require(pool.length >= k,
+      s"pqTrain: need >= $k rows, got ${pool.length}")
+    val seed =
+      if (seedPool > k) farthestSeed(pool, k) else pool.take(k)
     val dim = seed.head.length
     require(dim % subspaces == 0, s"dim $dim % subspaces $subspaces != 0")
     val dsub = dim / subspaces
@@ -170,6 +230,41 @@ object PqOps {
       .select(col("id").as(idCol),
         array((0 until model.subspaces).map(s => col(s"__c$s")): _*)
           .as("codes"))
+
+  /** Append per-row PQ metadata over `vecCol`, all NARROW
+    * (plan-literal codebooks, no shuffle/join): `__codes` (argmin
+    * codes, array<int>), `__pqerr` = ‖v − recon(v)‖₂ and `__pqnorm`
+    * = ‖recon(v)‖₂ in the raw double domain — the per-row scalars
+    * [[SemDedup.semDedupPq]]'s exact-recall SDC bound needs.
+    * Working names `qv`/`__c*`/`__recon*` must be free in `df`. */
+  private[sim] def withPqMeta(df: DataFrame, vecCol: String,
+      model: PqModel): DataFrame = {
+    val scale = (1L << model.scaleBits).toDouble
+    val off = 1L << (model.scaleBits + 1)
+    val rec = array(model.codebook.map(sb => array(sb.map(cvec =>
+      array(cvec.map(c => lit((c - off) / scale)).toIndexedSeq: _*))
+      .toIndexedSeq: _*)).toIndexedSeq: _*)
+    withCodes(df.withColumn("qv", quantize(col(vecCol), model.scaleBits)),
+        model)
+      .withColumn("__codes",
+        array((0 until model.subspaces).map(s => col(s"__c$s")): _*))
+      .drop((0 until model.subspaces).map(s => s"__c$s") :+ "qv": _*)
+      .withColumn("__recon",
+        flatten(transform(sequence(lit(0), lit(model.subspaces - 1)),
+          s => element_at(element_at(rec, s + 1),
+            element_at(col("__codes"), s + 1) + 1))))
+      // both scalars in one expression: __recon referenced twice, so
+      // CollapseProject keeps the staged array (the ClusterOps rule)
+      .withColumn("__pqs", struct(
+        sqrt(aggregate(zip_with(col(vecCol).cast("array<double>"),
+          col("__recon"), (a, b) => (a - b) * (a - b)), lit(0.0d),
+          (acc, x) => acc + x)).as("e"),
+        sqrt(aggregate(col("__recon"), lit(0.0d),
+          (acc, x) => acc + x * x)).as("n")))
+      .withColumn("__pqerr", col("__pqs.e"))
+      .withColumn("__pqnorm", col("__pqs.n"))
+      .drop("__recon", "__pqs")
+  }
 
   /** Query-side ADC lookup table: `lut(s)(j)` = exact L1 (micro-units)
     * from the query's subspace-s slice to centroid j — computed once
@@ -250,16 +345,8 @@ object PqOps {
         .withColumn("q_id", lit(0L)).withColumn("rank", lit(1))
         .withColumn("n_id", lit(0L)).withColumn("adist", lit(0L))
         .limit(0)
-    // (dist, idx) structs sort lexicographically = (L1 ASC, idx ASC)
-    def nearestLists(qv: Column, n: Int): Column = {
-      val cl = cbLit(cents)
-      slice(transform(array_sort(
-        zip_with(cl, sequence(lit(0), lit(cents.length - 1)),
-          (c, i) => struct(
-            aggregate(zip_with(qv, c, (a, b) => abs(a - b)), lit(0L),
-              (acc, x) => acc + x).as("d"), i.as("i")))),
-        e => e.getField("i")), 1, n)
-    }
+    def nearestLists(qv: Column, n: Int): Column =
+      nearestListsCol(qv, cents, n)
     val lists = withCodes(qcorp, model)
       .select(col("id").as("n_id"),
         array((0 until model.subspaces).map(s => col(s"__c$s")): _*)
@@ -270,6 +357,114 @@ object PqOps {
         quantize(col(vecCol), model.scaleBits).as("qv"))
       .select(col("q_id"), lutCol(col("qv"), model).as("__lut"),
         explode(nearestLists(col("qv"), nProbe)).as("list_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("n_id").asc)
+    probes.join(lists.hint("merge"), "list_id")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        aggregate(zip_with(col("__lut"), col("__codes"),
+          (l, cd) => element_at(l, cd + 1)), lit(0L),
+          (acc, x) => acc + x).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "adist")
+  }
+
+  /** The n nearest coarse lists (by exact integer L1, ties to the
+    * smaller index) as an array<int> column — (dist, idx) structs
+    * sort lexicographically = (L1 ASC, idx ASC). */
+  private def nearestListsCol(qv: Column, cents: Array[Array[Long]],
+      n: Int): Column = {
+    val cl = cbLit(cents)
+    slice(transform(array_sort(
+      zip_with(cl, sequence(lit(0), lit(cents.length - 1)),
+        (c, i) => struct(
+          aggregate(zip_with(qv, c, (a, b) => abs(a - b)), lit(0L),
+            (acc, x) => acc + x).as("d"), i.as("i")))),
+      e => e.getField("i")), 1, n)
+  }
+
+  /** IVFADC with RESIDUAL encoding — the standard recall refinement
+    * (Jégou et al. 2011 §IV.B): the PQ codebook is trained on, and
+    * each row encoded as, `vec − coarseCentroid(itsList)` instead of
+    * the raw vector. Residuals cluster much tighter than raw vectors
+    * (the coarse quantizer has already absorbed the between-list
+    * variance), so the same m·k code budget spends its resolution on
+    * the within-list detail that actually ranks neighbors. The
+    * dataflow is [[ivfPqTopK]]'s unchanged — coarse assignment,
+    * narrow encode, merge-pinned probes↔lists join — plus one narrow
+    * subtraction per row; the query side computes a lookup table PER
+    * PROBED LIST (its residual differs per list), i.e. nProbe·m·k·dsub
+    * work per query instead of m·k·dsub, the documented IVFADC cost.
+    *
+    * Exactness: residuals are re-offset by +2^(scaleBits+2) so every
+    * component stays positive (|component| < 2^(scaleBits+2) whenever
+    * the input coordinates are within the quantize() domain |x| < 2),
+    * keeping the Lloyd update's floor==truncate identity; the
+    * constant shift cancels in every L1 difference. Trains its own
+    * codebook internally (on residuals) — `subspaces`/`codes`/`iters`
+    * mirror [[pqTrain]]'s parameters. */
+  def ivfPqTopKResidual(queries: DataFrame, corpus: DataFrame, k: Int,
+      subspaces: Int = 4, codes: Int = 16, iters: Int = 1,
+      numCoarse: Int = 256, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scaleBits: Int = 20, centroidStride: Long = 0L): DataFrame = {
+    val stride =
+      if (centroidStride > 0L) centroidStride
+      else math.max(1L, corpus.count() / math.max(1, numCoarse))
+    val offR = 1L << (scaleBits + 2)
+    val qcorp = ckptSer(corpus.select(col(idCol).cast("long").as("id"),
+      quantize(col(vecCol), scaleBits).as("qv")))
+    val cents: Array[Array[Long]] = qcorp
+      .filter(pmod(col("id"), lit(stride)) === 0)
+      .orderBy("id").collect().map(_.getSeq[Long](1).toArray)
+    if (cents.isEmpty)
+      return queries.sparkSession.emptyDataFrame
+        .withColumn("q_id", lit(0L)).withColumn("rank", lit(1))
+        .withColumn("n_id", lit(0L)).withColumn("adist", lit(0L))
+        .limit(0)
+    val cl = cbLit(cents)
+    // Narrow per-row residual: assigned list + re-offset subtraction.
+    // Persisted (NOT localCheckpoint'd) so training iterations and
+    // the encode pass re-read the residual, not the assignment
+    // arithmetic. A checkpoint here is a correctness mine: the
+    // list_id alias's equality constraint references the raw qv that
+    // the projection drops, and LogicalRDD freezes that dangling
+    // constraint — the later equi-join on list_id then lets
+    // InferFiltersFromConstraints substitute it onto the QUERY side,
+    // where the raw corpus qv is unresolvable
+    // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at execution). With
+    // persist the plan survives, constraints prune normally, and the
+    // cache still makes every scan read materialized residuals.
+    val resCorp = qcorp
+      .withColumn("list_id",
+        element_at(nearestListsCol(col("qv"), cents, 1), 1))
+      .select(col("id"), col("list_id"),
+        zip_with(col("qv"), element_at(cl, col("list_id") + 1),
+          (a, b) => a - b + lit(offR)).as("qv"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val model = pqTrainOnQuantized(resCorp.select("id", "qv"),
+      subspaces, codes, iters, scaleBits)
+    val lists = withCodes(resCorp, model)
+      .select(col("id").as("n_id"), col("list_id"),
+        array((0 until model.subspaces).map(s => col(s"__c$s")): _*)
+          .as("__codes"))
+    // Query side: one residual + lookup table per probed list. The
+    // residual stages through its own named column (fresh name, no
+    // overlap with the corpus side's "qv") before the LUT lambda
+    // reads it — referencing the pre-explode vector inside nested
+    // higher-order lambdas after the Generate mis-binds.
+    val probes = queries
+      .select(col(idCol).cast("long").as("q_id"),
+        quantize(col(vecCol), scaleBits).as("__qqv"))
+      .select(col("q_id"), col("__qqv"),
+        explode(nearestListsCol(col("__qqv"), cents, nProbe))
+          .as("list_id"))
+      .withColumn("__qrv",
+        zip_with(col("__qqv"), element_at(cl, col("list_id") + 1),
+          (a, b) => a - b + lit(offR)))
+      .select(col("q_id"), col("list_id"),
+        lutCol(col("__qrv"), model).as("__lut"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adist").asc, col("n_id").asc)
     probes.join(lists.hint("merge"), "list_id")

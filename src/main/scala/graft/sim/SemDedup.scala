@@ -62,7 +62,42 @@ object SemDedup {
   def semDedup(corpus: DataFrame, threshold: Double,
       numCentroids: Int = 256, idCol: String = "vec_id",
       vecCol: String = "embedding", roundScale: Int = 6,
-      centroidStride: Long = 0L): DataFrame = {
+      centroidStride: Long = 0L): DataFrame =
+    run(corpus, threshold, numCentroids, idCol, vecCol, roundScale,
+      centroidStride, pq = None)
+
+  /** [[semDedup]] with a PQ-compressed pair stage (SDC — symmetric
+    * distance computation, Jégou et al. 2011 §III): the quadratic
+    * in-cluster self-join moves `m` int codes + three scalars per row
+    * instead of the d-float vector (~16 B + 24 B vs 8·d B — a 95%+
+    * payload cut at d=64, more at real embedding widths), and each
+    * candidate pair costs m lookups into a plan-literal m·k·k
+    * centroid-dot table instead of d multiplies. A rigorous error
+    * bound makes the prefilter EXACT-recall: with ea = ‖a−recon(a)‖₂
+    * and rn = ‖recon‖₂ (both per-row narrow scalars),
+    * |dot(a,b) − dot(recon a, recon b)| ≤ rn_a·e_b + e_a·rn_b +
+    * e_a·e_b, so any pair whose true rounded cosine clears the
+    * threshold also clears the slackened approximate test; survivors
+    * are exactly re-scored (two shuffled-hash joins of the candidate
+    * sliver back to the vectors), so the OUTPUT is bit-identical to
+    * [[semDedup]] — the approximation buys bytes and FLOPs, never
+    * recall (spec-pinned; q113 pins it against q87's oracle).
+    *
+    * When it wins: clusters big enough that the pairwise stage
+    * dominates (the SemDeDup regime, N/C ≳ 10⁴) and selective enough
+    * thresholds that few pairs need exact rescore. */
+  def semDedupPq(corpus: DataFrame, threshold: Double,
+      numCentroids: Int = 256, idCol: String = "vec_id",
+      vecCol: String = "embedding", roundScale: Int = 6,
+      centroidStride: Long = 0L, pqSubspaces: Int = 4,
+      pqCodes: Int = 16, pqIters: Int = 1): DataFrame =
+    run(corpus, threshold, numCentroids, idCol, vecCol, roundScale,
+      centroidStride, pq = Some((pqSubspaces, pqCodes, pqIters)))
+
+  private def run(corpus: DataFrame, threshold: Double,
+      numCentroids: Int, idCol: String, vecCol: String,
+      roundScale: Int, centroidStride: Long,
+      pq: Option[(Int, Int, Int)]): DataFrame = {
     val p = math.pow(10.0, roundScale)
     val stride =
       if (centroidStride > 0L) centroidStride
@@ -110,15 +145,11 @@ object SemDedup {
       .select("id", "vec", "norm", "cluster", "cos_c")
       .localCheckpoint(eager = true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val a = members.select(col("cluster"), col("id").as("id_a"),
-      col("vec").as("va"), col("norm").as("na"))
-    val b = members.select(col("cluster"), col("id").as("id_b"),
-      col("vec").as("vb"), col("norm").as("nb"))
-    val pairs = a.join(b.hint("merge"), Seq("cluster"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(rcos(p)(col("va"), col("na"), col("vb"), col("nb"))
-        >= threshold)
-      .select("id_a", "id_b")
+    val pairs = pq match {
+      case None => exactPairs(members, threshold, p)
+      case Some((m, k, iters)) =>
+        pqPairs(corpus, members, threshold, p, idCol, vecCol, m, k, iters)
+    }
     val comp = graft.text.DedupOps.connectedComponents(
       members.select(col("id")), pairs)
     val w = Window.partitionBy(col("component"))
@@ -127,5 +158,82 @@ object SemDedup {
       .join(comp.hint("shuffle_hash"), "id")
       .withColumn("rep_id", first(col("id")).over(w))
       .withColumn("keep", col("id") === col("rep_id"))
+  }
+
+  /** The reference pair stage: vectors ride the cluster self-join,
+    * each pair pays a d-dim cosine. */
+  private def exactPairs(members: DataFrame, threshold: Double,
+      p: Double): DataFrame = {
+    val a = members.select(col("cluster"), col("id").as("id_a"),
+      col("vec").as("va"), col("norm").as("na"))
+    val b = members.select(col("cluster"), col("id").as("id_b"),
+      col("vec").as("vb"), col("norm").as("nb"))
+    a.join(b.hint("merge"), Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(rcos(p)(col("va"), col("na"), col("vb"), col("nb"))
+        >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** SDC pair stage: codes + error scalars ride the self-join; the
+    * conservative bound admits every true pair (exact recall), the
+    * exact rescore re-applies the true threshold on the sliver. */
+  private def pqPairs(corpus: DataFrame, members: DataFrame,
+      threshold: Double, p: Double, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int): DataFrame = {
+    val model = PqOps.pqTrain(corpus, idCol, vecCol,
+      subspaces = m, k = k, iters = iters)
+    val scale = (1L << model.scaleBits).toDouble
+    val off = 1L << (model.scaleBits + 1)
+    // raw-domain reconstruction per (subspace, code): (centroid−off)/s
+    val reconD: Array[Array[Array[Double]]] =
+      model.codebook.map(_.map(_.map(c => (c - off) / scale)))
+    // SDC table: tbl(s)(ja)(jb) = dot(recon(s,ja), recon(s,jb)), and
+    // per-(s,code) recon norm² on its diagonal path — both literal.
+    val tbl: Array[Array[Array[Double]]] =
+      Array.tabulate(m, k, k) { (s, ja, jb) =>
+        val a = reconD(s)(ja); val b = reconD(s)(jb)
+        var d = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); i += 1 }
+        d
+      }
+    val tblLit = array(tbl.map(sb => array(sb.map(row =>
+      array(row.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*))
+      .toIndexedSeq: _*)
+    // Narrow per-row PQ metadata over the checkpointed members: codes
+    // (plan-literal argmin), recon err ‖v−recon‖₂, recon norm ‖recon‖₂.
+    val meta = PqOps.withPqMeta(members, "vec", model)
+    val slim = meta.select(col("cluster"), col("id"), col("norm"),
+      col("__codes"), col("__pqerr"), col("__pqnorm"))
+    val a = slim.select(col("cluster"), col("id").as("id_a"),
+      col("norm").as("na"), col("__codes").as("ca"),
+      col("__pqerr").as("ea"), col("__pqnorm").as("ra"))
+    val b = slim.select(col("cluster"), col("id").as("id_b"),
+      col("norm").as("nb"), col("__codes").as("cb"),
+      col("__pqerr").as("eb"), col("__pqnorm").as("rb"))
+    val sdcDot = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d),
+      (acc, s) => acc + element_at(element_at(element_at(tblLit, s + 1),
+        element_at(col("ca"), s + 1) + 1),
+        element_at(col("cb"), s + 1) + 1))
+    // exact-recall slack: quantization bound + the rounding grid the
+    // exact path floors to + double-arithmetic headroom
+    val margin = col("ra") * col("eb") + col("ea") * col("rb") +
+      col("ea") * col("eb") + lit(1.0 / p) + lit(1e-9)
+    val cand = a.join(b.hint("merge"), Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("na") > 0.0 && col("nb") > 0.0 &&
+        (sdcDot + margin) / (col("na") * col("nb")) >= threshold)
+      .select("id_a", "id_b")
+    // exact rescore on the candidate sliver only — corpus-derived
+    // sides strategy-pinned, never size-estimate broadcast
+    val va = members.select(col("id").as("id_a"), col("vec").as("va"),
+      col("norm").as("na"))
+    val vb = members.select(col("id").as("id_b"), col("vec").as("vb"),
+      col("norm").as("nb"))
+    cand.join(va.hint("shuffle_hash"), "id_a")
+      .join(vb.hint("shuffle_hash"), "id_b")
+      .filter(rcos(p)(col("va"), col("na"), col("vb"), col("nb"))
+        >= threshold)
+      .select("id_a", "id_b")
   }
 }

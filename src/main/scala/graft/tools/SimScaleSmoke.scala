@@ -191,6 +191,41 @@ object SimScaleSmoke {
       println(s"""{"invariant":"semdedup","factor":$f,"rows_ok":${semN == nRows},""" +
         s""""orphan_reps":$orphans,"keep_mismatch":$keepMismatch,""" +
         s""""kept":${sem.filter(col("keep")).count()},"of":$semN}""")
+
+      // A/B: the PQ/SDC pair stage must produce the IDENTICAL result
+      // (exact-recall bound + exact rescore) — compared row-for-row —
+      // while moving codes instead of vectors through the quadratic
+      // self-join. The timing pair is the BENCH_NOTES A/B row.
+      val semPq = timed("semDedupPq", f) {
+        val r = graft.sim.SemDedup.semDedupPq(emb, 0.35,
+          numCentroids = semC)
+        (r.localCheckpoint(eager = true), r)
+      }
+      val pqDiff = sem.except(semPq).count() + semPq.except(sem).count()
+      println(s"""{"invariant":"semdedup_pq_parity","factor":$f,""" +
+        s""""diff_rows":$pqDiff,"ok":${pqDiff == 0}}""")
+
+      // IVFADC phases: certify the per-row narrow encode and the
+      // probes<->lists merge join at scale; |C| ~ sqrt(N) as above.
+      val pqModel = graft.sim.PqOps.pqTrain(emb, "vec_id", "embedding",
+        subspaces = 4, k = 16, iters = 1)
+      val ivfpq = timed("ivfPqTopK", f) {
+        val r = graft.sim.PqOps.ivfPqTopK(queries, emb, 10, pqModel,
+          numCoarse = nC, nProbe = 2)
+        (r.localCheckpoint(eager = true), r)
+      }
+      val gotPq = ivfpq.count()
+      println(s"""{"invariant":"ivfpq_cardinality","factor":$f,""" +
+        s""""expected":${nq * 10},"got":$gotPq,"ok":${gotPq == nq * 10}}""")
+      val ivfpqR = timed("ivfPqTopKResidual", f) {
+        val r = graft.sim.PqOps.ivfPqTopKResidual(queries, emb, 10,
+          subspaces = 4, codes = 16, iters = 1, numCoarse = nC,
+          nProbe = 2)
+        (r.localCheckpoint(eager = true), r)
+      }
+      val gotPqR = ivfpqR.count()
+      println(s"""{"invariant":"ivfpq_residual_cardinality","factor":$f,""" +
+        s""""expected":${nq * 10},"got":$gotPqR,"ok":${gotPqR == nq * 10}}""")
       spark.catalog.clearCache()
     }
 

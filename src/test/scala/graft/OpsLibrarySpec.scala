@@ -701,6 +701,31 @@ class OpsLibrarySpec extends SparkSpec {
     assert(run(df.repartition(7)) == run(df.coalesce(1)))
   }
 
+  test("semDedupPq output is bit-identical to semDedup") {
+    import graft.sim.SemDedup
+    // the random-ish corpus plus the adversarial shapes: zero vector
+    // (null cos, must survive), exact duplicates (quantization error
+    // zero — margin still admits them), near-threshold pairs (where
+    // a non-conservative bound would lose recall)
+    val vecs = semCorpus(40) ++ Map(
+      100L -> Array(0.0, 0.0, 0.0, 0.0),
+      101L -> Array(0.5, 0.5, 0.5, 0.5),
+      102L -> Array(0.5, 0.5, 0.5, 0.5))
+    val df = vecs.toSeq.sortBy(_._1)
+      .map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+      r.getLong(3), r.getLong(4), r.getBoolean(5))
+    for (thr <- Seq(0.35, 0.9, 0.99)) {
+      val exact = SemDedup.semDedup(df, thr, centroidStride = 7L)
+        .collect().map(key).toSet
+      val pq = SemDedup.semDedupPq(df, thr, centroidStride = 7L,
+        pqSubspaces = 2, pqCodes = 4, pqIters = 1)
+        .collect().map(key).toSet
+      assert(pq == exact, s"threshold $thr")
+    }
+  }
+
   test("salted join equals plain join") {
     val left = (1 to 500).map(i => (i % 5, i)).toDF("k", "lid")
     val right = Seq((0, "a"), (1, "b"), (2, "c"), (3, "d"), (4, "e"))

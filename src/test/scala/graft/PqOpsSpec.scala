@@ -109,6 +109,57 @@ class PqOpsSpec extends SparkSpec {
     assert(codes(0L) == 0 && codes(1L) == 0)
   }
 
+  test("farthestSeed beats the id seed on clustered data") {
+    // Three tight clusters; the 4 smallest ids all sit in cluster A,
+    // so the plain id seed wastes all 4 inits there. The farthest-
+    // point sweep must cover every cluster, giving strictly lower
+    // total quantization error (sum of min-L1 to the chosen seeds).
+    def v(base: Long, jit: Long) = Array(base, base, base, base + jit)
+    val pool = Array(
+      v(1000000L, 0), v(1000000L, 5), v(1000000L, -3), v(1000000L, 9),
+      v(5000000L, 2), v(5000000L, -4), v(9000000L, 1), v(9000000L, 7))
+    val far = PqOps.farthestSeed(pool, 3)
+    def qerr(seeds: Array[Array[Long]]) = pool.map(p =>
+      seeds.map(s => p.indices.map(i => math.abs(p(i) - s(i))).sum)
+        .min).sum
+    assert(qerr(far) < qerr(pool.take(3)))
+    // covers all three clusters
+    assert(far.map(_.head).toSet == Set(1000000L, 5000000L, 9000000L))
+    // deterministic and first pick = smallest id
+    assert(PqOps.farthestSeed(pool, 3).map(_.toSeq).toSeq ==
+      far.map(_.toSeq).toSeq)
+    assert(far.head.sameElements(pool.head))
+    // end-to-end: pqTrain(seedPool) is partition-invariant
+    val m1 = PqOps.pqTrain(df, "vec_id", "embedding",
+      subspaces = 2, k = 3, iters = 1, seedPool = 8)
+    val m2 = PqOps.pqTrain(df.repartition(5), "vec_id", "embedding",
+      subspaces = 2, k = 3, iters = 1, seedPool = 8)
+    assert(m1.codebook.map(_.map(_.toSeq).toSeq).toSeq ==
+      m2.codebook.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("residual IVFADC is exact when codes=n and every list is probed") {
+    // With one code per row (codes = n, one Lloyd round) each
+    // residual is its own centroid, so the looked-up distance is
+    // L1(q - c_list, n - c_list) = L1(q, n) exactly — the residual
+    // analog of the flat-ADC k=n exactness check.
+    val queries = df.filter(col("vec_id") < 2)
+    val got = PqOps.ivfPqTopKResidual(queries, df, 3,
+        subspaces = 2, codes = vecs.size, iters = 1, nProbe = 4,
+        centroidStride = 2L)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val q = vecs.map { case (id, v) => id -> quant(v, 20) }.toMap
+    for (qid <- Seq(0L, 1L)) {
+      val exact = vecs.map(_._1).filter(_ != qid)
+        .map(n => n -> l1(q(qid), q(n))).sortBy { case (n, d) => (d, n) }
+      (1 to 3).foreach { r =>
+        assert(got((qid, r)) == exact(r - 1), s"q=$qid rank=$r")
+      }
+    }
+  }
+
   test("ivfPqTopK with all lists probed equals flat ADC top-k") {
     val model = PqOps.pqTrain(df, "vec_id", "embedding",
       subspaces = 2, k = 4, iters = 2)
