@@ -371,18 +371,15 @@ object PqOps {
   }
 
   /** The n nearest coarse lists (by exact integer L1, ties to the
-    * smaller index) as an array<int> column — (dist, idx) structs
-    * sort lexicographically = (L1 ASC, idx ASC). */
+    * smaller index) as an array<int> column — the fused
+    * [[graft.functions.NearestListsL1]] kernel, bit-identical to the
+    * relational `array_sort(zip_with(...struct(L1, idx)...))` form it
+    * replaced (kernel-vs-relational parity spec-pinned; the HOF form
+    * cost 2,535 task-seconds at the f100 smoke's 200k×447 point). */
   private def nearestListsCol(qv: Column, cents: Array[Array[Long]],
-      n: Int): Column = {
-    val cl = cbLit(cents)
-    slice(transform(array_sort(
-      zip_with(cl, sequence(lit(0), lit(cents.length - 1)),
-        (c, i) => struct(
-          aggregate(zip_with(qv, c, (a, b) => abs(a - b)), lit(0L),
-            (acc, x) => acc + x).as("d"), i.as("i")))),
-      e => e.getField("i")), 1, n)
-  }
+      n: Int): Column =
+    graft.functions.NearestListsL1.topIdx(qv,
+      cents.map(_.toIndexedSeq).toIndexedSeq, n)
 
   /** IVFADC with RESIDUAL encoding — the standard recall refinement
     * (Jégou et al. 2011 §IV.B): the PQ codebook is trained on, and

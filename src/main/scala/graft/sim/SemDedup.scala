@@ -83,9 +83,16 @@ object SemDedup {
     * [[semDedup]] — the approximation buys bytes and FLOPs, never
     * recall (spec-pinned; q113 pins it against q87's oracle).
     *
-    * When it wins: clusters big enough that the pairwise stage
-    * dominates (the SemDeDup regime, N/C ≳ 10⁴) and selective enough
-    * thresholds that few pairs need exact rescore. */
+    * When it wins — and when it does not (measured, BENCH_NOTES r14
+    * A/B): the prefilter only pays when the uncertain band is small,
+    * i.e. codebooks tight enough (large m·k) that the error margins
+    * are narrow AND in-cluster near-dup density low enough that few
+    * pairs land in the band. On the factor-100 amplified corpus
+    * (~100× duplication, m=4/k=16) nearly every pair is a true
+    * near-dup, the margin covers most of the cosine range, and the
+    * rescore joins add two corpus-scale shuffles — the exact path
+    * won 9×. [[semDedup]] therefore stays the default; this variant
+    * is the opt-in for wide-vector, selective-threshold corpora. */
   def semDedupPq(corpus: DataFrame, threshold: Double,
       numCentroids: Int = 256, idCol: String = "vec_id",
       vecCol: String = "embedding", roundScale: Int = 6,

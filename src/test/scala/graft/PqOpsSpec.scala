@@ -109,6 +109,37 @@ class PqOpsSpec extends SparkSpec {
     assert(codes(0L) == 0 && codes(1L) == 0)
   }
 
+  test("NearestListsL1 kernel matches the relational array_sort form") {
+    import graft.functions.NearestListsL1
+    val rng = new scala.util.Random(7)
+    val dim = 16
+    val cents: Seq[Seq[Long]] = Seq.tabulate(9)(j =>
+      Seq.tabulate(dim)(i => 2097152L + rng.nextInt(4096) - 2048 + j))
+    val rows = (0L until 200L).map { id =>
+      // include exact centroid copies (tie pressure) and duplicates
+      if (id < 9) (id, cents(id.toInt))
+      else (id, Seq.tabulate(dim)(_ => 2097152L + rng.nextInt(8192) - 4096))
+    }
+    val df = rows.toDF("id", "qv")
+    for (n <- Seq(1, 3, 9, 12)) {
+      val relational = slice(transform(array_sort(
+        zip_with(
+          array(cents.map(c => array(c.map(lit): _*)): _*),
+          sequence(lit(0), lit(cents.length - 1)),
+          (c, i) => struct(
+            aggregate(zip_with(col("qv"), c, (a, b) => abs(a - b)),
+              lit(0L), (acc, x) => acc + x).as("d"), i.as("i")))),
+        e => e.getField("i")), 1, n)
+      val got = df.select(col("id"),
+          NearestListsL1.topIdx(col("qv"), cents, n).as("k"),
+          relational.as("r"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"id=${r.getLong(0)} n=$n")
+      }
+    }
+  }
+
   test("farthestSeed beats the id seed on clustered data") {
     // Three tight clusters; the 4 smallest ids all sit in cluster A,
     // so the plain id seed wastes all 4 inits there. The farthest-
