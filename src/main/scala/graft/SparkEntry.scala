@@ -2337,6 +2337,56 @@ object SparkEntry {
         col("component"), col("rep_id"), col("keep"))
       .orderBy("vec_id")
 
+  /** Square-root temperature mixture allocation ([[graft.text.MixOps
+    * .temperatureSqrtAllocationFraction]]): per-language budgets
+    * ∝ √tokens for a quarter-corpus training budget — the
+    * mBERT/XLM-R α=0.5 sampling recipe, exact-integer via corrected
+    * isqrt + Hamilton largest-remainder apportionment. The oracle
+    * replays the sqrt correction, the HUGEINT proportional floor,
+    * and the remainder ranking. */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{MixOps, TextOps}
+    val docs = t(s, dir, "documents").select(col("lang"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    MixOps.temperatureSqrtAllocationFraction(docs, "lang", "n_tok",
+        1L, 4L)
+      .orderBy("stratum")
+  }
+
+  /** ADC shortlist + exact rerank ([[graft.sim.PqOps.adcRerankTopK]],
+    * FAISS-style two-stage retrieval): q108's model and code corpus,
+    * shortlist 10 per query by ADC, exact integer-L1 rerank of the
+    * shortlist to top-5. The oracle replays the whole q108 chain plus
+    * the exact rerank of the shortlist pairs. */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.PqOps
+    val emb = t(s, dir, "embeddings")
+    val model = PqOps.pqTrain(emb, "vec_id", "embedding",
+      subspaces = 4, k = 4, iters = 1)
+    val enc = PqOps.pqEncode(emb, "vec_id", "embedding", model)
+    PqOps.adcRerankTopK(emb.filter(col("vec_id") < 5), emb, enc,
+        k = 5, shortlist = 10, model)
+      .orderBy("q_id", "rank")
+  }
+
+  /** ANN recall evaluation ([[graft.sim.EvalOps.recallAtK]]): q109's
+    * IVFADC result scored against flat ADC over the same codebook as
+    * ground truth — per-query hits and exact integer micro-unit
+    * recall. The oracle replays both rankings and the semi-join
+    * intersection. */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.{EvalOps, PqOps}
+    val emb = t(s, dir, "embeddings")
+    val model = PqOps.pqTrain(emb, "vec_id", "embedding",
+      subspaces = 4, k = 8, iters = 0)
+    val enc = PqOps.pqEncode(emb, "vec_id", "embedding", model)
+    val truth = PqOps.adcTopK(emb.filter(col("vec_id") < 5), enc, 5,
+      model)
+    val approx = PqOps.ivfPqTopK(emb.filter(col("vec_id") < 5), emb, 5,
+      model, numCoarse = 20, nProbe = 2)
+    EvalOps.recallAtK(approx, truth).orderBy("q_id")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -2464,6 +2514,9 @@ object SparkEntry {
     "q111_unimax_select"   -> (q111 _),
     "q112_ivfpq_residual"  -> (q112 _),
     "q113_semdedup_pq"     -> (q113 _),
+    "q114_temp_alloc"      -> (q114 _),
+    "q115_adc_rerank"      -> (q115 _),
+    "q116_ann_recall"      -> (q116 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -3624,6 +3677,137 @@ object SparkEntry {
         FROM d)
       SELECT q_id, rank::INT AS rank, n_id, adist
       FROM rk WHERE rank <= 5 ORDER BY q_id, rank""",
+    // q108's full PQ replay, shortlist widened to 10, then the exact
+    // integer-L1 rerank of the shortlist pairs down to top-5.
+    "q115_adc_rerank" -> """
+      WITH e AS (SELECT vec_id AS id,
+          list_transform(embedding::DOUBLE[],
+            x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) + 2097152)
+            AS qv
+        FROM embeddings),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      seed AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, qv
+               FROM e ORDER BY id LIMIT 4),
+      cb0 AS (SELECT sub, j,
+          list_slice(qv, sub * 16 + 1, sub * 16 + 16) AS cv
+        FROM seed CROSS JOIN subs),
+      sv AS (SELECT id, sub,
+          list_slice(qv, sub * 16 + 1, sub * 16 + 16) AS ssv
+        FROM e CROSS JOIN subs),
+      a0 AS (SELECT id, sub, j, ssv, row_number() OVER (
+            PARTITION BY id, sub ORDER BY
+            list_aggregate(list_transform(range(1, 17),
+              i -> abs(ssv[i] - cv[i])), 'sum') ASC, j ASC) AS r
+        FROM sv JOIN cb0 USING (sub)),
+      stats AS (SELECT sub, j AS cl, d.i AS dim,
+          sum(ssv[d.i])::BIGINT AS s, count(*)::BIGINT AS n
+        FROM (SELECT * FROM a0 WHERE r = 1) a
+        CROSS JOIN range(1, 17) d(i)
+        GROUP BY sub, j, d.i),
+      cb1 AS (SELECT c0.sub, c0.j,
+          coalesce(m.nv, c0.cv) AS cv
+        FROM cb0 c0 LEFT JOIN (
+          SELECT sub, cl, list((2 * s + n) // (2 * n) ORDER BY dim) AS nv
+          FROM stats GROUP BY sub, cl) m
+        ON c0.sub = m.sub AND c0.j = m.cl),
+      enc AS (SELECT id, sub, j AS code FROM (
+          SELECT sv.id, sv.sub, cb1.j, row_number() OVER (
+              PARTITION BY sv.id, sv.sub ORDER BY
+              list_aggregate(list_transform(range(1, 17),
+                i -> abs(ssv[i] - cv[i])), 'sum') ASC, j ASC) AS r
+          FROM sv JOIN cb1 USING (sub)) WHERE r = 1),
+      q AS (SELECT id AS q_id, sub, ssv AS qsv FROM sv WHERE id < 5),
+      d AS (SELECT q.q_id, enc.id AS n_id,
+          sum(list_aggregate(list_transform(range(1, 17),
+            i -> abs(qsv[i] - cv[i])), 'sum'))::BIGINT AS adist
+        FROM q JOIN enc ON q.sub = enc.sub AND q.q_id <> enc.id
+        JOIN cb1 ON cb1.sub = enc.sub AND cb1.j = enc.code
+        GROUP BY q.q_id, enc.id),
+      rk AS (SELECT q_id, n_id, adist, row_number() OVER (
+            PARTITION BY q_id ORDER BY adist ASC, n_id ASC) AS rank
+        FROM d),
+      sl AS (SELECT q_id, n_id FROM rk WHERE rank <= 10),
+      ex AS (SELECT sl.q_id, sl.n_id,
+          list_aggregate(list_transform(range(1, 65),
+            i -> abs(qa.qv[i] - qb.qv[i])), 'sum')::BIGINT AS dist
+        FROM sl JOIN e qa ON qa.id = sl.q_id
+        JOIN e qb ON qb.id = sl.n_id),
+      rr AS (SELECT q_id, n_id, dist, row_number() OVER (
+            PARTITION BY q_id ORDER BY dist ASC, n_id ASC) AS rank
+        FROM ex)
+      SELECT q_id, rank::INT AS rank, n_id, dist
+      FROM rr WHERE rank <= 5 ORDER BY q_id, rank""",
+    // q109's IVFADC chain + a flat-ADC ranking over the same seed
+    // codebook as ground truth, then the per-query intersection and
+    // the exact micro-unit recall division.
+    "q116_ann_recall" -> """
+      WITH e AS (SELECT vec_id AS id,
+          list_transform(embedding::DOUBLE[],
+            x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) + 2097152)
+            AS qv
+        FROM embeddings),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      seed AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, qv
+               FROM e ORDER BY id LIMIT 8),
+      cb AS (SELECT sub, j,
+          list_slice(qv, sub * 16 + 1, sub * 16 + 16) AS cv
+        FROM seed CROSS JOIN subs),
+      cent AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c_idx,
+          qv AS cqv
+        FROM e WHERE id % greatest(1,
+          (SELECT count(*) FROM embeddings) // 20) = 0),
+      lst AS (SELECT id, c_idx, row_number() OVER (PARTITION BY id
+            ORDER BY list_aggregate(list_transform(range(1, 65),
+              i -> abs(qv[i] - cqv[i])), 'sum') ASC, c_idx ASC) AS r
+        FROM e CROSS JOIN cent),
+      lists AS (SELECT id AS n_id, c_idx AS list_id FROM lst
+                WHERE r = 1),
+      sv AS (SELECT id, sub,
+          list_slice(qv, sub * 16 + 1, sub * 16 + 16) AS ssv
+        FROM e CROSS JOIN subs),
+      enc AS (SELECT id, sub, j AS code FROM (
+          SELECT sv.id, sv.sub, cb.j, row_number() OVER (
+              PARTITION BY sv.id, sv.sub ORDER BY
+              list_aggregate(list_transform(range(1, 17),
+                i -> abs(ssv[i] - cv[i])), 'sum') ASC, j ASC) AS r
+          FROM sv JOIN cb USING (sub)) WHERE r = 1),
+      probe AS (SELECT id AS q_id, c_idx AS list_id FROM lst
+                WHERE id < 5 AND r <= 2),
+      cand AS (SELECT p.q_id, l.n_id FROM probe p
+        JOIN lists l USING (list_id) WHERE p.q_id <> l.n_id),
+      q AS (SELECT id AS q_id, sub, ssv AS qsv FROM sv WHERE id < 5),
+      d AS (SELECT c.q_id, c.n_id,
+          sum(list_aggregate(list_transform(range(1, 17),
+            i -> abs(qsv[i] - cv[i])), 'sum'))::BIGINT AS adist
+        FROM cand c
+        JOIN q ON q.q_id = c.q_id
+        JOIN enc ON enc.id = c.n_id AND enc.sub = q.sub
+        JOIN cb ON cb.sub = enc.sub AND cb.j = enc.code
+        GROUP BY c.q_id, c.n_id),
+      rk AS (SELECT q_id, n_id, row_number() OVER (
+            PARTITION BY q_id ORDER BY adist ASC, n_id ASC) AS rank
+        FROM d),
+      dflat AS (SELECT q.q_id, enc.id AS n_id,
+          sum(list_aggregate(list_transform(range(1, 17),
+            i -> abs(qsv[i] - cv[i])), 'sum'))::BIGINT AS adist
+        FROM q JOIN enc ON q.sub = enc.sub AND q.q_id <> enc.id
+        JOIN cb ON cb.sub = enc.sub AND cb.j = enc.code
+        GROUP BY q.q_id, enc.id),
+      rkflat AS (SELECT q_id, n_id, row_number() OVER (
+            PARTITION BY q_id ORDER BY adist ASC, n_id ASC) AS rank
+        FROM dflat),
+      tr AS (SELECT q_id, n_id FROM rkflat WHERE rank <= 5),
+      ap AS (SELECT q_id, n_id FROM rk WHERE rank <= 5),
+      h AS (SELECT tr.q_id,
+          sum(CASE WHEN ap.n_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+            AS n_hit,
+          count(*)::BIGINT AS n_truth
+        FROM tr LEFT JOIN ap
+          ON tr.q_id = ap.q_id AND tr.n_id = ap.n_id
+        GROUP BY tr.q_id)
+      SELECT q_id, n_hit, n_truth,
+        ((n_hit * 1000000) // n_truth)::BIGINT AS recall_micro
+      FROM h ORDER BY q_id""",
     // IVFADC replay: coarse centroids = the q43 id-modulo sample
     // (0-based index in id order = Spark's list id), full-vector
     // integer-L1 assignment and probing, iters=0 seed codebook (the
@@ -3758,6 +3942,43 @@ object SparkEntry {
         FROM d)
       SELECT q_id, rank::INT AS rank, n_id, adist
       FROM rk WHERE rank <= 5 ORDER BY q_id, rank""",
+    // sqrt-temperature replay: corrected isqrt weights, HUGEINT
+    // proportional floor, Hamilton largest-remainder ranking —
+    // budget = floor(T/4) from the same token totals.
+    "q114_temp_alloc" -> (tokCte + """,
+      d AS (SELECT d0.lang, len(toks)::BIGINT AS n_tok
+        FROM tk JOIN documents d0 ON tk.doc_id = d0.doc_id),
+      tot AS (SELECT coalesce(lang, '') AS stratum,
+          sum(n_tok)::BIGINT AS n_tokens FROM d GROUP BY 1),
+      w0 AS (SELECT stratum, n_tokens,
+          CAST(floor(sqrt(n_tokens::DOUBLE)) AS BIGINT) AS s0
+        FROM tot),
+      w1 AS (SELECT stratum, n_tokens,
+          s0 - (CASE WHEN s0 * s0 > n_tokens THEN 1 ELSE 0 END) AS s1
+        FROM w0),
+      w AS (SELECT stratum, n_tokens,
+          (s1 + (CASE WHEN (s1 + 1) * (s1 + 1) <= n_tokens
+            THEN 1 ELSE 0 END))::BIGINT AS weight
+        FROM w1),
+      g AS (SELECT *, (SELECT sum(weight) FROM w)::BIGINT AS tw,
+          (SELECT sum(n_tokens) FROM w)::BIGINT AS tt FROM w),
+      b AS (SELECT *, (tt // 4)::BIGINT AS budget FROM g),
+      base AS (SELECT *,
+          CASE WHEN tw > 0
+            THEN ((weight::HUGEINT * budget) // tw) ELSE 0 END AS base_a,
+          CASE WHEN tw > 0
+            THEN ((weight::HUGEINT * budget) % tw) ELSE 0 END AS rem
+        FROM b),
+      fin AS (SELECT *,
+          CASE WHEN tw > 0
+            THEN budget - (SELECT sum(base_a) FROM base)
+            ELSE 0 END AS leftover,
+          row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rk
+        FROM base)
+      SELECT stratum, n_tokens, weight,
+        (base_a + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT
+          AS alloc_tokens, budget
+      FROM fin ORDER BY stratum"""),
     // UniMax allocation replay: the q25 tokenizer CTE supplies the
     // per-doc token counts, the shared unimaxOracleChain restates the
     // cap/budget floors, HUGEINT prefix test, and floor-share +

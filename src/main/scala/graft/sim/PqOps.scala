@@ -313,6 +313,44 @@ object PqOps {
       .select("q_id", "rank", "n_id", "adist")
   }
 
+  /** Two-stage retrieval: ADC shortlist + EXACT rerank — the standard
+    * FAISS refinement (Jégou et al. 2011 §VII "re-ranking"): stage 1
+    * ranks a `shortlist`-sized candidate set per query by cheap ADC
+    * lookups over the code corpus; stage 2 re-scores ONLY those
+    * shortlist·|Q| candidates with the exact integer L1 on the full
+    * quantized vectors and returns the top k. Buys back the
+    * quantization error of pure ADC at the cost of one
+    * candidate-sliver join — the corpus-wide scan still moves only
+    * codes, and the exact vectors are fetched for shortlist·|Q| rows,
+    * not N. The vector fetch join is shuffle-hash-pinned (corpus-
+    * derived side, never estimate-broadcast); the query side rides
+    * the same bounded-broadcast contract as [[adcTopK]].
+    * Returns (q_id, rank, n_id, dist) with dist = EXACT micro-unit
+    * L1, ranked (dist ASC, n_id ASC). Requires shortlist >= k. */
+  def adcRerankTopK(queries: DataFrame, corpus: DataFrame,
+      encoded: DataFrame, k: Int, shortlist: Int, model: PqModel,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val cand = adcTopK(queries, encoded, shortlist, model, idCol, vecCol)
+      .select("q_id", "n_id")
+    val nvec = corpus.select(col(idCol).cast("long").as("n_id"),
+      quantize(col(vecCol), model.scaleBits).as("__nqv"))
+    val qvec = queries.select(col(idCol).cast("long").as("q_id"),
+      quantize(col(vecCol), model.scaleBits).as("__qqv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist").asc, col("n_id").asc)
+    cand.join(nvec.hint("shuffle_hash"), "n_id")
+      .join(broadcast(qvec), "q_id")
+      .select(col("q_id"), col("n_id"),
+        aggregate(zip_with(col("__qqv"), col("__nqv"),
+          (a, b) => abs(a - b)), lit(0L), (acc, x) => acc + x)
+          .as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "dist")
+  }
+
   /** IVFADC: coarse-quantize the corpus into inverted lists (integer
     * L1 against a count-derived id-modulo centroid sample — the
     * [[Similarity.ivfTopK]] seed, kept deterministic and

@@ -129,6 +129,84 @@ object MixOps {
       mulDivFloor(col("__T"), num, den), capNum, capDen)
   }
 
+  /** Square-root temperature allocation — the mBERT/XLM-R "α = 0.5
+    * exponentiated sampling" mixture recipe (Devlin 2019 app.,
+    * Conneau & Lample 2019 §3): stratum l gets budget
+    * floor(B·√n_l / Σ√n) — head strata down-weighted, tails
+    * up-weighted, smoothly between proportional (α=1) and uniform
+    * (α=0). Everything exact BIGINT: weights are CORRECTED integer
+    * square roots (floor(sqrt(n)) ± 1 fixup, so no fp-edge
+    * divergence between engines), the proportional share is
+    * floor(w·B / W) in DECIMAL(38,0) (w·B overflows Long at corpus
+    * scale), and the dropped remainder tokens are re-dealt by
+    * Hamilton largest-remainder apportionment — +1 to the strata
+    * with the largest `(w·B) mod W`, ties to stratum ASC — so
+    * allocations sum to EXACTLY min-of-nothing: B when W > 0 (the
+    * apportionment is exact), 0 when the corpus is empty.
+    *
+    * Same scale shape as [[unimaxAllocation]]: one map-side-combining
+    * corpus groupBy, then a window pass over the L-row stratum
+    * aggregate. Returns (stratum, n_tokens, weight, alloc_tokens,
+    * budget). */
+  def temperatureSqrtAllocation(df: DataFrame, stratumCol: String,
+      tokenCol: String, totalBudget: Long): DataFrame = {
+    require(totalBudget >= 0, s"totalBudget=$totalBudget")
+    allocateSqrt(df, stratumCol, tokenCol, lit(totalBudget))
+  }
+
+  /** [[temperatureSqrtAllocation]] with budget = floor(T·num/den)
+    * derived inside the same window pass. */
+  def temperatureSqrtAllocationFraction(df: DataFrame,
+      stratumCol: String, tokenCol: String, num: Long, den: Long)
+      : DataFrame = {
+    require(den > 0 && num >= 0, s"num=$num den=$den")
+    allocateSqrt(df, stratumCol, tokenCol,
+      mulDivFloor(col("__T"), num, den))
+  }
+
+  /** Corrected integer sqrt: floor(sqrt(x)) exactly for 0 ≤ x ≲ 2^52
+    * (token counts). The fp sqrt can land one off at either side of a
+    * perfect square; two integer comparisons fix it up. */
+  private def isqrt(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    val down = s0 - when(s0 * s0 > x, 1L).otherwise(0L)
+    down + when((down + 1) * (down + 1) <= x, 1L).otherwise(0L)
+  }
+
+  private def allocateSqrt(df: DataFrame, stratumCol: String,
+      tokenCol: String, budgetCol: Column): DataFrame = {
+    val totals = df
+      .groupBy(coalesce(col(stratumCol).cast("string"), lit(""))
+        .as("stratum"))
+      .agg(sum(coalesce(col(tokenCol).cast("long"), lit(0L)))
+        .as("n_tokens"))
+    val wAll = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRem = Window.orderBy(col("__rem").desc, col("stratum").asc)
+    val big = (c: Column) => c.cast("decimal(38,0)")
+    totals
+      .withColumn("weight", isqrt(col("n_tokens")))
+      .withColumn("__W", sum("weight").over(wAll))
+      .withColumn("__T", sum("n_tokens").over(wAll))
+      .withColumn("budget", budgetCol)
+      // floor(w·B/W) and (w·B) mod W in decimal — exact, no overflow
+      .withColumn("__base",
+        when(col("__W") > 0, expr("CAST((CAST(weight AS DECIMAL(38,0))"
+          + " * budget) div __W AS BIGINT)")).otherwise(lit(0L)))
+      .withColumn("__rem",
+        when(col("__W") > 0,
+          (big(col("weight")) * big(col("budget"))) % big(col("__W")))
+          .otherwise(lit(0)))
+      .withColumn("__left",
+        when(col("__W") > 0, col("budget") - sum("__base").over(wAll))
+          .otherwise(lit(0L)))
+      .withColumn("__rk", row_number().over(wRem))
+      .withColumn("alloc_tokens",
+        col("__base") + when(col("__rk") <= col("__left"), 1L)
+          .otherwise(0L))
+      .select("stratum", "n_tokens", "weight", "alloc_tokens", "budget")
+  }
+
   private def allocate(df: DataFrame, stratumCol: String,
       tokenCol: String, budgetCol: Column, capNum: Long,
       capDen: Long): DataFrame = {

@@ -119,6 +119,31 @@ class MixOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(5)).distinct.toSeq == Seq(7L))
   }
 
+  test("temperatureSqrtAllocation: isqrt weights + exact Hamilton apportionment") {
+    // totals: a=100 (w=10), b=400 (w=20), c=10000 (w=100), d=0 (w=0),
+    // null->""=25 (w=5); W=135. budget=1000:
+    // base = floor(w*1000/135) = 74/148/740/0/37 (sum 999),
+    // leftover 1 goes to the largest remainder (c: 100).
+    val docs = Seq(("a", 60L), ("a", 40L), ("b", 400L), ("c", 10000L),
+      ("d", 0L), (null, 25L)).toDF("src", "n_tok")
+    val out = MixOps.temperatureSqrtAllocation(docs, "src", "n_tok", 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map("a" -> (10L, 74L), "b" -> (20L, 148L),
+      "c" -> (100L, 741L), "d" -> (0L, 0L), "" -> (5L, 37L)))
+    assert(out.values.map(_._2).sum == 1000L)
+    // fraction variant: T = 10525, floor(T/5) = 2105; still exact-sum
+    val frac = MixOps.temperatureSqrtAllocationFraction(docs, "src",
+      "n_tok", 1L, 5L).collect()
+    assert(frac.map(_.getLong(4)).distinct.toSeq == Seq(2105L))
+    assert(frac.map(_.getLong(3)).sum == 2105L)
+    // partition invariance
+    val out7 = MixOps.temperatureSqrtAllocation(docs.repartition(7),
+      "src", "n_tok", 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out7 == out.map { case (k, (_, a)) => k -> a })
+  }
+
   test("budgetSelectUnimax fills each stratum to its derived budget") {
     // priorities descend with id so the greedy order is id ASC
     val docs = (1L to 40L).map { i =>

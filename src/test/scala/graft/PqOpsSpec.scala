@@ -191,6 +191,43 @@ class PqOpsSpec extends SparkSpec {
     }
   }
 
+  test("adcRerankTopK with a full shortlist equals exact L1 top-k") {
+    // shortlist = every candidate (n−1 after self-exclusion), so the
+    // rerank stage sees the whole corpus and must return the exact
+    // integer-L1 ranking regardless of how lossy the codes are.
+    val model = PqOps.pqTrain(df, "vec_id", "embedding",
+      subspaces = 2, k = 2, iters = 0) // deliberately coarse codes
+    val enc = PqOps.pqEncode(df, "vec_id", "embedding", model)
+    val got = PqOps.adcRerankTopK(df.filter(col("vec_id") < 2), df,
+        enc, k = 3, shortlist = vecs.size - 1, model)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val q = vecs.map { case (id, v) => id -> quant(v, 20) }.toMap
+    for (qid <- Seq(0L, 1L)) {
+      val exact = vecs.map(_._1).filter(_ != qid)
+        .map(n => n -> l1(q(qid), q(n))).sortBy { case (n, d) => (d, n) }
+      (1 to 3).foreach { r =>
+        assert(got((qid, r)) == exact(r - 1), s"q=$qid rank=$r")
+      }
+    }
+  }
+
+  test("recallAtK: exact micro-unit recall; approx-only queries drop") {
+    import graft.sim.EvalOps
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 99L))
+      .toDF("q_id", "n_id")
+    val truth = Seq((1L, 10L), (1L, 12L), (2L, 20L), (2L, 21L),
+      (4L, 40L)).toDF("q_id", "n_id")
+    val got = EvalOps.recallAtK(approx, truth).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // q1: 1 of 2 hit; q2: 1 of 2; q4: truth but no approx -> 0;
+    // q3: approx only, no truth row
+    assert(got == Map(1L -> (1L, 2L, 500000L), 2L -> (1L, 2L, 500000L),
+      4L -> (0L, 1L, 0L)))
+  }
+
   test("ivfPqTopK with all lists probed equals flat ADC top-k") {
     val model = PqOps.pqTrain(df, "vec_id", "embedding",
       subspaces = 2, k = 4, iters = 2)
