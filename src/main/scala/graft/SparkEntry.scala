@@ -2387,6 +2387,31 @@ object SparkEntry {
     EvalOps.recallAtK(approx, truth).orderBy("q_id")
   }
 
+  /** End-to-end √-temperature mixing ([[graft.text.BudgetOps
+    * .budgetSelectTemperatureSqrtFraction]]): q114's allocation
+    * derived from the fill's own pass-1 totals, then each language
+    * greedily filled to its apportioned budget in (priority DESC,
+    * doc_id) order — the q111 dataflow with the mBERT α=0.5 recipe
+    * in place of UniMax. */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{BudgetOps, TextOps}
+    val tk = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextOps.tokens(col("text")).as("__tk"))
+    val sw = array(TextOps.EnglishStopwords.map(lit): _*)
+    val docs = tk.select(col("doc_id"), col("lang"),
+      size(col("__tk")).cast("long").as("n_tok"),
+      when(size(col("__tk")) > 0,
+        size(filter(col("__tk"), x => array_contains(sw, x)))
+          .cast("double") / size(col("__tk")))
+        .otherwise(lit(0.0)).as("priority"))
+    BudgetOps.budgetSelectTemperatureSqrtFraction(docs, "doc_id",
+        "n_tok", "priority", "lang", 1L, 4L)
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        rnd(col("priority"), 6).as("priority"),
+        col("cum_tokens"), col("budget"), col("selected"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -2517,6 +2542,7 @@ object SparkEntry {
     "q114_temp_alloc"      -> (q114 _),
     "q115_adc_rerank"      -> (q115 _),
     "q116_ann_recall"      -> (q116 _),
+    "q117_temp_select"     -> (q117 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -3979,6 +4005,56 @@ object SparkEntry {
         (base_a + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT
           AS alloc_tokens, budget
       FROM fin ORDER BY stratum"""),
+    // q114's sqrt-temperature chain over q111's per-doc frame, then
+    // the q102 greedy replay joined on the folded stratum key.
+    "q117_temp_select" -> (tokCte + """,
+      d AS (SELECT tk.doc_id, d0.lang, len(toks)::BIGINT AS n_tok,
+          CASE WHEN len(toks) > 0
+            THEN len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are'], x)))::DOUBLE
+              / len(toks) ELSE 0.0 END AS priority
+        FROM tk JOIN documents d0 ON tk.doc_id = d0.doc_id),
+      tot AS (SELECT coalesce(lang, '') AS stratum,
+          sum(n_tok)::BIGINT AS n_tokens FROM d GROUP BY 1),
+      w0 AS (SELECT stratum, n_tokens,
+          CAST(floor(sqrt(n_tokens::DOUBLE)) AS BIGINT) AS s0
+        FROM tot),
+      w1 AS (SELECT stratum, n_tokens,
+          s0 - (CASE WHEN s0 * s0 > n_tokens THEN 1 ELSE 0 END) AS s1
+        FROM w0),
+      w AS (SELECT stratum, n_tokens,
+          (s1 + (CASE WHEN (s1 + 1) * (s1 + 1) <= n_tokens
+            THEN 1 ELSE 0 END))::BIGINT AS weight
+        FROM w1),
+      g AS (SELECT *, (SELECT sum(weight) FROM w)::BIGINT AS tw,
+          (SELECT sum(n_tokens) FROM w)::BIGINT AS tt FROM w),
+      b AS (SELECT *, (tt // 4)::BIGINT AS budget FROM g),
+      base AS (SELECT *,
+          CASE WHEN tw > 0
+            THEN ((weight::HUGEINT * budget) // tw) ELSE 0 END AS base_a,
+          CASE WHEN tw > 0
+            THEN ((weight::HUGEINT * budget) % tw) ELSE 0 END AS rem
+        FROM b),
+      fin AS (SELECT *,
+          CASE WHEN tw > 0
+            THEN budget - (SELECT sum(base_a) FROM base)
+            ELSE 0 END AS leftover,
+          row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rk
+        FROM base),
+      alloc AS (SELECT stratum,
+          (base_a + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT
+            AS alloc_tokens
+        FROM fin),
+      c AS (SELECT doc_id, lang, n_tok, priority,
+          (sum(n_tok) OVER (PARTITION BY coalesce(lang, '')
+            ORDER BY priority DESC, doc_id))::BIGINT AS cum_tokens,
+          coalesce(lang, '') AS strat
+        FROM d)
+      SELECT c.doc_id, c.lang, c.n_tok,
+        floor(c.priority * 1000000.0 + 0.5) / 1000000.0 AS priority,
+        c.cum_tokens, a.alloc_tokens AS budget,
+        (c.cum_tokens - c.n_tok < a.alloc_tokens) AS selected
+      FROM c JOIN alloc a ON c.strat = a.stratum
+      ORDER BY c.doc_id"""),
     // UniMax allocation replay: the q25 tokenizer CTE supplies the
     // per-doc token counts, the shared unimaxOracleChain restates the
     // cap/budget floors, HUGEINT prefix test, and floor-share +

@@ -145,6 +145,32 @@ object BudgetOps {
       })
   }
 
+  /** Per-stratum fill with budgets DERIVED by √-temperature
+    * apportionment ([[MixOps.temperatureSqrtAllocate]] — the
+    * mBERT/XLM-R α=0.5 recipe): total budget `totalBudget` split
+    * ∝ √stratumTokens, computed from the SAME pass-1 totals the fill
+    * already collects (the [[budgetSelectUnimax]] contract with the
+    * sqrt closed form as the budget rule). */
+  def budgetSelectTemperatureSqrt(df: DataFrame, idCol: String,
+      tokenCol: String, priorityCol: String, stratumCol: String,
+      totalBudget: Long): DataFrame =
+    runPerStratum(df, idCol, tokenCol, priorityCol, stratumCol,
+      totals => MixOps.temperatureSqrtAllocate(totals, totalBudget))
+
+  /** [[budgetSelectTemperatureSqrt]] with totalBudget =
+    * floor(corpusTokens·num/den), both derived from pass-1 totals. */
+  def budgetSelectTemperatureSqrtFraction(df: DataFrame, idCol: String,
+      tokenCol: String, priorityCol: String, stratumCol: String,
+      num: Long, den: Long): DataFrame = {
+    require(den > 0 && num >= 0, s"num=$num den=$den")
+    runPerStratum(df, idCol, tokenCol, priorityCol, stratumCol,
+      totals => {
+        val total = totals.valuesIterator.map(BigInt(_)).sum
+        MixOps.temperatureSqrtAllocate(totals,
+          (total * num / den).toLong)
+      })
+  }
+
   /** Internal working-column name that cannot collide with any input
     * column: `base`, or `base` + the first integer suffix free in
     * `cols`. Keeps the only reserved OUTPUT names the documented

@@ -164,6 +164,31 @@ object MixOps {
       mulDivFloor(col("__T"), num, den))
   }
 
+  /** Driver-side √-temperature allocation — the pure closed form of
+    * [[temperatureSqrtAllocation]] (spec-pinned equal), shared by
+    * [[BudgetOps.budgetSelectTemperatureSqrt]]'s pass-1 hook. */
+  def temperatureSqrtAllocate(totals: Map[String, Long], budget: Long)
+      : Map[String, Long] = {
+    require(budget >= 0, s"budget=$budget")
+    require(totals.valuesIterator.forall(_ >= 0),
+      "temperatureSqrtAllocate: token totals must be non-negative")
+    def isqrtL(n: Long): Long = {
+      val s0 = math.sqrt(n.toDouble).toLong
+      val down = if (s0 * s0 > n) s0 - 1 else s0
+      if ((down + 1) * (down + 1) <= n) down + 1 else down
+    }
+    val w = totals.map { case (s, n) => s -> isqrtL(n) }
+    val tw = w.valuesIterator.map(BigInt(_)).sum
+    if (tw <= 0) return totals.map { case (s, _) => s -> 0L }
+    val base = w.map { case (s, wi) =>
+      s -> (BigInt(wi) * budget / tw).toLong }
+    val rem = w.map { case (s, wi) => s -> (BigInt(wi) * budget % tw) }
+    var leftover = budget - base.valuesIterator.sum
+    val order = rem.toSeq.sortBy { case (s, r) => (-r, s) }.map(_._1)
+    val plus = order.take(leftover.toInt).toSet
+    base.map { case (s, b) => s -> (b + (if (plus(s)) 1L else 0L)) }
+  }
+
   /** Corrected integer sqrt: floor(sqrt(x)) exactly for 0 ≤ x ≲ 2^52
     * (token counts). The fp sqrt can land one off at either side of a
     * perfect square; two integer comparisons fix it up. */

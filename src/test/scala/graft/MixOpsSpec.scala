@@ -144,6 +144,33 @@ class MixOpsSpec extends SparkSpec {
     assert(out7 == out.map { case (k, (_, a)) => k -> a })
   }
 
+  test("temperatureSqrtAllocate closed form == window restatement; fill uses it") {
+    val docs = Seq(("a", 60L), ("a", 40L), ("b", 400L), ("c", 10000L),
+      ("d", 0L), (null, 25L)).toDF("src", "n_tok")
+    val totals = Map("a" -> 100L, "b" -> 400L, "c" -> 10000L,
+      "d" -> 0L, "" -> 25L)
+    val want = MixOps.temperatureSqrtAllocate(totals, 1000L)
+    val win = MixOps.temperatureSqrtAllocation(docs, "src", "n_tok", 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(win == want)
+    assert(want.values.sum == 1000L)
+    // fill: priorities descend with id so greedy order is id ASC;
+    // budgets must equal the closed-form apportionment
+    val pool = (1L to 30L).map { i =>
+      (i, if (i <= 10) "s" else "t", 10L, -i.toDouble)
+    }.toDF("id", "src", "n_tok", "pri")
+    // totals: s=100 (w=10), t=200 (w=14), W=24, budget=120:
+    // base s=50, t=70, sum 120, leftover 0
+    val out = BudgetOps.budgetSelectTemperatureSqrt(pool, "id", "n_tok",
+      "pri", "src", 120L).collect()
+    val budgets = out.map(r => r.getString(1) -> r.getLong(5)).toMap
+    assert(budgets == Map("s" -> 50L, "t" -> 70L))
+    assert(budgets == MixOps.temperatureSqrtAllocate(
+      Map("s" -> 100L, "t" -> 200L), 120L))
+    val selected = out.filter(_.getBoolean(6)).map(_.getLong(0)).toSet
+    assert(selected == ((1L to 5L) ++ (11L to 17L)).toSet)
+  }
+
   test("budgetSelectUnimax fills each stratum to its derived budget") {
     // priorities descend with id so the greedy order is id ASC
     val docs = (1L to 40L).map { i =>
