@@ -74,7 +74,7 @@ object PqOps {
     * micro-units (the [[ClusterOps]] grid — offsets cancel in every
     * L1 difference, so only the update's floor division needs the
     * all-positive guarantee). */
-  private def quantize(vec: Column, scaleBits: Int): Column = {
+  private[sim] def quantize(vec: Column, scaleBits: Int): Column = {
     val scale = (1L << scaleBits).toDouble
     val offset = 1L << (scaleBits + 1)
     transform(vec, x =>
@@ -250,9 +250,9 @@ object PqOps {
         array((0 until model.subspaces).map(s => col(s"__c$s")): _*))
       .drop((0 until model.subspaces).map(s => s"__c$s") :+ "qv": _*)
       .withColumn("__recon",
-        flatten(transform(sequence(lit(0), lit(model.subspaces - 1)),
-          s => element_at(element_at(rec, s + 1),
-            element_at(col("__codes"), s + 1) + 1))))
+        concat((0 until model.subspaces).map(s =>
+          element_at(element_at(rec, s + 1),
+            element_at(col("__codes"), s + 1) + 1)): _*))
       // both scalars in one expression: __recon referenced twice, so
       // CollapseProject keeps the staged array (the ClusterOps rule)
       .withColumn("__pqs", struct(
@@ -265,6 +265,17 @@ object PqOps {
       .withColumn("__pqnorm", col("__pqs.n"))
       .drop("__recon", "__pqs")
   }
+
+  /** Per-candidate ADC sum, unrolled over the m subspaces: plain
+    * element_at chains stay inside whole-stage codegen, where the
+    * equivalent aggregate-over-zip_with higher-order function
+    * evaluates interpreted per candidate (the r14 q113 bench
+    * finding). Reads the conventional `__lut`/`__codes` columns. */
+  private def adcSum(m: Int): Column =
+    (0 until m).map { s =>
+      element_at(element_at(col("__lut"), s + 1),
+        element_at(col("__codes"), s + 1) + 1)
+    }.reduce(_ + _)
 
   /** Query-side ADC lookup table: `lut(s)(j)` = exact L1 (micro-units)
     * from the query's subspace-s slice to centroid j — computed once
@@ -303,9 +314,7 @@ object PqOps {
       col("codes").as("__codes"))
     val scored = broadcast(q).join(c, col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        aggregate(zip_with(col("__lut"), col("__codes"),
-          (l, cd) => element_at(l, cd + 1)), lit(0L),
-          (acc, x) => acc + x).as("adist"))
+        adcSum(model.subspaces).as("adist"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adist").asc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -400,9 +409,7 @@ object PqOps {
     probes.join(lists.hint("merge"), "list_id")
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        aggregate(zip_with(col("__lut"), col("__codes"),
-          (l, cd) => element_at(l, cd + 1)), lit(0L),
-          (acc, x) => acc + x).as("adist"))
+        adcSum(model.subspaces).as("adist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "n_id", "adist")
@@ -505,9 +512,7 @@ object PqOps {
     probes.join(lists.hint("merge"), "list_id")
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        aggregate(zip_with(col("__lut"), col("__codes"),
-          (l, cd) => element_at(l, cd + 1)), lit(0L),
-          (acc, x) => acc + x).as("adist"))
+        adcSum(model.subspaces).as("adist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "n_id", "adist")
