@@ -2412,6 +2412,39 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** SQ8 scalar quantization ([[graft.sim.SqOps]]): per-dimension
+    * [min, max] bounds from one corpus pass, 8-bit affine codes, and
+    * asymmetric top-k (exact query vs decoded candidates) — the
+    * FAISS `SQ8` quantizer tier next to PQ (q108). All-integer:
+    * codes round half-up via `(510·(v−min) + span) div (2·span)`,
+    * decode is `min + (2·code·span + 255) div 510`, distances are
+    * BIGINT L1 sums. The oracle replays bounds, codes, decode, and
+    * the all-pairs ranking. */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.SqOps
+    val emb = t(s, dir, "embeddings")
+    val model = SqOps.sqTrain(emb, "vec_id", "embedding")
+    val enc = SqOps.sqEncode(emb, "vec_id", "embedding", model)
+    SqOps.sqTopK(emb.filter(col("vec_id") < 5), enc, 5, model)
+      .orderBy("q_id", "rank")
+  }
+
+  /** IVF + SQ8 ([[graft.sim.SqOps.ivfSqTopK]]): q118's scalar
+    * quantizer composed with q109's coarse-list layer — the
+    * `IVF…,SQ8` FAISS layout. Coarse centroids are the count-derived
+    * id-modulo sample assigned by integer L1; each query SQ-scores
+    * only its 2 probed lists through the merge-pinned probes↔lists
+    * join. The oracle replays coarse assignment, probing, SQ
+    * encoding/decoding, and the candidate-restricted ranking. */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.SqOps
+    val emb = t(s, dir, "embeddings")
+    val model = SqOps.sqTrain(emb, "vec_id", "embedding")
+    SqOps.ivfSqTopK(emb.filter(col("vec_id") < 5), emb, 5, model,
+        numCoarse = 20, nProbe = 2)
+      .orderBy("q_id", "rank")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -2543,6 +2576,8 @@ object SparkEntry {
     "q115_adc_rerank"      -> (q115 _),
     "q116_ann_recall"      -> (q116 _),
     "q117_temp_select"     -> (q117 _),
+    "q118_sq_ann"          -> (q118 _),
+    "q119_ivfsq_ann"       -> (q119 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -3881,6 +3916,76 @@ object SparkEntry {
         JOIN q ON q.q_id = c.q_id
         JOIN enc ON enc.id = c.n_id AND enc.sub = q.sub
         JOIN cb ON cb.sub = enc.sub AND cb.j = enc.code
+        GROUP BY c.q_id, c.n_id),
+      rk AS (SELECT q_id, n_id, adist, row_number() OVER (
+            PARTITION BY q_id ORDER BY adist ASC, n_id ASC) AS rank
+        FROM d)
+      SELECT q_id, rank::INT AS rank, n_id, adist
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank""",
+    // SQ8 replay: per-dimension bounds in one aggregation, half-up
+    // affine codes, branchless decode, all-pairs integer-L1 ranking.
+    "q118_sq_ann" -> """
+      WITH e AS (SELECT vec_id AS id,
+          list_transform(embedding::DOUBLE[],
+            x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) + 2097152)
+            AS qv
+        FROM embeddings),
+      dims AS (SELECT unnest(range(1, 65)) AS i),
+      st AS (SELECT i, min(qv[i]) AS mn, max(qv[i]) AS mx
+        FROM e CROSS JOIN dims GROUP BY i),
+      dec AS (SELECT id, i,
+          mn + (2 * (CASE WHEN mx = mn THEN 0
+            ELSE ((qv[i] - mn) * 510 + (mx - mn)) // (2 * (mx - mn))
+            END) * (mx - mn) + 255) // 510 AS rv
+        FROM e CROSS JOIN dims JOIN st USING (i)),
+      q AS (SELECT id AS q_id, i, qv[i] AS qvi
+        FROM e CROSS JOIN dims WHERE id < 5),
+      d AS (SELECT q_id, dec.id AS n_id,
+          sum(abs(qvi - rv))::BIGINT AS adist
+        FROM q JOIN dec ON q.i = dec.i AND q_id <> dec.id
+        GROUP BY q_id, dec.id),
+      rk AS (SELECT q_id, n_id, adist, row_number() OVER (
+            PARTITION BY q_id ORDER BY adist ASC, n_id ASC) AS rank
+        FROM d)
+      SELECT q_id, rank::INT AS rank, n_id, adist
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank""",
+    // IVF,SQ8 replay: q109's coarse assignment + probing over q118's
+    // SQ decode, candidate-restricted ranking.
+    "q119_ivfsq_ann" -> """
+      WITH e AS (SELECT vec_id AS id,
+          list_transform(embedding::DOUBLE[],
+            x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) + 2097152)
+            AS qv
+        FROM embeddings),
+      dims AS (SELECT unnest(range(1, 65)) AS i),
+      st AS (SELECT i, min(qv[i]) AS mn, max(qv[i]) AS mx
+        FROM e CROSS JOIN dims GROUP BY i),
+      dec AS (SELECT id, i,
+          mn + (2 * (CASE WHEN mx = mn THEN 0
+            ELSE ((qv[i] - mn) * 510 + (mx - mn)) // (2 * (mx - mn))
+            END) * (mx - mn) + 255) // 510 AS rv
+        FROM e CROSS JOIN dims JOIN st USING (i)),
+      cent AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c_idx,
+          qv AS cqv
+        FROM e WHERE id % greatest(1,
+          (SELECT count(*) FROM embeddings) // 20) = 0),
+      lst AS (SELECT id, c_idx, row_number() OVER (PARTITION BY id
+            ORDER BY list_aggregate(list_transform(range(1, 65),
+              i -> abs(qv[i] - cqv[i])), 'sum') ASC, c_idx ASC) AS r
+        FROM e CROSS JOIN cent),
+      lists AS (SELECT id AS n_id, c_idx AS list_id FROM lst
+                WHERE r = 1),
+      probe AS (SELECT id AS q_id, c_idx AS list_id FROM lst
+                WHERE id < 5 AND r <= 2),
+      cand AS (SELECT p.q_id, l.n_id FROM probe p
+        JOIN lists l USING (list_id) WHERE p.q_id <> l.n_id),
+      q AS (SELECT id AS q_id, i, qv[i] AS qvi
+        FROM e CROSS JOIN dims WHERE id < 5),
+      d AS (SELECT c.q_id, c.n_id,
+          sum(abs(qvi - rv))::BIGINT AS adist
+        FROM cand c
+        JOIN q ON q.q_id = c.q_id
+        JOIN dec ON dec.id = c.n_id AND dec.i = q.i
         GROUP BY c.q_id, c.n_id),
       rk AS (SELECT q_id, n_id, adist, row_number() OVER (
             PARTITION BY q_id ORDER BY adist ASC, n_id ASC) AS rank
