@@ -2445,6 +2445,21 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
+  /** SSL-prototype diversity pruning ([[graft.sim.PruneOps
+    * .protoPrune]]) — the D4 companion to SemDeDup (q87): assign
+    * each vector to its nearest coarse centroid (the q87 quantizer
+    * verbatim), score prototypicality as the rounded centroid
+    * cosine, and drop the most prototypical quarter of each cluster
+    * by the exact integer cut floor(n/4). The oracle replays
+    * assignment, scoring, the total (cos DESC NULLS LAST, id) rank,
+    * and the integer cut. */
+  private def q120(s: SparkSession, dir: String): DataFrame =
+    graft.sim.PruneOps.protoPrune(t(s, dir, "embeddings"), 1L, 4L,
+        numCentroids = 20)
+      .select(col("id").as("vec_id"), col("cluster"), col("cos_c"),
+        col("rank"), col("cluster_n"), col("keep"))
+      .orderBy("vec_id")
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -2578,6 +2593,7 @@ object SparkEntry {
     "q117_temp_select"     -> (q117 _),
     "q118_sq_ann"          -> (q118 _),
     "q119_ivfsq_ann"       -> (q119 _),
+    "q120_proto_prune"     -> (q120 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -4641,6 +4657,36 @@ object SparkEntry {
     // pair set at 0.35, recursive-CTE reachability (q41's convention),
     // exemplar = first by (cos_c ASC NULLS FIRST, id ASC).
     "q87_semdedup" -> semdedupOracle,
+    // q87's quantizer + scoring verbatim, then the per-cluster
+    // prototypicality rank and the exact integer quarter cut.
+    "q120_proto_prune" -> """
+      WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      cent AS (SELECT id AS c_id, v AS cv, nrm AS cnrm FROM n
+               WHERE id % greatest(1,
+                 (SELECT count(*) FROM embeddings) // 20) = 0),
+      assign AS (SELECT n.id, c_id,
+          (CASE WHEN n.nrm > 0.0 AND cnrm > 0.0
+            THEN floor(list_inner_product(n.v, cv) / (n.nrm * cnrm)
+                   * 1000000.0 + 0.5) / 1000000.0 END) AS cosc,
+          row_number() OVER (PARTITION BY n.id ORDER BY
+            (CASE WHEN n.nrm > 0.0 AND cnrm > 0.0
+              THEN floor(list_inner_product(n.v, cv) / (n.nrm * cnrm)
+                     * 1000000.0 + 0.5) / 1000000.0 END) DESC,
+            c_id ASC) AS r
+        FROM n CROSS JOIN cent),
+      m AS (SELECT id, c_id AS cluster, cosc AS cos_c
+            FROM assign WHERE r = 1),
+      rk AS (SELECT id, cluster, cos_c,
+          row_number() OVER (PARTITION BY cluster
+            ORDER BY cos_c DESC NULLS LAST, id ASC) AS rank,
+          count(*) OVER (PARTITION BY cluster) AS cluster_n
+        FROM m)
+      SELECT id::BIGINT AS vec_id, cluster::BIGINT AS cluster, cos_c,
+             rank::INT AS rank, cluster_n::BIGINT AS cluster_n,
+             (rank > cluster_n // 4) AS keep
+      FROM rk ORDER BY vec_id""",
     // The PQ/SDC variant is OUTPUT-IDENTICAL to q87 by construction
     // (exact-recall prefilter + exact rescore), so it is pinned
     // against the very same replay — any recall loss in the SDC

@@ -1,0 +1,107 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Prototype-based diversity pruning — the "SSL prototypes" data
+  * pruning metric (Sorscher et al., "Beyond neural scaling laws:
+  * beating power law scaling via data pruning", NeurIPS 2022) as
+  * applied to LLM corpora by the D4 pipeline (Tirumala et al.,
+  * "D4: Improving LLM Pretraining via Document De-Duplication and
+  * Diversification", 2023, arXiv:2308.12284): cluster the corpus
+  * with a small quantizer, score every document by its cosine to
+  * its cluster centroid (PROTOTYPICALITY), and drop the MOST
+  * prototypical fraction of each cluster. The empirical law the
+  * papers establish: with abundant data, the easy/typical examples
+  * teach the least — pruning them beats random pruning and keeps
+  * the diverse tail. D4 runs exactly this after SemDeDup
+  * ([[SemDedup]]), which is why the two operators share their
+  * quantizer and scoring conventions here.
+  *
+  * Scale shape (one shuffle total):
+  *   1. centroid pick: deterministic id-modulo sample — the
+  *      [[SemDedup]]/[[Similarity.ivfTopK]] contract, |C| bounded by
+  *      the parameter.
+  *   2. assignment + centroid cosine: the fused
+  *      [[graft.functions.NearestCentroids]] kernel per row + a
+  *      broadcast join of the C-row centroid frame — the corpus
+  *      never shuffles to learn its cluster or its score.
+  *   3. rank + cut: ONE hash shuffle on the cluster id; rank and
+  *      cluster size come from the same window partitioning, and the
+  *      per-cluster drop count is the exact integer
+  *      floor(n·fracNum/fracDen) — no float thresholding, so the
+  *      cut is bit-reproducible across engines ([[graft.text.MixOps
+  *      .mulDivFloor]], the overflow-safe decomposition).
+  *
+  * Determinism: cosines are rounded to `roundScale` decimals
+  * (floor(x·p+0.5)/p) exactly as [[SemDedup]]; the rank order
+  * (cos_c DESC NULLS LAST, id ASC) is total, so ties cut
+  * identically everywhere. Zero-norm/null vectors score null cosine
+  * → they rank LAST (least prototypical) and are kept unless the
+  * fraction reaches them — pruning must not silently eat
+  * undecodable rows.
+  *
+  * Returns every corpus row: (id, cluster, cos_c, rank, cluster_n,
+  * keep). Filter `keep` for the pruned corpus; the rest is the
+  * audit trail.
+  *
+  * Reference scope: the reference pipeline (a flux-tower ETL) has no
+  * pruning operator; this extends the engine's curation family per
+  * the build brief's training-data mandate. */
+object PruneOps {
+
+  /** Drop the most prototypical floor(n·fracNum/fracDen) documents
+    * of each cluster. `fracNum/fracDen` is an exact rational in
+    * [0, 1] (e.g. 1/4 prunes a quarter of every cluster). */
+  def protoPrune(corpus: DataFrame, fracNum: Long, fracDen: Long,
+      numCentroids: Int = 256, idCol: String = "vec_id",
+      vecCol: String = "embedding", roundScale: Int = 6,
+      centroidStride: Long = 0L): DataFrame = {
+    require(fracDen > 0 && fracNum >= 0 && fracNum <= fracDen,
+      s"fraction $fracNum/$fracDen outside [0, 1]")
+    val p = math.pow(10.0, roundScale)
+    val stride =
+      if (centroidStride > 0L) centroidStride
+      else math.max(1L, corpus.count() / math.max(1, numCentroids))
+    val centRows = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).cast("long").as("c_id"),
+        col(vecCol).cast("array<double>").as("c_vec"))
+      .collect()
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("vec"))
+      .withColumn("norm", sqrt(Similarity.dot(col("vec"), col("vec"))))
+    if (centRows.isEmpty) {
+      // no quantizer (empty corpus): degenerate all-keep answer in
+      // the output shape, without spinning up the window.
+      return base.select(col("id"),
+        lit(null).cast("long").as("cluster"),
+        lit(null).cast("double").as("cos_c"),
+        lit(1).as("rank"), lit(1L).as("cluster_n"),
+        lit(true).as("keep"))
+    }
+    val cIds = centRows.map(_.getLong(0)).toSeq
+    val cVecs = centRows.map(_.getSeq[Double](1)).toSeq
+    val centDf = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).cast("long").as("c_id"),
+        col(vecCol).cast("array<double>").as("c_vec"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("cos_c").desc_nulls_last, col("id").asc)
+    val wc = Window.partitionBy(col("cluster"))
+    base
+      .withColumn("cluster", element_at(
+        graft.functions.NearestCentroids.topIds(col("vec"), cIds, cVecs,
+          1, roundScale), 1))
+      .join(broadcast(centDf), col("cluster") === col("c_id"))
+      .withColumn("c_norm",
+        sqrt(Similarity.dot(col("c_vec"), col("c_vec"))))
+      .withColumn("cos_c", SemDedup.rcos(p)(col("vec"), col("norm"),
+        col("c_vec"), col("c_norm")))
+      .select("id", "cluster", "cos_c")
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cluster_n", count(lit(1)).over(wc))
+      .withColumn("keep", col("rank") >
+        graft.text.MixOps.mulDivFloor(col("cluster_n"), fracNum, fracDen))
+      .select("id", "cluster", "cos_c", "rank", "cluster_n", "keep")
+  }
+}

@@ -54,7 +54,7 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
-  private def rcos(p: Double)(v: Column, nv: Column, c: Column,
+  private[sim] def rcos(p: Double)(v: Column, nv: Column, c: Column,
       nc: Column): Column =
     floor(when(nv > 0.0 && nc > 0.0, Similarity.dot(v, c) / (nv * nc))
       * p + 0.5) / p

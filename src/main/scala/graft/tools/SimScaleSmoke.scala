@@ -226,6 +226,47 @@ object SimScaleSmoke {
       val gotPqR = ivfpqR.count()
       println(s"""{"invariant":"ivfpq_residual_cardinality","factor":$f,""" +
         s""""expected":${nq * 10},"got":$gotPqR,"ok":${gotPqR == nq * 10}}""")
+
+      // SQ8 phases: the scalar-quantizer tier — narrow encode +
+      // bounded-broadcast flat search, then the IVF composition
+      // (merge-pinned probes<->lists join with SQ-decoded scoring).
+      val sqModel = graft.sim.SqOps.sqTrain(emb, "vec_id", "embedding")
+      val sqFlat = timed("sqTopK", f) {
+        val enc = graft.sim.SqOps.sqEncode(emb, "vec_id", "embedding",
+          sqModel)
+        val r = graft.sim.SqOps.sqTopK(queries, enc, 10, sqModel)
+        (r.localCheckpoint(eager = true), r)
+      }
+      val gotSq = sqFlat.count()
+      println(s"""{"invariant":"sq_cardinality","factor":$f,""" +
+        s""""expected":${nq * 10},"got":$gotSq,"ok":${gotSq == nq * 10}}""")
+      val ivfsq = timed("ivfSqTopK", f) {
+        val r = graft.sim.SqOps.ivfSqTopK(queries, emb, 10, sqModel,
+          numCoarse = nC, nProbe = 2)
+        (r.localCheckpoint(eager = true), r)
+      }
+      val gotIvfSq = ivfsq.count()
+      println(s"""{"invariant":"ivfsq_cardinality","factor":$f,""" +
+        s""""expected":${nq * 10},"got":$gotIvfSq,"ok":${gotIvfSq == nq * 10}}""")
+
+      // protoPrune phase: one-shuffle prototypicality rank + integer
+      // cut. Invariants: audit-trail contract (every row returns) and
+      // the per-cluster cut arithmetic (kept == n - floor(n/4)).
+      val pp = timed("protoPrune", f) {
+        val r = graft.sim.PruneOps.protoPrune(emb, 1L, 4L,
+          numCentroids = semC)
+        (r.localCheckpoint(eager = true), r)
+      }
+      val ppN = pp.count()
+      val cutBad = pp.groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+        .filter(col("kept") =!=
+          col("n") - call_function("div", col("n"), lit(4L)))
+        .count()
+      println(s"""{"invariant":"proto_prune","factor":$f,""" +
+        s""""rows_ok":${ppN == nRows},"cut_violations":$cutBad,""" +
+        s""""kept":${pp.filter(col("keep")).count()},"of":$ppN}""")
       spark.catalog.clearCache()
     }
 
