@@ -2460,6 +2460,23 @@ object SparkEntry {
         col("rank"), col("cluster_n"), col("keep"))
       .orderBy("vec_id")
 
+  /** Proportional mixture interleave ([[graft.text.InterleaveOps
+    * .proportionalInterleave]]): lay the documents table out in the
+    * stride-scheduled training order for the recipe
+    * en:4 de:2 fr:2 es:1 zh:1 — each stratum's k-th doc gets virtual
+    * time floor((2k−1)·8 / (2·w)) (M = lcm(2w) = 8, so the
+    * quantization is lossless) and `seq` is the global rank by
+    * (key, lang, k). The oracle replays the rank, the exact integer
+    * key decomposition, and the global row_number in DuckDB. */
+  private def q121(s: SparkSession, dir: String): DataFrame =
+    graft.text.InterleaveOps.proportionalInterleave(
+        t(s, dir, "documents").select("doc_id", "lang"), "lang",
+        "doc_id", Map("en" -> 4L, "de" -> 2L, "fr" -> 2L, "es" -> 1L,
+          "zh" -> 1L))
+      .select(col("doc_id"), col("lang"), col("mix_k"), col("mix_key"),
+        col("seq"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -2594,6 +2611,7 @@ object SparkEntry {
     "q118_sq_ann"          -> (q118 _),
     "q119_ivfsq_ann"       -> (q119 _),
     "q120_proto_prune"     -> (q120 _),
+    "q121_interleave"      -> (q121 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -4687,6 +4705,25 @@ object SparkEntry {
              rank::INT AS rank, cluster_n::BIGINT AS cluster_n,
              (rank > cluster_n // 4) AS keep
       FROM rk ORDER BY vec_id""",
+    // Stride-schedule replay: per-lang rank, the exact integer key
+    // decomposition (x div den)*M + ((x mod den)*M) div den with
+    // M = lcm(2w) = 8, global row_number by (key, lang, k).
+    "q121_interleave" -> """
+      WITH w(lang, wr) AS (VALUES ('en', 4), ('de', 2), ('fr', 2),
+                                  ('es', 1), ('zh', 1)),
+      k AS (SELECT doc_id, d.lang, wr::BIGINT AS wr,
+              row_number() OVER (PARTITION BY d.lang
+                ORDER BY doc_id) AS mix_k
+            FROM documents d JOIN w ON d.lang = w.lang),
+      ky AS (SELECT doc_id, lang, mix_k,
+              ((2*mix_k - 1) // (2*wr)) * 8 +
+                (((2*mix_k - 1) % (2*wr)) * 8) // (2*wr) AS mix_key
+             FROM k)
+      SELECT doc_id, lang, mix_k::BIGINT AS mix_k,
+             mix_key::BIGINT AS mix_key,
+             row_number() OVER (ORDER BY mix_key, lang, mix_k)::BIGINT
+               AS seq
+      FROM ky ORDER BY doc_id""",
     // The PQ/SDC variant is OUTPUT-IDENTICAL to q87 by construction
     // (exact-recall prefilter + exact rescore), so it is pinned
     // against the very same replay — any recall loss in the SDC

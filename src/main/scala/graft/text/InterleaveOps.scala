@@ -1,0 +1,208 @@
+package graft.text
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
+
+/** Proportional mixture interleave — the deterministic TRAINING
+  * ORDER a mixture recipe implies: lay the corpus out so that every
+  * prefix of the sequence contains the strata in (approximately)
+  * their target proportions. This is the materialized-order
+  * counterpart of the example-level samplers in T5/UniMax-style
+  * pipelines ("sample language l with probability w_l"): instead of
+  * a seeded RNG stream, each stratum's k-th document is assigned the
+  * stride-scheduling virtual time (2k−1)/(2·w_s) (Waldspurger &
+  * Weihl, "Stride Scheduling: Deterministic Proportional-Share
+  * Resource Management", MIT TM-528, 1995 — the deterministic
+  * counterpart of lottery scheduling; same schedule as WFQ's
+  * finish-time order) and the corpus is sorted by it. Stride
+  * scheduling's guarantee carries over verbatim: in any length-t
+  * prefix, stratum s appears t·w_s/W ± O(1) times — no prefix is
+  * ever starved of a stratum or flooded by one, which is exactly the
+  * "every batch sees the mixture" property data loaders want.
+  *
+  * Exactness: weights are integer parts (reduced by their gcd); the
+  * virtual time is quantized to `mix_key = floor((2k−1)·M / (2·w_s))`
+  * with M a common resolution — when M is an exact common multiple
+  * of every 2·w_s (the default; see `resolution`) the quantization
+  * is LOSSLESS and the order is exactly the rational stride
+  * schedule. Ties (equal key) break by (stratum ASC, k ASC). All
+  * arithmetic is integer with the overflow-safe floor decomposition
+  * ([[MixOps.mulDivFloor]]): the corpus-sized rank k is divided
+  * before any multiply, so the only products are parts-bounded
+  * (≤ 2·w_s·M), never corpus-sized.
+  *
+  * Scale shape — two range exchanges, no corpus-wide window:
+  *   1. per-stratum rank k: range-shuffle on (stratum, id) +
+  *      two-pass per-(partition, stratum) counts (the
+  *      [[BudgetOps.budgetSelectPerStratum]] scan — a hot stratum
+  *      spans many range partitions, so there is no
+  *      one-reducer-per-stratum skew, unlike a
+  *      `Window.partitionBy(stratum)`).
+  *   2. global position `seq`: range-shuffle on (key, stratum, k) +
+  *      the same two-pass count scan (a `Window.orderBy` over the
+  *      corpus would be a single-partition stage).
+  * Driver collects are bounded by partitions + strata. The weight
+  * table is L rows, broadcast.
+  *
+  * Composes with the rest of the mixing family: weights can be doc
+  * counts, [[MixOps.unimaxAllocate]] token allocations, or recipe
+  * parts; feed [[SampleOps.oversample]] output (with `copy` folded
+  * into the id) to interleave repeated epochs.
+  *
+  * Reference scope: the reference pipeline (a flux-tower ETL) has no
+  * mixture-order operator; this extends the engine's curation family
+  * per the build brief's training-data mandate. */
+object InterleaveOps {
+
+  /** floor(x·num/den) for non-negative x/num/den Columns without a
+    * corpus-sized product: (x div den)·num + ((x mod den)·num) div
+    * den — the [[MixOps.mulDivFloor]] identity with per-row num/den. */
+  private[graft] def mulDivFloorC(x: Column, num: Column,
+      den: Column): Column = {
+    val xl = x.cast("long")
+    call_function("div", xl, den) * num +
+      call_function("div", (xl % den) * num, den)
+  }
+
+  private def gcdL(a: Long, b: Long): Long = {
+    var x = a; var y = b
+    while (y != 0) { val t = x % y; x = y; y = t }
+    math.max(x, 1L)
+  }
+
+  /** Least common multiple of `dens`, capped: the exact lcm while it
+    * fits under `cap`, else `cap` itself (quantized schedule — still
+    * deterministic, deviation ≤ one key step). */
+  private[graft] def commonResolution(dens: Iterable[Long],
+      cap: Long): Long = {
+    var acc = 1L
+    val it = dens.iterator
+    while (it.hasNext) {
+      val d = it.next()
+      val mult = d / gcdL(acc, d)
+      if (mult != 0 && acc > cap / mult) return cap
+      acc *= mult
+    }
+    acc
+  }
+
+  private def freshName(base: String, cols: Seq[String]): String = {
+    var n = base; var i = 0
+    while (cols.contains(n)) { i += 1; n = s"$base$i" }
+    n
+  }
+
+  /** Interleave `df` into the stride-scheduled mixture order.
+    * `weights` maps stratum → positive integer parts (reduced by
+    * their gcd internally); strata absent from the map are DROPPED
+    * (weight-0 semantics, as [[SampleOps.oversample]]). NULL strata
+    * fold to "" before lookup (the [[MixOps]] convention). Within a
+    * stratum documents are ordered by `idCol` ascending — re-key
+    * upstream (e.g. by quality rank) for a curriculum. `resolution`
+    * overrides the quantization step M (default 0 = exact lcm of the
+    * 2·w_s, capped at 2^42).
+    *
+    * Returns every kept row plus `mix_k` (1-based rank within its
+    * stratum), `mix_key` (the quantized virtual time), and `seq`
+    * (1-based global position; unique — `ORDER BY seq` IS the
+    * training order). Those are reserved output names — pre-existing
+    * columns are overwritten. The result is eagerly materialized
+    * (serialized localCheckpoint, the [[BudgetOps]] retention
+    * contract) and the shuffle substrate released. */
+  def proportionalInterleave(df0: DataFrame, stratumCol: String,
+      idCol: String, weights: Map[String, Long],
+      resolution: Long = 0L): DataFrame = {
+    require(weights.nonEmpty && weights.valuesIterator.forall(_ > 0),
+      "proportionalInterleave: weights must be positive")
+    val df = df0.drop("mix_k", "mix_key", "seq")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val g = weights.valuesIterator.reduce(gcdL)
+    val red = weights.map { case (s, w) => (s, w / g) }
+    val m =
+      if (resolution > 0L) resolution
+      else commonResolution(red.values.map(2L * _).toSeq.distinct.sorted,
+        1L << 42)
+
+    val stratC = freshName("__strat", df.columns)
+    val wC = freshName("__w", df.columns)
+    val wDf = red.toSeq.toDF(stratC, wC)
+
+    // Pass A: per-stratum rank without per-stratum reducers — range
+    // partition on (stratum, id), count per (partition, stratum)
+    // (bounded collect: strata are contiguous in the partition
+    // sequence), then a local running count + exclusive prefix.
+    val ranged = df
+      .withColumn(stratC, coalesce(col(stratumCol).cast("string"), lit("")))
+      .join(broadcast(wDf), Seq(stratC))
+      .repartitionByRange(n, col(stratC), col(idCol))
+      .sortWithinPartitions(col(stratC), col(idCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stratIdx = ranged.schema.fieldIndex(stratC)
+      val counts = ranged.select(col(stratC))
+        .queryExecution.toRdd.mapPartitions { it =>
+          val pid = TaskContext.getPartitionId()
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[String, Long]
+          while (it.hasNext) {
+            val s = it.next().getUTF8String(0).toString
+            acc(s) = acc.getOrElse(s, 0L) + 1L
+          }
+          acc.iterator.map { case (s, c) => (pid, s, c) }
+        }.collect()
+      val prefix: Map[(Int, String), Long] =
+        counts.groupBy(_._2).flatMap { case (s, rs) =>
+          var acc = 0L
+          rs.sortBy(_._1).map { case (pid, _, c) =>
+            val entry = ((pid, s), acc); acc += c; entry
+          }
+        }
+      val kSchema = ranged.schema.add("mix_k", LongType, nullable = false)
+      val withK = ranged.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val run = scala.collection.mutable.HashMap.empty[String, Long]
+        it.map { r =>
+          val s = r.getString(stratIdx)
+          val k = run.getOrElse(s, prefix.getOrElse((pid, s), 0L)) + 1L
+          run(s) = k
+          Row.fromSeq(r.toSeq :+ k)
+        }
+      }(Encoders.row(kSchema))
+
+      // Virtual time, then pass B: global position by the same
+      // two-pass scan over the (key, stratum, k) range order.
+      val keyed = withK
+        .withColumn("mix_key", mulDivFloorC(
+          col("mix_k") * 2 - 1, lit(m), col(wC) * 2))
+        .repartitionByRange(n, col("mix_key"), col(stratC), col("mix_k"))
+        .sortWithinPartitions(col("mix_key"), col(stratC), col("mix_k"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val sizes = keyed.select(lit(1L))
+          .queryExecution.toRdd.mapPartitions { it =>
+            val pid = TaskContext.getPartitionId()
+            var c = 0L
+            while (it.hasNext) { it.next(); c += 1L }
+            Iterator((pid, c))
+          }.collect().toMap
+        val offs = new Array[Long](n)
+        var acc = 0L
+        (0 until n).foreach { p =>
+          offs(p) = acc; acc += sizes.getOrElse(p, 0L)
+        }
+        val outSchema = keyed.schema.add("seq", LongType, nullable = false)
+        keyed.mapPartitions { it =>
+          var pos = offs(TaskContext.getPartitionId())
+          it.map { r => pos += 1L; Row.fromSeq(r.toSeq :+ pos) }
+        }(Encoders.row(outSchema))
+          .drop(stratC, wC)
+          .localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
+      } finally keyed.unpersist(blocking = false)
+    } finally ranged.unpersist(blocking = false)
+  }
+}
