@@ -25,13 +25,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * whole-stage codegen with an n-pass partial selection, nothing
   * allocated but the n-int output.
   *
-  * Semantics mirror the relational form EXACTLY (oracle-pinned by
-  * q109/q112): rank by (L1 ASC, index ASC) — `(dist, idx)` structs
-  * sort lexicographically — and return the first min(n, C) 0-based
-  * centroid INDICES as array<int>. A null input array, wrong length,
-  * or null element yields NULL (the relational form's null
-  * propagation through zip_with/transform), so degenerate rows drop
-  * out of the downstream list join exactly as before. Sums cannot
+  * Semantics mirror the relational form on all non-degenerate rows
+  * (oracle-pinned by q109/q112): rank by (L1 ASC, index ASC) —
+  * `(dist, idx)` structs sort lexicographically — and return the
+  * first min(n, C) 0-based centroid INDICES as array<int>. A null
+  * input array or wrong length yields NULL exactly as the relational
+  * form's null propagation through zip_with/transform. A null
+  * ELEMENT deliberately DIVERGES: the relational form computed
+  * all-null distances yet still emitted index-tiebroken assignments
+  * (an arbitrary list for an undecodable row); the kernel returns
+  * NULL so such rows drop out of the downstream explode/list join
+  * instead of polluting list 0 — the stricter behavior is the
+  * intended one (ADVICE r14 parity note). Sums cannot
   * overflow: |qv − c| is bounded by the quantize() domain (≲ 2^23)
   * and dim ≲ 2^11 keeps every partial sum far inside Long. */
 object NearestListsL1 {

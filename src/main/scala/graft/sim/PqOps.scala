@@ -485,36 +485,43 @@ object PqOps {
         zip_with(col("qv"), element_at(cl, col("list_id") + 1),
           (a, b) => a - b + lit(offR)).as("qv"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val model = pqTrainOnQuantized(resCorp.select("id", "qv"),
-      subspaces, codes, iters, scaleBits)
-    val lists = withCodes(resCorp, model)
-      .select(col("id").as("n_id"), col("list_id"),
-        array((0 until model.subspaces).map(s => col(s"__c$s")): _*)
-          .as("__codes"))
-    // Query side: one residual + lookup table per probed list. The
-    // residual stages through its own named column (fresh name, no
-    // overlap with the corpus side's "qv") before the LUT lambda
-    // reads it — referencing the pre-explode vector inside nested
-    // higher-order lambdas after the Generate mis-binds.
-    val probes = queries
-      .select(col(idCol).cast("long").as("q_id"),
-        quantize(col(vecCol), scaleBits).as("__qqv"))
-      .select(col("q_id"), col("__qqv"),
-        explode(nearestListsCol(col("__qqv"), cents, nProbe))
-          .as("list_id"))
-      .withColumn("__qrv",
-        zip_with(col("__qqv"), element_at(cl, col("list_id") + 1),
-          (a, b) => a - b + lit(offR)))
-      .select(col("q_id"), col("list_id"),
-        lutCol(col("__qrv"), model).as("__lut"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adist").asc, col("n_id").asc)
-    probes.join(lists.hint("merge"), "list_id")
-      .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        adcSum(model.subspaces).as("adist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "n_id", "adist")
+    // The corpus-scale residual cache is released once the (query·k
+    // bounded) result is materialized — without the eager checkpoint
+    // + finally-unpersist, each call would leak a cached corpus RDD
+    // for the session lifetime (ADVICE r14).
+    try {
+      val model = pqTrainOnQuantized(resCorp.select("id", "qv"),
+        subspaces, codes, iters, scaleBits)
+      val lists = withCodes(resCorp, model)
+        .select(col("id").as("n_id"), col("list_id"),
+          array((0 until model.subspaces).map(s => col(s"__c$s")): _*)
+            .as("__codes"))
+      // Query side: one residual + lookup table per probed list. The
+      // residual stages through its own named column (fresh name, no
+      // overlap with the corpus side's "qv") before the LUT lambda
+      // reads it — referencing the pre-explode vector inside nested
+      // higher-order lambdas after the Generate mis-binds.
+      val probes = queries
+        .select(col(idCol).cast("long").as("q_id"),
+          quantize(col(vecCol), scaleBits).as("__qqv"))
+        .select(col("q_id"), col("__qqv"),
+          explode(nearestListsCol(col("__qqv"), cents, nProbe))
+            .as("list_id"))
+        .withColumn("__qrv",
+          zip_with(col("__qqv"), element_at(cl, col("list_id") + 1),
+            (a, b) => a - b + lit(offR)))
+        .select(col("q_id"), col("list_id"),
+          lutCol(col("__qrv"), model).as("__lut"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("adist").asc, col("n_id").asc)
+      probes.join(lists.hint("merge"), "list_id")
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          adcSum(model.subspaces).as("adist"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("q_id", "rank", "n_id", "adist")
+        .localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
+    } finally resCorp.unpersist(blocking = false)
   }
 }

@@ -233,10 +233,17 @@ object SemDedup {
         element_at(col("ca"), s + 1) + 1),
         element_at(col("cb"), s + 1) + 1)
     }.reduce(_ + _)
-    // exact-recall slack: quantization bound + the rounding grid the
-    // exact path floors to + double-arithmetic headroom
-    val margin = col("ra") * col("eb") + col("ea") * col("rb") +
-      col("ea") * col("eb") + lit(1.0 / p) + lit(1e-9)
+    // Exact-recall slack. The exact path admits any pair whose TRUE
+    // cosine >= threshold − 0.5/p (round-half-up on the 1/p grid),
+    // and the prefilter compares in DOT units (÷ na·nb happens before
+    // the threshold), so the rounding-grid slack must be scaled by
+    // the norm product: an absolute 1/p only covers na·nb ≤ 2 and
+    // silently drops boundary pairs for larger norms (ADVICE r14).
+    // margin = quantization bound (×(1+1e-12) fp headroom, relative)
+    //        + (0.5/p + eps)·na·nb for the rounding grid.
+    val margin = (col("ra") * col("eb") + col("ea") * col("rb") +
+      col("ea") * col("eb")) * lit(1.0 + 1e-12) +
+      (lit(0.5 / p) + lit(1e-9)) * col("na") * col("nb")
     val cand = a.join(b.hint("merge"), Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
       .filter(col("na") > 0.0 && col("nb") > 0.0 &&

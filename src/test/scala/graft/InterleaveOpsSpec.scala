@@ -100,6 +100,36 @@ class InterleaveOpsSpec extends SparkSpec {
     assert(seqs == (1L to 35L).toSeq)
   }
 
+  test("resolution is rank-capped: deep stratum under huge M keeps " +
+      "keys monotone and non-negative (r14 overflow finding)") {
+    // Before the cap, (k div w)·M wraps Long around k ≈ w·2^13 at
+    // M = 2^50: stratum a (w=3, 30k docs) crosses that at k ≈ 24,576
+    // and mix_key went negative, scrambling the order. The post-rank
+    // cap bounds M by Long.MaxValue / (2·k_max) instead.
+    val nA = 30000L
+    val df = spark.range(nA).select(col("id"), lit("a").as("lang"))
+      .unionAll(spark.range(1000000L, 1000010L)
+        .select(col("id"), lit("b").as("lang")))
+    val out = InterleaveOps.proportionalInterleave(df, "lang", "id",
+      Map("a" -> 3L, "b" -> 7L), resolution = 1L << 50)
+    val rows = out.select("lang", "mix_k", "mix_key")
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 30010)
+    assert(rows.forall(_._3 >= 0L), "mix_key wrapped negative")
+    rows.groupBy(_._1).foreach { case (s, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.iterator.sliding(2).withPartial(false).foreach { w =>
+        assert(w(0)._3 <= w(1)._3,
+          s"stratum $s keys not monotone at k=${w(1)._2}")
+      }
+    }
+    // the schedule itself survives the cap: stratum b's 10 docs
+    // (weight 7 vs 3) all land in the earliest prefix
+    val head = out.orderBy("seq").limit(100)
+      .select("lang").as[String].collect()
+    assert(head.count(_ == "b") == 10)
+  }
+
   test("commonResolution: exact lcm under the cap, cap beyond") {
     assert(InterleaveOps.commonResolution(Seq(8L, 4L, 2L), 1L << 42) == 8L)
     assert(InterleaveOps.commonResolution(Seq(6L, 10L, 15L), 1L << 42) == 30L)
