@@ -95,43 +95,31 @@ object SqOps {
       Array.tabulate(d)(i => row.getLong(2 * i + 1)), scaleBits)
   }
 
-  /** Exact floor(a / b) for non-negative a and positive literal b as
-    * native Column arithmetic (integral `div`). */
-  private def idiv(a: Column, b: Long): Column =
-    call_function("div", a, lit(b))
-
-  /** Per-dimension code terms over a staged `__qv` column: code_i =
-    * round-half-up of (qv_i − min_i)·255/span_i, 0 for a constant
-    * dimension. min/span are plan literals, so each term is a small
-    * codegen'd integer expression. */
-  private def codeTerms(model: SqModel): Seq[Column] =
-    (0 until model.dim).map { i =>
-      val sp = model.span(i)
-      if (sp == 0L) lit(0)
-      else idiv((col("__qv").getItem(i) - lit(model.mins(i))) * lit(510L)
-        + lit(sp), 2L * sp).cast("int")
-    }
+  /** Per-vector code array over a staged `__qv` column via the fused
+    * encode kernel: code_i = round-half-up of
+    * (qv_i − min_i)·255/span_i, 0 for a constant dimension. */
+  private def codesCol(model: SqModel): Column =
+    graft.functions.SqKernels.encode(col("__qv"),
+      model.mins.toIndexedSeq, model.maxs.indices
+        .map(i => model.span(i)))
 
   /** Encode: `(idCol, codes array<int>)` — a pure NARROW projection
-    * (plan-literal bounds, no shuffle, no argmin; rides the scan). */
+    * (bounds ride as a reference long[], no shuffle, no argmin;
+    * rides the scan). */
   def sqEncode(df: DataFrame, idCol: String, vecCol: String,
       model: SqModel): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
         PqOps.quantize(col(vecCol), model.scaleBits).as("__qv"))
-      .select(col("id").as(idCol),
-        array(codeTerms(model): _*).as("codes"))
+      .select(col("id").as(idCol), codesCol(model).as("codes"))
 
-  /** Per-candidate approximate L1, unrolled over the d dimensions:
+  /** Per-candidate approximate L1 via the fused distance kernel:
     * Σ_i |qv_i − decode_i(code_i)| with decode_i = min_i +
     * (2·code_i·span_i + 255) div 510. Reads the conventional
     * `__qv` (query side) and `__codes` (candidate side) columns. */
   private def sqDist(model: SqModel): Column =
-    (0 until model.dim).map { i =>
-      val recon = lit(model.mins(i)) +
-        idiv(element_at(col("__codes"), i + 1).cast("long") *
-          lit(2L * model.span(i)) + lit(255L), 510L)
-      abs(col("__qv").getItem(i) - recon)
-    }.reduce(_ + _)
+    graft.functions.SqKernels.l1Dist(col("__qv"), col("__codes"),
+      model.mins.toIndexedSeq,
+      model.maxs.indices.map(i => model.span(i)))
 
   /** SQ top-k: exact queries against the SQ-encoded corpus
     * (`encoded` = [[sqEncode]] output). The corpus side moves only
@@ -140,7 +128,9 @@ object SqOps {
     * Self-matches (equal ids) are excluded. Returns
     * (q_id, rank, n_id, adist) with adist = approximate L1 in
     * micro-units (BIGINT — exact, engine-portable) ranked
-    * (adist ASC, n_id ASC).
+    * (adist ASC NULLS LAST, n_id ASC) — degenerate candidates (null
+    * or ragged vectors score null) rank after every real distance,
+    * the DuckDB ASC default.
     *
     * The query set must be caller-bounded (the [[Similarity
     * .bruteForceTopK]] contract — it is broadcast); for corpus-sized
@@ -154,7 +144,7 @@ object SqOps {
     val c = encoded.select(col(idCol).cast("long").as("n_id"),
       col("codes").as("__codes"))
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adist").asc, col("n_id").asc)
+      .orderBy(col("adist").asc_nulls_last, col("n_id").asc)
     broadcast(q).join(c, col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), sqDist(model).as("adist"))
       .withColumn("rank", row_number().over(w))
@@ -193,7 +183,7 @@ object SqOps {
         cents.map(_.toIndexedSeq).toIndexedSeq, n)
     val lists = qcorp
       .select(col("id").as("n_id"),
-        array(codeTerms(model): _*).as("__codes"),
+        codesCol(model).as("__codes"),
         element_at(nearestLists(1), 1).as("list_id"))
     val probes = queries
       .select(col(idCol).cast("long").as("q_id"),
@@ -201,7 +191,7 @@ object SqOps {
       .select(col("q_id"), col("__qv"),
         explode(nearestLists(nProbe)).as("list_id"))
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adist").asc, col("n_id").asc)
+      .orderBy(col("adist").asc_nulls_last, col("n_id").asc)
     probes.join(lists.hint("merge"), "list_id")
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), sqDist(model).as("adist"))

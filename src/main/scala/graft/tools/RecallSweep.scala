@@ -1,0 +1,131 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Recall@k sweep over the ANN index family — the operational
+  * evidence that the quantizer tier is USABLE, not just
+  * hash-stable (VERDICT r14 ask #6). [[SimScaleSmoke]] certifies
+  * plan shape and cardinality at scale; this harness certifies
+  * RETRIEVAL QUALITY: every approximate index is scored against an
+  * exact ground truth on the same metric, with the IVF variants
+  * swept over nProbe ∈ {1,2,4,8}.
+  *
+  * Two ground truths, matching each family's native metric:
+  *  - cosine truth ([[graft.sim.Similarity.bruteForceTopK]]) for the
+  *    cosine-space indexes: LSH-bucketed top-k and cosine IVF;
+  *  - exact integer-L1 truth over quantized vectors for the
+  *    quantizer tier (PQ-ADC, IVFADC, residual IVFADC, SQ8,
+  *    IVF,SQ8) — their recall measures quantization + probe loss,
+  *    not metric mismatch. The truth pass runs the same fused
+  *    [[graft.functions.SqKernels]]-class arithmetic the operators
+  *    use, via [[graft.sim.PqOps.adcRerankTopK]] with the shortlist
+  *    opened to the corpus size (rerank of everything == exact L1).
+  *
+  * Recall is [[graft.sim.EvalOps.recallAtK]]'s exact micro-units;
+  * the mean over the query panel is printed per index/parameter as
+  * one JSON line. Committed output lands in BENCH_NOTES.md.
+  *
+  * Usage: `runMain graft.tools.RecallSweep [sfDir] [factor] [k]`
+  * (defaults `/root/testdata/sf0.1`, 100, 10). */
+object RecallSweep {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(100)
+    val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // The SimScaleSmoke amplification: copy 0 id-isomorphic, other
+    // copies decorrelated by per-(copy, dim) sign flips.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+      .select((col("vec_id") * factor + col("copy")).as("vec_id"),
+        when(col("copy") === 0, col("embedding")).otherwise(
+          expr("transform(embedding, (x, i) -> " +
+            "x * cast(1 - 2 * pmod(hash(copy, i), 2) as float))"))
+          .as("embedding"))
+      .repartition(math.max(1,
+        spark.sessionState.conf.numShufflePartitions))
+      .localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nRows = emb.count()
+    val queries = emb.filter(pmod(col("vec_id"), lit(factor)) === 0 &&
+      col("vec_id") < 200L * factor)
+      .localCheckpoint(eager = true)
+    val nq = queries.count()
+    val nC = math.max(64, math.round(math.sqrt(nRows.toDouble / 100)).toInt)
+    println(s"""{"setup":"recall_sweep","rows":$nRows,"queries":$nq,""" +
+      s""""k":$k,"coarse":$nC,"factor":$factor}""")
+
+    def meanRecall(name: String, param: String, approx: DataFrame,
+        truth: DataFrame): Unit = {
+      val r = graft.sim.EvalOps.recallAtK(approx, truth)
+        .agg(avg(col("recall_micro")).cast("long").as("mean"),
+          min(col("recall_micro")).as("min"),
+          count(lit(1)).as("n")).head()
+      println(s"""{"recall":"$name",$param""" +
+        s""""mean_recall_micro":${r.getLong(0)},""" +
+        s""""min_recall_micro":${r.getLong(1)},"queries":${r.getLong(2)}}""")
+    }
+
+    // ---- cosine family ----
+    val cosTruth = graft.sim.Similarity.bruteForceTopK(queries, emb, k)
+      .localCheckpoint(eager = true)
+    Seq(1, 2, 4, 8).foreach { np =>
+      val approx = graft.sim.Similarity.ivfTopK(queries, emb, k,
+        numCentroids = nC, nProbe = np)
+      meanRecall("ivf_cosine", s""""nprobe":$np,""", approx, cosTruth)
+    }
+    val lsh = graft.sim.Similarity.lshTopK(emb, k)
+      .join(queries.select(col("vec_id").as("q_id")), Seq("q_id"),
+        "left_semi")
+    meanRecall("lsh_bucketed", "", lsh, cosTruth)
+
+    // ---- quantizer tier (exact integer-L1 truth) ----
+    val pqModel = graft.sim.PqOps.pqTrain(emb, "vec_id", "embedding",
+      subspaces = 8, k = 64, iters = 2)
+    val encoded = graft.sim.PqOps.pqEncode(emb, "vec_id", "embedding",
+      pqModel)
+    // shortlist == corpus => the exact rerank covers everything:
+    // this IS the exact integer-L1 top-k (the ADC stage only orders
+    // the full candidate set, which the rerank then rescores exactly)
+    val l1Truth = graft.sim.PqOps.adcRerankTopK(queries, emb, encoded,
+        k, shortlist = nRows.toInt, pqModel)
+      .localCheckpoint(eager = true)
+
+    meanRecall("pq_adc_flat", "",
+      graft.sim.PqOps.adcTopK(queries, encoded, k, pqModel), l1Truth)
+    meanRecall("pq_adc_rerank", s""""shortlist":${4 * k},""",
+      graft.sim.PqOps.adcRerankTopK(queries, emb, encoded, k, 4 * k,
+        pqModel), l1Truth)
+    Seq(1, 2, 4, 8).foreach { np =>
+      meanRecall("ivf_pq", s""""nprobe":$np,""",
+        graft.sim.PqOps.ivfPqTopK(queries, emb, k, pqModel,
+          numCoarse = nC, nProbe = np), l1Truth)
+      meanRecall("ivf_pq_residual", s""""nprobe":$np,""",
+        graft.sim.PqOps.ivfPqTopKResidual(queries, emb, k,
+          subspaces = 8, codes = 64, iters = 2, numCoarse = nC,
+          nProbe = np), l1Truth)
+    }
+
+    val sqModel = graft.sim.SqOps.sqTrain(emb, "vec_id", "embedding")
+    val sqEnc = graft.sim.SqOps.sqEncode(emb, "vec_id", "embedding",
+      sqModel)
+    meanRecall("sq8_flat", "",
+      graft.sim.SqOps.sqTopK(queries, sqEnc, k, sqModel), l1Truth)
+    Seq(1, 2, 4, 8).foreach { np =>
+      meanRecall("ivf_sq8", s""""nprobe":$np,""",
+        graft.sim.SqOps.ivfSqTopK(queries, emb, k, sqModel,
+          numCoarse = nC, nProbe = np), l1Truth)
+    }
+    spark.stop()
+  }
+}

@@ -188,6 +188,24 @@ object TextScaleSmoke {
           .select(col("doc_id"), col("n_subwords"))
           .filter(col("n_subwords") >= 0)
       }
+      // Round-15 addition: the heaviest memory shape in the text
+      // family (two range exchanges + two persists + an eager
+      // serialized checkpoint, full text payload carried through).
+      // 16 strata with coprime-ish weights 1..16 drive the lcm
+      // resolution high enough to exercise the post-rank overflow
+      // cap; interleave returns an eagerly checkpointed frame
+      // (BudgetOps retention contract) so the result plan shows 0
+      // exchanges — the two range shuffles appear in the shuffle MB
+      // columns. Rows must equal the input corpus exactly (every
+      // stratum has a weight).
+      timed("interleave", f) {
+        val strat = docs.select(col("doc_id"), col("text"),
+          concat(lit("src"), (col("doc_id") % 16).cast("string"))
+            .as("src"))
+        graft.text.InterleaveOps.proportionalInterleave(
+          strat, "src", "doc_id",
+          (0 until 16).map(i => s"src$i" -> (i + 1L)).toMap)
+      }
       spark.catalog.clearCache()
     }
 

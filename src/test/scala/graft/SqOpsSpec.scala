@@ -108,6 +108,78 @@ class SqOpsSpec extends SparkSpec {
     }
   }
 
+  test("d=768 stays inside whole-stage codegen (no 64KB fallback) " +
+      "and matches the literal re-derivation") {
+    // Production embedding dims were the r14 escape hatch: the
+    // unrolled element_at chains generated d-term methods that cross
+    // the JVM 64KB limit around d ~ 500 and silently fall back to
+    // interpreted evaluation. The fused kernels generate
+    // constant-size loops; with fallback DISABLED a compile failure
+    // would throw here instead of degrading.
+    val d = 768
+    // values float-rounded up front so the literal re-derivation
+    // quantizes exactly what the engine reads from the FloatType col
+    val big: Seq[(Long, Seq[Double])] = (0L until 24L).map { id =>
+      id -> (0 until d).map(i =>
+        (((id * 31 + i * 17) % 97).toDouble / 97.0 - 0.5)
+          .toFloat.toDouble)
+    }
+    val bigDf = big.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val prevWS = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val (q, mins, maxs, codes, decode) = sqBrute(big, 20)
+      val model = SqOps.sqTrain(bigDf, "vec_id", "embedding")
+      assert(model.mins.toSeq == mins.toSeq)
+      assert(model.maxs.toSeq == maxs.toSeq)
+      val enc = SqOps.sqEncode(bigDf, "vec_id", "embedding", model)
+      val top = SqOps.sqTopK(bigDf.filter(col("vec_id") < 2), enc, 3,
+        model)
+      val want = (for {
+        (qid, qv) <- q if qid < 2
+        (nid, nv) <- q if nid != qid
+      } yield {
+        val rec = decode(codes(nv))
+        (qid, nid, qv.indices.map(i => math.abs(qv(i) - rec(i))).sum)
+      }).groupBy(_._1).flatMap { case (qid, rows) =>
+        rows.sortBy(r => (r._3, r._2)).take(3).zipWithIndex
+          .map { case ((_, nid, dd), r) => (qid, r + 1, nid, dd) }
+      }.toSet
+      val got = top.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == want)
+      // post-execution (AQE-final) plan: the scoring projection must
+      // sit inside a whole-stage-codegen span — the tree string marks
+      // codegen'd operators with a "*(n)" prefix
+      val plan = top.queryExecution.executedPlan.toString
+      assert("""\*\(\d+\) Project \[q_id[^\n]*sq_l1_dist""".r
+          .findFirstIn(plan).nonEmpty,
+        s"scoring projection not codegen'd:\n$plan")
+    } finally spark.conf.set("spark.sql.codegen.fallback", prevWS)
+  }
+
+  test("degenerate rows (null vector, ragged length) score null and " +
+      "never rank above real candidates") {
+    val model = SqOps.sqTrain(df, "vec_id", "embedding")
+    val withBad = df.unionAll(Seq(
+        (100L, null.asInstanceOf[Seq[Float]]),
+        (101L, Seq(0.1f, 0.2f))) // ragged: d=2 vs model d=4
+      .toDF("vec_id", "embedding"))
+    val enc = SqOps.sqEncode(withBad, "vec_id", "embedding", model)
+    val badCodes = enc.filter(col("vec_id") >= 100L)
+      .collect().map(r => r.isNullAt(1))
+    assert(badCodes.toSeq == Seq(true, true))
+    val top = SqOps.sqTopK(df.filter(col("vec_id") === 0), enc,
+        withBad.count().toInt, model)
+      .collect().map(r => (r.getLong(2), if (r.isNullAt(3)) None
+        else Some(r.getLong(3))))
+    // null-adist candidates exist but sort AFTER every real distance
+    assert(top.count(_._2.isEmpty) == 2)
+    assert(top.takeWhile(_._2.nonEmpty).length == top.length - 2)
+  }
+
   test("ivfSqTopK with all lists probed equals flat SQ top-k") {
     val model = SqOps.sqTrain(df, "vec_id", "embedding")
     val enc = SqOps.sqEncode(df, "vec_id", "embedding", model)
