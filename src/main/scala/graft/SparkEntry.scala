@@ -2477,6 +2477,61 @@ object SparkEntry {
         col("seq"))
       .orderBy("doc_id")
 
+  /** OPQ-style permuted PQ ([[graft.sim.OpqOps]]): the Ge 2013
+    * eigenvalue-allocation initialization restricted to exact
+    * integer arithmetic — dimensions rank by quantized span (one
+    * min/max corpus pass), deal into the 4 subspaces in snake
+    * order, and q108's PQ chain runs over the permuted vectors. The
+    * oracle replays the spans, the snake assignment, the gather,
+    * and the full PQ train/encode/ADC ranking. */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.OpqOps
+    val emb = t(s, dir, "embeddings")
+    OpqOps.opqAdcTopK(emb.filter(col("vec_id") < 5), emb, 5,
+        subspaces = 4, codes = 4, iters = 1)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Streaming mixture interleave ([[graft.streaming
+    * .StreamingInterleave]]): q121's recipe stamped by keyed state —
+    * three cron-style drains over ascending doc_id slices, per-lang
+    * ranks carried in the checkpoint across runs. Drained in id
+    * order the stream is bit-identical to the batch operator, so the
+    * oracle is q121's replay minus the read-side `seq` (a global
+    * rank cannot be assigned mid-stream; the training order over the
+    * output lake is ORDER BY (mix_key, lang, mix_k)). */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingInterleave
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_q123")
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    }
+    val inDir = s"$root/in"; val outDir = s"$root/mix"
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val w = Map("en" -> 4L, "de" -> 2L, "fr" -> 2L, "es" -> 1L,
+      "zh" -> 1L)
+    // each slice coalesced to one file so every drain is one ordered
+    // trigger (ids ascend across drains; the group sort orders within)
+    docs.filter(col("doc_id") < 250).coalesce(1).write.parquet(inDir)
+    val schema = s.read.parquet(inDir).schema
+    def drain(): Unit = StreamingInterleave.interleaveRun(s, inDir,
+      outDir, s"$root/ckpt", schema, "lang", w)
+    drain()
+    docs.filter(col("doc_id") >= 250 && col("doc_id") < 500)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    drain()
+    docs.filter(col("doc_id") >= 500).coalesce(1).write.mode("append")
+      .parquet(inDir)
+    drain()
+    s.read.parquet(outDir)
+      .select(col("doc_id"), col("stratum").as("lang"), col("mix_k"),
+        col("mix_key"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------
 
   /** Queries excluded from the benchmark's timed set: multi-run
@@ -2487,7 +2542,7 @@ object SparkEntry {
   val benchExclude: Set[String] =
     Set("q56_streaming_append", "q67_stateful_gaps", "q86_streaming_dedup",
       "q95_streaming_near_dedup", "q96_streaming_near_dedup_audit",
-      "q97_bloom_dedup")
+      "q97_bloom_dedup", "q123_streaming_interleave")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2612,6 +2667,8 @@ object SparkEntry {
     "q119_ivfsq_ann"       -> (q119 _),
     "q120_proto_prune"     -> (q120 _),
     "q121_interleave"      -> (q121 _),
+    "q122_opq_pq_ann"      -> (q122 _),
+    "q123_streaming_interleave" -> (q123 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -4724,6 +4781,89 @@ object SparkEntry {
              row_number() OVER (ORDER BY mix_key, lang, mix_k)::BIGINT
                AS seq
       FROM ky ORDER BY doc_id""",
+    // The streaming stamp is bit-identical to the batch stride
+    // schedule when drained in id order, so the oracle is q121's
+    // replay without the read-side seq.
+    "q123_streaming_interleave" -> """
+      WITH w(lang, wr) AS (VALUES ('en', 4), ('de', 2), ('fr', 2),
+                                  ('es', 1), ('zh', 1)),
+      k AS (SELECT doc_id, d.lang, wr::BIGINT AS wr,
+              row_number() OVER (PARTITION BY d.lang
+                ORDER BY doc_id) AS mix_k
+            FROM documents d JOIN w ON d.lang = w.lang),
+      ky AS (SELECT doc_id, lang, mix_k,
+              ((2*mix_k - 1) // (2*wr)) * 8 +
+                (((2*mix_k - 1) % (2*wr)) * 8) // (2*wr) AS mix_key
+             FROM k)
+      SELECT doc_id, lang, mix_k::BIGINT AS mix_k,
+             mix_key::BIGINT AS mix_key
+      FROM ky ORDER BY doc_id""",
+    // OPQ-permutation replay: per-dimension quantized spans (one
+    // min/max pass), (span DESC, dim ASC) rank, snake deal into the
+    // 4 subspaces, gather — then q108's PQ replay verbatim over the
+    // permuted vectors.
+    "q122_opq_pq_ann" -> """
+      WITH raw AS (SELECT vec_id AS id,
+          list_transform(embedding::DOUBLE[],
+            x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) + 2097152)
+            AS qv0
+        FROM embeddings),
+      dims AS (SELECT d.i AS dim,
+          max(qv0[d.i]) - min(qv0[d.i]) AS span
+        FROM raw CROSS JOIN range(1, 65) d(i)
+        GROUP BY d.i),
+      sprank AS (SELECT dim,
+          row_number() OVER (ORDER BY span DESC, dim ASC) - 1 AS r
+        FROM dims),
+      perm AS (SELECT list(dim ORDER BY sub ASC, dim ASC) AS p FROM (
+          SELECT dim, CASE WHEN (r // 4) % 2 = 0 THEN r % 4
+                           ELSE 3 - (r % 4) END AS sub
+          FROM sprank)),
+      e AS (SELECT id, list_transform(p, i -> qv0[i]) AS qv
+        FROM raw CROSS JOIN perm),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      seed AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, qv
+               FROM e ORDER BY id LIMIT 4),
+      cb0 AS (SELECT sub, j,
+          list_slice(qv, sub * 16 + 1, sub * 16 + 16) AS cv
+        FROM seed CROSS JOIN subs),
+      sv AS (SELECT id, sub,
+          list_slice(qv, sub * 16 + 1, sub * 16 + 16) AS ssv
+        FROM e CROSS JOIN subs),
+      a0 AS (SELECT id, sub, j, ssv, row_number() OVER (
+            PARTITION BY id, sub ORDER BY
+            list_aggregate(list_transform(range(1, 17),
+              i -> abs(ssv[i] - cv[i])), 'sum') ASC, j ASC) AS r
+        FROM sv JOIN cb0 USING (sub)),
+      stats AS (SELECT sub, j AS cl, d.i AS dim,
+          sum(ssv[d.i])::BIGINT AS s, count(*)::BIGINT AS n
+        FROM (SELECT * FROM a0 WHERE r = 1) a
+        CROSS JOIN range(1, 17) d(i)
+        GROUP BY sub, j, d.i),
+      cb1 AS (SELECT c0.sub, c0.j,
+          coalesce(m.nv, c0.cv) AS cv
+        FROM cb0 c0 LEFT JOIN (
+          SELECT sub, cl, list((2 * s + n) // (2 * n) ORDER BY dim) AS nv
+          FROM stats GROUP BY sub, cl) m
+        ON c0.sub = m.sub AND c0.j = m.cl),
+      enc AS (SELECT id, sub, j AS code FROM (
+          SELECT sv.id, sv.sub, cb1.j, row_number() OVER (
+              PARTITION BY sv.id, sv.sub ORDER BY
+              list_aggregate(list_transform(range(1, 17),
+                i -> abs(ssv[i] - cv[i])), 'sum') ASC, j ASC) AS r
+          FROM sv JOIN cb1 USING (sub)) WHERE r = 1),
+      q AS (SELECT id AS q_id, sub, ssv AS qsv FROM sv WHERE id < 5),
+      d AS (SELECT q.q_id, enc.id AS n_id,
+          sum(list_aggregate(list_transform(range(1, 17),
+            i -> abs(qsv[i] - cv[i])), 'sum'))::BIGINT AS adist
+        FROM q JOIN enc ON q.sub = enc.sub AND q.q_id <> enc.id
+        JOIN cb1 ON cb1.sub = enc.sub AND cb1.j = enc.code
+        GROUP BY q.q_id, enc.id),
+      rk AS (SELECT q_id, n_id, adist, row_number() OVER (
+            PARTITION BY q_id ORDER BY adist ASC, n_id ASC) AS rank
+        FROM d)
+      SELECT q_id, rank::INT AS rank, n_id, adist
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank""",
     // The PQ/SDC variant is OUTPUT-IDENTICAL to q87 by construction
     // (exact-recall prefilter + exact rescore), so it is pinned
     // against the very same replay — any recall loss in the SDC

@@ -103,6 +103,13 @@ object RecallSweep {
 
     meanRecall("pq_adc_flat", "",
       graft.sim.PqOps.adcTopK(queries, encoded, k, pqModel), l1Truth)
+    // OPQ-style permutation: same budget (8 subspaces x 64 codes),
+    // balanced-spread subspaces. L1 is permutation-invariant, so
+    // l1Truth stays the valid ground truth — the delta vs pq_adc_flat
+    // IS the permutation's recall gain.
+    meanRecall("opq_adc_flat", "",
+      graft.sim.OpqOps.opqAdcTopK(queries, emb, k, subspaces = 8,
+        codes = 64, iters = 2), l1Truth)
     meanRecall("pq_adc_rerank", s""""shortlist":${4 * k},""",
       graft.sim.PqOps.adcRerankTopK(queries, emb, encoded, k, 4 * k,
         pqModel), l1Truth)
