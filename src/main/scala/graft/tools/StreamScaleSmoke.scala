@@ -63,7 +63,16 @@ object StreamScaleSmoke {
     val total = docs.count()
     val cut = total * 3 / 5
 
-    Seq("hdfs" -> None,
+    // Optional phase filter (comma-separated prefixes), the
+    // TextScaleSmoke convention — lets a deep factor target one
+    // phase, e.g. SPARK_GRAFT_PHASES=interleave for f1000.
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_PHASES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    def phaseOn(name: String): Boolean =
+      only.isEmpty || only.exists(name.startsWith)
+
+    if (phaseOn("exact")) Seq("hdfs" -> None,
         "rocksdb" -> Some(IncrementalDedup.RocksDbProvider))
       .foreach { case (label, provider) =>
       val in = s"$root/$label/in"; val out = s"$root/$label/out"
@@ -99,7 +108,7 @@ object StreamScaleSmoke {
     // cross-run bucket hit; run 3's byte re-send exercises the
     // emit-once marker.
     import graft.streaming.IncrementalNearDup
-    Seq("hdfs" -> None,
+    if (phaseOn("neardup")) Seq("hdfs" -> None,
         "rocksdb" -> Some(IncrementalDedup.RocksDbProvider))
       .foreach { case (label, provider) =>
       val in = s"$root/nd_$label/in"; val out = s"$root/nd_$label/out"
@@ -129,7 +138,7 @@ object StreamScaleSmoke {
     // Audit form (one verdict per doc, dropped docs visible): state
     // adds one marker per SEEN doc on top of the bucket store —
     // measure the footprint delta vs the survivor-only form above.
-    locally {
+    if (phaseOn("audit")) locally {
       val in = s"$root/nda/in"; val out = s"$root/nda/out"
       val ckpt = s"$root/nda/ckpt"
       def drain(): Double = {
@@ -162,7 +171,7 @@ object StreamScaleSmoke {
     // bits = 32 MB of filter absorbs the amplified corpora at
     // comfortably low fill; survivors differ from exact dedup only
     // by deterministic false positives (counted here).
-    locally {
+    if (phaseOn("bloom")) locally {
       import graft.streaming.BloomDedup
       val in = s"$root/bloom/in"; val out = s"$root/bloom/out"
       val ckpt = s"$root/bloom/ckpt"
@@ -192,6 +201,51 @@ object StreamScaleSmoke {
       println(f"""{"op":"bloom","provider":"hdfs","factor":$factor,""" +
         f""""docs":$total,"survivors":$survivors,""" +
         f""""false_positives":${exactSurvivors - survivors},""" +
+        f""""drain1_sec":$t1%.1f,"drain2_sec":$t2%.1f,""" +
+        f""""drain3_sec":$t3%.1f,"state_kb":$stateKb}""")
+    }
+
+    // Streaming mixture interleave: the claim under test is that
+    // state is ONE Long per stratum (16 here) — CONSTANT in corpus
+    // size — and that an id-ordered drain sequence is bit-identical
+    // to the batch stride schedule at any factor. Drains are three
+    // ascending id slices; parity is a two-sided except against
+    // proportionalInterleave's (doc_id, mix_k, mix_key).
+    if (phaseOn("interleave")) locally {
+      import graft.streaming.StreamingInterleave
+      val in = s"$root/il/in"; val out = s"$root/il/out"
+      val ckpt = s"$root/il/ckpt"
+      val strat = docs.select(col("doc_id"),
+        concat(lit("src"), (col("doc_id") % 16).cast("string"))
+          .as("src"))
+      val w = (0 until 16).map(i => s"src$i" -> (i + 1L)).toMap
+      def drain(): Double = {
+        val t0 = System.nanoTime()
+        StreamingInterleave.interleaveRun(spark, in, out, ckpt,
+          spark.read.parquet(in).schema, "src", w)
+        (System.nanoTime() - t0) / 1e9
+      }
+      strat.filter(col("doc_id") < cut).write.parquet(in)
+      val t1 = drain()
+      strat.filter(col("doc_id") >= cut && col("doc_id") < cut + cut / 2)
+        .write.mode("append").parquet(in)
+      val t2 = drain()
+      strat.filter(col("doc_id") >= cut + cut / 2)
+        .write.mode("append").parquet(in)
+      val t3 = drain()
+      val streamed = spark.read.parquet(out)
+        .select(col("doc_id"), col("mix_k"), col("mix_key"))
+        .localCheckpoint(eager = true)
+      val n = streamed.count()
+      val batch = graft.text.InterleaveOps.proportionalInterleave(
+          strat, "src", "doc_id", w)
+        .select(col("doc_id"), col("mix_k"), col("mix_key"))
+      val diff = streamed.except(batch).count() +
+        batch.except(streamed).count()
+      val stateKb = dirSize(java.nio.file.Paths.get(ckpt, "state")) >> 10
+      println(f"""{"op":"interleave","provider":"hdfs",""" +
+        f""""factor":$factor,"docs":$total,"stamped":$n,""" +
+        f""""batch_parity_diff":$diff,""" +
         f""""drain1_sec":$t1%.1f,"drain2_sec":$t2%.1f,""" +
         f""""drain3_sec":$t3%.1f,"state_kb":$stateKb}""")
     }
