@@ -2492,6 +2492,26 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
+  /** Token-weighted mixture interleave ([[graft.text.InterleaveOps
+    * .proportionalInterleaveByTokens]]): q121's recipe with each
+    * document "transmitting" for its token count — WFQ/GPS
+    * finish-time order (Demers 1989; Parekh & Gallager 1993), so a
+    * stratum's share of every PREFIX is proportional in TOKENS.
+    * `mix_key = floor((2·cum_prev + n_tok)·M / (2w))`; size ≡ 1
+    * collapses to q121's stride schedule. The oracle replays the
+    * per-lang token cumsum and the key decomposition. */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{InterleaveOps, TextOps}
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    InterleaveOps.proportionalInterleaveByTokens(docs, "lang",
+        "doc_id", "n_tok", Map("en" -> 4L, "de" -> 2L, "fr" -> 2L,
+          "es" -> 1L, "zh" -> 1L))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("mix_k"),
+        col("mix_key"), col("seq"))
+      .orderBy("doc_id")
+  }
+
   /** Streaming mixture interleave ([[graft.streaming
     * .StreamingInterleave]]): q121's recipe stamped by keyed state —
     * three cron-style drains over ascending doc_id slices, per-lang
@@ -2669,6 +2689,7 @@ object SparkEntry {
     "q121_interleave"      -> (q121 _),
     "q122_opq_pq_ann"      -> (q122 _),
     "q123_streaming_interleave" -> (q123 _),
+    "q124_token_interleave" -> (q124 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -4781,6 +4802,32 @@ object SparkEntry {
              row_number() OVER (ORDER BY mix_key, lang, mix_k)::BIGINT
                AS seq
       FROM ky ORDER BY doc_id""",
+    // WFQ finish-time replay: per-lang token cumsum (exclusive, in
+    // doc_id order), key = ((2cum+n_tok) // 2w)*8 +
+    // (((2cum+n_tok) % 2w)*8) // 2w, global row_number by
+    // (key, lang, mix_k).
+    "q124_token_interleave" -> (tokCte + """,
+      d AS (SELECT tk.doc_id, d0.lang, len(toks)::BIGINT AS n_tok
+        FROM tk JOIN documents d0 ON tk.doc_id = d0.doc_id),
+      w(lang, wr) AS (VALUES ('en', 4), ('de', 2), ('fr', 2),
+                             ('es', 1), ('zh', 1)),
+      k AS (SELECT doc_id, d.lang, n_tok, wr::BIGINT AS wr,
+              row_number() OVER (PARTITION BY d.lang
+                ORDER BY doc_id) AS mix_k,
+              coalesce(sum(n_tok) OVER (PARTITION BY d.lang
+                ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0)::BIGINT AS cum
+            FROM d JOIN w ON d.lang = w.lang),
+      ky AS (SELECT doc_id, lang, n_tok, mix_k,
+              ((2*cum + n_tok) // (2*wr)) * 8 +
+                (((2*cum + n_tok) % (2*wr)) * 8) // (2*wr) AS mix_key
+             FROM k)
+      SELECT doc_id, lang, n_tok, mix_k::BIGINT AS mix_k,
+             mix_key::BIGINT AS mix_key,
+             row_number() OVER (ORDER BY mix_key, lang, mix_k)::BIGINT
+               AS seq
+      FROM ky ORDER BY doc_id"""),
     // The streaming stamp is bit-identical to the batch stride
     // schedule when drained in id order, so the oracle is q121's
     // replay without the read-side seq.

@@ -128,7 +128,37 @@ object InterleaveOps {
     * contract) and the shuffle substrate released. */
   def proportionalInterleave(df0: DataFrame, stratumCol: String,
       idCol: String, weights: Map[String, Long],
-      resolution: Long = 0L): DataFrame = {
+      resolution: Long = 0L): DataFrame =
+    interleaveImpl(df0, stratumCol, idCol, None, weights, resolution)
+
+  /** Token-weighted interleave — the WFQ generalization of
+    * [[proportionalInterleave]] to variable-size quanta (Demers,
+    * Keshav & Shenker 1989 fair queueing / Parekh & Gallager 1993
+    * GPS: a document "transmits" for its token count, so a stratum's
+    * share of every PREFIX is proportional to w_s in TOKENS, not
+    * docs — the property a mixture recipe stated in tokens actually
+    * wants when document lengths differ by orders of magnitude).
+    * Each doc's virtual time is the midpoint of its token interval
+    * on the stratum's weighted clock:
+    * `mix_key = floor((2·cum_prev + size)·M / (2·w_s))` with
+    * cum_prev the stratum's exclusive token prefix in id order —
+    * for size ≡ 1 this is EXACTLY the stride schedule (2k−1)/(2w),
+    * so the doc-count operator is the special case. Same two-pass
+    * range substrate (the prefix scan accumulates token sums instead
+    * of counts); same post-pass overflow cap with the stratum token
+    * TOTALS in place of ranks. `sizeCol` must be a non-negative
+    * integral column; null or negative sizes fail loudly with the
+    * offending stratum (a silent 0 would quietly starve a doc, a
+    * silent wrap would scramble the order). */
+  def proportionalInterleaveByTokens(df0: DataFrame, stratumCol: String,
+      idCol: String, sizeCol: String, weights: Map[String, Long],
+      resolution: Long = 0L): DataFrame =
+    interleaveImpl(df0, stratumCol, idCol, Some(sizeCol), weights,
+      resolution)
+
+  private def interleaveImpl(df0: DataFrame, stratumCol: String,
+      idCol: String, sizeCol: Option[String],
+      weights: Map[String, Long], resolution: Long): DataFrame = {
     require(weights.nonEmpty && weights.valuesIterator.forall(_ > 0),
       "proportionalInterleave: weights must be positive")
     val df = df0.drop("mix_k", "mix_key", "seq")
@@ -144,12 +174,14 @@ object InterleaveOps {
 
     val stratC = freshName("__strat", df.columns)
     val wC = freshName("__w", df.columns)
+    val cumC = freshName("__cum", df.columns)
     val wDf = red.toSeq.toDF(stratC, wC)
 
-    // Pass A: per-stratum rank without per-stratum reducers — range
-    // partition on (stratum, id), count per (partition, stratum)
-    // (bounded collect: strata are contiguous in the partition
-    // sequence), then a local running count + exclusive prefix.
+    // Pass A: per-stratum rank (and token prefix, sized variant)
+    // without per-stratum reducers — range partition on (stratum,
+    // id), (count, size-sum) per (partition, stratum) (bounded
+    // collect: strata are contiguous in the partition sequence),
+    // then a local running scan + exclusive prefix.
     val ranged = df
       .withColumn(stratC, coalesce(col(stratumCol).cast("string"), lit("")))
       .join(broadcast(wDf), Seq(stratC))
@@ -158,52 +190,108 @@ object InterleaveOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val stratIdx = ranged.schema.fieldIndex(stratC)
-      val counts = ranged.select(col(stratC))
-        .queryExecution.toRdd.mapPartitions { it =>
+      val sizeIdx = sizeCol.map(ranged.schema.fieldIndex)
+      def sizeOf(r: Row): Long = sizeIdx match {
+        case None => 1L
+        case Some(i) =>
+          if (r.isNullAt(i)) throw new IllegalArgumentException(
+            s"proportionalInterleaveByTokens: null ${sizeCol.get} in " +
+              s"stratum '${r.getString(stratIdx)}'")
+          val v = r.get(i) match {
+            case x: Number => x.longValue()
+            case x => throw new IllegalArgumentException(
+              s"proportionalInterleaveByTokens: non-numeric " +
+                s"${sizeCol.get} ($x)")
+          }
+          if (v < 0L) throw new IllegalArgumentException(
+            s"proportionalInterleaveByTokens: negative ${sizeCol.get}" +
+              s"=$v in stratum '${r.getString(stratIdx)}'")
+          v
+      }
+      val countsSizes = {
+        val sC = stratC; val szC = sizeCol
+        val base = ranged.select((col(sC) +:
+          szC.map(c => col(c).cast("long")).toSeq): _*)
+        base.queryExecution.toRdd.mapPartitions { it =>
           val pid = TaskContext.getPartitionId()
           val acc = scala.collection.mutable.LinkedHashMap
-            .empty[String, Long]
+            .empty[String, (Long, Long)]
           while (it.hasNext) {
-            val s = it.next().getUTF8String(0).toString
-            acc(s) = acc.getOrElse(s, 0L) + 1L
+            val r = it.next()
+            val s = r.getUTF8String(0).toString
+            val sz =
+              if (szC.isEmpty) 1L
+              else if (r.isNullAt(1)) throw new IllegalArgumentException(
+                s"proportionalInterleaveByTokens: null ${szC.get} in " +
+                  s"stratum '$s'")
+              else {
+                val v = r.getLong(1)
+                if (v < 0L) throw new IllegalArgumentException(
+                  s"proportionalInterleaveByTokens: negative " +
+                    s"${szC.get}=$v in stratum '$s'")
+                v
+              }
+            val (c0, u0) = acc.getOrElse(s, (0L, 0L))
+            acc(s) = (c0 + 1L, u0 + sz)
           }
-          acc.iterator.map { case (s, c) => (pid, s, c) }
+          acc.iterator.map { case (s, (c, u)) => (pid, s, c, u) }
         }.collect()
-      val prefix: Map[(Int, String), Long] =
-        counts.groupBy(_._2).flatMap { case (s, rs) =>
-          var acc = 0L
-          rs.sortBy(_._1).map { case (pid, _, c) =>
-            val entry = ((pid, s), acc); acc += c; entry
+      }
+      // exclusive prefixes per (partition, stratum): rank offset and
+      // (sized variant) token offset
+      val prefix: Map[(Int, String), (Long, Long)] =
+        countsSizes.groupBy(_._2).flatMap { case (s, rs) =>
+          var accC = 0L; var accU = 0L
+          rs.sortBy(_._1).map { case (pid, _, c, u) =>
+            val entry = ((pid, s), (accC, accU))
+            accC += c; accU += u; entry
           }
         }
-      // Overflow cap (r14 finding): ranks are now known, so bound M
-      // such that k_max·M and 2·w_max·M both stay under Long.MaxValue
-      // — the two largest intermediates of mulDivFloorC's key
-      // arithmetic. Without this, many coprime small weights push the
-      // lcm M to its 2^42 cap while w_s stays small, and
-      // (k div w)·M wraps negative around k ≈ w·2^21.
-      val kMax = math.max(1L, counts.groupBy(_._2).valuesIterator
-        .map(_.iterator.map(_._3).sum).foldLeft(0L)(math.max))
+      // Overflow cap (r14 finding): per-stratum totals are now known,
+      // so bound M such that U_max·M and 2·w_max·M both stay under
+      // Long.MaxValue — the two largest intermediates of
+      // mulDivFloorC's key arithmetic (U = rank for the doc-count
+      // schedule, token total for the sized one; x ≤ 2·U either way).
+      // Without this, many coprime small weights push the lcm M to
+      // its 2^42 cap while w_s stays small, and (x div 2w)·M wraps
+      // negative around x ≈ w·2^22.
+      val uMax = math.max(1L, countsSizes.groupBy(_._2).valuesIterator
+        .map(rs => rs.iterator
+          .map(r => if (sizeCol.isEmpty) r._3 else r._4).sum)
+        .foldLeft(0L)(math.max))
       val wMax = red.valuesIterator.foldLeft(1L)(math.max)
       val mSafe = math.max(1L,
-        math.min(m, Long.MaxValue / (2L * math.max(kMax, wMax))))
-      val kSchema = ranged.schema.add("mix_k", LongType, nullable = false)
+        math.min(m, Long.MaxValue / (2L * math.max(uMax, wMax))))
+      val kSchema = ranged.schema
+        .add("mix_k", LongType, nullable = false)
+        .add(cumC, LongType, nullable = false)
       val withK = ranged.mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
-        val run = scala.collection.mutable.HashMap.empty[String, Long]
+        val run = scala.collection.mutable.HashMap
+          .empty[String, (Long, Long)]
         it.map { r =>
           val s = r.getString(stratIdx)
-          val k = run.getOrElse(s, prefix.getOrElse((pid, s), 0L)) + 1L
-          run(s) = k
-          Row.fromSeq(r.toSeq :+ k)
+          val (k0, u0) = run.getOrElse(s,
+            prefix.getOrElse((pid, s), (0L, 0L)))
+          val k = k0 + 1L
+          val u = u0 + sizeOf(r)
+          run(s) = (k, u)
+          // cumC carries the EXCLUSIVE prefix (u0) for the key
+          Row.fromSeq(r.toSeq :+ k :+ u0)
         }
       }(Encoders.row(kSchema))
 
       // Virtual time, then pass B: global position by the same
       // two-pass scan over the (key, stratum, k) range order.
+      val keyCol = sizeCol match {
+        case None => mulDivFloorC(
+          col("mix_k") * 2 - 1, lit(mSafe), col(wC) * 2)
+        case Some(sz) => mulDivFloorC(
+          col(cumC) * 2 + col(sz).cast("long"), lit(mSafe),
+          col(wC) * 2)
+      }
       val keyed = withK
-        .withColumn("mix_key", mulDivFloorC(
-          col("mix_k") * 2 - 1, lit(mSafe), col(wC) * 2))
+        .withColumn("mix_key", keyCol)
         .repartitionByRange(n, col("mix_key"), col(stratC), col("mix_k"))
         .sortWithinPartitions(col("mix_key"), col(stratC), col("mix_k"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -225,7 +313,7 @@ object InterleaveOps {
           var pos = offs(TaskContext.getPartitionId())
           it.map { r => pos += 1L; Row.fromSeq(r.toSeq :+ pos) }
         }(Encoders.row(outSchema))
-          .drop(stratC, wC)
+          .drop(stratC, wC, cumC)
           .localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
       } finally keyed.unpersist(blocking = false)
     } finally ranged.unpersist(blocking = false)

@@ -130,6 +130,91 @@ class InterleaveOpsSpec extends SparkSpec {
     assert(head.count(_ == "b") == 10)
   }
 
+  test("byTokens: hand-traced WFQ schedule (token-fair prefixes)") {
+    // a (w=1): sizes [2,2]; b (w=1): sizes [1,1,1,1]. M = lcm(2)=2.
+    // keys: a1 floor((0+2)*2/2)=2, a2 floor((4+2)*2/2)=6;
+    //       b1 1, b2 3, b3 5, b4 7  ->  order b a b b a b:
+    // after any 2t tokens each stratum has contributed ~t.
+    val df = Seq(
+      (1L, "a", 2L), (2L, "a", 2L),
+      (10L, "b", 1L), (11L, "b", 1L), (12L, "b", 1L), (13L, "b", 1L))
+      .toDF("id", "s", "tok")
+    val out = InterleaveOps.proportionalInterleaveByTokens(df, "s",
+        "id", "tok", Map("a" -> 1L, "b" -> 1L))
+      .select("id", "mix_k", "mix_key", "seq")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4)
+    assert(out.map(_._1).toSeq == Seq(10L, 1L, 11L, 12L, 2L, 13L))
+    assert(out.map(_._3).toSeq == Seq(1L, 2L, 3L, 5L, 6L, 7L))
+  }
+
+  test("byTokens with size 1 equals the doc-count schedule exactly") {
+    val df = spark.range(40).select(col("id"),
+      concat(lit("s"), (col("id") % 3).cast("string")).as("s"),
+      lit(1L).as("tok"))
+    val w = Map("s0" -> 3L, "s1" -> 2L, "s2" -> 1L)
+    val a = InterleaveOps.proportionalInterleave(
+        df.drop("tok"), "s", "id", w)
+      .select("id", "mix_k", "mix_key", "seq")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val b = InterleaveOps.proportionalInterleaveByTokens(
+        df, "s", "id", "tok", w)
+      .select("id", "mix_k", "mix_key", "seq")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("byTokens fails loudly on null and negative sizes") {
+    val bad = Seq((1L, "a", Some(3L)), (2L, "a", None))
+      .toDF("id", "s", "tok")
+    val e1 = intercept[org.apache.spark.SparkException] {
+      InterleaveOps.proportionalInterleaveByTokens(bad, "s", "id",
+        "tok", Map("a" -> 1L)).count()
+    }
+    assert(e1.getMessage.contains("null") ||
+      Option(e1.getCause).exists(_.getMessage.contains("null")))
+    val neg = Seq((1L, "a", 3L), (2L, "a", -1L)).toDF("id", "s", "tok")
+    val e2 = intercept[org.apache.spark.SparkException] {
+      InterleaveOps.proportionalInterleaveByTokens(neg, "s", "id",
+        "tok", Map("a" -> 1L)).count()
+    }
+    assert(e2.getMessage.contains("negative") ||
+      Option(e2.getCause).exists(_.getMessage.contains("negative")))
+  }
+
+  test("byTokens: resolution rank-capped by TOKEN totals (overflow)") {
+    // one stratum with 1e6 total tokens under M = 2^50: uncapped,
+    // (x div 2w)*M wraps; the post-pass cap uses the token sum
+    val df = spark.range(1000L).select(col("id"),
+      lit("a").as("s"), lit(1000L).as("tok"))
+    val out = InterleaveOps.proportionalInterleaveByTokens(df, "s",
+        "id", "tok", Map("a" -> 3L), resolution = 1L << 50)
+      .select("mix_k", "mix_key").as[(Long, Long)].collect()
+      .sortBy(_._1)
+    assert(out.forall(_._2 >= 0L), "mix_key wrapped negative")
+    out.iterator.sliding(2).withPartial(false).foreach { w =>
+      assert(w(0)._2 <= w(1)._2, s"keys not monotone at k=${w(1)._1}")
+    }
+  }
+
+  test("byTokens prefix fairness: token share tracks weights") {
+    // strata with very different doc lengths: a has few huge docs,
+    // b many small ones; equal weights => every prefix's token
+    // split stays near 50/50 (within one max doc size)
+    val a = (0L until 20L).map(i => (i, "a", 500L))
+    val b = (100L until 1100L).map(i => (i, "b", 10L))
+    val df = (a ++ b).toDF("id", "s", "tok")
+    val rows = InterleaveOps.proportionalInterleaveByTokens(df, "s",
+        "id", "tok", Map("a" -> 1L, "b" -> 1L))
+      .select("s", "tok", "seq").as[(String, Long, Long)]
+      .collect().sortBy(_._3)
+    var ta = 0L; var tb = 0L
+    rows.foreach { case (s, tok, _) =>
+      if (s == "a") ta += tok else tb += tok
+      assert(math.abs(ta - tb) <= 510L,
+        s"prefix token imbalance: a=$ta b=$tb")
+    }
+  }
+
   test("commonResolution: exact lcm under the cap, cap beyond") {
     assert(InterleaveOps.commonResolution(Seq(8L, 4L, 2L), 1L << 42) == 8L)
     assert(InterleaveOps.commonResolution(Seq(6L, 10L, 15L), 1L << 42) == 30L)
