@@ -2492,6 +2492,26 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
+  /** IVFADC over a Lloyd-refined coarse quantizer
+    * ([[graft.sim.PqOps.coarseCentroids]]): q109's layout with ONE
+    * integer Lloyd round on the full-vector coarse centroids before
+    * list assignment — the `(2s+n) div (2n)` round-half-up mean per
+    * dimension, empty lists keeping their seed. The refinement
+    * concentrates lists around actual density (the r15 recall sweep
+    * measured raw id-modulo lists recalling ~probed-fraction); cost
+    * is one map-side-combining corpus pass collecting |C|·(d+1)
+    * cells. The oracle replays seed, assignment, the Lloyd update,
+    * and the probed ranking. */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.PqOps
+    val emb = t(s, dir, "embeddings")
+    val model = PqOps.pqTrain(emb, "vec_id", "embedding",
+      subspaces = 4, k = 8, iters = 0)
+    PqOps.ivfPqTopK(emb.filter(col("vec_id") < 5), emb, 5, model,
+        numCoarse = 20, nProbe = 2, coarseIters = 1)
+      .orderBy("q_id", "rank")
+  }
+
   /** Token-weighted mixture interleave ([[graft.text.InterleaveOps
     * .proportionalInterleaveByTokens]]): q121's recipe with each
     * document "transmitting" for its token count — WFQ/GPS
@@ -2690,6 +2710,7 @@ object SparkEntry {
     "q122_opq_pq_ann"      -> (q122 _),
     "q123_streaming_interleave" -> (q123 _),
     "q124_token_interleave" -> (q124 _),
+    "q125_ivfpq_lloyd"     -> (q125 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -4802,6 +4823,72 @@ object SparkEntry {
              row_number() OVER (ORDER BY mix_key, lang, mix_k)::BIGINT
                AS seq
       FROM ky ORDER BY doc_id""",
+    // q109's IVFADC replay + ONE full-vector Lloyd round on the
+    // coarse centroids: assignment against the seed sample, per-dim
+    // (2s+n) // (2n) means over each list's members, empty lists
+    // keep their seed; everything downstream reads the refined set.
+    "q125_ivfpq_lloyd" -> """
+      WITH e AS (SELECT vec_id AS id,
+          list_transform(embedding::DOUBLE[],
+            x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) + 2097152)
+            AS qv
+        FROM embeddings),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      seed AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, qv
+               FROM e ORDER BY id LIMIT 8),
+      cb AS (SELECT sub, j,
+          list_slice(qv, sub * 16 + 1, sub * 16 + 16) AS cv
+        FROM seed CROSS JOIN subs),
+      cent0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c_idx,
+          qv AS cqv
+        FROM e WHERE id % greatest(1,
+          (SELECT count(*) FROM embeddings) // 20) = 0),
+      a0 AS (SELECT id, c_idx, qv, row_number() OVER (PARTITION BY id
+            ORDER BY list_aggregate(list_transform(range(1, 65),
+              i -> abs(qv[i] - cqv[i])), 'sum') ASC, c_idx ASC) AS r
+        FROM e CROSS JOIN cent0),
+      cstats AS (SELECT c_idx AS cl, d.i AS dim,
+          sum(qv[d.i])::BIGINT AS s, count(*)::BIGINT AS n
+        FROM (SELECT * FROM a0 WHERE r = 1) a
+        CROSS JOIN range(1, 65) d(i)
+        GROUP BY c_idx, d.i),
+      cent AS (SELECT c0.c_idx, coalesce(m.nv, c0.cqv) AS cqv
+        FROM cent0 c0 LEFT JOIN (
+          SELECT cl, list((2 * s + n) // (2 * n) ORDER BY dim) AS nv
+          FROM cstats GROUP BY cl) m ON c0.c_idx = m.cl),
+      lst AS (SELECT id, c_idx, row_number() OVER (PARTITION BY id
+            ORDER BY list_aggregate(list_transform(range(1, 65),
+              i -> abs(qv[i] - cqv[i])), 'sum') ASC, c_idx ASC) AS r
+        FROM e CROSS JOIN cent),
+      lists AS (SELECT id AS n_id, c_idx AS list_id FROM lst
+                WHERE r = 1),
+      sv AS (SELECT id, sub,
+          list_slice(qv, sub * 16 + 1, sub * 16 + 16) AS ssv
+        FROM e CROSS JOIN subs),
+      enc AS (SELECT id, sub, j AS code FROM (
+          SELECT sv.id, sv.sub, cb.j, row_number() OVER (
+              PARTITION BY sv.id, sv.sub ORDER BY
+              list_aggregate(list_transform(range(1, 17),
+                i -> abs(ssv[i] - cv[i])), 'sum') ASC, j ASC) AS r
+          FROM sv JOIN cb USING (sub)) WHERE r = 1),
+      probe AS (SELECT id AS q_id, c_idx AS list_id FROM lst
+                WHERE id < 5 AND r <= 2),
+      cand AS (SELECT p.q_id, l.n_id FROM probe p
+        JOIN lists l USING (list_id) WHERE p.q_id <> l.n_id),
+      q AS (SELECT id AS q_id, sub, ssv AS qsv FROM sv WHERE id < 5),
+      d AS (SELECT c.q_id, c.n_id,
+          sum(list_aggregate(list_transform(range(1, 17),
+            i -> abs(qsv[i] - cv[i])), 'sum'))::BIGINT AS adist
+        FROM cand c
+        JOIN q ON q.q_id = c.q_id
+        JOIN enc ON enc.id = c.n_id AND enc.sub = q.sub
+        JOIN cb ON cb.sub = enc.sub AND cb.j = enc.code
+        GROUP BY c.q_id, c.n_id),
+      rk AS (SELECT q_id, n_id, adist, row_number() OVER (
+            PARTITION BY q_id ORDER BY adist ASC, n_id ASC) AS rank
+        FROM d)
+      SELECT q_id, rank::INT AS rank, n_id, adist
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank""",
     // WFQ finish-time replay: per-lang token cumsum (exclusive, in
     // doc_id order), key = ((2cum+n_tok) // 2w)*8 +
     // (((2cum+n_tok) % 2w)*8) // 2w, global row_number by

@@ -164,15 +164,14 @@ object SqOps {
   def ivfSqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       model: SqModel, numCoarse: Int = 256, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      centroidStride: Long = 0L): DataFrame = {
+      centroidStride: Long = 0L, coarseIters: Int = 0): DataFrame = {
     val stride =
       if (centroidStride > 0L) centroidStride
       else math.max(1L, corpus.count() / math.max(1, numCoarse))
     val qcorp = corpus.select(col(idCol).cast("long").as("id"),
       PqOps.quantize(col(vecCol), model.scaleBits).as("__qv"))
-    val cents: Array[Array[Long]] = qcorp
-      .filter(pmod(col("id"), lit(stride)) === 0)
-      .orderBy("id").collect().map(_.getSeq[Long](1).toArray)
+    val cents: Array[Array[Long]] = PqOps.coarseCentroids(
+      qcorp, stride, coarseIters, qvC = "__qv")
     if (cents.isEmpty)
       return queries.sparkSession.emptyDataFrame
         .withColumn("q_id", lit(0L)).withColumn("rank", lit(1))

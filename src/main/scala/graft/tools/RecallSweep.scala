@@ -117,6 +117,9 @@ object RecallSweep {
       meanRecall("ivf_pq", s""""nprobe":$np,""",
         graft.sim.PqOps.ivfPqTopK(queries, emb, k, pqModel,
           numCoarse = nC, nProbe = np), l1Truth)
+      meanRecall("ivf_pq_lloyd1", s""""nprobe":$np,""",
+        graft.sim.PqOps.ivfPqTopK(queries, emb, k, pqModel,
+          numCoarse = nC, nProbe = np, coarseIters = 1), l1Truth)
       meanRecall("ivf_pq_residual", s""""nprobe":$np,""",
         graft.sim.PqOps.ivfPqTopKResidual(queries, emb, k,
           subspaces = 8, codes = 64, iters = 2, numCoarse = nC,

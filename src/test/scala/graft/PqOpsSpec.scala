@@ -228,6 +228,62 @@ class PqOpsSpec extends SparkSpec {
       4L -> (0L, 1L, 0L)))
   }
 
+  test("Lloyd-refined coarse lists: all-probed still equals flat " +
+      "ADC, and the refined centroid is the literal half-up mean") {
+    val model = PqOps.pqTrain(df, "vec_id", "embedding",
+      subspaces = 2, k = 4, iters = 2)
+    val enc = PqOps.pqEncode(df, "vec_id", "embedding", model)
+    val queries = df.filter(col("vec_id") < 3)
+    val flat = PqOps.adcTopK(queries, enc, 4, model)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // refinement moves the lists but all-probed search must still
+    // cover everything and rank identically to flat ADC
+    val ivf = PqOps.ivfPqTopK(queries, df, 4, model, nProbe = 4,
+        centroidStride = 2L, coarseIters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(ivf == flat)
+    // literal re-derivation of one round on a tiny frame: seeds at
+    // ids 0 and 2 (stride 2); with vectors clustered around the
+    // seeds, the refined centroid is the per-dim (2s+n) div (2n)
+    // half-up mean of each list's members
+    def qz(v: Seq[Double]): Array[Long] =
+      v.map(x => math.floor(x * (1L << 20) + 0.5).toLong +
+        (1L << 21)).toArray
+    val tiny = Seq(
+      0L -> Seq(0.0, 0.0), 1L -> Seq(0.1, 0.1),
+      2L -> Seq(1.0, 1.0), 3L -> Seq(0.9, 0.9))
+      .map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val qcorp = tiny.select(col("vec_id").as("id"),
+      PqOps.quantize(col("embedding"), 20).as("qv"))
+    val got = PqOps.coarseCentroids(qcorp, stride = 2L, coarseIters = 1)
+    val members = Seq(Seq(qz(Seq(0.0, 0.0)), qz(Seq(0.1, 0.1))),
+      Seq(qz(Seq(1.0, 1.0)), qz(Seq(0.9, 0.9))))
+    val want = members.map { ms =>
+      Array.tabulate(2) { i =>
+        val s = ms.map(_(i)).sum; val n = ms.length.toLong
+        (2L * s + n) / (2L * n)
+      }
+    }
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq))
+    // an empty list keeps its seed: duplicate seed vectors tie every
+    // assignment to the smaller index, so list 1 is empty and its
+    // centroid must survive the round verbatim
+    val lop = Seq(0L -> Seq(0.5, 0.5), 1L -> Seq(0.4, 0.6),
+      2L -> Seq(0.5, 0.5), 3L -> Seq(0.7, 0.4))
+      .map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val qlop = lop.select(col("vec_id").as("id"),
+      PqOps.quantize(col("embedding"), 20).as("qv"))
+    val seeds = PqOps.coarseCentroids(qlop, 2L, 0)
+    assert(seeds(0).toSeq == seeds(1).toSeq) // ids 0 and 2 duplicate
+    val ref = PqOps.coarseCentroids(qlop, 2L, 1)
+    assert(ref(1).toSeq == seeds(1).toSeq, "empty list lost its seed")
+    assert(ref(0).toSeq != seeds(0).toSeq) // list 0 absorbed everyone
+  }
+
   test("ivfPqTopK with all lists probed equals flat ADC top-k") {
     val model = PqOps.pqTrain(df, "vec_id", "embedding",
       subspaces = 2, k = 4, iters = 2)
