@@ -2492,6 +2492,23 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
+  /** Leakage-safe group split ([[graft.text.SampleOps.groupSplit]]):
+    * whole sources assigned to train/val/test (4/5, 1/10, 1/10) so
+    * correlated documents never straddle a train/eval boundary —
+    * cuts are exact integer rationals over char-weighted group sizes
+    * in hash-coordinate order. The oracle replays the group sums,
+    * the md5 ordering, the exclusive prefix, and the integer cuts. */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.SampleOps
+    SampleOps.groupSplit(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", Seq(("train", 4L, 5L), ("val", 1L, 10L),
+          ("test", 1L, 10L)), "split", sizeCol = Some("n_chars"))
+      .select("doc_id", "source", "split")
+      .orderBy("doc_id")
+  }
+
   /** IVFADC over a Lloyd-refined coarse quantizer
     * ([[graft.sim.PqOps.coarseCentroids]]): q109's layout with ONE
     * integer Lloyd round on the full-vector coarse centroids before
@@ -2711,6 +2728,7 @@ object SparkEntry {
     "q123_streaming_interleave" -> (q123 _),
     "q124_token_interleave" -> (q124 _),
     "q125_ivfpq_lloyd"     -> (q125 _),
+    "q126_group_split"     -> (q126 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -4823,6 +4841,31 @@ object SparkEntry {
              row_number() OVER (ORDER BY mix_key, lang, mix_k)::BIGINT
                AS seq
       FROM ky ORDER BY doc_id""",
+    // Group-split replay: char-weighted group sums, md5-coordinate
+    // order, exclusive prefix vs the exact integer cuts
+    // floor(total*4/5) and floor(total*9/10).
+    "q126_group_split" -> """
+      WITH g AS (SELECT coalesce(source, '') AS src,
+          sum(n_chars)::BIGINT AS sz
+        FROM documents GROUP BY 1),
+      o AS (SELECT src, sz,
+          ('0x' || substr(md5('split:' || src), 1, 8))::BIGINT
+            / 4294967296.0 AS h
+        FROM g),
+      p AS (SELECT src, sz,
+          coalesce(sum(sz) OVER (ORDER BY h, src
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0)::BIGINT AS pfx,
+          (sum(sz) OVER ())::BIGINT AS total
+        FROM o),
+      a AS (SELECT src,
+          CASE WHEN pfx < total * 4 // 5 THEN 'train'
+               WHEN pfx < total * 9 // 10 THEN 'val'
+               ELSE 'test' END AS split
+        FROM p)
+      SELECT d.doc_id, d.source, a.split
+      FROM documents d JOIN a ON coalesce(d.source, '') = a.src
+      ORDER BY d.doc_id""",
     // q109's IVFADC replay + ONE full-vector Lloyd round on the
     // coarse centroids: assignment against the seed sample, per-dim
     // (2s+n) // (2n) means over each list's members, empty lists

@@ -242,4 +242,104 @@ object SampleOps {
     val m = sample.length
     probs.map(p => sample(math.ceil(p * m).toInt - 1)._1)
   }
+
+  /** Leakage-safe train/val/test split: assign whole GROUPS (URL
+    * domains, near-dup components, sources) to splits, so correlated
+    * documents can never straddle a train/eval boundary — the
+    * contamination failure the dedup literature warns about
+    * (training near-duplicates of eval docs; cf. the q65
+    * contamination checker, which DETECTS what this op PREVENTS).
+    * [[assignSplit]] cuts per DOCUMENT and hash-proportionally; this
+    * cuts per GROUP and EXACTLY: groups order by their hash
+    * coordinate (total order, ties by group), sizes (doc counts, or
+    * `sizeCol` sums — e.g. chars/tokens) accumulate in that order,
+    * and split i takes every group whose EXCLUSIVE prefix lands
+    * below the integer cut `floor(total·cumNum_i/cumDen_i)` — exact
+    * rational arithmetic, so two engines agree bit-for-bit. A group
+    * straddling a cut lands wholly in the earlier split: per-cut
+    * deviation is bounded by the largest group size, the price of
+    * leakage safety. Fractions are integer rationals (the repo's
+    * exactness convention) and must sum to exactly 1.
+    *
+    * Scale shape: one map-side-combining groupBy (group table, may be
+    * corpus-scale — near-dup components are), one range exchange over
+    * the group table for the two-pass exclusive prefix (driver
+    * collect = one sum per partition), and one SHUFFLE_HASH-pinned
+    * join back to the corpus — the group table is corpus-derived and
+    * must never be estimate-broadcast. NULL groups fold to "" (the
+    * [[graft.text.MixOps]] convention). Returns every input row plus
+    * `split`. */
+  def groupSplit(df: DataFrame, groupCol: String,
+      splits: Seq[(String, Long, Long)], salt: String,
+      sizeCol: Option[String] = None): DataFrame = {
+    require(splits.nonEmpty, "groupSplit needs at least one split")
+    require(splits.forall { case (_, n, d) => n >= 0 && d > 0 },
+      s"groupSplit: malformed fractions $splits")
+    val one = splits.map { case (_, n, d) => BigInt(n) * splits.map(_._3)
+      .product / d }.sum
+    require(one == BigInt(splits.map(_._3).product),
+      s"groupSplit fractions must sum to exactly 1: $splits")
+    val spark = df.sparkSession
+    val nPart = math.max(1,
+      spark.sessionState.conf.numShufflePartitions)
+    val gC = col(groupCol)
+    val out = df.withColumn("__g",
+      coalesce(gC.cast("string"), lit("")))
+    val szAgg = sizeCol match {
+      case None => count(lit(1)).cast("long").as("__sz")
+      case Some(c) => sum(col(c).cast("long")).as("__sz")
+    }
+    val grp = out.groupBy("__g").agg(szAgg)
+      .withColumn("__h", hashCoord(col("__g"), salt))
+      .repartitionByRange(nPart, col("__h"), col("__g"))
+      .sortWithinPartitions(col("__h"), col("__g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      import org.apache.spark.TaskContext
+      val szIdx = grp.schema.fieldIndex("__sz")
+      val partSums = grp.select(col("__sz"))
+        .queryExecution.toRdd.mapPartitions { it =>
+          var s = 0L
+          while (it.hasNext) s += it.next().getLong(0)
+          Iterator((TaskContext.getPartitionId(), s))
+        }.collect().toMap
+      val offs = new Array[Long](nPart)
+      var acc = 0L
+      (0 until nPart).foreach { p =>
+        offs(p) = acc; acc += partSums.getOrElse(p, 0L)
+      }
+      val total = acc
+      // integer cuts from cumulative fractions; exact in BigInt on
+      // the driver, the last cut pinned to total so rounding can
+      // never leave a group unassigned
+      val cuts: Array[Long] = {
+        var cn = BigInt(0); var cd = BigInt(1)
+        val cs = splits.init.map { case (_, n, d) =>
+          cn = cn * d + BigInt(n) * cd; cd = cd * d
+          (BigInt(total) * cn / cd).toLong
+        }
+        (cs :+ total).toArray
+      }
+      val names = splits.map(_._1).toArray
+      val gIdx = grp.schema.fieldIndex("__g")
+      import org.apache.spark.sql.{Encoders, Row}
+      val aSchema = new org.apache.spark.sql.types.StructType()
+        .add("__g", org.apache.spark.sql.types.StringType, false)
+        .add("split", org.apache.spark.sql.types.StringType, false)
+      val assignment = grp.mapPartitions { it =>
+        var p = offs(TaskContext.getPartitionId())
+        it.map { r =>
+          var i = 0
+          while (i < cuts.length - 1 && p >= cuts(i)) i += 1
+          val row = Row(r.getString(gIdx), names(i))
+          p += r.getLong(szIdx)
+          row
+        }
+      }(Encoders.row(aSchema))
+      out.join(assignment.hint("shuffle_hash"), Seq("__g"))
+        .drop("__g")
+        .localCheckpoint(eager = true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    } finally grp.unpersist(blocking = false)
+  }
 }

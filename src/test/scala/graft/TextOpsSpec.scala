@@ -344,6 +344,76 @@ class TextOpsSpec extends SparkSpec {
     assert(q1.groupBy(_._2).forall(_._2.size == 7))
   }
 
+  test("groupSplit: whole groups, exact rational cuts, literal " +
+      "re-derivation, partition invariance") {
+    import graft.text.SampleOps
+    // 40 groups of varying sizes; split 1/2 + 1/4 + 1/4
+    val docs = (0L until 820L).map(i =>
+      (i, s"g${i % 40}", 1L + (i % 40) / 8))
+      .toDF("id", "grp", "w")
+    val splits = Seq(("train", 1L, 2L), ("val", 1L, 4L),
+      ("test", 1L, 4L))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SampleOps.groupSplit(df, "grp", splits, "gs")
+        .select("id", "grp", "split")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2)))
+    val got = run(docs)
+    // every row assigned; a group never straddles splits
+    assert(got.length == 820)
+    got.groupBy(_._2).foreach { case (g, rows) =>
+      assert(rows.map(_._3).distinct.length == 1,
+        s"group $g straddles splits")
+    }
+    // literal re-derivation: groups in (hashCoord, grp) order,
+    // exclusive doc-count prefix vs integer cuts
+    def coord(g: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"gs:$g".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val sizes = got.groupBy(_._2).map { case (g, rs) =>
+      g -> rs.length.toLong }
+    val ordered = sizes.keys.toSeq.sortBy(g => (coord(g), g))
+    val total = sizes.values.sum
+    val cut1 = total * 1 / 2
+    val cut2 = (BigInt(total) * 3 / 4).toLong
+    var p = 0L
+    val want = ordered.map { g =>
+      val s = if (p < cut1) "train" else if (p < cut2) "val" else "test"
+      p += sizes(g); g -> s
+    }.toMap
+    got.foreach { case (_, g, s) =>
+      assert(s == want(g), s"group $g: got $s want ${want(g)}")
+    }
+    // every split non-empty at these proportions
+    assert(got.map(_._3).distinct.toSet == Set("train", "val", "test"))
+    // partition invariance
+    assert(run(docs.repartition(11)).toSet == got.toSet)
+    // size-weighted variant: cuts move in char units, not doc units
+    val byW = SampleOps.groupSplit(docs, "grp", splits, "gs",
+        sizeCol = Some("w"))
+      .select("grp", "split").distinct()
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val wsizes = (0 until 40).map(i =>
+      s"g$i" -> (0L until 820L).filter(_ % 40 == i)
+        .map(j => 1L + (j % 40) / 8).sum).toMap
+    val wtotal = wsizes.values.sum
+    val wc1 = wtotal / 2; val wc2 = (BigInt(wtotal) * 3 / 4).toLong
+    var wp = 0L
+    ordered.foreach { g =>
+      val s = if (wp < wc1) "train" else if (wp < wc2) "val" else "test"
+      assert(byW(g) == s, s"weighted group $g: got ${byW(g)} want $s")
+      wp += wsizes(g)
+    }
+    // malformed fractions rejected
+    intercept[IllegalArgumentException] {
+      SampleOps.groupSplit(docs, "grp",
+        Seq(("a", 1L, 2L), ("b", 1L, 4L)), "gs")
+    }
+  }
+
   test("dupSpans flags every occurrence and merges overlapping windows") {
     // "one two three four five" appears in docs 1 and 2 (both flag —
     // ExactSubstr semantics), doc 3 is clean, doc 4 repeats a k-gram
