@@ -2492,6 +2492,44 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
+  /** Streaming token-weighted interleave ([[graft.streaming
+    * .StreamingInterleave.interleaveByTokens]]): q124's WFQ schedule
+    * stamped by keyed state — (rank, cumulative-token) pairs carried
+    * across three cron drains. Drained in id order the stream is
+    * bit-identical to the batch operator, so the oracle is q124's
+    * replay minus the read-side seq. */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingInterleave
+    import graft.text.TextOps
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_q127")
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    }
+    val inDir = s"$root/in"; val outDir = s"$root/mix"
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    val w = Map("en" -> 4L, "de" -> 2L, "fr" -> 2L, "es" -> 1L,
+      "zh" -> 1L)
+    docs.filter(col("doc_id") < 250).coalesce(1).write.parquet(inDir)
+    val schema = s.read.parquet(inDir).schema
+    def drain(): Unit = StreamingInterleave.interleaveByTokensRun(s,
+      inDir, outDir, s"$root/ckpt", schema, "lang", "n_tok", w)
+    drain()
+    docs.filter(col("doc_id") >= 250 && col("doc_id") < 500)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    drain()
+    docs.filter(col("doc_id") >= 500).coalesce(1).write.mode("append")
+      .parquet(inDir)
+    drain()
+    s.read.parquet(outDir)
+      .select(col("doc_id"), col("stratum").as("lang"),
+        col("size").as("n_tok"), col("mix_k"), col("mix_key"))
+      .orderBy("doc_id")
+  }
+
   /** Leakage-safe group split ([[graft.text.SampleOps.groupSplit]]):
     * whole sources assigned to train/val/test (4/5, 1/10, 1/10) so
     * correlated documents never straddle a train/eval boundary —
@@ -2599,7 +2637,8 @@ object SparkEntry {
   val benchExclude: Set[String] =
     Set("q56_streaming_append", "q67_stateful_gaps", "q86_streaming_dedup",
       "q95_streaming_near_dedup", "q96_streaming_near_dedup_audit",
-      "q97_bloom_dedup", "q123_streaming_interleave")
+      "q97_bloom_dedup", "q123_streaming_interleave",
+      "q127_streaming_token_interleave")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2729,6 +2768,7 @@ object SparkEntry {
     "q124_token_interleave" -> (q124 _),
     "q125_ivfpq_lloyd"     -> (q125 _),
     "q126_group_split"     -> (q126 _),
+    "q127_streaming_token_interleave" -> (q127 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -4841,6 +4881,27 @@ object SparkEntry {
              row_number() OVER (ORDER BY mix_key, lang, mix_k)::BIGINT
                AS seq
       FROM ky ORDER BY doc_id""",
+    // The streaming WFQ stamp is bit-identical to the batch
+    // token-weighted schedule when drained in id order: q124's
+    // replay without the read-side seq.
+    "q127_streaming_token_interleave" -> (tokCte + """,
+      d AS (SELECT tk.doc_id, d0.lang, len(toks)::BIGINT AS n_tok
+        FROM tk JOIN documents d0 ON tk.doc_id = d0.doc_id),
+      w(lang, wr) AS (VALUES ('en', 4), ('de', 2), ('fr', 2),
+                             ('es', 1), ('zh', 1)),
+      k AS (SELECT doc_id, d.lang, n_tok, wr::BIGINT AS wr,
+              row_number() OVER (PARTITION BY d.lang
+                ORDER BY doc_id) AS mix_k,
+              coalesce(sum(n_tok) OVER (PARTITION BY d.lang
+                ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0)::BIGINT AS cum
+            FROM d JOIN w ON d.lang = w.lang)
+      SELECT doc_id, lang, n_tok, mix_k::BIGINT AS mix_k,
+             (((2*cum + n_tok) // (2*wr)) * 8 +
+               (((2*cum + n_tok) % (2*wr)) * 8) // (2*wr))::BIGINT
+               AS mix_key
+      FROM k ORDER BY doc_id"""),
     // Group-split replay: char-weighted group sums, md5-coordinate
     // order, exclusive prefix vs the exact integer cuts
     // floor(total*4/5) and floor(total*9/10).

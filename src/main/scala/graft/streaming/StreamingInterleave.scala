@@ -12,6 +12,13 @@ final case class StratumDoc(stratum: String, doc_id: Long)
 final case class MixDoc(stratum: String, doc_id: Long, mix_k: Long,
     mix_key: Long)
 
+/** A sized document reference (token-weighted variant). */
+final case class SizedDoc(stratum: String, doc_id: Long, size: Long)
+
+/** A WFQ-scheduled sized document. */
+final case class MixSizedDoc(stratum: String, doc_id: Long, size: Long,
+    mix_k: Long, mix_key: Long)
+
 /** §2.9 + LLM-extension: STREAMING proportional mixture interleave —
   * the continuous-ingest counterpart of
   * [[graft.text.InterleaveOps.proportionalInterleave]], closing the
@@ -110,6 +117,105 @@ object StreamingInterleave {
     var x = a; var y = b
     while (y != 0) { val t = x % y; x = y; y = t }
     math.max(x, 1L)
+  }
+
+  /** Token-weighted transition ([[graft.text.InterleaveOps
+    * .proportionalInterleaveByTokens]]'s WFQ key): state is the
+    * (rank, cumulative-token) pair; each doc's key is the midpoint
+    * of its token interval on the stratum's weighted clock. Negative
+    * sizes and token totals past the bound fail loudly. */
+  def stampSized(stratum: String, rows: Iterator[SizedDoc],
+      state: GroupState[(Long, Long)], weights: Map[String, Long],
+      m: Long, maxTokensPerStratum: Long): Iterator[MixSizedDoc] =
+    weights.get(stratum) match {
+      case None => Iterator.empty
+      case Some(w) =>
+        var (k, cum) = state.getOption.getOrElse((0L, 0L))
+        val out = rows.toArray.sortBy(_.doc_id).iterator.map { d =>
+          if (d.size < 0L) throw new IllegalArgumentException(
+            s"StreamingInterleave: negative size ${d.size} in " +
+              s"stratum '$stratum'")
+          k += 1L
+          val key = mulDivFloor(2L * cum + d.size, m, 2L * w)
+          cum += d.size
+          if (cum > maxTokensPerStratum) throw new IllegalStateException(
+            s"StreamingInterleave: stratum '$stratum' exceeded " +
+              s"maxTokensPerStratum=$maxTokensPerStratum — raise the " +
+              "bound (the resolution cap derives from it)")
+          MixSizedDoc(stratum, d.doc_id, d.size, k, key)
+        }.toArray
+        state.update((k, cum))
+        out.iterator
+    }
+
+  /** Token-weighted streaming interleave: the [[interleave]]
+    * contract with each doc occupying its `size` tokens on the
+    * stratum clock — bit-identical to
+    * [[graft.text.InterleaveOps.proportionalInterleaveByTokens]]
+    * when drained in id order. State: TWO Longs per stratum. */
+  def interleaveByTokens(docs: Dataset[SizedDoc],
+      weights: Map[String, Long],
+      maxTokensPerStratum: Long = 1L << 44,
+      resolution: Long = 0L): Dataset[MixSizedDoc] = {
+    require(weights.nonEmpty && weights.valuesIterator.forall(_ > 0),
+      "StreamingInterleave: weights must be positive")
+    require(maxTokensPerStratum >= 1, "maxTokensPerStratum must be >= 1")
+    import docs.sparkSession.implicits._
+    val g = weights.valuesIterator.reduce((a, b) => gcd(a, b))
+    val red = weights.map { case (s, w) => (s, w / g) }
+    val wMax = red.valuesIterator.max
+    val mSafe = math.max(1L, math.min(
+      if (resolution > 0L) resolution
+      else graft.text.InterleaveOps.commonResolution(
+        red.values.map(2L * _).toSeq.distinct.sorted, 1L << 42),
+      Long.MaxValue / (2L * math.max(maxTokensPerStratum, wMax))))
+    docs.groupByKey(_.stratum)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (s: String, it: Iterator[SizedDoc],
+            st: GroupState[(Long, Long)]) =>
+          stampSized(s, it, st, red, mSafe, maxTokensPerStratum))
+  }
+
+  /** Cron-style run for the token-weighted variant: `sizeCol` must
+    * be a non-negative integral column. Everything else as
+    * [[interleaveRun]]. */
+  def interleaveByTokensRun(spark: SparkSession, inDir: String,
+      outDir: String, checkpoint: String,
+      schema: org.apache.spark.sql.types.StructType,
+      stratumCol: String, sizeCol: String, weights: Map[String, Long],
+      maxTokensPerStratum: Long = 1L << 44, resolution: Long = 0L,
+      stateStoreProvider: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    import spark.implicits._
+    val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(ProviderConf)
+    stateStoreProvider.foreach(spark.conf.set(ProviderConf, _))
+    try {
+      val reader = spark.readStream.schema(schema)
+      maxFilesPerTrigger.foreach(n =>
+        reader.option("maxFilesPerTrigger", n))
+      val in = reader.parquet(inDir)
+        .select(coalesce(col(stratumCol).cast("string"), lit(""))
+          .as("stratum"), col("doc_id").cast("long").as("doc_id"),
+          col(sizeCol).cast("long").as("size"))
+        .as[SizedDoc]
+      val q = interleaveByTokens(in, weights, maxTokensPerStratum,
+          resolution)
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally if (stateStoreProvider.isDefined) {
+      saved match {
+        case Some(v) => spark.conf.set(ProviderConf, v)
+        case None    => spark.conf.unset(ProviderConf)
+      }
+    }
   }
 
   /** Cron-style run: drain new parquet document files from `inDir`

@@ -44,6 +44,62 @@ class StreamingInterleaveSpec extends SparkSpec {
     assert(ex.getMessage.contains("'a'"))
   }
 
+  test("stampSized continues (rank, cum) state and matches the WFQ " +
+      "key; negative sizes and bound crossings fail loudly") {
+    import graft.streaming.{MixSizedDoc, SizedDoc}
+    val w = Map("a" -> 1L)
+    val st = new TestGroupState[(Long, Long)]
+    // M = 2: key = floor((2cum+size)*2/2) = 2cum+size
+    val b1 = StreamingInterleave.stampSized("a",
+      Iterator(SizedDoc("a", 5L, 3L), SizedDoc("a", 2L, 2L)), st, w,
+      m = 2L, maxTokensPerStratum = 100L).toSeq
+    assert(b1 == Seq(MixSizedDoc("a", 2L, 2L, 1L, 2L),
+      MixSizedDoc("a", 5L, 3L, 2L, 7L)))
+    assert(st.value == (2L, 5L))
+    val b2 = StreamingInterleave.stampSized("a",
+      Iterator(SizedDoc("a", 9L, 4L)), st, w, 2L, 100L).toSeq
+    assert(b2 == Seq(MixSizedDoc("a", 9L, 4L, 3L, 14L)))
+    intercept[IllegalArgumentException] {
+      StreamingInterleave.stampSized("a",
+        Iterator(SizedDoc("a", 1L, -2L)), new TestGroupState, w,
+        2L, 100L).toSeq
+    }
+    intercept[IllegalStateException] {
+      StreamingInterleave.stampSized("a",
+        Iterator(SizedDoc("a", 1L, 101L)), new TestGroupState, w,
+        2L, 100L).toSeq
+    }
+  }
+
+  test("token-weighted cron drains are bit-identical to the batch " +
+      "proportionalInterleaveByTokens keys") {
+    val docs = (0L until 90L).map(i =>
+      (i, Seq("en", "de", "fr")(((i % 7) % 3).toInt), 1L + i % 13))
+      .toDF("doc_id", "lang", "n_tok")
+    val w = Map("en" -> 3L, "de" -> 2L, "fr" -> 1L)
+    val batch = graft.text.InterleaveOps.proportionalInterleaveByTokens(
+        docs, "lang", "doc_id", "n_tok", w)
+      .select("doc_id", "mix_k", "mix_key")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val in = Files.createTempDirectory("ilt_in").toString
+    val out = Files.createTempDirectory("ilt_out").toString
+    val ckpt = Files.createTempDirectory("ilt_ckpt").toString
+    docs.filter(col("doc_id") < 40).coalesce(1).write
+      .mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def drain(): Unit = StreamingInterleave.interleaveByTokensRun(
+      spark, in, out, ckpt, schema, "lang", "n_tok", w)
+    drain()
+    docs.filter(col("doc_id") >= 40).coalesce(1).write
+      .mode("append").parquet(in)
+    drain()
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("mix_k"), r.getAs[Long]("mix_key"))).toMap
+    assert(streamed == batch)
+  }
+
   test("cron drains in id order are bit-identical to the batch " +
       "interleave keys (ranks carried across runs and providers)") {
     val docs = (0L until 90L).map(i =>
