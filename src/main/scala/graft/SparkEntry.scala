@@ -2492,6 +2492,18 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
+  /** Exact distributed quantiles ([[graft.operators.StatsOps
+    * .exactQuantiles]]): doc-length order statistics at exact
+    * ceil(p·n) ranks under the (value, id) total order — the
+    * engine-portable alternative to percentile_approx sketches. One
+    * range exchange + two-pass rank placement, no corpus-wide
+    * window. The oracle replays the ranks in DuckDB. */
+  private def q128(s: SparkSession, dir: String): DataFrame =
+    graft.operators.StatsOps.exactQuantiles(t(s, dir, "documents"),
+        "n_chars", "doc_id",
+        Seq((1L, 4L), (1L, 2L), (3L, 4L), (99L, 100L)))
+      .orderBy("rank", "p_num", "p_den")
+
   /** Streaming token-weighted interleave ([[graft.streaming
     * .StreamingInterleave.interleaveByTokens]]): q124's WFQ schedule
     * stamped by keyed state — (rank, cumulative-token) pairs carried
@@ -2769,6 +2781,7 @@ object SparkEntry {
     "q125_ivfpq_lloyd"     -> (q125 _),
     "q126_group_split"     -> (q126 _),
     "q127_streaming_token_interleave" -> (q127 _),
+    "q128_exact_quantiles" -> (q128 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -4881,6 +4894,19 @@ object SparkEntry {
              row_number() OVER (ORDER BY mix_key, lang, mix_k)::BIGINT
                AS seq
       FROM ky ORDER BY doc_id""",
+    // Exact-quantile replay: ceil(n*num/den) 1-based ranks under the
+    // (value, doc_id) total order; probs sharing a rank each emit.
+    "q128_exact_quantiles" -> """
+      WITH v AS (SELECT n_chars::DOUBLE AS v, doc_id
+        FROM documents WHERE n_chars IS NOT NULL),
+      r AS (SELECT v, row_number() OVER (ORDER BY v, doc_id) AS rk,
+          count(*) OVER () AS n
+        FROM v),
+      p(p_num, p_den) AS (VALUES (1, 4), (1, 2), (3, 4), (99, 100))
+      SELECT p_num::BIGINT AS p_num, p_den::BIGINT AS p_den,
+             rk::BIGINT AS rank, v AS value
+      FROM p JOIN r ON rk = (n * p_num + p_den - 1) // p_den
+      ORDER BY rank, p_num, p_den""",
     // The streaming WFQ stamp is bit-identical to the batch
     // token-weighted schedule when drained in id order: q124's
     // replay without the read-side seq.
