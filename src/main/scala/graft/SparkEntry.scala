@@ -2492,6 +2492,23 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
+  /** Exact-count stratified sample ([[graft.text.SampleOps
+    * .stratifiedSampleExact]]): exactly floor(n_s/3) docs per source
+    * — the lowest hash-coordinate ranks within each stratum, ties by
+    * id. The rate-based q63 sampler carries binomial noise; this is
+    * the exact-recipe form. Audit frame: every row returns with its
+    * rank and verdict. The oracle replays the per-source hash rank
+    * and the integer floor cut. */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.SampleOps
+    SampleOps.stratifiedSampleExact(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", Map.empty, 1L, 3L, "sx")
+      .select(col("doc_id"), col("source"), col("sample_rank"),
+        col("sampled"))
+      .orderBy("doc_id")
+  }
+
   /** Exact distributed quantiles ([[graft.operators.StatsOps
     * .exactQuantiles]]): doc-length order statistics at exact
     * ceil(p·n) ranks under the (value, id) total order — the
@@ -2782,6 +2799,7 @@ object SparkEntry {
     "q126_group_split"     -> (q126 _),
     "q127_streaming_token_interleave" -> (q127 _),
     "q128_exact_quantiles" -> (q128 _),
+    "q129_exact_strat_sample" -> (q129 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -4894,6 +4912,22 @@ object SparkEntry {
              row_number() OVER (ORDER BY mix_key, lang, mix_k)::BIGINT
                AS seq
       FROM ky ORDER BY doc_id""",
+    // Exact stratified sample replay: per-source hash rank (md5
+    // coordinate, ties by id) against the floor(n_s/3) budget.
+    "q129_exact_strat_sample" -> """
+      WITH d AS (SELECT doc_id, source,
+          coalesce(source, '') AS src,
+          ('0x' || substr(md5('sx:' || doc_id::VARCHAR), 1, 8))::BIGINT
+            / 4294967296.0 AS h
+        FROM documents),
+      r AS (SELECT doc_id, source, src,
+          row_number() OVER (PARTITION BY src ORDER BY h, doc_id)
+            AS sample_rank,
+          count(*) OVER (PARTITION BY src) AS ns
+        FROM d)
+      SELECT doc_id, source, sample_rank::BIGINT AS sample_rank,
+             (sample_rank <= ns * 1 // 3) AS sampled
+      FROM r ORDER BY doc_id""",
     // Exact-quantile replay: ceil(n*num/den) 1-based ranks under the
     // (value, doc_id) total order; probs sharing a rank each emit.
     "q128_exact_quantiles" -> """

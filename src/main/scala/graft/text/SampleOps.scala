@@ -243,6 +243,100 @@ object SampleOps {
     probs.map(p => sample(math.ceil(p * m).toInt - 1)._1)
   }
 
+  /** EXACT-count stratified sample: keep exactly
+    * `floor(n_s·num/den)` rows of each stratum — the rows whose hash
+    * coordinate ranks lowest within the stratum (ties by id).
+    * [[stratifiedSample]] keeps each row independently at its rate,
+    * so per-stratum counts carry binomial noise (±√n_s); a mixture
+    * recipe stated as exact counts ("exactly one third of every
+    * source") needs the rank cut. Deterministic in (salt, id) like
+    * everything here — membership is partition- and re-run-invariant
+    * and auditor-re-derivable.
+    *
+    * Scale shape: one range exchange on (stratum, coord, id) + the
+    * two-pass per-(partition, stratum) count scan (bounded collect —
+    * strata are contiguous in the partition sequence; the
+    * [[graft.text.InterleaveOps]] substrate, so a hot stratum spans
+    * partitions instead of hitting one reducer). Fractions are
+    * integer rationals; budgets compute in BigInt. Unknown strata
+    * use `defaultNum/defaultDen`; NULL strata fold to "". Returns
+    * EVERY row plus `sample_rank` (1-based within-stratum hash rank)
+    * and `sampled` — the audit-frame convention; filter on `sampled`
+    * for the sample itself. Result eagerly checkpointed. */
+  def stratifiedSampleExact(df0: DataFrame, idCol: String,
+      strataCol: String, fracs: Map[String, (Long, Long)],
+      defaultNum: Long, defaultDen: Long, salt: String): DataFrame = {
+    require(defaultDen > 0 && defaultNum >= 0 &&
+      fracs.valuesIterator.forall { case (n, d) => d > 0 && n >= 0 },
+      s"stratifiedSampleExact: malformed fractions")
+    val spark = df0.sparkSession
+    val nPart = math.max(1,
+      spark.sessionState.conf.numShufflePartitions)
+    val stratC = {
+      var n = "__strat"; var i = 0
+      while (df0.columns.contains(n)) { i += 1; n = s"__strat$i" }
+      n
+    }
+    val hC = {
+      var n = "__h"; var i = 0
+      while (df0.columns.contains(n)) { i += 1; n = s"__h$i" }
+      n
+    }
+    val df = df0.drop("sample_rank", "sampled")
+    val ranged = df
+      .withColumn(stratC, coalesce(col(strataCol).cast("string"),
+        lit("")))
+      .withColumn(hC, hashCoord(col(idCol), salt))
+      .repartitionByRange(nPart, col(stratC), col(hC), col(idCol))
+      .sortWithinPartitions(col(stratC), col(hC), col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      import org.apache.spark.TaskContext
+      val stratIdx = ranged.schema.fieldIndex(stratC)
+      val counts = ranged.select(col(stratC))
+        .queryExecution.toRdd.mapPartitions { it =>
+          val pid = TaskContext.getPartitionId()
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[String, Long]
+          while (it.hasNext) {
+            val s = it.next().getUTF8String(0).toString
+            acc(s) = acc.getOrElse(s, 0L) + 1L
+          }
+          acc.iterator.map { case (s, c) => (pid, s, c) }
+        }.collect()
+      val prefix: Map[(Int, String), Long] =
+        counts.groupBy(_._2).flatMap { case (s, rs) =>
+          var acc = 0L
+          rs.sortBy(_._1).map { case (pid, _, c) =>
+            val entry = ((pid, s), acc); acc += c; entry
+          }
+        }
+      val budgets: Map[String, Long] = counts.groupBy(_._2)
+        .map { case (s, rs) =>
+          val ns = rs.iterator.map(_._3).sum
+          val (num, den) = fracs.getOrElse(s, (defaultNum, defaultDen))
+          s -> (BigInt(ns) * num / den).toLong
+        }
+      import org.apache.spark.sql.{Encoders, Row}
+      val outSchema = ranged.schema
+        .add("sample_rank", org.apache.spark.sql.types.LongType, false)
+        .add("sampled", org.apache.spark.sql.types.BooleanType, false)
+      ranged.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val run = scala.collection.mutable.HashMap.empty[String, Long]
+        it.map { r =>
+          val s = r.getString(stratIdx)
+          val k = run.getOrElse(s, prefix.getOrElse((pid, s), 0L)) + 1L
+          run(s) = k
+          Row.fromSeq(r.toSeq :+ k :+ (k <= budgets.getOrElse(s, 0L)))
+        }
+      }(Encoders.row(outSchema))
+        .drop(stratC, hC)
+        .localCheckpoint(eager = true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    } finally ranged.unpersist(blocking = false)
+  }
+
   /** Leakage-safe train/val/test split: assign whole GROUPS (URL
     * domains, near-dup components, sources) to splits, so correlated
     * documents can never straddle a train/eval boundary — the

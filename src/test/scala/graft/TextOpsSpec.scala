@@ -344,6 +344,50 @@ class TextOpsSpec extends SparkSpec {
     assert(q1.groupBy(_._2).forall(_._2.size == 7))
   }
 
+  test("stratifiedSampleExact: exact per-stratum counts, hash-rank " +
+      "membership, default fraction, partition invariance") {
+    import graft.text.SampleOps
+    val docs = (0L until 900L).map(i =>
+      (i, Seq("a", "b", "z")((i % 3).toInt))).toDF("id", "src")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      SampleOps.stratifiedSampleExact(d, "id", "src",
+        Map("a" -> ((2L, 3L)), "b" -> ((1L, 4L))), 1L, 10L, "sx")
+        .select("id", "src", "sample_rank", "sampled")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getBoolean(3)))
+    val got = run(docs)
+    assert(got.length == 900) // audit frame: every row returns
+    val byS = got.groupBy(_._2)
+    // exact floor counts: 300 per stratum -> 200, 75, 30
+    assert(byS("a").count(_._4) == 200)
+    assert(byS("b").count(_._4) == 75)
+    assert(byS("z").count(_._4) == 30) // default 1/10
+    // membership = lowest hash ranks: sampled iff rank <= budget
+    byS.foreach { case (s, rows) =>
+      val budget = rows.count(_._4)
+      rows.foreach { case (_, _, rk, sel) =>
+        assert(sel == (rk <= budget), s"stratum $s rank $rk")
+      }
+      // ranks are a 1..n_s permutation
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // literal membership re-derivation via the hash coordinate
+    def coord(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sx:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(8), 16).toDouble /
+        4294967296.0
+    }
+    byS.foreach { case (_, rows) =>
+      val want = rows.sortBy(r => (coord(r._1), r._1))
+        .take(rows.count(_._4)).map(_._1).toSet
+      assert(rows.filter(_._4).map(_._1).toSet == want)
+    }
+    // partition invariance
+    assert(run(docs.repartition(17)).toSet == got.toSet)
+  }
+
   test("groupSplit: whole groups, exact rational cuts, literal " +
       "re-derivation, partition invariance") {
     import graft.text.SampleOps
