@@ -206,6 +206,32 @@ object TextScaleSmoke {
           strat, "src", "doc_id",
           (0 until 16).map(i => s"src$i" -> (i + 1L)).toMap)
       }
+      // Round-15 substrate ops: group split (group table = 1k
+      // synthetic domains), exact-count stratified sample, and exact
+      // quantiles — each returns an eagerly checkpointed frame (0
+      // result-plan exchanges; the range shuffles show as MB).
+      timed("groupSplit", f) {
+        val strat = docs.select(col("doc_id"), col("text"),
+          concat(lit("d"), (col("doc_id") % 1000).cast("string"))
+            .as("dom"))
+        graft.text.SampleOps.groupSplit(strat, "dom",
+          Seq(("train", 4L, 5L), ("val", 1L, 10L), ("test", 1L, 10L)),
+          "gs")
+      }
+      timed("stratSampleExact", f) {
+        val strat = docs.select(col("doc_id"), col("text"),
+          concat(lit("src"), (col("doc_id") % 16).cast("string"))
+            .as("src"))
+        graft.text.SampleOps.stratifiedSampleExact(strat, "doc_id",
+          "src", Map.empty, 1L, 3L, "sx")
+      }
+      timed("exactQuantiles", f) {
+        graft.operators.StatsOps.exactQuantiles(
+          docs.select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars")),
+          "n_chars", "doc_id",
+          Seq((1L, 4L), (1L, 2L), (3L, 4L), (99L, 100L)))
+      }
       spark.catalog.clearCache()
     }
 
