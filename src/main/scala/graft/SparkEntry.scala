@@ -2492,6 +2492,20 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
+  /** Hard-negative mining ([[graft.sim.MineOps.hardNegatives]]):
+    * q43's IVF retrieval widened to a 10-deep pool, candidates with
+    * cosine ≥ 0.9 excluded as near-positives (false negatives for a
+    * contrastive loss), survivors exactly re-ranked to top-5. The
+    * oracle replays the retrieval, the threshold filter, and the
+    * re-rank. */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.sim.MineOps.hardNegatives(emb.filter(col("vec_id") < 10),
+        emb, 5, posThreshold = 0.9, poolK = 10, numCentroids = 20,
+        nProbe = 2)
+      .orderBy("q_id", "rank")
+  }
+
   /** Exact-count stratified sample ([[graft.text.SampleOps
     * .stratifiedSampleExact]]): exactly floor(n_s/3) docs per source
     * — the lowest hash-coordinate ranks within each stratum, ties by
@@ -2800,6 +2814,7 @@ object SparkEntry {
     "q127_streaming_token_interleave" -> (q127 _),
     "q128_exact_quantiles" -> (q128 _),
     "q129_exact_strat_sample" -> (q129 _),
+    "q130_hard_negatives"  -> (q130 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -4912,6 +4927,48 @@ object SparkEntry {
              row_number() OVER (ORDER BY mix_key, lang, mix_k)::BIGINT
                AS seq
       FROM ky ORDER BY doc_id""",
+    // Hard-negative replay: q43's IVF chain with a 10-deep pool,
+    // the cos < 0.9 positive filter, and the exact re-rank to 5.
+    "q130_hard_negatives" -> """
+      WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      cent AS (SELECT id AS c_id, v AS cv, nrm AS cnrm FROM n
+               WHERE id % greatest(1,
+                 (SELECT count(*) FROM embeddings) // 20) = 0),
+      assign AS (SELECT n.id AS n_id, n.v AS nv, n.nrm AS nnrm, c_id,
+          row_number() OVER (PARTITION BY n.id ORDER BY
+            (CASE WHEN n.nrm > 0.0 AND cnrm > 0.0
+              THEN floor(list_inner_product(n.v, cv) / (n.nrm * cnrm)
+                     * 1000000.0 + 0.5) / 1000000.0 END) DESC,
+            c_id ASC) AS r
+        FROM n CROSS JOIN cent),
+      lists AS (SELECT c_id AS list_id, n_id, nv, nnrm
+                FROM assign WHERE r = 1),
+      q AS (SELECT id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE id < 10),
+      probe AS (SELECT q_id, qv, qnrm, c_id AS list_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY
+            (CASE WHEN qnrm > 0.0 AND cnrm > 0.0
+              THEN floor(list_inner_product(qv, cv) / (qnrm * cnrm)
+                     * 1000000.0 + 0.5) / 1000000.0 END) DESC,
+            c_id ASC) AS r
+        FROM q CROSS JOIN cent),
+      sc AS (SELECT q_id, n_id,
+          CASE WHEN qnrm > 0.0 AND nnrm > 0.0
+            THEN floor(list_inner_product(qv, nv) / (qnrm * nnrm)
+                   * 1000000.0 + 0.5) / 1000000.0 END AS cos
+        FROM (SELECT * FROM probe WHERE r <= 2) p
+        JOIN lists USING (list_id) WHERE q_id <> n_id),
+      pool AS (SELECT q_id, n_id, cos,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, n_id ASC) AS pool_rank
+        FROM sc),
+      neg AS (SELECT q_id, n_id, cos,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, n_id ASC) AS rank
+        FROM pool WHERE pool_rank <= 10 AND cos < 0.9)
+      SELECT q_id, rank::INT AS rank, n_id, cos
+      FROM neg WHERE rank <= 5 ORDER BY q_id, rank""",
     // Exact stratified sample replay: per-source hash rank (md5
     // coordinate, ties by id) against the floor(n_s/3) budget.
     "q129_exact_strat_sample" -> """
