@@ -2492,6 +2492,20 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
+  /** Binary-signature Hamming retrieval ([[graft.sim.HammingOps]]):
+    * 48 sign bits per vector packed into one BIGINT (Charikar 2002),
+    * top-5 by `bit_count(xor)` — the coarsest quantizer tier (one
+    * word per vector). The oracle inlines the same seeded plane
+    * literals and replays the signatures, the xor popcount, and the
+    * ranking. */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.HammingOps
+    val emb = t(s, dir, "embeddings")
+    val enc = HammingOps.encode(emb, "vec_id", "embedding")
+    HammingOps.hammingTopK(emb.filter(col("vec_id") < 10), enc, 5)
+      .orderBy("q_id", "rank")
+  }
+
   /** Hard-negative mining ([[graft.sim.MineOps.hardNegatives]]):
     * q43's IVF retrieval widened to a 10-deep pool, candidates with
     * cosine ≥ 0.9 excluded as near-positives (false negatives for a
@@ -2815,6 +2829,7 @@ object SparkEntry {
     "q128_exact_quantiles" -> (q128 _),
     "q129_exact_strat_sample" -> (q129 _),
     "q130_hard_negatives"  -> (q130 _),
+    "q131_hamming_ann"     -> (q131 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -2908,6 +2923,29 @@ object SparkEntry {
     * test SF): bucket sign bits computed from the same seeded plane
     * literals, and the same oversize-bucket cap, so the approximate
     * candidate set is hash-checked exactly. */
+  /** DuckDB mirror of [[graft.sim.HammingOps.hammingTopK]]: the same
+    * seeded plane literals, the packed sign signature, and the
+    * xor-popcount ranking. */
+  private def hammingOracle: String = {
+    val hp = graft.sim.Similarity.hyperplanes(48, 64)
+    val sig = (0 until 48).map { p =>
+      s"(CASE WHEN list_inner_product(v, ${planeLit(hp(p))}::DOUBLE[]) >= 0.0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""
+      WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      sg AS (SELECT id, ($sig)::BIGINT AS sig FROM e),
+      q AS (SELECT id AS q_id, sig AS qsig FROM sg WHERE id < 10),
+      sc AS (SELECT q_id, sg.id AS n_id,
+          bit_count(xor(qsig, sig))::INT AS hdist
+        FROM q JOIN sg ON q.q_id <> sg.id),
+      rk AS (SELECT q_id, n_id, hdist, row_number() OVER (
+            PARTITION BY q_id ORDER BY hdist ASC, n_id ASC) AS rank
+        FROM sc)
+      SELECT q_id, rank::INT AS rank, n_id, hdist
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""
+  }
+
   private def lshAnnOracle: String = {
     val hp = graft.sim.Similarity.hyperplanes(8, 64)
     val bucket = (0 until 8).map { p =>
@@ -4431,6 +4469,7 @@ object SparkEntry {
       FROM c JOIN alloc a ON c.strat = a.stratum
       ORDER BY c.doc_id"""),
     "q33_lsh_ann" -> lshAnnOracle,
+    "q131_hamming_ann" -> hammingOracle,
     "q42_embed_neardup" -> neardupOracle(4, 4, 0.35),
     "q51_neardup_scaled" -> neardupOracle(8, 16, 0.35),
     "q43_ivf_ann" -> """
