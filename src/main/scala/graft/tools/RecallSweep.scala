@@ -88,6 +88,12 @@ object RecallSweep {
       .join(queries.select(col("vec_id").as("q_id")), Seq("q_id"),
         "left_semi")
     meanRecall("lsh_bucketed", "", lsh, cosTruth)
+    // binary tier: 48 sign bits, ranked purely by Hamming distance —
+    // recall vs the exact cosine truth measures the sign-sketch loss
+    meanRecall("hamming48", "",
+      graft.sim.HammingOps.hammingTopK(queries,
+        graft.sim.HammingOps.encode(emb, "vec_id", "embedding"), k),
+      cosTruth)
 
     // ---- quantizer tier (exact integer-L1 truth) ----
     val pqModel = graft.sim.PqOps.pqTrain(emb, "vec_id", "embedding",
