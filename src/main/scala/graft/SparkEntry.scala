@@ -2506,6 +2506,36 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
+  /** Wide binary-signature retrieval ([[graft.sim.HammingOps
+    * .signatureWide]]): 128 sign bits packed 32-to-the-word into an
+    * array<bigint> — the ≥64-bit operating range a production-dim
+    * embedding wants — top-5 by the unrolled per-word
+    * `bit_count(xor)` sum. The oracle inlines all 128 seeded plane
+    * literals and replays the word packing, the xor popcounts, and
+    * the ranking. */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.HammingOps
+    val emb = t(s, dir, "embeddings")
+    val enc = HammingOps.encodeWide(emb, "vec_id", "embedding")
+    HammingOps.hammingTopKWide(emb.filter(col("vec_id") < 10), enc, 5)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Hamming-shortlist → exact-cosine rerank ([[graft.sim
+    * .HammingOps.hammingRerankTopK]]): the two-stage composite the
+    * binary tier promises — a 20-deep wide-signature shortlist on
+    * pure integer xor/popcount, then exact rounded cosine over only
+    * those candidates (the [[graft.sim.PqOps.adcRerankTopK]]
+    * pattern). The oracle replays both stages. */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.HammingOps
+    val emb = t(s, dir, "embeddings")
+    val enc = HammingOps.encodeWide(emb, "vec_id", "embedding")
+    HammingOps.hammingRerankTopK(emb.filter(col("vec_id") < 10), emb,
+        enc, 5, 20)
+      .orderBy("q_id", "rank")
+  }
+
   /** Hard-negative mining ([[graft.sim.MineOps.hardNegatives]]):
     * q43's IVF retrieval widened to a 10-deep pool, candidates with
     * cosine ≥ 0.9 excluded as near-positives (false negatives for a
@@ -2558,8 +2588,12 @@ object SparkEntry {
   private def q127(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StreamingInterleave
     import graft.text.TextOps
+    // run-unique root: a fixed path plus recursive delete-at-start
+    // would let two concurrent harness invocations destroy each
+    // other's in-flight checkpoint/input dirs (ADVICE r15)
     val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_q127")
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q127_${s.sparkContext.applicationId}")
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(root).iterator().asScala.toSeq
@@ -2654,8 +2688,10 @@ object SparkEntry {
     * output lake is ORDER BY (mix_key, lang, mix_k)). */
   private def q123(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StreamingInterleave
+    // run-unique root — same concurrent-invocation rationale as q127
     val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_q123")
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q123_${s.sparkContext.applicationId}")
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(root).iterator().asScala.toSeq
@@ -2830,6 +2866,8 @@ object SparkEntry {
     "q129_exact_strat_sample" -> (q129 _),
     "q130_hard_negatives"  -> (q130 _),
     "q131_hamming_ann"     -> (q131 _),
+    "q132_hamming_wide"    -> (q132 _),
+    "q133_hamming_rerank"  -> (q133 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -2917,12 +2955,6 @@ object SparkEntry {
   private def planeLit(p: Array[Double]): String =
     p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
 
-  /** DuckDB mirror of [[graft.sim.Similarity.lshTopK]] (8 planes —
-    * what `autoPlanes` resolves to for any corpus below 256k rows, so
-    * the default-parameter Spark call matches this oracle at every
-    * test SF): bucket sign bits computed from the same seeded plane
-    * literals, and the same oversize-bucket cap, so the approximate
-    * candidate set is hash-checked exactly. */
   /** DuckDB mirror of [[graft.sim.HammingOps.hammingTopK]]: the same
     * seeded plane literals, the packed sign signature, and the
     * xor-popcount ranking. */
@@ -2946,6 +2978,70 @@ object SparkEntry {
       FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""
   }
 
+  /** Shared DuckDB prelude for the WIDE (multi-word) signature
+    * oracles: normalized vectors `n(id, v, nrm)` and per-word packed
+    * signatures `sg(id, s0..s{words-1})` from the same seeded plane
+    * literals as [[graft.sim.HammingOps.signatureWide]] (word w's
+    * bit r = plane w·bpw+r), plus the per-pair word-summed Hamming
+    * ranking `rk` over queries id < 10. */
+  private def hammingWidePrelude(planes: Int, bpw: Int): String = {
+    val words = planes / bpw
+    val hp = graft.sim.Similarity.hyperplanes(planes, 64)
+    def sigw(w: Int): String = (0 until bpw).map { r =>
+      s"(CASE WHEN list_inner_product(v, ${planeLit(hp(w * bpw + r))}::DOUBLE[]) >= 0.0 THEN ${1L << r} ELSE 0 END)"
+    }.mkString(" + ")
+    val sigCols = (0 until words)
+      .map(w => s"(${sigw(w)})::BIGINT AS s$w")
+      .mkString(", ")
+    val qCols = (0 until words).map(w => s"s$w AS qs$w").mkString(", ")
+    val hsum = (0 until words)
+      .map(w => s"bit_count(xor(qs$w, s$w))").mkString(" + ")
+    s"""
+      WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      n AS (SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      sg AS (SELECT id, $sigCols FROM e),
+      q AS (SELECT id AS q_id, $qCols FROM sg WHERE id < 10),
+      sc AS (SELECT q_id, sg.id AS n_id, ($hsum)::INT AS hdist
+        FROM q JOIN sg ON q.q_id <> sg.id),
+      rk AS (SELECT q_id, n_id, hdist, row_number() OVER (
+            PARTITION BY q_id ORDER BY hdist ASC, n_id ASC) AS rank
+        FROM sc)"""
+  }
+
+  /** DuckDB mirror of [[graft.sim.HammingOps.hammingTopKWide]]
+    * (128 planes, 32 bits/word). */
+  private def hammingWideOracle: String =
+    hammingWidePrelude(128, 32) + """
+      SELECT q_id, rank::INT AS rank, n_id, hdist
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""
+
+  /** DuckDB mirror of [[graft.sim.HammingOps.hammingRerankTopK]]:
+    * the wide-signature 20-deep shortlist, then exact rounded cosine
+    * re-ranked (cos DESC, n_id ASC — DuckDB's DESC defaults nulls
+    * last, the Spark window convention). */
+  private def hammingRerankOracle: String =
+    hammingWidePrelude(128, 32) + """,
+      short AS (SELECT q_id, n_id FROM rk WHERE rank <= 20),
+      resc AS (SELECT s.q_id, s.n_id,
+          (CASE WHEN qn.nrm > 0.0 AND nn.nrm > 0.0
+            THEN floor(list_inner_product(qn.v, nn.v)
+                   / (qn.nrm * nn.nrm) * 1000000.0 + 0.5) / 1000000.0
+           END) AS cos
+        FROM short s JOIN n qn ON s.q_id = qn.id
+                     JOIN n nn ON s.n_id = nn.id),
+      rk2 AS (SELECT q_id, n_id, cos, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+        FROM resc)
+      SELECT q_id, rank::INT AS rank, n_id, cos
+      FROM rk2 WHERE rank <= 5 ORDER BY q_id, rank"""
+
+  /** DuckDB mirror of [[graft.sim.Similarity.lshTopK]] (8 planes —
+    * what `autoPlanes` resolves to for any corpus below 256k rows, so
+    * the default-parameter Spark call matches this oracle at every
+    * test SF): bucket sign bits computed from the same seeded plane
+    * literals, and the same oversize-bucket cap, so the approximate
+    * candidate set is hash-checked exactly. */
   private def lshAnnOracle: String = {
     val hp = graft.sim.Similarity.hyperplanes(8, 64)
     val bucket = (0 until 8).map { p =>
@@ -4470,6 +4566,8 @@ object SparkEntry {
       ORDER BY c.doc_id"""),
     "q33_lsh_ann" -> lshAnnOracle,
     "q131_hamming_ann" -> hammingOracle,
+    "q132_hamming_wide" -> hammingWideOracle,
+    "q133_hamming_rerank" -> hammingRerankOracle,
     "q42_embed_neardup" -> neardupOracle(4, 4, 0.35),
     "q51_neardup_scaled" -> neardupOracle(8, 16, 0.35),
     "q43_ivf_ann" -> """

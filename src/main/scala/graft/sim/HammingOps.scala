@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Binary-signature retrieval — the cheapest tier of the quantizer
@@ -29,7 +28,11 @@ import org.apache.spark.sql.functions._
   * wrong-dimension vector signs to the all-zero signature (the
   * kernel's convention — it still ranks, at distance = popcount of
   * the other side; corpora with degenerate vectors should filter
-  * upstream). `planes` ≤ 63 so the signature packs one signed Long.
+  * upstream). [[signature]] packs ≤ 63 planes into one signed Long;
+  * [[signatureWide]] packs any whole-word multiple into an
+  * array<bigint> (128/256-bit signatures), and
+  * [[hammingRerankTopK]] pairs the wide sketch with an exact-cosine
+  * rerank over the shortlist.
   *
   * Query side is caller-bounded (broadcast, the
   * [[Similarity.bruteForceTopK]] contract). The corpus side moves
@@ -69,14 +72,116 @@ object HammingOps {
       signature(col(vecCol), planes, dim, seed).as("__qsig"))
     val c = encoded.select(col(idCol).cast("long").as("n_id"),
       col("sig").as("__nsig"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("hdist").asc, col("n_id").asc)
-    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+    val scored = broadcast(q).join(c, col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         bit_count(col("__qsig").bitwiseXOR(col("__nsig")))
           .cast("int").as("hdist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "n_id", "hdist")
+    // Bounded top-k aggregate, not a row_number window: map-side
+    // k-heaps per query cut the exchange from |Q|·N scored rows to
+    // ≤ |Q|·k·partitions (see [[graft.functions.TopK]]). hdist is
+    // already the ascending key (never null); n_id the unique
+    // tiebreak.
+    graft.functions.TopK.perQueryCut(scored, k, col("hdist"), "hdist")
+  }
+
+  /** Wide sign signature: `planes` bits packed `bitsPerWord` to the
+    * BIGINT as an array<bigint> of planes/bitsPerWord words — the
+    * ≥64-bit operating range a d=768 embedding actually wants
+    * (128/256 bits; one 48-bit word keeps only ~6% of the sign
+    * information at that d). Word w's bit r is plane
+    * w·bitsPerWord+r — one fused [[graft.functions.HyperplaneBits]]
+    * pass over the vector, same plane family and convention as
+    * [[signature]] (the single-word form is the bitsPerWord=planes
+    * special case). `bitsPerWord` ≤ 63 (sign-bit-free packing, so
+    * DuckDB's signed BIGINT xor/bit_count replays each word
+    * exactly); `planes` must divide into whole words. */
+  def signatureWide(vec: Column, planes: Int, dim: Int = 64,
+      seed: Long = 42L, bitsPerWord: Int = 32): Column = {
+    require(bitsPerWord >= 1 && bitsPerWord <= 63,
+      s"bitsPerWord=$bitsPerWord")
+    require(planes >= 1 && planes % bitsPerWord == 0,
+      s"planes=$planes not a multiple of bitsPerWord=$bitsPerWord")
+    val hp = Similarity.hyperplanes(planes, dim, seed)
+    graft.functions.HyperplaneBits.bandKeys(vec,
+      hp.map(_.toIndexedSeq).toIndexedSeq, planes / bitsPerWord,
+      bitsPerWord)
+  }
+
+  /** Wide-signature table: (idCol, sig array<bigint>) — a pure
+    * narrow projection; at 128 bits the corpus payload is two words
+    * per row, still ~0.4% of the d=64 float vectors. */
+  def encodeWide(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 128, dim: Int = 64, seed: Long = 42L,
+      bitsPerWord: Int = 32): DataFrame =
+    df.select(col(idCol).cast("long").as(idCol),
+      signatureWide(col(vecCol), planes, dim, seed, bitsPerWord)
+        .as("sig"))
+
+  /** Per-pair wide Hamming distance: Σ_w bit_count(xor(q_w, n_w)).
+    * The word count is a plan constant, so this unrolls to a flat
+    * xor/popcount chain inside whole-stage codegen (no higher-order
+    * function, no per-row array allocation). */
+  private def wideDist(qSig: Column, nSig: Column, words: Int): Column =
+    (1 to words).map(w =>
+      bit_count(element_at(qSig, w).bitwiseXOR(element_at(nSig, w))))
+      .reduce(_ + _).cast("int")
+
+  /** Wide-signature Hamming top-k: [[hammingTopK]]'s contract over
+    * [[encodeWide]] signatures — (q_id, rank, n_id, hdist) ranked
+    * (hdist ASC, n_id ASC), self-matches dropped, bounded top-k
+    * aggregate cut. */
+  def hammingTopKWide(queries: DataFrame, encoded: DataFrame, k: Int,
+      planes: Int = 128, dim: Int = 64, seed: Long = 42L,
+      bitsPerWord: Int = 32, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val q = queries.select(col(idCol).cast("long").as("q_id"),
+      signatureWide(col(vecCol), planes, dim, seed, bitsPerWord)
+        .as("__qsig"))
+    val c = encoded.select(col(idCol).cast("long").as("n_id"),
+      col("sig").as("__nsig"))
+    val scored = broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        wideDist(col("__qsig"), col("__nsig"), planes / bitsPerWord)
+          .as("hdist"))
+    graft.functions.TopK.perQueryCut(scored, k, col("hdist"), "hdist")
+  }
+
+  /** Two-stage retrieval: wide-Hamming SHORTLIST + exact cosine
+    * rerank — the refinement pairing the family scaladoc promises
+    * (the [[PqOps.adcRerankTopK]] pattern at the binary tier): stage
+    * 1 cuts a `shortlist`-sized candidate set per query on pure
+    * integer xor/popcount over the signature corpus; stage 2 fetches
+    * the exact vectors for ONLY those shortlist·|Q| candidates
+    * (shuffle-hash-pinned — corpus-derived side, never
+    * estimate-broadcast) and re-ranks by exact rounded cosine. Buys
+    * back the sketch's quantization error while the corpus-wide scan
+    * still moves only signature words. Returns (q_id, rank, n_id,
+    * cos) ranked (cos DESC nulls last, n_id ASC); requires
+    * shortlist ≥ k. */
+  def hammingRerankTopK(queries: DataFrame, corpus: DataFrame,
+      encoded: DataFrame, k: Int, shortlist: Int, planes: Int = 128,
+      dim: Int = 64, seed: Long = 42L, bitsPerWord: Int = 32,
+      roundScale: Int = 6, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val p = math.pow(10.0, roundScale)
+    val cand = hammingTopKWide(queries, encoded, shortlist, planes,
+      dim, seed, bitsPerWord, idCol, vecCol).select("q_id", "n_id")
+    val nvec = corpus.select(col(idCol).cast("long").as("n_id"),
+        col(vecCol).as("n_vec"))
+      .withColumn("n_norm",
+        sqrt(Similarity.dot(col("n_vec"), col("n_vec"))))
+    val qvec = queries.select(col(idCol).cast("long").as("q_id"),
+        col(vecCol).as("q_vec"))
+      .withColumn("q_norm",
+        sqrt(Similarity.dot(col("q_vec"), col("q_vec"))))
+    val rescored = cand.join(nvec.hint("shuffle_hash"), "n_id")
+      .join(broadcast(qvec), "q_id")
+      .select(col("q_id"), col("n_id"),
+        (floor(when(col("q_norm") > 0.0 && col("n_norm") > 0.0,
+          Similarity.dot(col("q_vec"), col("n_vec")) /
+            (col("q_norm") * col("n_norm"))) * p + 0.5) / p).as("cos"))
+    Similarity.topKCut(rescored, k)
   }
 }

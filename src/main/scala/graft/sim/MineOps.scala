@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hard-negative mining for contrastive/embedding training — the
@@ -46,12 +45,12 @@ object MineOps {
     require(pool >= k, s"poolK=$pool < k=$k")
     val cand = Similarity.ivfTopK(queries, corpus, pool,
       numCentroids, nProbe, idCol, vecCol)
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id").asc)
-    cand.filter(col("cos") < posThreshold)
-      .select(col("q_id"), col("n_id"), col("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "n_id", "cos")
+    // bounded top-k aggregate on the already-filtered pool (the
+    // threshold drops null cosines, so the -cos key is total);
+    // see [[graft.functions.TopK]]
+    graft.functions.TopK.perQueryCut(
+      cand.filter(col("cos") < posThreshold)
+        .select(col("q_id"), col("n_id"), col("cos")),
+      k, coalesce(-col("cos"), lit(Double.PositiveInfinity)), "cos")
   }
 }

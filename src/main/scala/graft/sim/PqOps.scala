@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -315,11 +314,10 @@ object PqOps {
     val scored = broadcast(q).join(c, col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         adcSum(model.subspaces).as("adist"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adist").asc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "n_id", "adist")
+    // bounded top-k aggregate (map-side k-heaps) — the plain
+    // ascending adist key inherits nulls-first, the `.asc` window
+    // default this site used; see [[graft.functions.TopK]]
+    graft.functions.TopK.perQueryCut(scored, k, col("adist"), "adist")
   }
 
   /** Two-stage retrieval: ADC shortlist + EXACT rerank — the standard
@@ -347,17 +345,13 @@ object PqOps {
       quantize(col(vecCol), model.scaleBits).as("__nqv"))
     val qvec = queries.select(col(idCol).cast("long").as("q_id"),
       quantize(col(vecCol), model.scaleBits).as("__qqv"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("dist").asc, col("n_id").asc)
-    cand.join(nvec.hint("shuffle_hash"), "n_id")
+    val rescored = cand.join(nvec.hint("shuffle_hash"), "n_id")
       .join(broadcast(qvec), "q_id")
       .select(col("q_id"), col("n_id"),
         aggregate(zip_with(col("__qqv"), col("__nqv"),
           (a, b) => abs(a - b)), lit(0L), (acc, x) => acc + x)
           .as("dist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "n_id", "dist")
+    graft.functions.TopK.perQueryCut(rescored, k, col("dist"), "dist")
   }
 
   /** IVFADC: coarse-quantize the corpus into inverted lists (integer
@@ -404,15 +398,12 @@ object PqOps {
         quantize(col(vecCol), model.scaleBits).as("qv"))
       .select(col("q_id"), lutCol(col("qv"), model).as("__lut"),
         explode(nearestLists(col("qv"), nProbe)).as("list_id"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adist").asc, col("n_id").asc)
-    probes.join(lists.hint("merge"), "list_id")
-      .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        adcSum(model.subspaces).as("adist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "n_id", "adist")
+    graft.functions.TopK.perQueryCut(
+      probes.join(lists.hint("merge"), "list_id")
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          adcSum(model.subspaces).as("adist")),
+      k, col("adist"), "adist")
   }
 
   /** The n nearest coarse lists (by exact integer L1, ties to the
@@ -556,15 +547,12 @@ object PqOps {
             (a, b) => a - b + lit(offR)))
         .select(col("q_id"), col("list_id"),
           lutCol(col("__qrv"), model).as("__lut"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("adist").asc, col("n_id").asc)
-      probes.join(lists.hint("merge"), "list_id")
-        .filter(col("q_id") =!= col("n_id"))
-        .select(col("q_id"), col("n_id"),
-          adcSum(model.subspaces).as("adist"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select("q_id", "rank", "n_id", "adist")
+      graft.functions.TopK.perQueryCut(
+        probes.join(lists.hint("merge"), "list_id")
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"),
+            adcSum(model.subspaces).as("adist")),
+        k, col("adist"), "adist")
         .localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
     } finally resCorp.unpersist(blocking = false)
   }

@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over embedding columns.
@@ -45,6 +44,17 @@ object Similarity {
   def dot(x: Column, y: Column): Column =
     graft.functions.ArrayDot.dot(x, y)
 
+  /** Bounded top-k cut per query by (cos DESC nulls last, n_id ASC):
+    * map-side k-heaps, then explode to (q_id, rank, n_id, cos) — the
+    * exchange moves ≤ |Q|·k·partitions rows instead of every scored
+    * pair (see [[graft.functions.TopK]]). Cosine is bounded in
+    * [−1, 1] so +Inf is a strict nulls-last sentinel under the
+    * ascending key encoding; hash-identical to the row_number form
+    * this family used through r15. */
+  private[sim] def topKCut(scored: DataFrame, k: Int): DataFrame =
+    graft.functions.TopK.perQueryCut(scored, k,
+      coalesce(-col("cos"), lit(Double.PositiveInfinity)), "cos")
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       roundScale: Int = 6): DataFrame = {
@@ -60,11 +70,7 @@ object Similarity {
         floor(when(col("q_norm") > 0.0 && col("n_norm") > 0.0,
           dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
           * p + 0.5) / p)
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "n_id", "cos")
+    topKCut(scored, k)
   }
 
   /** Deterministic random hyperplanes: `planes` rows of `dim` values in
@@ -243,15 +249,11 @@ object Similarity {
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", sqrt(dot(col("q_vec"), col("q_vec"))))
       .withColumn("list_id", explode(nearest(col("q_vec"), nProbe)))
-    val wTop = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id").asc)
-    probes.join(lists.hint("merge"), "list_id")
+    topKCut(probes.join(lists.hint("merge"), "list_id")
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos",
-        rcos(col("q_vec"), col("q_norm"), col("n_vec"), col("n_norm")))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "n_id", "cos")
+        rcos(col("q_vec"), col("q_norm"), col("n_vec"), col("n_norm"))),
+      k)
   }
 
   /** Deterministic Lloyd refinement for IVF coarse quantizers: start
@@ -353,9 +355,7 @@ object Similarity {
         (floor(when(col("a.norm") > 0.0 && col("b.norm") > 0.0,
           dot(col("a.vec"), col("b.vec")) / (col("a.norm") * col("b.norm")))
           * p + 0.5) / p).as("cos"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // column order as the historical window form (q_id, n_id, cos, rank)
+    topKCut(pairs, k).select("q_id", "n_id", "cos", "rank")
   }
 }

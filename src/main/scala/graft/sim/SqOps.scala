@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scalar quantization (SQ8) for embedding search — the
@@ -143,13 +142,14 @@ object SqOps {
       PqOps.quantize(col(vecCol), model.scaleBits).as("__qv"))
     val c = encoded.select(col(idCol).cast("long").as("n_id"),
       col("codes").as("__codes"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adist").asc_nulls_last, col("n_id").asc)
-    broadcast(q).join(c, col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), sqDist(model).as("adist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "n_id", "adist")
+    // bounded top-k aggregate; ASC NULLS LAST is encoded as a
+    // Long.MaxValue sentinel (no real SQ distance reaches it — the
+    // L1 of d byte codes is < d·2⁸·2^scaleBits ≪ 2⁶³), n_id the
+    // unique tiebreak; see [[graft.functions.TopK]]
+    graft.functions.TopK.perQueryCut(
+      broadcast(q).join(c, col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"), sqDist(model).as("adist")),
+      k, coalesce(col("adist"), lit(Long.MaxValue)), "adist")
   }
 
   /** IVF + SQ8 — the `IVF…,SQ8` FAISS layout: coarse lists bound the
@@ -189,13 +189,10 @@ object SqOps {
         PqOps.quantize(col(vecCol), model.scaleBits).as("__qv"))
       .select(col("q_id"), col("__qv"),
         explode(nearestLists(nProbe)).as("list_id"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adist").asc_nulls_last, col("n_id").asc)
-    probes.join(lists.hint("merge"), "list_id")
-      .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), sqDist(model).as("adist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "n_id", "adist")
+    graft.functions.TopK.perQueryCut(
+      probes.join(lists.hint("merge"), "list_id")
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"), sqDist(model).as("adist")),
+      k, coalesce(col("adist"), lit(Long.MaxValue)), "adist")
   }
 }

@@ -88,9 +88,11 @@ object StreamingInterleave {
   /** Stamp a (possibly streaming) dataset with the stride schedule.
     * `weights` as the batch operator (positive parts, reduced by
     * their gcd; absent strata DROP). `resolution` 0 derives the
-    * exact lcm of the 2·w_s capped both at 2^42 and at the
-    * overflow-safe bound Long.MaxValue/(2·max(maxDocsPerStratum,
-    * w_max)). */
+    * exact lcm of the 2·w_s capped at 2^42; if that (or an explicit
+    * `resolution`) exceeds the overflow-safe bound
+    * Long.MaxValue/(2·max(maxDocsPerStratum, w_max)) the call FAILS
+    * (see [[resolveM]] — clipping would silently break batch
+    * parity). */
   def interleave(docs: Dataset[StratumDoc], weights: Map[String, Long],
       maxDocsPerStratum: Long = 1L << 40,
       resolution: Long = 0L): Dataset[MixDoc] = {
@@ -101,11 +103,9 @@ object StreamingInterleave {
     val g = weights.valuesIterator.reduce((a, b) => gcd(a, b))
     val red = weights.map { case (s, w) => (s, w / g) }
     val wMax = red.valuesIterator.max
-    val mSafe = math.max(1L, math.min(
-      if (resolution > 0L) resolution
-      else graft.text.InterleaveOps.commonResolution(
-        red.values.map(2L * _).toSeq.distinct.sorted, 1L << 42),
-      Long.MaxValue / (2L * math.max(maxDocsPerStratum, wMax))))
+    val mSafe = resolveM(resolution,
+      red.values.map(2L * _).toSeq.distinct.sorted, wMax,
+      maxDocsPerStratum, "maxDocsPerStratum")
     docs.groupByKey(_.stratum)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(
@@ -117,6 +117,34 @@ object StreamingInterleave {
     var x = a; var y = b
     while (y != 0) { val t = x % y; x = y; y = t }
     math.max(x, 1L)
+  }
+
+  /** Resolve the quantization step M against the a-priori overflow
+    * bound Long.MaxValue/(2·max(maxPerStratum, wMax)) — and FAIL
+    * LOUDLY instead of clipping. The batch operator caps M by the
+    * ACTUAL per-stratum totals (known after its rank pass); a stream
+    * only has the a-priori bound, so silently clipping here would
+    * make stream and batch compute different mix_key values for
+    * weight sets whose lcm(2·w) exceeds the bound (e.g. weights
+    * 1..20 at the default maxDocsPerStratum) even when drained in id
+    * order — breaking the documented bit-parity contract without any
+    * symptom. The caller must either lower maxPerStratum (raising
+    * the bound) or pass the SAME explicit `resolution` ≤ bound to
+    * both operators. */
+  private def resolveM(resolution: Long, dens: Seq[Long], wMax: Long,
+      maxPerStratum: Long, boundName: String): Long = {
+    val bound = Long.MaxValue / (2L * math.max(maxPerStratum, wMax))
+    val want =
+      if (resolution > 0L) resolution
+      else graft.text.InterleaveOps.commonResolution(dens, 1L << 42)
+    if (want > bound) throw new IllegalArgumentException(
+      s"StreamingInterleave: resolution $want exceeds the overflow-" +
+        s"safe bound $bound = Long.MaxValue/(2*max($boundName=" +
+        s"$maxPerStratum, wMax=$wMax)). Clipping would silently " +
+        "diverge from the batch operator (which caps by ACTUAL " +
+        s"per-stratum totals). Lower $boundName, or pass the same " +
+        s"explicit resolution <= $bound to BOTH operators.")
+    math.max(1L, want)
   }
 
   /** Token-weighted transition ([[graft.text.InterleaveOps
@@ -164,11 +192,9 @@ object StreamingInterleave {
     val g = weights.valuesIterator.reduce((a, b) => gcd(a, b))
     val red = weights.map { case (s, w) => (s, w / g) }
     val wMax = red.valuesIterator.max
-    val mSafe = math.max(1L, math.min(
-      if (resolution > 0L) resolution
-      else graft.text.InterleaveOps.commonResolution(
-        red.values.map(2L * _).toSeq.distinct.sorted, 1L << 42),
-      Long.MaxValue / (2L * math.max(maxTokensPerStratum, wMax))))
+    val mSafe = resolveM(resolution,
+      red.values.map(2L * _).toSeq.distinct.sorted, wMax,
+      maxTokensPerStratum, "maxTokensPerStratum")
     docs.groupByKey(_.stratum)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(

@@ -17,4 +17,5 @@ object ColumnBridge {
     * outside the sql package that implement `inputTypes` reference it
     * through this alias. */
   type AbsDataType = org.apache.spark.sql.types.AbstractDataType
+
 }

@@ -71,6 +71,30 @@ class StreamingInterleaveSpec extends SparkSpec {
     }
   }
 
+  test("large-lcm weight sets fail loudly instead of silently " +
+      "clipping the resolution (batch-parity guard)") {
+    // lcm(2w for w in 1..20) = 465585120 > Long.MaxValue/2^41 ~ 4.19e6
+    val w = (1L to 20L).map(i => s"s$i" -> i).toMap
+    val docs = spark.emptyDataset[StratumDoc]
+    val ex = intercept[IllegalArgumentException] {
+      StreamingInterleave.interleave(docs, w)
+    }
+    assert(ex.getMessage.contains("overflow-safe bound"))
+    assert(ex.getMessage.contains("maxDocsPerStratum"))
+    // an explicit under-bound resolution is accepted (no throw at
+    // plan build), as is a lowered per-stratum bound
+    StreamingInterleave.interleave(docs, w, resolution = 1L << 20)
+    StreamingInterleave.interleave(docs, w,
+      maxDocsPerStratum = 1L << 20)
+    // the sized variant enforces the same guard
+    val sized = spark.emptyDataset[graft.streaming.SizedDoc]
+    val ex2 = intercept[IllegalArgumentException] {
+      StreamingInterleave.interleaveByTokens(sized, w,
+        maxTokensPerStratum = 1L << 44)
+    }
+    assert(ex2.getMessage.contains("maxTokensPerStratum"))
+  }
+
   test("token-weighted cron drains are bit-identical to the batch " +
       "proportionalInterleaveByTokens keys") {
     val docs = (0L until 90L).map(i =>
