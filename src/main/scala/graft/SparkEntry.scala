@@ -2621,6 +2621,87 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Residual IVFADC over a Lloyd-refined coarse quantizer
+    * ([[graft.sim.PqOps.ivfPqTopKResidual]] with `coarseIters = 1`):
+    * q112's layout with one integer Lloyd round on the coarse
+    * centroids BEFORE assignment — list quality matters most on the
+    * residual path, where both the residual magnitudes and the
+    * codebook train against the assigned centroid. The oracle
+    * replays seed, assignment, the Lloyd update, the residual
+    * codebook training, and the probed ADC ranking. */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.PqOps
+    val emb = t(s, dir, "embeddings")
+    PqOps.ivfPqTopKResidual(emb.filter(col("vec_id") < 5), emb, 5,
+        subspaces = 4, codes = 8, iters = 1, numCoarse = 20,
+        nProbe = 2, coarseIters = 1)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Split-aware contamination report ([[graft.text.ReportOps
+    * .splitContamination]]): q126's leakage-safe group split composed
+    * with q65's shingle contamination check, rolled up per split —
+    * the audit frame a curation run reviews before training. The
+    * oracle replays the split chain, the shingle chain, and the
+    * per-split aggregates. */
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val eval = docs.filter(col("doc_id") % 100 === 7)
+      .select(col("doc_id").as("eid"), col("text"))
+    graft.text.ReportOps.splitContamination(
+        docs.select(col("doc_id"), col("source"), col("n_chars"),
+          col("text")),
+        "doc_id", "text", "source",
+        Seq(("train", 4L, 5L), ("val", 1L, 10L), ("test", 1L, 10L)),
+        "split", eval, "eid", "text", 3, 2L,
+        sizeCol = Some("n_chars"))
+      .orderBy("split")
+  }
+
+  /** Streaming token-budget fill ([[graft.streaming.StreamingBudget
+    * .fill]]): per-language token budgets consumed across three cron
+    * drains — ONE Long of keyed state per stratum (the cumulative
+    * token total), the batch admission rule (exclusive prefix <
+    * budget; a doc that starts under budget is admitted even if it
+    * overshoots). Drained in id order the stream is bit-identical to
+    * [[graft.text.BudgetOps.budgetSelectPerStratum]] at constant
+    * priority, so the oracle replays the per-lang running totals
+    * directly. */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingBudget
+    import graft.text.TextOps
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q134_${s.sparkContext.applicationId}")
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    }
+    val inDir = s"$root/in"; val outDir = s"$root/fill"
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    val budgets = Map("en" -> 5000L, "de" -> 2500L, "fr" -> 2500L,
+      "es" -> 1000L)
+    docs.filter(col("doc_id") < 250).coalesce(1).write.parquet(inDir)
+    val schema = s.read.parquet(inDir).schema
+    def drain(): Unit = StreamingBudget.fillRun(s, inDir, outDir,
+      s"$root/ckpt", schema, "lang", "n_tok", budgets,
+      defaultBudget = 500L)
+    drain()
+    docs.filter(col("doc_id") >= 250 && col("doc_id") < 500)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    drain()
+    docs.filter(col("doc_id") >= 500).coalesce(1).write.mode("append")
+      .parquet(inDir)
+    drain()
+    s.read.parquet(outDir)
+      .select(col("doc_id"), col("stratum").as("lang"),
+        col("size").as("n_tok"), col("cum_tokens"), col("budget"),
+        col("selected"))
+      .orderBy("doc_id")
+  }
+
   /** Leakage-safe group split ([[graft.text.SampleOps.groupSplit]]):
     * whole sources assigned to train/val/test (4/5, 1/10, 1/10) so
     * correlated documents never straddle a train/eval boundary —
@@ -2868,6 +2949,9 @@ object SparkEntry {
     "q131_hamming_ann"     -> (q131 _),
     "q132_hamming_wide"    -> (q132 _),
     "q133_hamming_rerank"  -> (q133 _),
+    "q134_streaming_budget" -> (q134 _),
+    "q135_split_contamination" -> (q135 _),
+    "q136_ivfpq_residual_lloyd" -> (q136 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -4444,6 +4528,101 @@ object SparkEntry {
         FROM d)
       SELECT q_id, rank::INT AS rank, n_id, adist
       FROM rk WHERE rank <= 5 ORDER BY q_id, rank""",
+    // q112's residual-IVFADC replay with q125's coarse Lloyd round
+    // spliced in front: cent0 = the id-modulo seed, one full-vector
+    // (2s+n)//(2n) mean per dimension over each seed list's members
+    // (empty lists keep their seed), and everything downstream —
+    // assignment, residuals, codebook training, probed ADC ranking —
+    // reads the REFINED centroid set.
+    "q136_ivfpq_residual_lloyd" -> """
+      WITH e AS (SELECT vec_id AS id,
+          list_transform(embedding::DOUBLE[],
+            x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) + 2097152)
+            AS qv
+        FROM embeddings),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      cent0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c_idx,
+          qv AS cqv
+        FROM e WHERE id % greatest(1,
+          (SELECT count(*) FROM embeddings) // 20) = 0),
+      la0 AS (SELECT id, c_idx, qv, row_number() OVER (PARTITION BY id
+            ORDER BY list_aggregate(list_transform(range(1, 65),
+              i -> abs(qv[i] - cqv[i])), 'sum') ASC, c_idx ASC) AS r
+        FROM e CROSS JOIN cent0),
+      lstats AS (SELECT c_idx AS cl, d.i AS dim,
+          sum(qv[d.i])::BIGINT AS s, count(*)::BIGINT AS n
+        FROM (SELECT * FROM la0 WHERE r = 1) a
+        CROSS JOIN range(1, 65) d(i)
+        GROUP BY c_idx, d.i),
+      cent AS (SELECT c0.c_idx, coalesce(m.nv, c0.cqv) AS cqv
+        FROM cent0 c0 LEFT JOIN (
+          SELECT cl, list((2 * s + n) // (2 * n) ORDER BY dim) AS nv
+          FROM lstats GROUP BY cl) m ON c0.c_idx = m.cl),
+      lst AS (SELECT id, c_idx, row_number() OVER (PARTITION BY id
+            ORDER BY list_aggregate(list_transform(range(1, 65),
+              i -> abs(qv[i] - cqv[i])), 'sum') ASC, c_idx ASC) AS r
+        FROM e CROSS JOIN cent),
+      asg AS (SELECT id, c_idx AS list_id FROM lst WHERE r = 1),
+      res AS (SELECT e.id, a.list_id,
+          list_transform(range(1, 65),
+            i -> e.qv[i] - c.cqv[i] + 4194304) AS rv
+        FROM e JOIN asg a ON e.id = a.id
+        JOIN cent c ON c.c_idx = a.list_id),
+      seed AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, rv
+               FROM res ORDER BY id LIMIT 8),
+      cb0 AS (SELECT sub, j,
+          list_slice(rv, sub * 16 + 1, sub * 16 + 16) AS cv
+        FROM seed CROSS JOIN subs),
+      sv AS (SELECT id, sub,
+          list_slice(rv, sub * 16 + 1, sub * 16 + 16) AS ssv
+        FROM res CROSS JOIN subs),
+      a0 AS (SELECT id, sub, j, ssv, row_number() OVER (
+            PARTITION BY id, sub ORDER BY
+            list_aggregate(list_transform(range(1, 17),
+              i -> abs(ssv[i] - cv[i])), 'sum') ASC, j ASC) AS r
+        FROM sv JOIN cb0 USING (sub)),
+      stats AS (SELECT sub, j AS cl, d.i AS dim,
+          sum(ssv[d.i])::BIGINT AS s, count(*)::BIGINT AS n
+        FROM (SELECT * FROM a0 WHERE r = 1) a
+        CROSS JOIN range(1, 17) d(i)
+        GROUP BY sub, j, d.i),
+      cb1 AS (SELECT c0.sub, c0.j,
+          coalesce(m.nv, c0.cv) AS cv
+        FROM cb0 c0 LEFT JOIN (
+          SELECT sub, cl, list((2 * s + n) // (2 * n) ORDER BY dim) AS nv
+          FROM stats GROUP BY sub, cl) m
+        ON c0.sub = m.sub AND c0.j = m.cl),
+      enc AS (SELECT id, sub, j AS code FROM (
+          SELECT sv.id, sv.sub, cb1.j, row_number() OVER (
+              PARTITION BY sv.id, sv.sub ORDER BY
+              list_aggregate(list_transform(range(1, 17),
+                i -> abs(ssv[i] - cv[i])), 'sum') ASC, j ASC) AS r
+          FROM sv JOIN cb1 USING (sub)) WHERE r = 1),
+      probe AS (SELECT id AS q_id, c_idx AS list_id FROM lst
+                WHERE id < 5 AND r <= 2),
+      qres AS (SELECT p.q_id, p.list_id,
+          list_transform(range(1, 65),
+            i -> e.qv[i] - c.cqv[i] + 4194304) AS qrv
+        FROM probe p JOIN e ON e.id = p.q_id
+        JOIN cent c ON c.c_idx = p.list_id),
+      qs AS (SELECT q_id, list_id, sub,
+          list_slice(qrv, sub * 16 + 1, sub * 16 + 16) AS qsv
+        FROM qres CROSS JOIN subs),
+      cand AS (SELECT p.q_id, p.list_id, a.id AS n_id FROM probe p
+        JOIN asg a ON a.list_id = p.list_id WHERE p.q_id <> a.id),
+      d AS (SELECT c.q_id, c.n_id,
+          sum(list_aggregate(list_transform(range(1, 17),
+            i -> abs(q.qsv[i] - cb.cv[i])), 'sum'))::BIGINT AS adist
+        FROM cand c
+        JOIN qs q ON q.q_id = c.q_id AND q.list_id = c.list_id
+        JOIN enc ON enc.id = c.n_id AND enc.sub = q.sub
+        JOIN cb1 cb ON cb.sub = enc.sub AND cb.j = enc.code
+        GROUP BY c.q_id, c.n_id),
+      rk AS (SELECT q_id, n_id, adist, row_number() OVER (
+            PARTITION BY q_id ORDER BY adist ASC, n_id ASC) AS rank
+        FROM d)
+      SELECT q_id, rank::INT AS rank, n_id, adist
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank""",
     // sqrt-temperature replay: corrected isqrt weights, HUGEINT
     // proportional floor, Hamilton largest-remainder ranking —
     // budget = floor(T/4) from the same token totals.
@@ -4960,6 +5139,50 @@ object SparkEntry {
       GROUP BY s.doc_id, e.eval_id
       HAVING count(*) >= 2
       ORDER BY doc_id, eval_id"""),
+    // Split-aware contamination: q126's split chain + q65's shingle
+    // chain + per-split rollup, zeros preserved for every declared
+    // split.
+    "q135_split_contamination" -> (shingleCte + """,
+      ev AS (SELECT doc_id AS eval_id, shingle FROM sh
+             WHERE doc_id % 100 = 7),
+      pr AS (SELECT s.doc_id, e.eval_id, count(*) AS n_shared
+        FROM sh s JOIN ev e USING (shingle)
+        GROUP BY s.doc_id, e.eval_id HAVING count(*) >= 2),
+      g AS (SELECT coalesce(source, '') AS src,
+          sum(n_chars)::BIGINT AS sz
+        FROM documents GROUP BY 1),
+      o AS (SELECT src, sz,
+          ('0x' || substr(md5('split:' || src), 1, 8))::BIGINT
+            / 4294967296.0 AS h
+        FROM g),
+      p AS (SELECT src, sz,
+          coalesce(sum(sz) OVER (ORDER BY h, src
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0)::BIGINT AS pfx,
+          (sum(sz) OVER ())::BIGINT AS total
+        FROM o),
+      a AS (SELECT src,
+          CASE WHEN pfx < total * 4 // 5 THEN 'train'
+               WHEN pfx < total * 9 // 10 THEN 'val'
+               ELSE 'test' END AS split
+        FROM p),
+      asg AS (SELECT d.doc_id, a.split
+        FROM documents d JOIN a ON coalesce(d.source, '') = a.src),
+      base AS (SELECT split, count(*)::BIGINT AS n_docs
+        FROM asg GROUP BY 1),
+      lk AS (SELECT asg.split,
+          count(DISTINCT pr.doc_id)::BIGINT AS n_leaky_docs,
+          count(DISTINCT pr.eval_id)::BIGINT AS n_eval_hit,
+          count(*)::BIGINT AS n_pairs
+        FROM pr JOIN asg ON pr.doc_id = asg.doc_id GROUP BY 1),
+      nm(split) AS (VALUES ('train'), ('val'), ('test'))
+      SELECT nm.split,
+        coalesce(base.n_docs, 0)::BIGINT AS n_docs,
+        coalesce(lk.n_leaky_docs, 0)::BIGINT AS n_leaky_docs,
+        coalesce(lk.n_eval_hit, 0)::BIGINT AS n_eval_hit,
+        coalesce(lk.n_pairs, 0)::BIGINT AS n_pairs
+      FROM nm LEFT JOIN base USING (split) LEFT JOIN lk USING (split)
+      ORDER BY nm.split"""),
     "q82_decontaminate" -> (shingleCte + """,
       ev AS (SELECT doc_id AS eval_id, shingle FROM sh
              WHERE doc_id % 100 = 7),
@@ -5156,6 +5379,23 @@ object SparkEntry {
                (((2*cum + n_tok) % (2*wr)) * 8) // (2*wr))::BIGINT
                AS mix_key
       FROM k ORDER BY doc_id"""),
+    // Streaming budget-fill replay: per-lang inclusive running token
+    // totals in doc_id order, the budgets map (absent -> default
+    // 500), and the exclusive-prefix admission rule.
+    "q134_streaming_budget" -> (tokCte + """,
+      d AS (SELECT tk.doc_id, coalesce(d0.lang, '') AS lang,
+          len(toks)::BIGINT AS n_tok
+        FROM tk JOIN documents d0 ON tk.doc_id = d0.doc_id),
+      c AS (SELECT doc_id, lang, n_tok,
+          (sum(n_tok) OVER (PARTITION BY lang
+            ORDER BY doc_id))::BIGINT AS cum_tokens,
+          (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+            WHEN 'fr' THEN 2500 WHEN 'es' THEN 1000
+            ELSE 500 END)::BIGINT AS budget
+        FROM d)
+      SELECT doc_id, lang, n_tok, cum_tokens, budget,
+             (cum_tokens - n_tok < budget) AS selected
+      FROM c ORDER BY doc_id"""),
     // Group-split replay: char-weighted group sums, md5-coordinate
     // order, exclusive prefix vs the exact integer cuts
     // floor(total*4/5) and floor(total*9/10).

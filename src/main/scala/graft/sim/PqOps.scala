@@ -480,21 +480,25 @@ object PqOps {
     * keeping the Lloyd update's floor==truncate identity; the
     * constant shift cancels in every L1 difference. Trains its own
     * codebook internally (on residuals) — `subspaces`/`codes`/`iters`
-    * mirror [[pqTrain]]'s parameters. */
+    * mirror [[pqTrain]]'s parameters. `coarseIters` Lloyd-refines
+    * the coarse quantizer before assignment ([[coarseCentroids]],
+    * the [[ivfPqTopK]] knob) — list quality matters MOST here, since
+    * both the residual magnitudes and the codebook train against
+    * the assigned centroid (VERDICT r15 ask #8). */
   def ivfPqTopKResidual(queries: DataFrame, corpus: DataFrame, k: Int,
       subspaces: Int = 4, codes: Int = 16, iters: Int = 1,
       numCoarse: Int = 256, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      scaleBits: Int = 20, centroidStride: Long = 0L): DataFrame = {
+      scaleBits: Int = 20, centroidStride: Long = 0L,
+      coarseIters: Int = 0): DataFrame = {
     val stride =
       if (centroidStride > 0L) centroidStride
       else math.max(1L, corpus.count() / math.max(1, numCoarse))
     val offR = 1L << (scaleBits + 2)
     val qcorp = ckptSer(corpus.select(col(idCol).cast("long").as("id"),
       quantize(col(vecCol), scaleBits).as("qv")))
-    val cents: Array[Array[Long]] = qcorp
-      .filter(pmod(col("id"), lit(stride)) === 0)
-      .orderBy("id").collect().map(_.getSeq[Long](1).toArray)
+    val cents: Array[Array[Long]] =
+      coarseCentroids(qcorp, stride, coarseIters)
     if (cents.isEmpty)
       return queries.sparkSession.emptyDataFrame
         .withColumn("q_id", lit(0L)).withColumn("rank", lit(1))

@@ -49,4 +49,54 @@ object ReportOps {
         when(col("__g2") === 1, lit("(all)")).otherwise(col(dim2))
           .as(dim2),
         col("n_docs"), col("n_tokens"), col("n_chars"))
+
+  /** Split-aware contamination report — the audit frame a curation
+    * run actually reviews before training (VERDICT r15 ask #7):
+    * compose the leakage-safe [[SampleOps.groupSplit]] assignment
+    * with the [[DedupOps.contamination]] shingle check and roll the
+    * contaminated pairs up PER SPLIT. One row per declared split
+    * (present even when empty): `n_docs` (corpus docs assigned),
+    * `n_leaky_docs` (distinct corpus docs sharing ≥ `minShared`
+    * k-shingles with any eval doc), `n_eval_hit` (distinct eval docs
+    * reached from the split), `n_pairs` (contaminated pairs). A
+    * non-zero val/test row means eval material leaked into a
+    * held-out split's sources — the thing group-wise splitting
+    * exists to prevent and this frame exists to prove.
+    *
+    * Scale shape: both inputs reuse their operators' dataflow (eval
+    * shingles broadcast against the corpus shingle stream; split
+    * assignment a group-cardinality map join), and the pair↔split
+    * attach is SHUFFLE_HASH-pinned — both sides corpus-derived,
+    * never estimate-broadcast. The final frame is splits-sized. */
+  def splitContamination(corpus: DataFrame, idCol: String,
+      textCol: String, groupCol: String,
+      splits: Seq[(String, Long, Long)], salt: String,
+      evalDf: DataFrame, evalId: String, evalText: String,
+      k: Int, minShared: Long, sizeCol: Option[String] = None)
+      : DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val assigned = SampleOps.groupSplit(corpus, groupCol, splits,
+        salt, sizeCol)
+      .select(col(idCol), col("split"))
+    val pairs = DedupOps.contamination(corpus, idCol, textCol,
+      evalDf, evalId, evalText, k, minShared)
+    val leak = pairs.join(assigned.hint("shuffle_hash"), Seq(idCol))
+      .groupBy("split")
+      .agg(countDistinct(col(idCol)).as("n_leaky_docs"),
+        countDistinct(col("eval_id")).as("n_eval_hit"),
+        count(lit(1)).as("n_pairs"))
+    val base = assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"))
+    // complete frame: every declared split reports, zeros included —
+    // an absent row and a clean row must be distinguishable
+    splits.map(_._1).toDF("split")
+      .join(base, Seq("split"), "left")
+      .join(leak, Seq("split"), "left")
+      .select(col("split"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_leaky_docs"), lit(0L)).as("n_leaky_docs"),
+        coalesce(col("n_eval_hit"), lit(0L)).as("n_eval_hit"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+  }
 }
