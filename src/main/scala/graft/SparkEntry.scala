@@ -2621,6 +2621,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** IVF,SQ8 over a greedy-d² (farthest-point) coarse seed
+    * ([[graft.sim.SqOps.ivfSqTopK]] with `coarseSeed = "farthest"`,
+    * i.e. [[graft.sim.PqOps.farthestPointSeeds]]): q119's layout with
+    * the id-modulo stride sample replaced by the deterministic
+    * k-means++-style traversal — seed 0 is the smallest-id row, each
+    * next seed the corpus row maximizing its min integer-L1 to the
+    * seeds already chosen (ties to the smaller id), stopping early at
+    * distance 0. The oracle replays the traversal as a recursive CTE
+    * (batch = 1, the pinned contract), then q119's SQ8 decode,
+    * assignment, and probed ranking against the new centroid set. */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.SqOps
+    val emb = t(s, dir, "embeddings")
+    val model = SqOps.sqTrain(emb, "vec_id", "embedding")
+    SqOps.ivfSqTopK(emb.filter(col("vec_id") < 5), emb, 5, model,
+        numCoarse = 12, nProbe = 2, coarseSeed = "farthest")
+      .orderBy("q_id", "rank")
+  }
+
   /** Residual IVFADC over a Lloyd-refined coarse quantizer
     * ([[graft.sim.PqOps.ivfPqTopKResidual]] with `coarseIters = 1`):
     * q112's layout with one integer Lloyd round on the coarse
@@ -2952,6 +2971,7 @@ object SparkEntry {
     "q134_streaming_budget" -> (q134 _),
     "q135_split_contamination" -> (q135 _),
     "q136_ivfpq_residual_lloyd" -> (q136 _),
+    "q137_ivfsq_fps"       -> (q137 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -4424,6 +4444,67 @@ object SparkEntry {
           qv AS cqv
         FROM e WHERE id % greatest(1,
           (SELECT count(*) FROM embeddings) // 20) = 0),
+      lst AS (SELECT id, c_idx, row_number() OVER (PARTITION BY id
+            ORDER BY list_aggregate(list_transform(range(1, 65),
+              i -> abs(qv[i] - cqv[i])), 'sum') ASC, c_idx ASC) AS r
+        FROM e CROSS JOIN cent),
+      lists AS (SELECT id AS n_id, c_idx AS list_id FROM lst
+                WHERE r = 1),
+      probe AS (SELECT id AS q_id, c_idx AS list_id FROM lst
+                WHERE id < 5 AND r <= 2),
+      cand AS (SELECT p.q_id, l.n_id FROM probe p
+        JOIN lists l USING (list_id) WHERE p.q_id <> l.n_id),
+      q AS (SELECT id AS q_id, i, qv[i] AS qvi
+        FROM e CROSS JOIN dims WHERE id < 5),
+      d AS (SELECT c.q_id, c.n_id,
+          sum(abs(qvi - rv))::BIGINT AS adist
+        FROM cand c
+        JOIN q ON q.q_id = c.q_id
+        JOIN dec ON dec.id = c.n_id AND dec.i = q.i
+        GROUP BY c.q_id, c.n_id),
+      rk AS (SELECT q_id, n_id, adist, row_number() OVER (
+            PARTITION BY q_id ORDER BY adist ASC, n_id ASC) AS rank
+        FROM d)
+      SELECT q_id, rank::INT AS rank, n_id, adist
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank""",
+    // q119's IVF,SQ8 replay with the coarse seed swapped for the
+    // deterministic farthest-point traversal: a recursive CTE carries
+    // the chosen-seed list, each step appending the corpus row whose
+    // min-L1 to the chosen set is largest (ties to smaller id),
+    // stopping at numCoarse = 12 or when the farthest remaining
+    // point is at distance 0. c_idx = selection order.
+    "q137_ivfsq_fps" -> """
+      WITH RECURSIVE e AS (SELECT vec_id AS id,
+          list_transform(embedding::DOUBLE[],
+            x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) + 2097152)
+            AS qv
+        FROM embeddings),
+      dims AS (SELECT unnest(range(1, 65)) AS i),
+      st AS (SELECT i, min(qv[i]) AS mn, max(qv[i]) AS mx
+        FROM e CROSS JOIN dims GROUP BY i),
+      dec AS (SELECT id, i,
+          mn + (2 * (CASE WHEN mx = mn THEN 0
+            ELSE ((qv[i] - mn) * 510 + (mx - mn)) // (2 * (mx - mn))
+            END) * (mx - mn) + 255) // 510 AS rv
+        FROM e CROSS JOIN dims JOIN st USING (i)),
+      fps(it, chosen) AS (
+        SELECT 0, [(SELECT qv FROM e ORDER BY id LIMIT 1)]
+        UNION ALL
+        SELECT it + 1, list_append(chosen, nxt)
+        FROM fps, LATERAL (
+          SELECT qv AS nxt, d FROM (
+            SELECT e.id, any_value(e.qv) AS qv,
+              min(list_aggregate(list_transform(range(1, 65),
+                i -> abs(e.qv[i] - c.cv[i])), 'sum')) AS d
+            FROM e, (SELECT unnest(chosen) AS cv) c
+            GROUP BY e.id
+          ) ORDER BY d DESC, id ASC LIMIT 1
+        ) WHERE it < 11 AND d > 0
+      ),
+      lastf AS (SELECT chosen FROM fps ORDER BY it DESC LIMIT 1),
+      cent AS (SELECT t.i AS c_idx, chosen[t.i + 1] AS cqv
+        FROM lastf CROSS JOIN range(0, 12) t(i)
+        WHERE t.i < len(chosen)),
       lst AS (SELECT id, c_idx, row_number() OVER (PARTITION BY id
             ORDER BY list_aggregate(list_transform(range(1, 65),
               i -> abs(qv[i] - cqv[i])), 'sum') ASC, c_idx ASC) AS r

@@ -7,17 +7,22 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 /** Bounded top-k as an AGGREGATE, not a window.
   *
   * The retrieval family's original shape — `row_number() OVER
-  * (PARTITION BY q_id ORDER BY score)` then `rank <= k` — is exact
-  * but shuffles EVERY (query, candidate) row into the window
-  * exchange: at |Q| queries over an N-row corpus that is |Q|·N
-  * shuffled rows to keep |Q|·k (the r15 VERDICT's one remaining plan
-  * improvement). A bounded-heap aggregate gets the same exact answer
-  * with partial aggregation: each map task keeps at most k rows per
-  * query in a size-k priority queue, so the exchange moves at most
-  * |Q|·k·partitions rows — independent of N — and the final merge is
-  * a k-way heap union. Spark ships the aggregate (`CollectTopK`, the
-  * engine behind ml's prediction top-k); this wrapper only binds the
-  * ordering convention the retrieval operators share.
+  * (PARTITION BY q_id ORDER BY score)` then `rank <= k` — is exact,
+  * and (measured, r16 TopKShuffleProbe) NOT as bad as it reads:
+  * Spark's `InferWindowGroupLimit` (3.5+) recognizes the
+  * rank-then-filter pattern and inserts a partial
+  * `WindowGroupLimit` BEFORE the exchange, so the window form
+  * already moved |Q|·k·partitions rows, not the naive |Q|·N the r15
+  * VERDICT assumed. The bounded-heap aggregate still improves on
+  * it: partial aggregation packs each map task's k survivors into
+  * ONE buffer row per query, so the exchange moves |Q|·partitions
+  * ROWS (k entries each — 10× fewer exchange rows at k=10, measured
+  * 64,001 → 6,401 at f100), skips the per-group sort the window
+  * runs on the reduce side, and cut wall 4% (cosine) / 29%
+  * (Hamming) on the f100 A/B with bit-identical output. Spark ships
+  * the aggregate (`CollectTopK`, the engine behind ml's prediction
+  * top-k); this wrapper only binds the ordering convention the
+  * retrieval operators share.
   *
   * Convention: `key` is a STRUCT whose fields compare
   * lexicographically ASCENDING (the InterpretedOrdering struct

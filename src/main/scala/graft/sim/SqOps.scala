@@ -154,8 +154,9 @@ object SqOps {
 
   /** IVF + SQ8 — the `IVF…,SQ8` FAISS layout: coarse lists bound the
     * candidate count ([[PqOps.ivfPqTopK]]'s count-derived id-modulo
-    * centroid sample, assigned by the fused integer-L1 kernel), SQ
-    * codes bound the bytes per candidate. The probes↔lists join is
+    * centroid sample, or [[PqOps.farthestPointSeeds]] via
+    * `coarseSeed = "farthest"`, assigned by the fused integer-L1
+    * kernel), SQ codes bound the bytes per candidate. The probes↔lists join is
     * MERGE-pinned so the corpus-derived list table can never be
     * estimate-broadcast (the r13 executed-join audit class); the
     * coarse-centroid collect is |C|-bounded by contract. Returns
@@ -164,14 +165,15 @@ object SqOps {
   def ivfSqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       model: SqModel, numCoarse: Int = 256, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      centroidStride: Long = 0L, coarseIters: Int = 0): DataFrame = {
+      centroidStride: Long = 0L, coarseIters: Int = 0,
+      coarseSeed: String = "stride"): DataFrame = {
     val stride =
       if (centroidStride > 0L) centroidStride
       else math.max(1L, corpus.count() / math.max(1, numCoarse))
     val qcorp = corpus.select(col(idCol).cast("long").as("id"),
       PqOps.quantize(col(vecCol), model.scaleBits).as("__qv"))
-    val cents: Array[Array[Long]] = PqOps.coarseCentroids(
-      qcorp, stride, coarseIters, qvC = "__qv")
+    val cents: Array[Array[Long]] = PqOps.coarseSeedSet(
+      qcorp, stride, numCoarse, coarseSeed, coarseIters, qvC = "__qv")
     if (cents.isEmpty)
       return queries.sparkSession.emptyDataFrame
         .withColumn("q_id", lit(0L)).withColumn("rank", lit(1))

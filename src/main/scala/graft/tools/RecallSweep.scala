@@ -126,6 +126,16 @@ object RecallSweep {
       meanRecall("ivf_pq_lloyd1", s""""nprobe":$np,""",
         graft.sim.PqOps.ivfPqTopK(queries, emb, k, pqModel,
           numCoarse = nC, nProbe = np, coarseIters = 1), l1Truth)
+      // greedy-d² farthest-point seed (q137's seeder), raw and with
+      // one Lloyd round — the seed-quality axis of VERDICT r15 ask #5
+      meanRecall("ivf_pq_fps", s""""nprobe":$np,""",
+        graft.sim.PqOps.ivfPqTopK(queries, emb, k, pqModel,
+          numCoarse = nC, nProbe = np, coarseSeed = "farthest"),
+        l1Truth)
+      meanRecall("ivf_pq_fps_lloyd1", s""""nprobe":$np,""",
+        graft.sim.PqOps.ivfPqTopK(queries, emb, k, pqModel,
+          numCoarse = nC, nProbe = np, coarseSeed = "farthest",
+          coarseIters = 1), l1Truth)
       meanRecall("ivf_pq_residual", s""""nprobe":$np,""",
         graft.sim.PqOps.ivfPqTopKResidual(queries, emb, k,
           subspaces = 8, codes = 64, iters = 2, numCoarse = nC,
@@ -141,6 +151,10 @@ object RecallSweep {
       meanRecall("ivf_sq8", s""""nprobe":$np,""",
         graft.sim.SqOps.ivfSqTopK(queries, emb, k, sqModel,
           numCoarse = nC, nProbe = np), l1Truth)
+      meanRecall("ivf_sq8_fps", s""""nprobe":$np,""",
+        graft.sim.SqOps.ivfSqTopK(queries, emb, k, sqModel,
+          numCoarse = nC, nProbe = np, coarseSeed = "farthest"),
+        l1Truth)
     }
     spark.stop()
   }

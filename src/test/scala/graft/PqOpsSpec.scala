@@ -307,4 +307,95 @@ class PqOpsSpec extends SparkSpec {
       assert(ranked.sameElements(ranked.sorted))
     }
   }
+
+  /** Sequential farthest-point reference with identical semantics. */
+  private def fpsBrute(q: Seq[(Long, Array[Long])], c: Int,
+      batch: Int): Seq[Seq[Long]] = {
+    val sorted = q.sortBy(_._1)
+    var seeds = Vector(sorted.head._2)
+    var done = false
+    while (!done && seeds.length < c) {
+      val b = math.min(batch, c - seeds.length)
+      val picked = sorted
+        .map { case (id, v) => (seeds.map(s => l1(s, v)).min, id, v) }
+        .filter(_._1 > 0)
+        .sortBy { case (d, id, _) => (-d, id) }
+        .take(b)
+      if (picked.isEmpty) done = true
+      else seeds ++= picked.map(_._3)
+    }
+    seeds.map(_.toSeq)
+  }
+
+  test("farthestPointSeeds matches the sequential reference, is " +
+      "partition-invariant, batches against the pre-round set, and " +
+      "stops early on duplicate exhaustion") {
+    val rng = new scala.util.Random(41)
+    val randVecs = (0L until 40L).map(id =>
+      id -> Seq.fill(4)(rng.nextDouble() * 2 - 1))
+    val qcorp = randVecs.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id").as("id"),
+        PqOps.quantize(col("embedding"), 20).as("qv"))
+    val quantized = randVecs.map { case (id, v) => id -> quant(v, 20) }
+    for (c <- Seq(1, 3, 7); b <- Seq(1, 3)) {
+      val want = fpsBrute(quantized, c, b)
+      val got = PqOps.farthestPointSeeds(qcorp, c, b)
+      assert(got.map(_.toSeq).toSeq == want, s"c=$c batch=$b")
+      val gotRep = PqOps.farthestPointSeeds(qcorp.repartition(7), c, b)
+      assert(gotRep.map(_.toSeq).toSeq == want, s"repart c=$c batch=$b")
+    }
+    // duplicate exhaustion: 3 distinct vectors among 6 rows can
+    // yield at most 3 seeds however many are asked for
+    val dup = Seq(0L -> Seq(0.1, 0.2), 1L -> Seq(0.1, 0.2),
+      2L -> Seq(0.9, -0.5), 3L -> Seq(0.9, -0.5),
+      4L -> Seq(-0.4, 0.4), 5L -> Seq(-0.4, 0.4))
+      .map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id").as("id"),
+        PqOps.quantize(col("embedding"), 20).as("qv"))
+    val capped = PqOps.farthestPointSeeds(dup, 10)
+    assert(capped.length == 3)
+    assert(capped.map(_.toSeq).distinct.length == 3)
+  }
+
+  test("MinDistL1 kernel: exact min over the seed set; null element, " +
+      "null array, and length mismatch all yield NULL") {
+    val seeds = Seq(Seq(10L, 20L, 30L), Seq(100L, 0L, 50L))
+    val rows = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, Seq[Any](11L, 18L, 33L)),
+      org.apache.spark.sql.Row(2L, Seq[Any](99L, 2L, 50L)),
+      org.apache.spark.sql.Row(3L, Seq[Any](1L, null, 3L)),
+      org.apache.spark.sql.Row(4L, null),
+      org.apache.spark.sql.Row(5L, Seq[Any](7L, 7L))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("qv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))))
+    val got = rows.select(col("id"),
+        graft.functions.MinDistL1.minDist(col("qv"), seeds).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    // id 1: min(1+2+3, 89+18+17) = 6; id 2: min(89+18+20, 1+2+0) = 3
+    assert(got(1L) == 6L && got(2L) == 3L)
+    assert(got(3L) == null && got(4L) == null && got(5L) == null)
+  }
+
+  test("ivfSqTopK with farthest seeds and all lists probed equals " +
+      "flat SQ8 top-k") {
+    import graft.sim.SqOps
+    val model = SqOps.sqTrain(df, "vec_id", "embedding")
+    val enc = SqOps.sqEncode(df, "vec_id", "embedding", model)
+    val queries = df.filter(col("vec_id") < 3)
+    val flat = SqOps.sqTopK(queries, enc, 4, model)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val ivf = SqOps.ivfSqTopK(queries, df, 4, model, numCoarse = 4,
+        nProbe = 4, coarseSeed = "farthest")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(ivf == flat)
+  }
 }
