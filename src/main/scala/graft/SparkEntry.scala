@@ -2621,6 +2621,18 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Bounded-state heavy-hitter vocabulary ([[graft.text.VocabOps
+    * .heavyHitters]]): exact tokens above a 1/100 corpus-frequency
+    * share via per-partition Misra–Gries summaries (superset
+    * guarantee) + one exact recount over the bounded candidate set —
+    * the token stream itself never shuffles. The result is exact and
+    * partitioning-invariant, so the oracle is a plain GROUP
+    * BY/HAVING over the same tokenizer. */
+  private def q138(s: SparkSession, dir: String): DataFrame =
+    graft.text.VocabOps.heavyHitters(t(s, dir, "documents"), "text",
+        1L, 100L)
+      .orderBy("token")
+
   /** IVF,SQ8 over a greedy-d² (farthest-point) coarse seed
     * ([[graft.sim.SqOps.ivfSqTopK]] with `coarseSeed = "farthest"`,
     * i.e. [[graft.sim.PqOps.farthestPointSeeds]]): q119's layout with
@@ -2831,7 +2843,7 @@ object SparkEntry {
     Set("q56_streaming_append", "q67_stateful_gaps", "q86_streaming_dedup",
       "q95_streaming_near_dedup", "q96_streaming_near_dedup_audit",
       "q97_bloom_dedup", "q123_streaming_interleave",
-      "q127_streaming_token_interleave")
+      "q127_streaming_token_interleave", "q134_streaming_budget")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2972,6 +2984,7 @@ object SparkEntry {
     "q135_split_contamination" -> (q135 _),
     "q136_ivfpq_residual_lloyd" -> (q136 _),
     "q137_ivfsq_fps"       -> (q137 _),
+    "q138_heavy_hitters"   -> (q138 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -5460,6 +5473,17 @@ object SparkEntry {
                (((2*cum + n_tok) % (2*wr)) * 8) // (2*wr))::BIGINT
                AS mix_key
       FROM k ORDER BY doc_id"""),
+    // Heavy hitters: exact GROUP BY/HAVING over the shared tokenizer
+    // (the MG summary is a superset filter only; the recount decides,
+    // so plain SQL replays the result exactly).
+    "q138_heavy_hitters" -> (tokCte + """,
+      t AS (SELECT unnest(toks) AS token FROM tk),
+      tot AS (SELECT count(*)::BIGINT AS n FROM t)
+      SELECT token, count(*)::BIGINT AS n_tok,
+        (SELECT n FROM tot) AS n_total
+      FROM t GROUP BY token
+      HAVING count(*) * 100 > (SELECT n FROM tot)
+      ORDER BY token"""),
     // Streaming budget-fill replay: per-lang inclusive running token
     // totals in doc_id order, the budgets map (absent -> default
     // 500), and the exclusive-prefix admission rule.

@@ -58,12 +58,22 @@ object MergeLegality {
       if (unitsEqual(mu, cu, aliases)) None else Some((v, mu, cu))
     }
 
-    val newDates = candidate.select(col(tsCol))
-      .join(master.select(col(tsCol)), Seq(tsCol), "left_anti")
+    // Every data-side check below needs ONLY the timestamp column,
+    // but each action over the raw frames would re-run their whole
+    // upstream plan (the r16 q54 audit measured 26 Spark jobs per
+    // analyse-bearing query, dominated by recomputed aggregation
+    // chains: the anti-join and BOTH interval inferences re-derived
+    // their inputs from scratch). Materialize the two ts projections
+    // once — timestamp sets are interval-count-sized, never
+    // corpus-wide — and let the three checks share them.
+    val mTs = master.select(col(tsCol)).localCheckpoint(true)
+    val cTs = candidate.select(col(tsCol)).localCheckpoint(true)
+    val newDates = cTs
+      .join(mTs, Seq(tsCol), "left_anti")
       .limit(1).count() > 0
 
-    val (mInt, _) = TimeSeriesOps.inferIntervalSeconds(master, tsCol)
-    val (cInt, _) = TimeSeriesOps.inferIntervalSeconds(candidate, tsCol)
+    val (mInt, _) = TimeSeriesOps.inferIntervalSeconds(mTs, tsCol)
+    val (cInt, _) = TimeSeriesOps.inferIntervalSeconds(cTs, tsCol)
 
     Report(newDates, mInt == cInt, mInt, cInt, common,
       mVars.diff(cVars), cVars.diff(mVars), conflicts)
