@@ -73,9 +73,24 @@ object VocabOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val k = ((den + num - 1) / num).toInt // ⌈1/φ⌉ ≥ 1/φ − 1 counters
-    val toks: Dataset[String] = docs
-      .select(explode(TextOps.tokens(col(textCol))).as("token"))
-      .as[String]
+    // tokenize ONCE: both passes scan the full stream, and the regex
+    // tokenizer dominates the text family's task time (f100 smoke:
+    // each tokenizing pass ≈ 23 s at 27M tokens), so the per-doc
+    // token arrays are staged — the LmOps/DsirOps materialized-
+    // projection convention — and each pass pays only the explode
+    val staged = docs.select(TextOps.tokens(col(textCol)).as("__toks"))
+      .localCheckpoint(true)
+    try {
+      heavyHittersStaged(staged, num, den, k)
+    } finally staged.unpersist()
+  }
+
+  private def heavyHittersStaged(staged: DataFrame, num: Long,
+      den: Long, k: Int): DataFrame = {
+    val spark = staged.sparkSession
+    import spark.implicits._
+    val toks: Dataset[String] =
+      staged.select(explode(col("__toks")).as("token")).as[String]
     // pass 1: per-partition MG summaries; bounded k·P-row collect
     val cands = toks.mapPartitions(mgSummary(_, k))
       .distinct().collect().sorted

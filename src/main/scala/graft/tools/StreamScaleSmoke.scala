@@ -249,6 +249,65 @@ object StreamScaleSmoke {
         f""""drain1_sec":$t1%.1f,"drain2_sec":$t2%.1f,""" +
         f""""drain3_sec":$t3%.1f,"state_kb":$stateKb}""")
     }
+    // Streaming token-budget fill: the claim under test is that
+    // state is ONE Long per stratum (16 here) — CONSTANT in corpus
+    // size — and that an id-ordered drain sequence is bit-identical
+    // to the batch per-stratum budget fill at constant priority.
+    // Budgets are sized so roughly half the strata exhaust mid-run
+    // (both admission edges live at scale, not just in the spec).
+    if (phaseOn("budget")) locally {
+      import graft.streaming.StreamingBudget
+      val in = s"$root/bu/in"; val out = s"$root/bu/out"
+      val ckpt = s"$root/bu/ckpt"
+      val sized = docs.select(col("doc_id"),
+        concat(lit("src"), (col("doc_id") % 16).cast("string"))
+          .as("src"),
+        graft.text.TextOps.tokenCount(col("text")).cast("long")
+          .as("n_tok"))
+        .localCheckpoint(true)
+      val perStratumTokens = sized.groupBy("src")
+        .agg(sum("n_tok").as("t")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // even strata: budget = 40% of their total (exhaust mid-run);
+      // odd strata: 200% (never exhaust)
+      val budgets = perStratumTokens.map { case (s, t) =>
+        s -> (if (s.stripPrefix("src").toInt % 2 == 0) t * 2 / 5
+              else t * 2)
+      }
+      def drain(): Double = {
+        val t0 = System.nanoTime()
+        StreamingBudget.fillRun(spark, in, out, ckpt,
+          spark.read.parquet(in).schema, "src", "n_tok", budgets)
+        (System.nanoTime() - t0) / 1e9
+      }
+      sized.filter(col("doc_id") < cut).write.parquet(in)
+      val t1 = drain()
+      sized.filter(col("doc_id") >= cut && col("doc_id") < cut + cut / 2)
+        .write.mode("append").parquet(in)
+      val t2 = drain()
+      sized.filter(col("doc_id") >= cut + cut / 2)
+        .write.mode("append").parquet(in)
+      val t3 = drain()
+      val streamed = spark.read.parquet(out)
+        .select(col("doc_id"), col("cum_tokens"), col("budget"),
+          col("selected"))
+        .localCheckpoint(eager = true)
+      val n = streamed.count()
+      val batch = graft.text.BudgetOps.budgetSelectPerStratum(
+          sized.withColumn("__p", lit(0.0)), "doc_id", "n_tok",
+          "__p", "src", budgets, defaultBudget = 0L)
+        .select(col("doc_id"), col("cum_tokens"), col("budget"),
+          col("selected"))
+      val diff = streamed.except(batch).count() +
+        batch.except(streamed).count()
+      val nSel = streamed.filter(col("selected")).count()
+      val stateKb = dirSize(java.nio.file.Paths.get(ckpt, "state")) >> 10
+      println(f"""{"op":"budget","provider":"hdfs",""" +
+        f""""factor":$factor,"docs":$total,"stamped":$n,""" +
+        f""""selected":$nSel,"batch_parity_diff":$diff,""" +
+        f""""drain1_sec":$t1%.1f,"drain2_sec":$t2%.1f,""" +
+        f""""drain3_sec":$t3%.1f,"state_kb":$stateKb}""")
+    }
     spark.stop()
   }
 }

@@ -108,6 +108,14 @@ object TextScaleSmoke {
       timed("winnowFingerprints", f) {
         graft.text.DedupOps.winnowFingerprints(docs, "doc_id", "text")
       }
+      // the amplification suffixes every token with its copy id, so
+      // the vocabulary grows ×f while each token's share shrinks ×f:
+      // φ = 1/5000 keeps the full (suffixed) common set at both
+      // factors and drives the MG summary at a production-sized
+      // counter budget (k = 5000 per partition)
+      timed("heavyHitters", f) {
+        graft.text.VocabOps.heavyHitters(docs, "text", 1L, 5000L)
+      }
       timed("lmPerplexity", f) {
         graft.text.LmOps.perplexity(
           docs, docs.filter(pmod(col("doc_id"), lit(10)) < 3),
