@@ -2621,6 +2621,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Best-fit-decreasing sequence packing ([[graft.text.PackOps
+    * .bestFitPack]]): whole documents into capacity-96 bins within
+    * recipe-pinned shards (doc_id mod 4), largest-first, each doc to
+    * the tightest open bin (ties to the lowest index), oversize docs
+    * opening flagged singleton bins. The oracle replays the
+    * per-shard traversal as a recursive CTE carrying the open-bin
+    * remainder list. */
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{PackOps, TextOps}
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    PackOps.bestFitPack(docs, "doc_id", "n_tok", capacity = 96L,
+        numShards = 4)
+      .select(col("doc_id"), col("shard"), col("bin"),
+        col("size").as("n_tok"), col("overflow"))
+      .orderBy("doc_id")
+  }
+
   /** Bounded-state heavy-hitter vocabulary ([[graft.text.VocabOps
     * .heavyHitters]]): exact tokens above a 1/100 corpus-frequency
     * share via per-partition Misra–Gries summaries (superset
@@ -2985,6 +3003,7 @@ object SparkEntry {
     "q136_ivfpq_residual_lloyd" -> (q136 _),
     "q137_ivfsq_fps"       -> (q137 _),
     "q138_heavy_hitters"   -> (q138 _),
+    "q139_bestfit_pack"    -> (q139 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -5473,6 +5492,54 @@ object SparkEntry {
                (((2*cum + n_tok) % (2*wr)) * 8) // (2*wr))::BIGINT
                AS mix_key
       FROM k ORDER BY doc_id"""),
+    // Best-fit-decreasing packing replay: per shard (doc_id % 4), a
+    // recursive CTE walks docs in (size DESC, id) order carrying the
+    // open-bin remainder list; best fit = first index of the minimum
+    // remainder that still fits (list_min over the >= filter, ties
+    // resolved by list_position's first match), no fit appends a new
+    // bin (capacity - size; oversize docs go NEGATIVE and never fit
+    // again — the flagged singleton-bin contract).
+    // (standalone WITH RECURSIVE — the shared tokCte's plain WITH
+    // cannot host a recursive member)
+    "q139_bestfit_pack" -> ("""
+      WITH RECURSIVE tk AS (SELECT doc_id,
+        list_filter(string_split_regex(
+          regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+          x -> x <> '') AS toks
+      FROM documents),
+      d AS (SELECT doc_id, (doc_id % 4)::INT AS shard,
+          len(toks)::BIGINT AS sz
+        FROM tk),
+      r AS (SELECT shard, doc_id, sz, row_number() OVER
+          (PARTITION BY shard ORDER BY sz DESC, doc_id) AS rn
+        FROM d),
+      st(shard, step, bins, asg) AS (
+        SELECT DISTINCT shard, 0::BIGINT, []::BIGINT[],
+          []::STRUCT(id BIGINT, bin INT)[] FROM d
+        UNION ALL
+        SELECT st.shard, st.step + 1,
+          CASE WHEN list_min(list_filter(bins, b -> b >= r.sz)) IS NULL
+            THEN list_append(bins, 96 - r.sz)
+            ELSE list_transform(range(1, len(bins) + 1),
+              i -> CASE WHEN i = list_position(bins,
+                  list_min(list_filter(bins, b -> b >= r.sz)))
+                THEN bins[i] - r.sz ELSE bins[i] END)
+            END,
+          list_append(asg, {'id': r.doc_id,
+            'bin': CASE WHEN list_min(list_filter(bins,
+                b -> b >= r.sz)) IS NULL
+              THEN len(bins) ELSE list_position(bins,
+                list_min(list_filter(bins, b -> b >= r.sz))) - 1
+              END}::STRUCT(id BIGINT, bin INT))
+        FROM st JOIN r ON r.shard = st.shard AND r.rn = st.step + 1
+      ),
+      fin AS (SELECT shard, asg, row_number() OVER
+          (PARTITION BY shard ORDER BY step DESC) AS rr FROM st)
+      SELECT a.id AS doc_id, fin.shard, a.bin,
+        d.sz AS n_tok, (d.sz > 96) AS overflow
+      FROM fin, LATERAL unnest(asg) u(a)
+      JOIN d ON d.doc_id = a.id
+      WHERE rr = 1 ORDER BY doc_id"""),
     // Heavy hitters: exact GROUP BY/HAVING over the shared tokenizer
     // (the MG summary is a superset filter only; the recount decides,
     // so plain SQL replays the result exactly).

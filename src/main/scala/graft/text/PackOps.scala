@@ -274,4 +274,102 @@ object PackOps {
           - greatest(col("start_off"), col("__bstart")))
       .drop("__bstart")
   }
+
+  /** One doc's packing verdict: the shard it hashed to, the 0-based
+    * bin (training sequence) within that shard, its size, and whether
+    * it overflowed the capacity (an oversize doc opens a bin alone —
+    * downstream truncation/chunking handles it, visibly). */
+  final case class PackedDoc(doc_id: Long, shard: Int, bin: Int,
+      size: Long, overflow: Boolean)
+
+  /** Best-fit-decreasing sequence packing — the truncation-REDUCING
+    * alternative to concat-and-chunk (Ding et al. 2024, "Fewer
+    * Truncations Improve Language Modeling"): whole documents are
+    * placed into fixed-capacity bins (training sequences), never
+    * split; within each shard docs are taken largest-first and each
+    * goes to the open bin with the SMALLEST remaining space that
+    * still fits (ties to the lowest bin index), opening a new bin
+    * when none fits. Concat-and-chunk ([[packBlocks]]) truncates at
+    * every block boundary; BFD wastes a little capacity as padding
+    * instead and keeps documents intact.
+    *
+    * Determinism and scale shape: bin packing is inherently
+    * sequential, so the parallel unit is a RECIPE-PINNED shard —
+    * `shard = doc_id mod numShards` — and the layout depends only on
+    * (ids, sizes, capacity, numShards): any cluster, any partitioning,
+    * any re-run emits identical assignments (spec-pinned), and the
+    * oracle replays the traversal as a recursive CTE (q139). Each
+    * shard's FFD runs in one `flatMapGroups` pass holding only the
+    * open-bin remainders (≤ shardTokens/capacity Longs); size the
+    * shard count so a shard's docs fit an executor — the same
+    * contract as [[graft.pipeline.FastData.writeShards]]. An
+    * oversize doc (size > capacity) opens its own bin with a
+    * NEGATIVE remainder — nothing else ever fits there, the doc is
+    * flagged `overflow = true`, and the recipe stays total (no
+    * throw mid-corpus; the flag is the audit hook). Null or negative
+    * sizes DO throw — a silent 0 would corrupt every later fit in
+    * the shard. */
+  def bestFitPack(docs: DataFrame, idCol: String, sizeCol: String,
+      capacity: Long, numShards: Int): DataFrame = {
+    require(capacity > 0, s"capacity=$capacity")
+    require(numShards >= 1, s"numShards=$numShards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"),
+        // null folds to a sentinel the guard below names explicitly —
+        // encoding a null into the primitive tuple field would throw
+        // an unnamed NPE instead
+        coalesce(col(sizeCol).cast("long"), lit(Long.MinValue))
+          .as("sz"),
+        pmod(col(idCol).cast("long"), lit(numShards.toLong))
+          .cast("int").as("shard"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._3)
+      .flatMapGroups { (shardId: Int, it: Iterator[(Long, Long, Int)]) =>
+        val ds = it.toArray
+        ds.foreach { case (id, sz, _) =>
+          if (sz == Long.MinValue) throw new IllegalArgumentException(
+            s"bestFitPack: null size for doc $id")
+          if (sz < 0L) throw new IllegalArgumentException(
+            s"bestFitPack: negative size $sz for doc $id")
+        }
+        // largest first, ties to the smaller id — the BFD order
+        scala.util.Sorting.stableSort(ds,
+          (a: (Long, Long, Int), b: (Long, Long, Int)) =>
+            a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+        // open bins indexed by remainder for O(log B) best-fit: the
+        // ceiling entry is the tightest fit, its TreeSet head the
+        // lowest bin index — identical semantics to the linear argmin
+        // (spec-pinned against the sequential reference); a linear
+        // scan is O(B) per doc and a 100k-doc shard owns ~B/2 open
+        // bins by the end
+        val byRem = new java.util.TreeMap[Long, java.util.TreeSet[Int]]
+        var nBins = 0
+        def add(r: Long, idx: Int): Unit = {
+          var s = byRem.get(r)
+          if (s == null) { s = new java.util.TreeSet[Int]; byRem.put(r, s) }
+          s.add(idx); ()
+        }
+        ds.iterator.map { case (id, sz, _) =>
+          val e = byRem.ceilingEntry(sz)
+          val bin =
+            if (e == null) {
+              val idx = nBins; nBins += 1
+              // zero-remainder bins stay indexed (a size-0 doc still
+              // best-fits them); negative (oversize) never re-fit
+              if (capacity - sz >= 0L) add(capacity - sz, idx)
+              idx
+            } else {
+              val idx = e.getValue.first()
+              e.getValue.remove(idx)
+              if (e.getValue.isEmpty) byRem.remove(e.getKey)
+              val left = e.getKey - sz
+              if (left >= 0L) add(left, idx)
+              idx
+            }
+          PackedDoc(id, shardId, bin, sz, sz > capacity)
+        }
+      }
+      .toDF()
+  }
 }

@@ -116,6 +116,16 @@ object TextScaleSmoke {
       timed("heavyHitters", f) {
         graft.text.VocabOps.heavyHitters(docs, "text", 1L, 5000L)
       }
+      // BFD packing: 16 shards over f·5k docs (f100: ~31k docs and
+      // ~18k open bins per shard by the end — the TreeMap best-fit's
+      // O(log B) per doc is what makes the shard loop viable)
+      timed("bestFitPack", f) {
+        graft.text.PackOps.bestFitPack(
+          docs.select(col("doc_id"),
+            graft.text.TextOps.tokenCount(col("text")).cast("long")
+              .as("n_tok")),
+          "doc_id", "n_tok", capacity = 96L, numShards = 16)
+      }
       timed("lmPerplexity", f) {
         graft.text.LmOps.perplexity(
           docs, docs.filter(pmod(col("doc_id"), lit(10)) < 3),

@@ -529,4 +529,63 @@ class PackQualityScrubSpec extends SparkSpec {
     assert(run(3).toSeq == got.toSeq)
     assert(!got.exists(_._1 == 3L)) // unmatched query yields no rows
   }
+
+  /** Sequential best-fit-decreasing reference. */
+  private def bfdBrute(docs: Seq[(Long, Long)], capacity: Long,
+      shards: Int): Map[Long, (Int, Int)] = {
+    docs.groupBy(d => (d._1 % shards).toInt).flatMap { case (sh, ds) =>
+      val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+      ds.sortBy(d => (-d._2, d._1)).map { case (id, sz) =>
+        val fits = rem.zipWithIndex.filter(_._1 >= sz)
+        val bin =
+          if (fits.isEmpty) { rem += capacity - sz; rem.length - 1 }
+          else { val i = fits.minBy(f => (f._1, f._2))._2
+                 rem(i) -= sz; i }
+        id -> (sh, bin)
+      }
+    }
+  }
+
+  test("bestFitPack matches the sequential BFD reference, is " +
+      "partition-invariant, keeps bins under capacity, and flags " +
+      "oversize singletons") {
+    val rng = new scala.util.Random(23)
+    // ~10% size-0 docs: they must still best-fit (a 0-remainder bin
+    // beats opening a new one) — the TreeMap path keeps 0-rem bins
+    val docs = (0L until 200L).map(id => id ->
+      (if (rng.nextInt(10) == 0) 0L else 5L + rng.nextInt(70).toLong))
+    val want = bfdBrute(docs, 50L, 3)
+    for (parts <- Seq(1, 7)) {
+      val got = PackOps.bestFitPack(
+          docs.toDF("doc_id", "n_tok").repartition(parts),
+          "doc_id", "n_tok", 50L, 3)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3),
+          r.getBoolean(4)))
+        .toMap
+      assert(got.view.mapValues(v => (v._1, v._2)).toMap == want,
+        s"parts=$parts")
+      // capacity invariant: every bin's total <= capacity, except a
+      // flagged oversize singleton
+      got.groupBy(v => (v._2._1, v._2._2)).foreach { case (bin, members) =>
+        val total = members.values.map(_._3).sum
+        if (total > 50L)
+          assert(members.size == 1 && members.values.head._4,
+            s"bin $bin over capacity without an overflow singleton")
+      }
+      assert(got.values.exists(_._4), "no oversize doc exercised")
+      assert(got.values.filter(_._4).forall(v => v._3 > 50L))
+    }
+    // loud failures: negative and null sizes
+    intercept[Exception] {
+      PackOps.bestFitPack(Seq((1L, -2L)).toDF("doc_id", "n_tok"),
+        "doc_id", "n_tok", 50L, 2).collect()
+    }
+    intercept[Exception] {
+      PackOps.bestFitPack(
+        Seq((1L, Some(5L)), (2L, None))
+          .toDF("doc_id", "n_tok"),
+        "doc_id", "n_tok", 50L, 2).collect()
+    }
+  }
 }
