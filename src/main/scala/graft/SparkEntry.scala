@@ -2579,6 +2579,17 @@ object SparkEntry {
         Seq((1L, 4L), (1L, 2L), (3L, 4L), (99L, 100L)))
       .orderBy("rank", "p_num", "p_den")
 
+  /** Quantile-bounded outlier filter ([[graft.operators.StatsOps
+    * .filterByQuantileRange]]): keep documents whose length lies
+    * within the exact [p5, p95] values — the published-recipe tail
+    * cut with engine-portable bounds. The oracle re-derives both
+    * rank values and applies the same inclusive comparison. */
+  private def q140(s: SparkSession, dir: String): DataFrame =
+    graft.operators.StatsOps.filterByQuantileRange(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "n_chars", "doc_id", (1L, 20L), (19L, 20L))
+      .orderBy("doc_id")
+
   /** Streaming token-weighted interleave ([[graft.streaming
     * .StreamingInterleave.interleaveByTokens]]): q124's WFQ schedule
     * stamped by keyed state — (rank, cumulative-token) pairs carried
@@ -3004,6 +3015,7 @@ object SparkEntry {
     "q137_ivfsq_fps"       -> (q137 _),
     "q138_heavy_hitters"   -> (q138 _),
     "q139_bestfit_pack"    -> (q139 _),
+    "q140_quantile_filter" -> (q140 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -5471,6 +5483,21 @@ object SparkEntry {
              rk::BIGINT AS rank, v AS value
       FROM p JOIN r ON rk = (n * p_num + p_den - 1) // p_den
       ORDER BY rank, p_num, p_den""",
+    // Quantile-bounded filter: q128's ceil-rank values at 1/20 and
+    // 19/20, then the inclusive range cut on the raw column.
+    "q140_quantile_filter" -> """
+      WITH v AS (SELECT n_chars::DOUBLE AS v, doc_id
+        FROM documents WHERE n_chars IS NOT NULL),
+      r AS (SELECT v, row_number() OVER (ORDER BY v, doc_id) AS rk,
+          count(*) OVER () AS n
+        FROM v),
+      b AS (SELECT
+          (SELECT v FROM r WHERE rk = (n * 1 + 19) // 20 LIMIT 1) AS lo,
+          (SELECT v FROM r WHERE rk = (n * 19 + 19) // 20 LIMIT 1) AS hi)
+      SELECT doc_id, n_chars FROM documents, b
+      WHERE n_chars IS NOT NULL
+        AND n_chars::DOUBLE >= lo AND n_chars::DOUBLE <= hi
+      ORDER BY doc_id""",
     // The streaming WFQ stamp is bit-identical to the batch
     // token-weighted schedule when drained in id order: q124's
     // replay without the read-side seq.

@@ -89,4 +89,34 @@ object StatsOps {
         StorageLevel.MEMORY_AND_DISK_SER)
     } finally ranged.unpersist(blocking = false)
   }
+
+  /** Quantile-bounded outlier filter — the length/perplexity tail
+    * cut every published curation recipe applies (drop the shortest
+    * and longest p% rather than guessing absolute bounds): keep rows
+    * whose `valueCol` lies within [q(pLow), q(pHigh)] INCLUSIVE,
+    * where both bounds are [[exactQuantiles]] values (exact rank,
+    * engine-portable — an approx-percentile bound would make the
+    * kept SET implementation-defined). Rows with NULL values drop
+    * (they have no rank, and a curation filter that silently keeps
+    * unmeasured rows is a bug factory).
+    *
+    * Cost shape: one [[exactQuantiles]] pass (range exchange +
+    * bounded per-partition counts; the collect here is TWO rows),
+    * then ONE narrow comparison pass over the input — the bounds are
+    * plan literals, so the filter pushes into the scan. */
+  def filterByQuantileRange(df: DataFrame, valueCol: String,
+      idCol: String, pLow: (Long, Long), pHigh: (Long, Long))
+      : DataFrame = {
+    require(pLow._1 * pHigh._2 <= pHigh._1 * pLow._2,
+      s"filterByQuantileRange: pLow $pLow > pHigh $pHigh")
+    val qs = exactQuantiles(df, valueCol, idCol,
+        if (pLow == pHigh) Seq(pLow) else Seq(pLow, pHigh))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val lo = qs(pLow)
+    val hi = qs(pHigh)
+    df.filter(col(valueCol).isNotNull &&
+      col(valueCol).cast("double") >= lit(lo) &&
+      col(valueCol).cast("double") <= lit(hi))
+  }
 }

@@ -100,7 +100,10 @@ object VocabOps {
     val cdf = cands.toSeq.toDF("token").withColumn("__isc", lit(1))
     // pass 2: one aggregate over ≤ |cands| + 1 groups — candidates
     // count under their own token, everything else in the NULL
-    // bucket, so sum(n) over the tiny grouped frame is exactly N
+    // bucket, so sum(n) over the tiny grouped frame is exactly N.
+    // The checkpoint is RETAINED (the returned frame reads it); it
+    // holds ≤ k·P + 1 rows — parameter-bounded, the house rule for
+    // tiny kept checkpoints (keylessIntervalHistogram's hist)
     val grouped = toks.toDF("token")
       .join(broadcast(cdf), Seq("token"), "left")
       .groupBy(when(col("__isc").isNotNull, col("token")).as("token"))

@@ -51,4 +51,23 @@ class StatsOpsSpec extends SparkSpec {
       StatsOps.exactQuantiles(df, "v", "id", Seq((3L, 2L)))
     }
   }
+
+  test("filterByQuantileRange: inclusive exact bounds, nulls drop, " +
+      "degenerate point range, malformed order rejected") {
+    val df = ((1 to 100).map(i => (i.toLong, Some(i.toDouble))) :+
+      (200L, Option.empty[Double])).toDF("id", "v")
+    // p10 = value at ceil(100/10) = 10, p90 = at rank 90 — inclusive
+    val kept = StatsOps.filterByQuantileRange(df, "v", "id",
+        (1L, 10L), (9L, 10L))
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == (10L to 90L))
+    // degenerate point range keeps exactly the median-valued rows
+    val point = StatsOps.filterByQuantileRange(df, "v", "id",
+        (1L, 2L), (1L, 2L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(point == Seq(50L))
+    intercept[IllegalArgumentException] {
+      StatsOps.filterByQuantileRange(df, "v", "id", (9L, 10L), (1L, 10L))
+    }
+  }
 }
