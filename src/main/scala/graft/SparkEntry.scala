@@ -2632,6 +2632,16 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Per-source n-gram diversity ([[graft.text.ReportOps
+    * .ngramDiversity]]): exact trigram volume and distinct-trigram
+    * counts per source — the distinct-n template-spam signal. Both
+    * counts are BIGINTs; the oracle replays the gram explode and the
+    * two aggregates. */
+  private def q141(s: SparkSession, dir: String): DataFrame =
+    graft.text.ReportOps.ngramDiversity(t(s, dir, "documents"),
+        "text", "source", n = 3)
+      .orderBy("group")
+
   /** Best-fit-decreasing sequence packing ([[graft.text.PackOps
     * .bestFitPack]]): whole documents into capacity-96 bins within
     * recipe-pinned shards (doc_id mod 4), largest-first, each doc to
@@ -3016,6 +3026,7 @@ object SparkEntry {
     "q138_heavy_hitters"   -> (q138 _),
     "q139_bestfit_pack"    -> (q139 _),
     "q140_quantile_filter" -> (q140 _),
+    "q141_ngram_diversity" -> (q141 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -5567,6 +5578,19 @@ object SparkEntry {
       FROM fin, LATERAL unnest(asg) u(a)
       JOIN d ON d.doc_id = a.id
       WHERE rr = 1 ORDER BY doc_id"""),
+    // n-gram diversity: the non-distinct trigram stream per source
+    // (docs under 3 tokens contribute nothing), then total + distinct
+    // counts per group.
+    "q141_ngram_diversity" -> (tokCte + """,
+      g AS (SELECT coalesce(d.source, '') AS "group",
+          unnest(CASE WHEN len(toks) >= 3
+            THEN list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [] END) AS gram
+        FROM tk JOIN documents d ON tk.doc_id = d.doc_id)
+      SELECT "group", count(*)::BIGINT AS n_ngrams,
+             count(DISTINCT gram)::BIGINT AS n_distinct
+      FROM g GROUP BY 1 ORDER BY 1"""),
     // Heavy hitters: exact GROUP BY/HAVING over the shared tokenizer
     // (the MG summary is a superset filter only; the recount decides,
     // so plain SQL replays the result exactly).

@@ -50,6 +50,47 @@ object ReportOps {
           .as(dim2),
         col("n_docs"), col("n_tokens"), col("n_chars"))
 
+  /** Per-group n-gram diversity — the distinct-n metric (Li et al.
+    * 2016) curation runs use to catch TEMPLATE SPAM: a source whose
+    * distinct-trigram count collapses relative to its trigram volume
+    * is boilerplate (SEO farms, generated listings) even when every
+    * document is unique at the fingerprint level, so exact dedup
+    * never sees it. Returns one row per group: `n_ngrams` (total
+    * n-gram occurrences, docs shorter than n contribute none) and
+    * `n_distinct` (distinct n-gram strings) — both exact BIGINTs; the
+    * reader forms the ratio (no float crosses the engine boundary).
+    * NULL groups fold to "".
+    *
+    * Scale shape: two aggregations over the exploded n-gram stream —
+    * the total is map-side-combined to |groups| rows; the distinct
+    * pass shuffles (group, ngram) once, exactly the dedup family's
+    * shingle exchange. No corpus-wide window, no driver state. */
+  def ngramDiversity(docs: DataFrame, textCol: String,
+      groupCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"ngramDiversity: n=$n")
+    // token array staged as its own projection, referenced multiple
+    // times downstream — the LmOps/DsirOps convention that keeps the
+    // tokenizer OUT of the per-element lambda (a lambda body
+    // containing tokens(text) re-evaluates it per gram: the r10
+    // O(len²) retokenization class)
+    val staged = docs.select(
+      coalesce(col(groupCol).cast("string"), lit("")).as("group"),
+      TextOps.tokens(col(textCol)).as("__toks"))
+    val tk = col("__toks")
+    // sequence() counts DOWN when end < start — a 2-token doc would
+    // otherwise emit phantom indices [1, 0] — so short docs are
+    // pinned to an empty gram array explicitly
+    val grams = when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", slice(tk, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val g = staged.select(col("group"), explode(grams).as("__g"))
+    val total = g.groupBy("group").agg(count(lit(1)).as("n_ngrams"))
+    val dist = g.groupBy("group", "__g").agg(count(lit(1)))
+      .groupBy("group").agg(count(lit(1)).as("n_distinct"))
+    total.join(dist, Seq("group"))
+  }
+
   /** Split-aware contamination report — the audit frame a curation
     * run actually reviews before training (VERDICT r15 ask #7):
     * compose the leakage-safe [[SampleOps.groupSplit]] assignment

@@ -524,4 +524,25 @@ class BudgetC4Spec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(a == b)
   }
+
+  test("ngramDiversity: literal trigram counts, short docs " +
+      "contribute nothing, null groups fold, partition-invariant") {
+    import graft.text.ReportOps
+    val docs = Seq(
+      // "a b a b a" -> trigrams: "a b a","b a b","a b a" (3 total, 2 distinct)
+      (1L, Some("spam"), "a b a b a"),
+      (2L, Some("spam"), "a b a"),        // +1 total, same gram
+      (3L, Some("fresh"), "x y z w"),     // "x y z","y z w" (2, 2)
+      (4L, None, "only two"),             // < 3 tokens: nothing
+      (5L, None, "p q r")                 // null group -> ""
+    ).toDF("doc_id", "source", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      ReportOps.ngramDiversity(d, "text", "source")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+    val got = run(docs)
+    assert(got == Map("spam" -> (4L, 2L), "fresh" -> (2L, 2L),
+      "" -> (1L, 1L)))
+    assert(run(docs.repartition(5)) == got)
+  }
 }
