@@ -2632,6 +2632,17 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Top-k PMI collocations ([[graft.text.LmOps.collocations]]):
+    * bigrams ranked by the quantized exact PMI ratio — log-free,
+    * engine-portable integer key; marginals from the same
+    * sentinel-free pair table. The oracle replays the pair
+    * explode, both marginals, the two-stage integer key, and the
+    * rank cut. */
+  private def q142(s: SparkSession, dir: String): DataFrame =
+    graft.text.LmOps.collocations(t(s, dir, "documents"), "text",
+        k = 30, minCount = 5L)
+      .orderBy("rank")
+
   /** Per-source n-gram diversity ([[graft.text.ReportOps
     * .ngramDiversity]]): exact trigram volume and distinct-trigram
     * counts per source — the distinct-n template-spam signal. Both
@@ -3027,6 +3038,7 @@ object SparkEntry {
     "q139_bestfit_pack"    -> (q139 _),
     "q140_quantile_filter" -> (q140 _),
     "q141_ngram_diversity" -> (q141 _),
+    "q142_pmi_collocations" -> (q142 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -5578,6 +5590,25 @@ object SparkEntry {
       FROM fin, LATERAL unnest(asg) u(a)
       JOIN d ON d.doc_id = a.id
       WHERE rr = 1 ORDER BY doc_id"""),
+    // PMI collocations: sentinel-free bigram pairs, marginals over
+    // the same table, the two-stage integer key, rank cut at 30.
+    "q142_pmi_collocations" -> (tokCte + """,
+      pp AS (SELECT doc_id, unnest(list_transform(range(2, len(toks)+1),
+            i -> {'v': toks[i-1], 'w': toks[i]})) AS p FROM tk),
+      pr AS (SELECT p.v AS v, p.w AS w FROM pp),
+      bi AS (SELECT v, w, count(*)::BIGINT AS c_vw FROM pr
+             GROUP BY v, w HAVING count(*) >= 5),
+      ctx AS (SELECT v, count(*)::BIGINT AS c_v FROM pr GROUP BY v),
+      tgt AS (SELECT w, count(*)::BIGINT AS c_w FROM pr GROUP BY w),
+      sc AS (SELECT bi.v, bi.w, c_vw, c_v, c_w,
+          ((c_vw * 1000000 // c_v) * 1000000 // c_w)::BIGINT
+            AS pmi_key
+        FROM bi JOIN ctx USING (v) JOIN tgt USING (w)),
+      rk AS (SELECT *, row_number() OVER (ORDER BY pmi_key DESC,
+            c_vw DESC, v, w) AS rank
+        FROM sc)
+      SELECT rank::INT AS rank, v, w, c_vw, c_v, c_w, pmi_key
+      FROM rk WHERE rank <= 30 ORDER BY rank"""),
     // n-gram diversity: the non-distinct trigram stream per source
     // (docs under 3 tokens contribute nothing), then total + distinct
     // counts per group.

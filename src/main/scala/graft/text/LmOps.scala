@@ -179,4 +179,53 @@ object LmOps {
         .when(col("ppl") <= cuts(1), "middle")
         .otherwise("tail"))
   }
+
+  /** Top-k collocations by PMI — the classic collocation-extraction
+    * pass (Church & Hanks 1990) a curation pipeline runs to surface
+    * boilerplate phrases and candidate stop-bigrams: rank bigrams by
+    * how much more often the pair occurs than its parts predict.
+    *
+    * Exactness: PMI = log(p(v,w)/(p(v)p(w))) ranks identically to
+    * the RATIO c_vw/(c_v·c_w) (log is monotone; the corpus-total
+    * factor is constant), so no float log ever enters the key. The
+    * ratio is quantized engine-portably as
+    * `(c_vw·10⁶ div c_v)·10⁶ div c_w` — marginals are taken over the
+    * same sentinel-free pair table, so c_vw ≤ min(c_v, c_w) keeps
+    * every intermediate ≤ 10¹² regardless of corpus size (the first
+    * multiply needs c_vw ≤ 9·10¹², far beyond any single pair's
+    * count) — ties broken (c_vw DESC, v, w). Pairs below `minCount`
+    * drop first (singleton pairs have unboundedly noisy PMI — the
+    * standard cut).
+    *
+    * Dataflow: the [[graft.functions.BigramKernel]] per-doc counts
+    * explode once; the bigram table and its two vocab-sized marginals
+    * are map-side-combined aggregates; the final cut is a
+    * TakeOrdered k-row collect, then rank is stamped on the k-row
+    * frame. */
+  def collocations(corpus: DataFrame, textCol: String, k: Int,
+      minCount: Long = 5L): DataFrame = {
+    require(k >= 1, s"k=$k")
+    require(minCount >= 1, s"minCount=$minCount")
+    val pairs = pairRows(corpus, Nil, textCol)
+      .select(col("p.v").as("v"), col("p.w").as("w"),
+        col("p.n").as("n"))
+      .filter(col("v") =!= "<s>")
+    val bi = pairs.groupBy("v", "w").agg(sum("n").as("c_vw"))
+      .filter(col("c_vw") >= minCount)
+    val ctx = pairs.groupBy("v").agg(sum("n").as("c_v"))
+    val tgt = pairs.groupBy("w").agg(sum("n").as("c_w"))
+    val scored = bi.join(ctx, "v").join(tgt, "w")
+      .withColumn("pmi_key",
+        expr("c_vw * 1000000L div c_v * 1000000L div c_w"))
+    val top = scored
+      .orderBy(col("pmi_key").desc, col("c_vw").desc, col("v"),
+        col("w"))
+      .limit(k)
+    // rank stamped on the k-row frame — the window is k-bounded
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("pmi_key").desc, col("c_vw").desc, col("v"), col("w"))))
+      .select(col("rank"), col("v"), col("w"), col("c_vw"),
+        col("c_v"), col("c_w"), col("pmi_key"))
+  }
 }

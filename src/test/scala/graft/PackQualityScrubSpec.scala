@@ -588,4 +588,39 @@ class PackQualityScrubSpec extends SparkSpec {
         "doc_id", "n_tok", 50L, 2).collect()
     }
   }
+
+  test("collocations: PMI ratio ranks glued pairs first; literal " +
+      "key re-derivation; minCount cut; partition-invariant") {
+    import graft.text.LmOps
+    // "x y" always co-occur (6 times, each word only in the pair);
+    // "a b" co-occurs 6 times but a and b also appear apart — lower
+    // PMI; "c d" occurs only 3 times (< minCount 4) and must drop
+    val docs = (
+      Seq.fill(6)("x y") ++
+      Seq.fill(6)("a b") ++ Seq.fill(5)("a q b r") ++
+      Seq.fill(3)("c d")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      LmOps.collocations(d, "text", k = 5, minCount = 4L)
+        .collect().map(r => (r.getInt(0), r.getString(1),
+          r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toSeq
+    val got = run(docs)
+    // literal: sentinel-free pairs — "x y":6; "a b":6; "a q":5,
+    // "q b":5, "b r":5; marginals over the same pair table: c_v =
+    // {x:6, a:11, q:5, b:5}, c_w = {y:6, b:11, q:5, r:5}. The
+    // perfectly-glued RARER pair (b,r) outranks the glued (x,y) —
+    // ratio 5/(5·5) = 0.2 > 6/(6·6) ≈ 0.167 — exactly PMI's
+    // frequency bias
+    assert(got.head._2 == "b" && got.head._3 == "r")
+    assert(got.head._7 == 5000000L / 5L * 1000000L / 5L)
+    val xy = got.find(p => p._2 == "x").get
+    assert(xy._1 == 2 && xy._7 == 6000000L / 6L * 1000000L / 6L)
+    assert(!got.exists(p => p._2 == "c")) // under minCount
+    assert(got.map(_._1) == (1 to got.length))
+    assert(got.map(_._7).sliding(2).forall(s =>
+      s.length < 2 || s(0) >= s(1)))
+    assert(run(docs.repartition(7)) == got)
+  }
 }
