@@ -2632,6 +2632,16 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Per-doc first-occurrence novelty ([[graft.text.ReportOps
+    * .firstOccurrenceNovelty]]): distinct 3-shingles per doc and how
+    * many have their first corpus occurrence there — the recycled-
+    * text diagnostic. The oracle replays the shared shingle CTE, the
+    * min-doc firsts table, and both counts. */
+  private def q143(s: SparkSession, dir: String): DataFrame =
+    graft.text.ReportOps.firstOccurrenceNovelty(
+        t(s, dir, "documents"), "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+
   /** Top-k PMI collocations ([[graft.text.LmOps.collocations]]):
     * bigrams ranked by the quantized exact PMI ratio — log-free,
     * engine-portable integer key; marginals from the same
@@ -3039,6 +3049,7 @@ object SparkEntry {
     "q140_quantile_filter" -> (q140 _),
     "q141_ngram_diversity" -> (q141 _),
     "q142_pmi_collocations" -> (q142 _),
+    "q143_novelty"          -> (q143 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -5590,6 +5601,16 @@ object SparkEntry {
       FROM fin, LATERAL unnest(asg) u(a)
       JOIN d ON d.doc_id = a.id
       WHERE rr = 1 ORDER BY doc_id"""),
+    // First-occurrence novelty: the shared shingle CTE (distinct
+    // 3-shingles, short-doc fallback), min-doc firsts, both counts.
+    "q143_novelty" -> (shingleCte + """,
+      f AS (SELECT shingle, min(doc_id) AS first_id FROM sh
+            GROUP BY shingle)
+      SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+        sum(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0
+          END)::BIGINT AS n_novel
+      FROM sh JOIN f USING (shingle)
+      GROUP BY sh.doc_id ORDER BY sh.doc_id"""),
     // PMI collocations: sentinel-free bigram pairs, marginals over
     // the same table, the two-stage integer key, rank cut at 30.
     "q142_pmi_collocations" -> (tokCte + """,

@@ -91,6 +91,46 @@ object ReportOps {
     total.join(dist, Seq("group"))
   }
 
+  /** Per-doc first-occurrence novelty — the dedup-diagnostic /
+    * curriculum signal "how much of this document is NEW text":
+    * a k-shingle is credited to the smallest doc_id containing it,
+    * and each document reports its distinct-shingle count and how
+    * many of those it is the first corpus occurrence of. Low
+    * `n_novel / n_shingles` on a late doc = recycled text the
+    * fingerprint dedup didn't collapse (partial copies, templates);
+    * the ratio stays reader-side — both counts are exact BIGINTs.
+    * Short docs fold to their whole-text shingle (the [[TextOps
+    * .shingles]] fallback), so every doc reports.
+    *
+    * Scale shape: the (doc, shingle) stream is staged ONCE (eager
+    * serialized checkpoint — the q28 convention; retained, the
+    * result reads it), then ONE map-side-combining min-aggregate
+    * builds the first-occurrence table (hot boilerplate shingles
+    * combine before the exchange — the reason this is not a
+    * per-shingle window, which would sort each hot key in one task)
+    * and ONE shuffle-hash-pinned join back attaches it — both sides
+    * corpus-derived, never estimate-broadcast. */
+  def firstOccurrenceNovelty(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, s"firstOccurrenceNovelty: k=$k")
+    val staged = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextOps.tokens(col(textCol)).as("__toks"))
+    val tk = col("__toks")
+    val grams = when(size(tk) >= k,
+      transform(sequence(lit(1), size(tk) - (k - 1)),
+        i => concat_ws(" ", slice(tk, i, lit(k)))))
+      .otherwise(array(concat_ws(" ", tk)))
+    val sh = staged
+      .select(col("doc_id"), explode(array_distinct(grams)).as("__sh"))
+      .localCheckpoint(true)
+    val firsts = sh.groupBy("__sh").agg(min("doc_id").as("__first"))
+    sh.join(firsts.hint("shuffle_hash"), "__sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+  }
+
   /** Split-aware contamination report — the audit frame a curation
     * run actually reviews before training (VERDICT r15 ask #7):
     * compose the leakage-safe [[SampleOps.groupSplit]] assignment

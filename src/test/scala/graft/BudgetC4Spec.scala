@@ -545,4 +545,24 @@ class BudgetC4Spec extends SparkSpec {
       "" -> (1L, 1L)))
     assert(run(docs.repartition(5)) == got)
   }
+
+  test("firstOccurrenceNovelty: shingles credit the smallest doc_id; " +
+      "short docs fold to the whole-text shingle; partition-invariant") {
+    import graft.text.ReportOps
+    val docs = Seq(
+      (1L, "a b c d"),        // {a b c, b c d} — both first here
+      (2L, "a b c"),          // {a b c} — seen in doc 1: 0 novel
+      (3L, "b c d e"),        // {b c d, c d e} — c d e novel
+      (4L, "hi"),             // short: shingle "hi", novel
+      (5L, "hi")              // short dup: same shingle, not novel
+    ).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      ReportOps.firstOccurrenceNovelty(d, "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+    val got = run(docs)
+    assert(got == Map(1L -> (2L, 2L), 2L -> (1L, 0L),
+      3L -> (2L, 1L), 4L -> (1L, 1L), 5L -> (1L, 0L)))
+    assert(run(docs.repartition(4)) == got)
+  }
 }
