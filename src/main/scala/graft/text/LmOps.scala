@@ -214,7 +214,11 @@ object LmOps {
       .filter(col("c_vw") >= minCount)
     val ctx = pairs.groupBy("v").agg(sum("n").as("c_v"))
     val tgt = pairs.groupBy("w").agg(sum("n").as("c_w"))
-    val scored = bi.join(ctx, "v").join(tgt, "w")
+    // SHUFFLE_HASH-pinned marginal attaches: the vocab-sized ctx/tgt
+    // tables are corpus-derived (10⁸ rows at corpus scale) — never
+    // estimate-broadcast (the r13 audit class)
+    val scored = bi.join(ctx.hint("shuffle_hash"), "v")
+      .join(tgt.hint("shuffle_hash"), "w")
       .withColumn("pmi_key",
         expr("c_vw * 1000000L div c_v * 1000000L div c_w"))
     val top = scored

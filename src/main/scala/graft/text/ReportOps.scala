@@ -88,7 +88,10 @@ object ReportOps {
     val total = g.groupBy("group").agg(count(lit(1)).as("n_ngrams"))
     val dist = g.groupBy("group", "__g").agg(count(lit(1)))
       .groupBy("group").agg(count(lit(1)).as("n_distinct"))
-    total.join(dist, Seq("group"))
+    // SHUFFLE_HASH-pinned: both sides are corpus-derived aggregates
+    // whose cardinality is the GROUP count (domains/sources can be
+    // millions) — never estimate-broadcast (the r13 audit class)
+    total.join(dist.hint("shuffle_hash"), Seq("group"))
   }
 
   /** Per-doc first-occurrence novelty — the dedup-diagnostic /
