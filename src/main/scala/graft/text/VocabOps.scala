@@ -70,6 +70,11 @@ object VocabOps {
       den: Long): DataFrame = {
     require(num > 0 && den > 0 && num < den,
       s"heavyHitters: need 0 < num/den < 1, got $num/$den")
+    require(den / num <= 10_000_000L,
+      s"heavyHitters: threshold $num/$den needs ${den / num} MG " +
+        "counters PER PARTITION — below ~1e-7 this is no longer a " +
+        "bounded-state summary; use docFrequency (the full groupBy) " +
+        "for rare-token questions")
     val spark = docs.sparkSession
     import spark.implicits._
     val k = ((den + num - 1) / num).toInt // ⌈1/φ⌉ ≥ 1/φ − 1 counters

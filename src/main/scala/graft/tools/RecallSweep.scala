@@ -65,8 +65,16 @@ object RecallSweep {
     println(s"""{"setup":"recall_sweep","rows":$nRows,"queries":$nq,""" +
       s""""k":$k,"coarse":$nC,"factor":$factor}""")
 
-    def meanRecall(name: String, param: String, approx: DataFrame,
+    // Optional index filter (comma-separated name prefixes) — the
+    // scale-smoke convention, so one family can be re-swept without
+    // paying for the whole table (e.g. SPARK_GRAFT_INDEXES=hamming).
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_INDEXES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+    def meanRecall(name: String, param: String, approx: => DataFrame,
         truth: DataFrame): Unit = {
+      if (only.nonEmpty && !only.exists(name.startsWith)) return
       val r = graft.sim.EvalOps.recallAtK(approx, truth)
         .agg(avg(col("recall_micro")).cast("long").as("mean"),
           min(col("recall_micro")).as("min"),
@@ -94,6 +102,18 @@ object RecallSweep {
       graft.sim.HammingOps.hammingTopK(queries,
         graft.sim.HammingOps.encode(emb, "vec_id", "embedding"), k),
       cosTruth)
+    // wide signatures + the shortlist→exact-rerank composite: the
+    // sketch tier's recall recovery path (VERDICT r15 ask #3)
+    val encWide = graft.sim.HammingOps.encodeWide(emb, "vec_id",
+      "embedding", planes = 128)
+    meanRecall("hamming_wide128", "",
+      graft.sim.HammingOps.hammingTopKWide(queries, encWide, k,
+        planes = 128), cosTruth)
+    Seq(4 * k, 40 * k).foreach { sl =>
+      meanRecall("hamming_rerank128", s""""shortlist":$sl,""",
+        graft.sim.HammingOps.hammingRerankTopK(queries, emb, encWide,
+          k, sl, planes = 128), cosTruth)
+    }
 
     // ---- quantizer tier (exact integer-L1 truth) ----
     val pqModel = graft.sim.PqOps.pqTrain(emb, "vec_id", "embedding",
