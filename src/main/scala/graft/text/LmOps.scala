@@ -225,10 +225,13 @@ object LmOps {
       .orderBy(col("pmi_key").desc, col("c_vw").desc, col("v"),
         col("w"))
       .limit(k)
-    // rank stamped on the k-row frame — the window is k-bounded
+    // rank stamped on the k-row frame — k-bounded by construction;
+    // partitioned on a constant so the single-partition window is
+    // DECLARED, not the warning-generating partitionless default
     top.withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(
-          col("pmi_key").desc, col("c_vw").desc, col("v"), col("w"))))
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+          .orderBy(col("pmi_key").desc, col("c_vw").desc, col("v"),
+            col("w"))))
       .select(col("rank"), col("v"), col("w"), col("c_vw"),
         col("c_v"), col("c_w"), col("pmi_key"))
   }
