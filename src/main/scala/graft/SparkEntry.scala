@@ -76,6 +76,34 @@ object SparkEntry {
       }
   }
 
+  /** Run-unique streaming tmp root under java.io.tmpdir for the
+    * streaming queries (q123/q127/q134): applicationId-suffixed so
+    * concurrent harness invocations can't destroy each other's
+    * in-flight checkpoint/input dirs (ADVICE r15), deleted at start
+    * if a same-app rerun left it, AND deleted again at JVM exit via
+    * a shutdown hook — the app-unique suffix means the start-of-run
+    * cleanup can never fire across sessions, so without the hook
+    * every invocation would permanently leak its parquet input,
+    * output, and checkpoint dirs (ADVICE r16). */
+  private def streamTmpRoot(s: SparkSession, tag: String)
+      : java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_${s.sparkContext.applicationId}")
+    def wipe(): Unit = if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    }
+    wipe()
+    if (hookedTmpRoots.add(root.toString))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try wipe() catch { case _: Throwable => () }))
+    root
+  }
+  private val hookedTmpRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Engine-parity rounding: floor(x*10^n + 0.5)/10^n. Every step is an
     * exactly-specified IEEE-754 op, so Spark and DuckDB produce the same
     * bits — unlike decimal `round`, whose half-way tie handling differs
@@ -2599,17 +2627,7 @@ object SparkEntry {
   private def q127(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StreamingInterleave
     import graft.text.TextOps
-    // run-unique root: a fixed path plus recursive delete-at-start
-    // would let two concurrent harness invocations destroy each
-    // other's in-flight checkpoint/input dirs (ADVICE r15)
-    val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_q127_${s.sparkContext.applicationId}")
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-    }
+    val root = streamTmpRoot(s, "q127")
     val inDir = s"$root/in"; val outDir = s"$root/mix"
     val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
       TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
@@ -2761,14 +2779,7 @@ object SparkEntry {
   private def q134(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StreamingBudget
     import graft.text.TextOps
-    val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_q134_${s.sparkContext.applicationId}")
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-    }
+    val root = streamTmpRoot(s, "q134")
     val inDir = s"$root/in"; val outDir = s"$root/fill"
     val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
       TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
@@ -2860,15 +2871,7 @@ object SparkEntry {
     * output lake is ORDER BY (mix_key, lang, mix_k)). */
   private def q123(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StreamingInterleave
-    // run-unique root — same concurrent-invocation rationale as q127
-    val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_q123_${s.sparkContext.applicationId}")
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-    }
+    val root = streamTmpRoot(s, "q123")
     val inDir = s"$root/in"; val outDir = s"$root/mix"
     val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
     val w = Map("en" -> 4L, "de" -> 2L, "fr" -> 2L, "es" -> 1L,

@@ -64,18 +64,25 @@ object MergeLegality {
     // analyse-bearing query, dominated by recomputed aggregation
     // chains: the anti-join and BOTH interval inferences re-derived
     // their inputs from scratch). Materialize the two ts projections
-    // once — timestamp sets are interval-count-sized, never
-    // corpus-wide — and let the three checks share them.
+    // once (one row per input row — single-column, so small, but
+    // row-count-sized on dense frames) and let the three checks share
+    // them; the Report holds only scalars, so release both cached
+    // block sets before returning.
     val mTs = master.select(col(tsCol)).localCheckpoint(true)
     val cTs = candidate.select(col(tsCol)).localCheckpoint(true)
-    val newDates = cTs
-      .join(mTs, Seq(tsCol), "left_anti")
-      .limit(1).count() > 0
+    try {
+      val newDates = cTs
+        .join(mTs, Seq(tsCol), "left_anti")
+        .limit(1).count() > 0
 
-    val (mInt, _) = TimeSeriesOps.inferIntervalSeconds(mTs, tsCol)
-    val (cInt, _) = TimeSeriesOps.inferIntervalSeconds(cTs, tsCol)
+      val (mInt, _) = TimeSeriesOps.inferIntervalSeconds(mTs, tsCol)
+      val (cInt, _) = TimeSeriesOps.inferIntervalSeconds(cTs, tsCol)
 
-    Report(newDates, mInt == cInt, mInt, cInt, common,
-      mVars.diff(cVars), cVars.diff(mVars), conflicts)
+      Report(newDates, mInt == cInt, mInt, cInt, common,
+        mVars.diff(cVars), cVars.diff(mVars), conflicts)
+    } finally {
+      mTs.unpersist(blocking = false)
+      cTs.unpersist(blocking = false)
+    }
   }
 }

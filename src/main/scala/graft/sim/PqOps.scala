@@ -372,7 +372,9 @@ object PqOps {
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroidStride: Long = 0L, coarseIters: Int = 0,
       coarseSeed: String = "stride"): DataFrame = {
-    val stride =
+    // by-name into coarseSeedSet: the full-corpus count only runs on
+    // the "stride" seed path (the farthest-point path never reads it)
+    lazy val stride =
       if (centroidStride > 0L) centroidStride
       else math.max(1L, corpus.count() / math.max(1, numCoarse))
     val qcorp = ckptSer(corpus.select(col(idCol).cast("long").as("id"),
@@ -506,7 +508,7 @@ object PqOps {
     * `"farthest"` = [[farthestPointSeeds]] (|C| passes, density-
     * spread lists). Either seed is then Lloyd-refined `coarseIters`
     * times by [[lloydRefine]]. */
-  private[graft] def coarseSeedSet(qcorp: DataFrame, stride: Long,
+  private[graft] def coarseSeedSet(qcorp: DataFrame, stride: => Long,
       numCoarse: Int, coarseSeed: String, coarseIters: Int,
       idC: String = "id", qvC: String = "qv"): Array[Array[Long]] =
     coarseSeed match {
@@ -578,7 +580,9 @@ object PqOps {
       idCol: String = "vec_id", vecCol: String = "embedding",
       scaleBits: Int = 20, centroidStride: Long = 0L,
       coarseIters: Int = 0, coarseSeed: String = "stride"): DataFrame = {
-    val stride =
+    // by-name into coarseSeedSet: the full-corpus count only runs on
+    // the "stride" seed path (the farthest-point path never reads it)
+    lazy val stride =
       if (centroidStride > 0L) centroidStride
       else math.max(1L, corpus.count() / math.max(1, numCoarse))
     val offR = 1L << (scaleBits + 2)

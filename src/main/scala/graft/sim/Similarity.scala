@@ -49,11 +49,19 @@ object Similarity {
     * exchange moves ≤ |Q|·k·partitions rows instead of every scored
     * pair (see [[graft.functions.TopK]]). Cosine is bounded in
     * [−1, 1] so +Inf is a strict nulls-last sentinel under the
-    * ascending key encoding; hash-identical to the row_number form
-    * this family used through r15. */
-  private[sim] def topKCut(scored: DataFrame, k: Int): DataFrame =
-    graft.functions.TopK.perQueryCut(scored, k,
+    * ascending key encoding. NaN cosines (possible only from NaN/Inf
+    * embedding components — zero norms already map to null) are
+    * normalised to null via `nanvl` BEFORE key encoding, so they rank
+    * last like nulls; this is a deliberate, documented divergence from
+    * a plain `cos DESC` window, where Spark sorts NaN greatest and
+    * would rank NaN rows FIRST. For NaN-free corpora (the supported
+    * contract everywhere else in this family) the cut is
+    * hash-identical to the row_number form used through r15. */
+  private[sim] def topKCut(scored: DataFrame, k: Int): DataFrame = {
+    val cleaned = scored.withColumn("cos", nanvl(col("cos"), lit(null)))
+    graft.functions.TopK.perQueryCut(cleaned, k,
       coalesce(-col("cos"), lit(Double.PositiveInfinity)), "cos")
+  }
 
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",

@@ -167,7 +167,9 @@ object SqOps {
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroidStride: Long = 0L, coarseIters: Int = 0,
       coarseSeed: String = "stride"): DataFrame = {
-    val stride =
+    // by-name into coarseSeedSet: the full-corpus count only runs on
+    // the "stride" seed path (the farthest-point path never reads it)
+    lazy val stride =
       if (centroidStride > 0L) centroidStride
       else math.max(1L, corpus.count() / math.max(1, numCoarse))
     val qcorp = corpus.select(col(idCol).cast("long").as("id"),

@@ -96,8 +96,20 @@ object VocabOps {
     import spark.implicits._
     val toks: Dataset[String] =
       staged.select(explode(col("__toks")).as("token")).as[String]
-    // pass 1: per-partition MG summaries; bounded k·P-row collect
-    val cands = toks.mapPartitions(mgSummary(_, k))
+    // pass 1: per-partition MG summaries; the driver collect is
+    // k·P-row-bounded, so the per-partition guard on k alone is not
+    // enough — at k = 1e7 with 32 partitions the candidate set could
+    // reach 3.2e8 strings and OOM the driver despite the require.
+    // Enforce a FIXED candidate-row budget by coalescing the token
+    // stream (narrow, no shuffle) until k·P fits; each surviving
+    // partition then runs one MG summary over more rows, which is
+    // still one bounded map per task.
+    val candidateBudget = 20_000_000L
+    val p = toks.rdd.getNumPartitions
+    val boundedToks =
+      if (k.toLong * p <= candidateBudget) toks
+      else toks.coalesce(math.max(1, (candidateBudget / k).toInt))
+    val cands = boundedToks.mapPartitions(mgSummary(_, k))
       .distinct().collect().sorted
     if (cands.isEmpty) // degenerate: empty corpus ⇒ no heavy hitters
       return Seq.empty[(String, Long, Long)]
