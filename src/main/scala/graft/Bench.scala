@@ -137,6 +137,36 @@ object Bench {
         }.sorted
         name -> times
       }
+    // Opt-in converged-floor mode (VERDICT r16 ask #3 — the q54
+    // lesson institutionalized): job-heavy sub-second queries stay
+    // JIT-cold across a 3-run min (each run launches tens of tiny
+    // Spark jobs whose generated classes never converge), so
+    // cross-round deltas on them read as regressions when they are
+    // warm-up accidents. SPARK_GRAFT_CONVERGED="q54_x,q61_y" (or
+    // "default" for the adjudicated class) runs N extra warm reps
+    // per listed query AFTER its bench reps and reports the
+    // converged min (min of the post-warm-up tail) alongside the
+    // 3-run min in the detail line. Not part of `total` — totals
+    // stay comparable across rounds.
+    val convergedSet: Seq[String] =
+      sys.env.get("SPARK_GRAFT_CONVERGED").toSeq.flatMap { v =>
+        if (v == "default" || v == "1")
+          Seq("q54_merge_legality", "q57_merge_units",
+            "q61_l1_lifecycle", "q73_packed_blocks")
+        else v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      }.filter(SparkEntry.queries.contains)
+    val convergedReps =
+      sys.env.getOrElse("SPARK_GRAFT_CONVERGED_REPS", "6").toInt
+    val converged = convergedSet.map { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to convergedReps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      // drop the first two reps (plan codegen + JIT ramp), min the rest
+      name -> times.drop(math.min(2, times.length - 1)).min
+    }
     val sentinelAfter = sentinelSec()
     val parAfter = parProbeSec(nCores)
     val drift = math.abs(sentinelAfter - sentinelBefore) /
@@ -180,7 +210,11 @@ object Bench {
         hist, java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: Throwable => () }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"spread":$spread,"sentinel":$sent,"machine":$machine}"""
+    val convJson =
+      if (converged.isEmpty) ""
+      else converged.map { case (k, v) => f""""$k%s":$v%.3f""" }
+        .mkString(""","converged":{""", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"spread":$spread,"sentinel":$sent,"machine":$machine$convJson}"""
     println(line)
     // The driver keeps only a truncated stdout tail, so cross-round
     // per-query diffs see a fraction of the timed set. Persist the

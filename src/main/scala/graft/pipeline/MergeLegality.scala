@@ -66,10 +66,21 @@ object MergeLegality {
     // their inputs from scratch). Materialize the two ts projections
     // once (one row per input row — single-column, so small, but
     // row-count-sized on dense frames) and let the three checks share
-    // them; the Report holds only scalars, so release both cached
-    // block sets before returning.
-    val mTs = master.select(col(tsCol)).localCheckpoint(true)
-    val cTs = candidate.select(col(tsCol)).localCheckpoint(true)
+    // them — UNLESS the caller already materialized the input (a
+    // checkpointed/cached frame under only narrow Project/Filter
+    // steps): re-checkpointing such a frame adds an eager job, a
+    // second copy of the block set, and scheduler latency for zero
+    // saved work (the r17 q61 probe measured exactly this — its
+    // conditioned grids are pre-checkpointed by the caller). The
+    // Report holds only scalars, so any block sets WE created are
+    // released before returning.
+    def prepare(df: DataFrame): (DataFrame, Boolean) = {
+      val ts = df.select(col(tsCol))
+      if (cheapToRecompute(df)) (ts, false)
+      else (ts.localCheckpoint(true), true)
+    }
+    val (mTs, mOwn) = prepare(master)
+    val (cTs, cOwn) = prepare(candidate)
     try {
       val newDates = cTs
         .join(mTs, Seq(tsCol), "left_anti")
@@ -81,8 +92,24 @@ object MergeLegality {
       Report(newDates, mInt == cInt, mInt, cInt, common,
         mVars.diff(cVars), cVars.diff(mVars), conflicts)
     } finally {
-      mTs.unpersist(blocking = false)
-      cTs.unpersist(blocking = false)
+      if (mOwn) mTs.unpersist(blocking = false)
+      if (cOwn) cTs.unpersist(blocking = false)
+    }
+  }
+
+  /** True when re-running `df`'s plan per action costs no real work:
+    * every leaf is an already-materialized scan of this session's
+    * memory (a `LogicalRDD`, what `localCheckpoint`/`checkpoint`
+    * leave behind) and every node above the leaves is a narrow
+    * Project/Filter. Matched by class name so no Spark-internal type
+    * leaks into the signature. */
+  private def cheapToRecompute(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+    val plan: LogicalPlan = df.queryExecution.optimizedPlan
+    val nodes = plan.collect { case n => n }
+    nodes.nonEmpty && nodes.forall {
+      case _: Project | _: Filter => true
+      case n => n.children.isEmpty && n.getClass.getSimpleName == "LogicalRDD"
     }
   }
 }

@@ -27,9 +27,21 @@ import org.apache.spark.sql.functions._
   *      [[graft.functions.NearestCentroids]] kernel per row + a
   *      broadcast join of the C-row centroid frame — the corpus
   *      never shuffles to learn its cluster or its score.
-  *   3. rank + cut: ONE hash shuffle on the cluster id; rank and
-  *      cluster size come from the same window partitioning, and the
-  *      per-cluster drop count is the exact integer
+  *   3. rank + cut: a SKEW-SAFE two-level rank (VERDICT r16 ask #5).
+  *      A plain `row_number() OVER (PARTITION BY cluster …)` sorts
+  *      each cluster in one task — fine until a pathological SemDeDup
+  *      cluster (boilerplate corpus: one cluster = half the corpus)
+  *      serializes half the data through a single sorter. Instead the
+  *      scored frame is range-partitioned on the FULL sort key
+  *      (cluster, cos_c DESC NULLS LAST, id), so a mega-cluster
+  *      spreads over many partitions in rank order; each partition
+  *      ranks its slice locally, and a tiny (partitions × clusters)
+  *      counts frame supplies both the cross-partition rank offsets
+  *      (prefix sum per cluster over partition id) and the exact
+  *      cluster sizes. The key is total (id unique), so the composed
+  *      rank is bit-identical to the single-window form it replaced
+  *      (parity spec-pinned, incl. a one-cluster-is-half-the-corpus
+  *      case). The per-cluster drop count is the exact integer
   *      floor(n·fracNum/fracDen) — no float thresholding, so the
   *      cut is bit-reproducible across engines ([[graft.text.MixOps
   *      .mulDivFloor]], the overflow-safe decomposition).
@@ -85,10 +97,7 @@ object PruneOps {
     val centDf = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).cast("long").as("c_id"),
         col(vecCol).cast("array<double>").as("c_vec"))
-    val w = Window.partitionBy(col("cluster"))
-      .orderBy(col("cos_c").desc_nulls_last, col("id").asc)
-    val wc = Window.partitionBy(col("cluster"))
-    base
+    val scored = base
       .withColumn("cluster", element_at(
         graft.functions.NearestCentroids.topIds(col("vec"), cIds, cVecs,
           1, roundScale), 1))
@@ -98,8 +107,45 @@ object PruneOps {
       .withColumn("cos_c", SemDedup.rcos(p)(col("vec"), col("norm"),
         col("c_vec"), col("c_norm")))
       .select("id", "cluster", "cos_c")
-      .withColumn("rank", row_number().over(w))
-      .withColumn("cluster_n", count(lit(1)).over(wc))
+    skewSafeRankCut(scored, fracNum, fracDen)
+  }
+
+  /** Two-level rank + cut over (id, cluster, cos_c): range-partition
+    * on the total sort key so no single task ever sorts a whole
+    * cluster, rank locally, then add cross-partition offsets from a
+    * (partitions × clusters)-row counts frame. The scored projection
+    * is materialized first (three narrow columns, distributed —
+    * the [[PqOps]] `ckptSer` convention) because the range
+    * partitioner's sampling pass plus the shuffle would otherwise
+    * recompute the centroid-scoring kernel per read; the checkpoint
+    * is retained since the returned frame reads it. */
+  private def skewSafeRankCut(scored: DataFrame, fracNum: Long,
+      fracDen: Long): DataFrame = {
+    val mat = scored.localCheckpoint(eager = true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // range bounds are sampled per run, but rank/keep are invariant
+    // to where the bounds fall: the key is total, so partition p's
+    // rows all order strictly before partition p+1's within a cluster
+    val parts = mat.repartitionByRange(col("cluster").asc,
+        col("cos_c").desc_nulls_last, col("id").asc)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid"), col("cluster"))
+      .orderBy(col("cos_c").desc_nulls_last, col("id").asc)
+    val local = parts.withColumn("__lr", row_number().over(wLocal))
+    // tiny side frame: per-(partition, cluster) counts → prefix-sum
+    // offsets per cluster + exact cluster sizes (the range exchange
+    // is identical in both branches, so Spark reuses it)
+    val counts = parts.groupBy("__pid", "cluster")
+      .agg(count(lit(1)).as("__cnt"))
+    val wOff = Window.partitionBy("cluster").orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("__off", coalesce(sum("__cnt").over(wOff), lit(0L)))
+      .withColumn("cluster_n",
+        sum("__cnt").over(Window.partitionBy("cluster")))
+      .select("__pid", "cluster", "__off", "cluster_n")
+    local.join(broadcast(offs), Seq("__pid", "cluster"))
+      .withColumn("rank", (col("__lr") + col("__off")).cast("int"))
       .withColumn("keep", col("rank") >
         graft.text.MixOps.mulDivFloor(col("cluster_n"), fracNum, fracDen))
       .select("id", "cluster", "cos_c", "rank", "cluster_n", "keep")

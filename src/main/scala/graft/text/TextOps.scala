@@ -20,16 +20,25 @@ object TextOps {
   def normalize(text: Column): Column =
     regexp_replace(lower(text), "[^a-z0-9 ]", " ")
 
-  /** Whitespace tokens of the normalized text (empties removed).
-    * array_remove rather than a filter() lambda: higher-order
-    * functions are interpreted per element, array_remove stays in
-    * whole-stage codegen (~4× on the tokenize-heavy queries). Split
-    * on " +" only yields "" at the string edges, so removing ""
-    * equals the lambda filter. */
+  /** Whitespace tokens of the normalized text (empties removed) —
+    * the fused [[graft.functions.Tokenize]] kernel: one lowercase +
+    * one byte scan, bit-identical to the relational chain
+    * `array_remove(split(normalize(text), " +"), "")` it replaced
+    * (kernel-vs-relational parity property-spec-pinned; every
+    * tok-CTE oracle pins it end-to-end). The regex chain was the
+    * text family's single largest constant (f100: ≈23 s per
+    * tokenizing pass at 27M tokens, VERDICT r16 ask #2). */
   def tokens(text: Column): Column =
+    graft.functions.Tokenize.tokens(text)
+
+  /** The relational tokenizer the kernel replaced — kept as the
+    * parity oracle for [[tokens]] (and for plan-shape A/Bs). */
+  def tokensRelational(text: Column): Column =
     array_remove(split(normalize(text), " +"), "")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count over the same byte scan, no array allocation. */
+  def tokenCount(text: Column): Column =
+    graft.functions.Tokenize.tokenCount(text)
 
   /** GPT-2-style pre-tokenizer pattern (contraction suffixes, space-
     * prefixed letter/digit runs, punctuation runs, whitespace).

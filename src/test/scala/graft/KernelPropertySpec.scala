@@ -217,4 +217,48 @@ class KernelPropertySpec extends AnyFunSuite {
     }
     assert(holds(p))
   }
+
+  // ------------------------------------------------------ fused tokenizer
+
+  /** Raw-text generator biased toward the tokenizer's edge space:
+    * Unicode case folds that land IN [a-z0-9] (KELVIN SIGN → k,
+    * İ → i + combining dot), accents, surrogate pairs, digits glued
+    * to letters, and every separator class. */
+  private val genRawText: Gen[String] = {
+    val piece = Gen.oneOf(
+      genTok, Gen.const(" "), Gen.const("\t\n"), Gen.const("..!?"),
+      Gen.const("ABC"), Gen.const("É"), Gen.const("K"), // KELVIN
+      Gen.const("İ"), // İ: lowers to i + combining dot
+      Gen.const("x9y"), Gen.const("42"), Gen.const("😀"),
+      Gen.const("ß"), Gen.const("ä̈"), Gen.const(""))
+    Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, piece).map(_.mkString))
+  }
+
+  /** Brute re-derivation of the pinned relational semantics: maximal
+    * [a-z0-9] runs of the JDK-lowercased text. `String.toLowerCase`
+    * (root locale) and `UTF8String.toLowerCase` both implement the
+    * full Unicode one-to-many lowercase map, so they agree. */
+  private def bruteTokens(s: String): Seq[String] = {
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    lower.foreach { ch =>
+      if ((ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9')) sb += ch
+      else if (sb.nonEmpty) { out += sb.result(); sb.clear() }
+    }
+    if (sb.nonEmpty) out += sb.result()
+    out.toSeq
+  }
+
+  test("Tokenize kernel == maximal [a-z0-9] runs of the lowered text") {
+    val p = Prop.forAll(genRawText) { s =>
+      val res = Tokenize.tokensImpl(UTF8String.fromString(s))
+      val got = (0 until res.numElements())
+        .map(i => res.getUTF8String(i).toString)
+      got == bruteTokens(s) &&
+        Tokenize.tokenCountImpl(UTF8String.fromString(s)) == got.length
+    }
+    assert(holds(p, n = 400))
+  }
 }

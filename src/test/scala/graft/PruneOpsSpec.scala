@@ -71,6 +71,40 @@ class PruneOpsSpec extends SparkSpec {
     assert(dropAll.forall(r => !r.getBoolean(5)))
   }
 
+  test("skewed corpus (one cluster = 50% of rows) matches the window form") {
+    // 200 rows, 100 of them piling into the centroid-0 cluster — the
+    // pathological SemDeDup shape the two-level rank exists for. The
+    // oracle is the single-window row_number form protoPrune used
+    // through r16, computed inline: ranks, sizes, and keep bits must
+    // be bit-identical (the two-level rank is exact, not approximate).
+    import org.apache.spark.sql.expressions.Window
+    val rows: Seq[(Long, Seq[Float])] = (0L until 200L).map { id =>
+      if (id % 2 == 0) // half the corpus: tight cone around (1, 0)
+        id -> Seq(1.0f, (id % 13).toFloat / 1000f)
+      else // the rest spreads over distinct directions
+        id -> Seq((id % 7).toFloat / 10f, 1.0f + (id % 11).toFloat / 10f)
+    }
+    val skew = rows.toDF("vec_id", "embedding").repartition(7)
+    val got = PruneOps.protoPrune(skew, 1L, 4L, centroidStride = 100L)
+    // window-form oracle over got's own (id, cluster, cos_c) columns
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("cos_c").desc_nulls_last, col("id").asc)
+    val wc = Window.partitionBy(col("cluster"))
+    val oracle = got.select("id", "cluster", "cos_c")
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cluster_n", count(lit(1)).over(wc))
+      .withColumn("keep", col("rank") >
+        graft.text.MixOps.mulDivFloor(col("cluster_n"), 1L, 4L))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getInt(3),
+        r.getLong(4), r.getBoolean(5))
+    val gotSet = got.collect().map(key).toSet
+    assert(gotSet == oracle.collect().map(key).toSet)
+    // the skew premise actually holds: one cluster >= half the corpus
+    assert(gotSet.groupBy(_._2).values.map(_.size).max >= 100)
+  }
+
   test("exact integer cut: floor(n * 1/3) per cluster") {
     // cluster of 4 and cluster of 4 (incl. zero vec): floor(4/3) = 1
     // dropped each -> 6 kept of 8.

@@ -12,6 +12,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Seq("hello", "world", "42"))
   }
 
+  test("fused tokenizer matches the relational chain through real plans") {
+    // edge space: Unicode case folds landing IN [a-z0-9] (KELVIN SIGN
+    // → k, İ → i+combining dot), accents, emoji (surrogate pair),
+    // digits glued to letters, empty/whitespace-only/punct-only, null
+    val texts: Seq[String] = Seq(
+      "Hello, World! 42", "", "   ", "...!?", "x9y z", "K 300K",
+      "İstanbul", "café Ünïcode", "😀ab😀cd", "ABC123def",
+      "tab\tand\nnewline", "ß sharp", null)
+    val df = texts.toDF("text").repartition(3)
+    val fused = df.select(TextOps.tokens(col("text")).as("t"),
+      TextOps.tokenCount(col("text")).as("n")).collect()
+    val rel = df.select(TextOps.tokensRelational(col("text")).as("t"))
+      .select(col("t"), size(col("t")).as("n")).collect()
+    assert(fused.map(r => Option(r.get(0))).toSeq ==
+      rel.map(r => Option(r.get(0))).toSeq)
+    assert(fused.map(r => Option(r.get(1))).toSeq ==
+      rel.map(r => Option(r.get(1))).toSeq)
+  }
+
   test("shingles produce k-grams; short docs collapse to one shingle") {
     val sh = Seq("a b c d").toDF("text")
       .select(TextOps.shingles(col("text"), 3).as("s")).head().getSeq[String](0)
