@@ -2660,6 +2660,81 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", k = 3)
       .orderBy("doc_id")
 
+  /** Streaming heavy-hitter vocabulary ([[graft.streaming
+    * .StreamingVocab]], VERDICT r16 ask #8): per-lang Misra–Gries
+    * counter maps (k = 100 per stratum) carried in the state store
+    * across three cron drains over ascending doc_id slices, then the
+    * exact-recount close-out — final candidate snapshot (max
+    * tokens-seen watermark per stratum) joined to exact per-lang
+    * token counts and cut at n·100 > N. The MG guarantee makes the
+    * output EXACTLY the true per-lang heavy hitters however the
+    * stream was sliced, so the oracle replays only the exact counts
+    * and the threshold; n_total doubles as the stream-vs-batch
+    * parity check (the state's watermark must equal the batch total
+    * or the inner join returns rows with mismatched totals and the
+    * hash breaks). */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingVocab
+    import graft.text.TextOps
+    val root = streamTmpRoot(s, "q145")
+    val inDir = s"$root/in"; val outDir = s"$root/cand"
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextOps.tokens(col("text")).as("toks"))
+    docs.filter(col("doc_id") < 250).coalesce(1).write.parquet(inDir)
+    val schema = s.read.parquet(inDir).schema
+    def drain(): Unit = StreamingVocab.summariesRun(s, inDir, outDir,
+      s"$root/ckpt", schema, "lang", "toks", k = 100)
+    drain()
+    docs.filter(col("doc_id") >= 250 && col("doc_id") < 500)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    drain()
+    docs.filter(col("doc_id") >= 500).coalesce(1).write.mode("append")
+      .parquet(inDir)
+    drain()
+    val snaps = s.read.parquet(outDir)
+    val finalSnap = snaps.join(
+      snaps.groupBy("stratum").agg(max("n_seen").as("n_seen")),
+      Seq("stratum", "n_seen"))
+      .select(col("stratum"), col("token"), col("n_seen"))
+    val exact = docs
+      .select(coalesce(col("lang"), lit("")).as("stratum"),
+        explode(col("toks")).as("token"))
+      .groupBy("stratum", "token").agg(count(lit(1)).as("n_tok"))
+    finalSnap.join(exact, Seq("stratum", "token"))
+      .filter(col("n_tok") * 100 > col("n_seen"))
+      .select(col("stratum").as("lang"), col("token"), col("n_tok"),
+        col("n_seen").as("n_total"))
+      .orderBy("lang", "token")
+  }
+
+  /** BPE fertility / vocab-coverage report ([[graft.text.BpeOps
+    * .fertilityReport]], VERDICT r16 ask #6): per (source, lang),
+    * the exact integer counts behind fertility (subwords/word),
+    * bytes/subword, and OOV-byte share, under a merge table trained
+    * on the full corpus (rate 1.0, top-500 words, 16 merges).
+    * The oracle is EXACT, not an invariant restatement: merge
+    * LEARNING unrolls into 16 chained CTE levels (pair counts over
+    * the rendered dict → argmax with the (count DESC, a, b) tie
+    * order → rewrite), and merge APPLICATION uses the
+    * `|sym|`-delimited rendering where DuckDB's left-to-right
+    * non-overlapping `replace('|a||b|' → '|ab|')` reproduces the
+    * kernel's greedy merge exactly (for TRAINED tables,
+    * rank-sequential exhaustive application — the replay — and the
+    * kernel's lowest-rank-first loop coincide: a merge's operands
+    * are only producible by strictly earlier merges, so neither
+    * order can create a lower-rank pair the other misses; pinned by
+    * spec against the learned table on the real corpus). */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.BpeOps
+    val docs = t(s, dir, "documents")
+    val model = BpeOps.learnBpe(docs.select(col("doc_id"), col("text")),
+      "doc_id", "text", numMerges = 16, sampleRate = 1.0,
+      maxWords = 500, salt = "fert")
+    BpeOps.fertilityReport(docs, "text", Seq("source", "lang"), model)
+      .orderBy("source", "lang")
+  }
+
   /** Top-k PMI collocations ([[graft.text.LmOps.collocations]]):
     * bigrams ranked by the quantized exact PMI ratio — log-free,
     * engine-portable integer key; marginals from the same
@@ -2906,7 +2981,8 @@ object SparkEntry {
     Set("q56_streaming_append", "q67_stateful_gaps", "q86_streaming_dedup",
       "q95_streaming_near_dedup", "q96_streaming_near_dedup_audit",
       "q97_bloom_dedup", "q123_streaming_interleave",
-      "q127_streaming_token_interleave", "q134_streaming_budget")
+      "q127_streaming_token_interleave", "q134_streaming_budget",
+      "q145_streaming_vocab")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3053,6 +3129,8 @@ object SparkEntry {
     "q141_ngram_diversity" -> (q141 _),
     "q142_pmi_collocations" -> (q142 _),
     "q143_novelty"          -> (q143 _),
+    "q144_bpe_fertility"    -> (q144 _),
+    "q145_streaming_vocab"  -> (q145 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -3296,6 +3374,76 @@ object SparkEntry {
     "\\{u([0-9a-fA-F]{4})\\}".r.replaceAllIn(sql, m =>
       scala.util.matching.Regex.quoteReplacement(
         Integer.parseInt(m.group(1), 16).toChar.toString))
+
+  /** q144's exact BPE replay, generated per (numMerges, maxWords):
+    * learning unrolls into `m` chained levels over the top-`maxWords`
+    * dict (adjacent-pair counts from the `|sym|`-rendered word →
+    * argmax under the exact (count DESC, a ASC, b ASC) Scala tie
+    * order → dict rewrite via `replace`), application chains the same
+    * `replace('|a||b|' → '|ab|')` per rank over every DISTINCT corpus
+    * word (LTR non-overlapping `replace` = the kernel's greedy merge;
+    * the delimiters make symbol matches exact — no prefix/suffix
+    * aliasing). `coalesce(replace(s, NULL, NULL), s)` makes exhausted
+    * levels (empty `b_i`) a no-op, mirroring learnMerges' early stop.
+    * Per-word stats then aggregate by (source, lang) via the
+    * occurrence counts, never re-running BPE per occurrence. */
+  private def bpeFertilityOracle(m: Int, maxWords: Int): String = {
+    def rewrite(i: Int): String =
+      s"""coalesce(replace(s,
+          (SELECT '|'||a||'||'||b||'|' FROM b$i),
+          (SELECT '|'||a||b||'|' FROM b$i)), s) AS s"""
+    val learn = (1 to m).map { i =>
+      s"""
+      p$i AS MATERIALIZED (
+        SELECT pr[1] AS a, pr[2] AS b, sum(c)::BIGINT AS cnt FROM (
+          SELECT unnest(list_transform(range(1, len(sy)),
+            i -> [sy[i], sy[i+1]])) AS pr, c
+          FROM (SELECT string_split(trim(s, '|'), '||') AS sy, c
+                FROM d${i - 1}))
+        GROUP BY 1, 2),
+      b$i AS MATERIALIZED (SELECT a, b FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+      d$i AS MATERIALIZED (SELECT c, ${rewrite(i)} FROM d${i - 1})"""
+    }.mkString(",")
+    val apply = (1 to m).map(i =>
+      s"""
+      a$i AS MATERIALIZED (SELECT w, ${rewrite(i)} FROM a${i - 1})""").mkString(",")
+    s"""
+      WITH tok0 AS MATERIALIZED (SELECT doc_id, source, lang,
+          list_filter(string_split_regex(
+            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+            x -> x <> '') AS toks
+        FROM documents),
+      wc AS MATERIALIZED (SELECT w, count(*)::BIGINT AS c
+        FROM (SELECT unnest(toks) AS w FROM tok0) GROUP BY w),
+      top AS (SELECT w, c FROM wc ORDER BY c DESC, w ASC LIMIT $maxWords),
+      d0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s, c
+             FROM top),$learn,
+      a0 AS MATERIALIZED (SELECT w, regexp_replace(w, '(.)', '|\\1|', 'g') AS s
+             FROM wc),$apply,
+      wstat AS (SELECT w, length(w)::BIGINT AS n_bytes,
+          len(sy)::BIGINT AS n_sub,
+          len(list_filter(sy, x -> length(x) = 1))::BIGINT AS n_single
+        FROM (SELECT w, string_split(trim(s, '|'), '||') AS sy
+              FROM a$m)),
+      gdocs AS (SELECT source, lang, count(*)::BIGINT AS n_docs
+        FROM documents GROUP BY 1, 2),
+      gw AS (SELECT source, lang, w, count(*)::BIGINT AS n_occ
+        FROM (SELECT source, lang, unnest(toks) AS w FROM tok0)
+        GROUP BY 1, 2, 3),
+      agg AS (SELECT g.source, g.lang,
+          sum(g.n_occ)::BIGINT AS n_words,
+          sum(g.n_occ * ws.n_bytes)::BIGINT AS n_word_bytes,
+          sum(g.n_occ * ws.n_sub)::BIGINT AS n_subwords,
+          sum(g.n_occ * ws.n_single)::BIGINT AS n_singleton_bytes
+        FROM gw g JOIN wstat ws ON g.w = ws.w GROUP BY 1, 2)
+      SELECT d.source, d.lang, d.n_docs,
+        coalesce(a.n_words, 0) AS n_words,
+        coalesce(a.n_word_bytes, 0) AS n_word_bytes,
+        coalesce(a.n_subwords, 0) AS n_subwords,
+        coalesce(a.n_singleton_bytes, 0) AS n_singleton_bytes
+      FROM gdocs d LEFT JOIN agg a USING (source, lang)
+      ORDER BY source, lang"""
+  }
 
   private val tokCte = """
       WITH tk AS (SELECT doc_id,
@@ -5606,6 +5754,22 @@ object SparkEntry {
       WHERE rr = 1 ORDER BY doc_id"""),
     // First-occurrence novelty: the shared shingle CTE (distinct
     // 3-shingles, short-doc fallback), min-doc firsts, both counts.
+    "q144_bpe_fertility" -> bpeFertilityOracle(16, 500),
+    // streaming vocab close-out: the MG candidate pass is a superset
+    // mechanism only — the exact recount + threshold make the final
+    // answer the true per-lang heavy hitters, so the oracle replays
+    // exactly those (lang '' for null, count * 100 > stratum total).
+    "q145_streaming_vocab" -> (tokCte + """,
+      occ AS (SELECT coalesce(d.lang, '') AS lang,
+          unnest(tk.toks) AS token
+        FROM tk JOIN documents d USING (doc_id)),
+      tot AS (SELECT lang, count(*)::BIGINT AS n_total FROM occ
+        GROUP BY lang)
+      SELECT o.lang, o.token, count(*)::BIGINT AS n_tok, t.n_total
+      FROM occ o JOIN tot t USING (lang)
+      GROUP BY o.lang, o.token, t.n_total
+      HAVING count(*) * 100 > t.n_total
+      ORDER BY lang, token"""),
     "q143_novelty" -> (shingleCte + """,
       f AS (SELECT shingle, min(doc_id) AS first_id FROM sh
             GROUP BY shingle)

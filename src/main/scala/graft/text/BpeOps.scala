@@ -112,4 +112,47 @@ object BpeOps {
     df.withColumn("subwords", subs)
       .withColumn("n_subwords", size(col("subwords")))
   }
+
+  /** Tokenizer-health (fertility / vocab-coverage) report — the
+    * standard audit run before committing a tokenizer to a training
+    * run (e.g. the fertility tables of Rust et al. 2021, "How Good is
+    * Your Tokenizer?", ACL): per group (source, lang, …), the exact
+    * integer counts behind the three health ratios. Ratios are
+    * deliberately READER-side (exact integers hash identically across
+    * engines; dividing is the reader's one-liner):
+    *
+    *   - fertility        = n_subwords / n_words   (subwords per word)
+    *   - bytes per subword = n_word_bytes / n_subwords
+    *   - OOV-byte share   = n_singleton_bytes / n_word_bytes — the
+    *     share of word bytes the vocabulary only covers by
+    *     single-character fallback (a length-1 subword is exactly one
+    *     byte here: tokens are [a-z0-9] runs). High singleton share
+    *     per (source, lang) = the merge table was trained on other
+    *     text and will explode sequence lengths on this slice.
+    *
+    * Scale shape: the per-doc tokenize + merge application is one
+    * narrow pass (the [[graft.functions.BpeApplyExpr]] kernel, X38);
+    * the only exchange is the final partial-aggregated groupBy on the
+    * low-cardinality group key. Null texts count toward `n_docs` and
+    * nothing else. */
+  def fertilityReport(docs: DataFrame, textCol: String,
+      groupCols: Seq[String], model: BpeModel): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val subs = graft.functions.BpeKernel.applyMerges(toks, model.merges)
+    docs
+      .select(groupCols.map(col) ++
+        Seq(toks.as("__toks"), subs.as("__subs")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(size(col("__toks")).cast("long")), lit(0L))
+          .as("n_words"),
+        coalesce(sum(length(concat_ws("", col("__toks"))).cast("long")),
+          lit(0L)).as("n_word_bytes"),
+        coalesce(sum(size(col("__subs")).cast("long")), lit(0L))
+          .as("n_subwords"),
+        coalesce(sum(size(filter(col("__subs"),
+          s => length(s) === 1)).cast("long")), lit(0L))
+          .as("n_singleton_bytes"))
+  }
 }

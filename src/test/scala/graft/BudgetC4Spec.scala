@@ -448,6 +448,63 @@ class BudgetC4Spec extends SparkSpec {
     assert(m1 == m2)
   }
 
+  test("fertilityReport: literal counts; sequential == lowest-rank-first") {
+    import graft.text.BpeOps
+    import graft.text.BpeOps.BpeModel
+    // model ab -> abab over a two-group corpus with a null text
+    val model = BpeModel(Seq(("a", "b"), ("ab", "ab")))
+    val docs = Seq(
+      ("s1", "en", "ab abab cd"),  // subwords: ab | abab | c, d
+      ("s1", "en", "xy"),          // x, y -> 2 singletons
+      ("s1", "de", ""),            // tokenless
+      ("s2", "en", null.asInstanceOf[String]))
+      .toDF("source", "lang", "text")
+    val got = BpeOps.fertilityReport(docs, "text",
+        Seq("source", "lang"), model)
+      .orderBy("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      // (source, lang, n_docs, n_words, n_word_bytes, n_subwords,
+      //  n_singleton_bytes)
+      ("s1", "de", 1L, 0L, 0L, 0L, 0L),
+      ("s1", "en", 2L, 4L, 10L, 6L, 4L), // ab,abab,cd,xy -> ab|abab|c,d|x,y
+      ("s2", "en", 1L, 0L, 0L, 0L, 0L)))
+
+    // The q144 oracle replays merges SEQUENTIALLY (rank r exhausted
+    // before rank r+1) while the kernel applies LOWEST-RANK-FIRST.
+    // For trained tables these coincide (a merge's operands are only
+    // producible by strictly earlier merges) — pin that equivalence
+    // on the real corpus's learned table, per distinct word.
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val learned = BpeOps.learnBpe(real, "doc_id", "text",
+      numMerges = 16, sampleRate = 1.0, maxWords = 500, salt = "fert")
+    val ranks = learned.merges.zipWithIndex.toMap
+    def sequential(w: String): Seq[String] = {
+      var syms = w.map(_.toString).toVector
+      learned.merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toVector
+      }
+      syms
+    }
+    val words = real.select(explode(
+        graft.text.TextOps.tokens(col("text"))).as("w"))
+      .distinct().collect().map(_.getString(0))
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      assert(graft.functions.BpeKernel.encodeWordScalar(w, ranks) ==
+        sequential(w), s"order divergence on '$w'")
+    }
+  }
+
   // ----------------------------------------------------- ClassifierOps
 
   private def nbFixture = Seq(
