@@ -2692,16 +2692,20 @@ object SparkEntry {
     docs.filter(col("doc_id") >= 500).coalesce(1).write.mode("append")
       .parquet(inDir)
     drain()
+    // Both joins broadcast the PARAMETER-bounded side explicitly
+    // (snapshots are <= k rows per stratum per drain): estimate-driven
+    // strategy choice could flip to broadcasting the corpus-derived
+    // exact-counts side at scale, the audit class EXECJOINS polices.
     val snaps = s.read.parquet(outDir)
-    val finalSnap = snaps.join(
-      snaps.groupBy("stratum").agg(max("n_seen").as("n_seen")),
+    val finalSnap = snaps.join(broadcast(
+      snaps.groupBy("stratum").agg(max("n_seen").as("n_seen"))),
       Seq("stratum", "n_seen"))
       .select(col("stratum"), col("token"), col("n_seen"))
     val exact = docs
       .select(coalesce(col("lang"), lit("")).as("stratum"),
         explode(col("toks")).as("token"))
       .groupBy("stratum", "token").agg(count(lit(1)).as("n_tok"))
-    finalSnap.join(exact, Seq("stratum", "token"))
+    broadcast(finalSnap).join(exact, Seq("stratum", "token"))
       .filter(col("n_tok") * 100 > col("n_seen"))
       .select(col("stratum").as("lang"), col("token"), col("n_tok"),
         col("n_seen").as("n_total"))
