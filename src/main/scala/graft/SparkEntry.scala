@@ -2712,6 +2712,18 @@ object SparkEntry {
       .orderBy("lang", "token")
   }
 
+  /** Register-exact HyperLogLog distinct-token sketch
+    * ([[graft.text.SketchOps.hllTokenRegisters]], X76): per-lang HLL
+    * registers at m = 4096 — the mergeable distinct-counter whose
+    * exchange is constant in corpus size. The REGISTERS are the
+    * oracle-checked output (every value an integer derived from md5
+    * bits, replayed verbatim in DuckDB via hex-string arithmetic);
+    * the float estimate is reader-side by design. */
+  private def q146(s: SparkSession, dir: String): DataFrame =
+    graft.text.SketchOps.hllTokenRegisters(t(s, dir, "documents"),
+        "text", "lang")
+      .orderBy("group", "bucket")
+
   /** BPE fertility / vocab-coverage report ([[graft.text.BpeOps
     * .fertilityReport]], VERDICT r16 ask #6): per (source, lang),
     * the exact integer counts behind fertility (subwords/word),
@@ -3135,6 +3147,7 @@ object SparkEntry {
     "q143_novelty"          -> (q143 _),
     "q144_bpe_fertility"    -> (q144 _),
     "q145_streaming_vocab"  -> (q145 _),
+    "q146_hll_registers"    -> (q146 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -5763,6 +5776,26 @@ object SparkEntry {
     // mechanism only — the exact recount + threshold make the final
     // answer the true per-lang heavy hitters, so the oracle replays
     // exactly those (lang '' for null, count * 100 > stratum total).
+    // HLL registers: bucket = first 3 hex digits of md5(token), rho =
+    // 1 + leading zero bits of the next 12 hex digits via the same
+    // strip-leading-'0'-then-CASE string arithmetic the operator uses.
+    "q146_hll_registers" -> (tokCte + """,
+      occ AS (SELECT coalesce(d.lang, '') AS grp,
+          unnest(tk.toks) AS token
+        FROM tk JOIN documents d USING (doc_id)),
+      rr AS (SELECT grp,
+          ('0x' || substr(md5(token), 1, 3))::BIGINT AS bucket,
+          ltrim(substr(md5(token), 4, 12), '0') AS st
+        FROM occ)
+      SELECT grp AS "group", bucket,
+        max(CASE WHEN length(st) = 0 THEN 49
+          ELSE ((12 - length(st)) * 4 +
+            CASE WHEN ('0x' || substr(st, 1, 1))::BIGINT >= 8 THEN 0
+                 WHEN ('0x' || substr(st, 1, 1))::BIGINT >= 4 THEN 1
+                 WHEN ('0x' || substr(st, 1, 1))::BIGINT >= 2 THEN 2
+                 ELSE 3 END + 1) END)::INT AS max_rho
+      FROM rr GROUP BY 1, 2
+      ORDER BY "group", bucket"""),
     "q145_streaming_vocab" -> (tokCte + """,
       occ AS (SELECT coalesce(d.lang, '') AS lang,
           unnest(tk.toks) AS token

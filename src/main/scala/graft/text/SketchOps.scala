@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketches for corpus reporting — the
+  * 100 TB answer to "how many distinct tokens/shingles/urls does this
+  * slice hold" when the exact `docFrequency`-style groupBy would
+  * shuffle the whole token stream to build a mostly-hapax table.
+  *
+  * HyperLogLog (Flajolet et al. 2007) with a twist that keeps the
+  * oracle EXACT: the operator returns the REGISTERS — per-bucket
+  * max leading-zero ranks, all integers derived from md5 bits — and
+  * the float estimate is a reader-side helper ([[hllEstimate]]).
+  * md5 is bit-identical in any engine, so DuckDB re-derives every
+  * register from the raw text: bucket = the hash's first
+  * `bucketHexDigits` hex digits, rank ρ = 1 + leading zero BITS of
+  * the next 12 hex digits (computed by string arithmetic — strip
+  * leading '0' hex digits, then a 4-way CASE on the first nonzero
+  * digit — so no engine-specific bit intrinsics are involved).
+  *
+  * Scale shape: one narrow tokenize+hash pass, then ONE aggregate
+  * keyed by (group, bucket) with map-side partial max — the exchange
+  * carries at most `groups × 2^bits × partitions` rows of three
+  * integers, CONSTANT in corpus size. Registers merge by per-bucket
+  * max (spec-pinned: sketch(A) ⊔ sketch(B) == sketch(A ∪ B)
+  * bit-for-bit), which is exactly how per-partition/per-day sketches
+  * roll up on a real lake without touching the data again.
+  *
+  * Reference scope: the reference pipeline has no sketching; extends
+  * the engine's reporting family per the build brief's training-data
+  * mandate. */
+object SketchOps {
+
+  /** ρ for one md5 tail (12 hex digits = 48 bits): 1 + leading zero
+    * bits, 49 when the tail is all-zero. Pure string arithmetic so
+    * the DuckDB replay is verbatim. */
+  private def rho(tailHex: Column): Column = {
+    val stripped = ltrim(tailHex, "0")
+    val zHexDigits = lit(12) - length(stripped)
+    val firstDigit = conv(substring(stripped, 1, 1), 16, 10).cast("int")
+    val lzInDigit = when(firstDigit >= 8, 0).when(firstDigit >= 4, 1)
+      .when(firstDigit >= 2, 2).otherwise(3)
+    when(length(stripped) === 0, lit(49))
+      .otherwise((zHexDigits * 4 + lzInDigit + 1).cast("int"))
+  }
+
+  /** HLL registers over the distinct TOKENS of `docs(textCol)`, per
+    * `groupCol`: one row per (group, bucket) with the max rank.
+    * `bucketHexDigits` ∈ [1, 4] sets m = 16^digits buckets (3 →
+    * m = 4096, standard error 1.04/√m ≈ 1.6%). Buckets with no
+    * hashes are absent (their register is implicitly 0) — readers
+    * must count absent buckets as zeros, which [[hllEstimate]]
+    * does. */
+  def hllTokenRegisters(docs: DataFrame, textCol: String,
+      groupCol: String, bucketHexDigits: Int = 3): DataFrame = {
+    require(bucketHexDigits >= 1 && bucketHexDigits <= 4,
+      s"bucketHexDigits=$bucketHexDigits outside [1, 4]")
+    val h = md5(col("token"))
+    docs
+      .select(coalesce(col(groupCol).cast("string"), lit(""))
+        .as("group"), explode(TextOps.tokens(col(textCol))).as("token"))
+      .select(col("group"),
+        conv(substring(h, 1, bucketHexDigits), 16, 10).cast("long")
+          .as("bucket"),
+        rho(substring(h, bucketHexDigits + 1, 12)).as("r"))
+      .groupBy("group", "bucket").agg(max(col("r")).as("max_rho"))
+  }
+
+  /** Merge register frames by per-bucket max — how per-partition /
+    * per-day sketches roll up. Union-exact: merging sketches of A
+    * and B yields the sketch of A ∪ B bit-for-bit. */
+  def mergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("group", "bucket")
+      .agg(max(col("max_rho")).as("max_rho"))
+
+  /** Reader-side estimate from one group's registers (absent buckets
+    * count as zeros): the standard HLL estimator with the
+    * small-range (linear counting) correction. Driver-side Double —
+    * deliberately NOT part of any oracle-checked output. */
+  def hllEstimate(registers: Seq[(Long, Int)], bucketHexDigits: Int = 3)
+      : Double = {
+    val m = math.pow(16.0, bucketHexDigits).toInt
+    val byBucket = registers.toMap
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    var sum = 0.0
+    var zeros = 0
+    var b = 0L
+    while (b < m) {
+      val r = byBucket.getOrElse(b, 0)
+      if (r == 0) zeros += 1
+      sum += math.pow(2.0, -r)
+      b += 1
+    }
+    val raw = alpha * m * m / sum
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+    else raw
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.SketchOps
+
+/** Specs for the HLL register sketch: literal ρ re-derivation,
+  * duplicate insensitivity, union-exact mergeability, and estimate
+  * accuracy at the documented m = 4096 error level. */
+class SketchOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def regs(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("registers match a literal md5 re-derivation") {
+    val docs = Seq(("en", "alpha beta gamma"), ("de", "alpha"))
+      .toDF("lang", "text")
+    val got = regs(SketchOps.hllTokenRegisters(docs, "text", "lang"))
+    def brute(tok: String): (Long, Int) = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val bucket = java.lang.Long.parseLong(h.substring(0, 3), 16)
+      val tail = h.substring(3, 15)
+      val st = tail.dropWhile(_ == '0')
+      val rho =
+        if (st.isEmpty) 49
+        else {
+          val d = Integer.parseInt(st.substring(0, 1), 16)
+          val lz = if (d >= 8) 0 else if (d >= 4) 1 else if (d >= 2) 2 else 3
+          (12 - st.length) * 4 + lz + 1
+        }
+      (bucket, rho)
+    }
+    val want = Seq("en" -> Seq("alpha", "beta", "gamma"),
+      "de" -> Seq("alpha"))
+      .flatMap { case (g, ts) => ts.map(t => (g, brute(t))) }
+      .groupBy { case (g, (b, _)) => (g, b) }
+      .map { case ((g, b), rows) =>
+        (g, b, rows.map(_._2._2).max) }.toSet
+    assert(got == want)
+  }
+
+  test("duplicate occurrences don't move registers") {
+    val once = Seq(("x", "foo bar baz")).toDF("lang", "text")
+    val many = Seq.fill(7)(("x", "foo bar baz foo foo bar"))
+      .toDF("lang", "text")
+    assert(regs(SketchOps.hllTokenRegisters(once, "text", "lang")) ==
+      regs(SketchOps.hllTokenRegisters(many, "text", "lang")))
+  }
+
+  test("merge of half-sketches equals the whole-corpus sketch") {
+    val docs = (0 until 400).map(i =>
+      ("g", s"tok$i common${i % 7} w${i * 31 % 113}"))
+      .toDF("lang", "text")
+    val a = SketchOps.hllTokenRegisters(docs.limit(200), "text", "lang")
+    val b = SketchOps.hllTokenRegisters(
+      docs.exceptAll(docs.limit(200)), "text", "lang")
+    val whole = SketchOps.hllTokenRegisters(docs, "text", "lang")
+    assert(regs(SketchOps.mergeRegisters(a, b)) == regs(whole))
+  }
+
+  test("estimate lands within 5% of the true distinct count at m=4096") {
+    // 30k distinct tokens (3 per doc over 10k docs)
+    val docs = (0 until 10000).map(i =>
+      ("g", s"aa$i bb$i cc$i")).toDF("lang", "text")
+    val rs = SketchOps.hllTokenRegisters(docs, "text", "lang")
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toSeq
+    val est = SketchOps.hllEstimate(rs)
+    val truth = 30000.0
+    assert(math.abs(est - truth) / truth < 0.05,
+      s"estimate $est vs $truth")
+  }
+}
