@@ -2724,6 +2724,17 @@ object SparkEntry {
         "text", "lang")
       .orderBy("group", "bucket")
 
+  /** Count-min sketch cells ([[graft.text.SketchOps.cmTokenCells]],
+    * X77): per-lang CM cells at 4 rows x 4096 columns — the
+    * sum-mergeable frequency counter next to q146's max-mergeable
+    * HLL. Cells are exact integers from md5 bits (oracle replays
+    * the row-seeded hex arithmetic verbatim); point estimates are
+    * reader-side. */
+  private def q147(s: SparkSession, dir: String): DataFrame =
+    graft.text.SketchOps.cmTokenCells(t(s, dir, "documents"),
+        "text", "lang")
+      .orderBy("group", "row", "col")
+
   /** BPE fertility / vocab-coverage report ([[graft.text.BpeOps
     * .fertilityReport]], VERDICT r16 ask #6): per (source, lang),
     * the exact integer counts behind fertility (subwords/word),
@@ -3148,6 +3159,7 @@ object SparkEntry {
     "q144_bpe_fertility"    -> (q144 _),
     "q145_streaming_vocab"  -> (q145 _),
     "q146_hll_registers"    -> (q146 _),
+    "q147_cm_cells"         -> (q147 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -5776,6 +5788,19 @@ object SparkEntry {
     // mechanism only — the exact recount + threshold make the final
     // answer the true per-lang heavy hitters, so the oracle replays
     // exactly those (lang '' for null, count * 100 > stratum total).
+    // Count-min cells: row-seeded md5 column hashes, exact occurrence
+    // counts per (group, row, col).
+    "q147_cm_cells" -> (tokCte + """,
+      occ AS (SELECT coalesce(d.lang, '') AS grp,
+          unnest(tk.toks) AS token
+        FROM tk JOIN documents d USING (doc_id))
+      SELECT grp AS "group", r.r AS "row",
+        ('0x' || substr(md5(r.r::VARCHAR || ':' || token), 1, 3))::BIGINT
+          AS col,
+        count(*)::BIGINT AS n
+      FROM occ CROSS JOIN range(0, 4) r(r)
+      GROUP BY 1, 2, 3
+      ORDER BY "group", "row", col"""),
     // HLL registers: bucket = first 3 hex digits of md5(token), rho =
     // 1 + leading zero bits of the next 12 hex digits via the same
     // strip-leading-'0'-then-CASE string arithmetic the operator uses.

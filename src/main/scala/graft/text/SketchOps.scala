@@ -74,6 +74,59 @@ object SketchOps {
     a.unionByName(b).groupBy("group", "bucket")
       .agg(max(col("max_rho")).as("max_rho"))
 
+  /** Count-min sketch cells over the token OCCURRENCES of
+    * `docs(textCol)`, per `groupCol` (Cormode & Muthukrishnan 2005):
+    * `rows` independent hash rows (row r's hash = md5("r:" + token)),
+    * each mapping a token to one of 16^`colHexDigits` columns; a
+    * cell's value is the exact total occurrence count of the tokens
+    * landing in it. The cells are the oracle-checked OUTPUT (exact
+    * integers from md5 bits — the [[hllTokenRegisters]] convention);
+    * point estimates ([[cmEstimate]]: min over rows, a one-sided
+    * overestimate within εN w.h.p.) stay reader-side. Cells merge by
+    * SUM ([[mergeCells]]) — the additive counterpart to HLL's
+    * max-merge, so per-day sketches roll up and deltas subtract.
+    * One narrow pass + one (group, row, col)-keyed map-side-combined
+    * aggregate; exchange ≤ groups·rows·16^digits·partitions cells,
+    * constant in corpus size. */
+  def cmTokenCells(docs: DataFrame, textCol: String, groupCol: String,
+      rows: Int = 4, colHexDigits: Int = 3): DataFrame = {
+    require(rows >= 1 && rows <= 16, s"rows=$rows outside [1, 16]")
+    require(colHexDigits >= 1 && colHexDigits <= 4,
+      s"colHexDigits=$colHexDigits outside [1, 4]")
+    val occ = docs
+      .select(coalesce(col(groupCol).cast("string"), lit(""))
+        .as("group"), explode(TextOps.tokens(col(textCol))).as("token"))
+      .select(col("group"), col("token"),
+        explode(sequence(lit(0), lit(rows - 1))).as("row"))
+    occ
+      .select(col("group"), col("row"),
+        conv(substring(md5(concat(col("row").cast("string"), lit(":"),
+          col("token"))), 1, colHexDigits), 16, 10).cast("long")
+          .as("col"))
+      .groupBy("group", "row", "col")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge cell frames by cell-wise sum — additive roll-up. */
+  def mergeCells(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("group", "row", "col")
+      .agg(sum(col("n")).as("n"))
+
+  /** Reader-side point estimate for one group's cells: min over rows
+    * of the token's cell (absent cell = 0). One-sided: always ≥ the
+    * true count. Driver-side — deliberately NOT oracle-checked. */
+  def cmEstimate(cells: Seq[(Int, Long, Long)], token: String,
+      rows: Int = 4, colHexDigits: Int = 3): Long = {
+    val byCell = cells.map { case (r, c, n) => (r, c) -> n }.toMap
+    (0 until rows).map { r =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r:$token".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val c = java.lang.Long.parseLong(h.substring(0, colHexDigits), 16)
+      byCell.getOrElse((r, c), 0L)
+    }.min
+  }
+
   /** Reader-side estimate from one group's registers (absent buckets
     * count as zeros): the standard HLL estimator with the
     * small-range (linear counting) correction. Driver-side Double —

@@ -62,6 +62,46 @@ class SketchOpsSpec extends SparkSpec {
     assert(regs(SketchOps.mergeRegisters(a, b)) == regs(whole))
   }
 
+  test("count-min cells: literal re-derivation; sum-merge; one-sided estimate") {
+    val docs = Seq(("en", "a b a"), ("en", "a c"), ("de", "a"))
+      .toDF("lang", "text")
+    val cells = SketchOps.cmTokenCells(docs, "text", "lang")
+    def key3(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // literal: en has a:3 b:1 c:1, de has a:1; each lands in 4 rows
+    def cell(r: Int, tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r:$tok".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 3), 16)
+    }
+    val want = (for {
+      (g, toks) <- Seq("en" -> Map("a" -> 3L, "b" -> 1L, "c" -> 1L),
+        "de" -> Map("a" -> 1L))
+      r <- 0 until 4
+      grouped = toks.groupBy { case (t, _) => cell(r, t) }
+        .map { case (c, m) => (g, r, c, m.values.sum) }
+      row <- grouped
+    } yield row).toSet
+    assert(key3(cells) == want)
+    // sum-merge: two halves roll up to the whole
+    val whole = SketchOps.cmTokenCells(docs, "text", "lang")
+    val h1 = SketchOps.cmTokenCells(docs.limit(1), "text", "lang")
+    val h2 = SketchOps.cmTokenCells(docs.exceptAll(docs.limit(1)),
+      "text", "lang")
+    val merged = SketchOps.mergeCells(h1, h2).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(merged == key3(whole))
+    // one-sided estimate: >= truth, == truth absent collisions
+    val enCells = cells.filter($"group" === "en").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(SketchOps.cmEstimate(enCells, "a") >= 3L)
+    assert(SketchOps.cmEstimate(enCells, "b") >= 1L)
+    assert(SketchOps.cmEstimate(enCells, "zzz-absent") >= 0L)
+  }
+
   test("estimate lands within 5% of the true distinct count at m=4096") {
     // 30k distinct tokens (3 per doc over 10k docs)
     val docs = (0 until 10000).map(i =>
