@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDotExpr, BigramCountsExpr, ChunkWindowsExpr, DistinctShingles, Fp2Decode, HashedNgramCountsExpr, MinhashSig, NfcNormalize, PositionedWindows, RepetitionStatsExpr, SimhashWords, StripAccentsExpr, WinnowSelect}
+import graft.functions.{ArrayDotExpr, BigramCountsExpr, ChunkWindowsExpr, DistinctShingles, Fp2Decode, HashedNgramCountsExpr, MinhashSig, NfcNormalize, PositionedWindows, RepetitionStatsExpr, SimhashWords, StripAccentsExpr, TokenCountExpr, TokenizeExpr, WinnowSelect}
 
 /** Session-extension entry point: registers graft's native Catalyst
   * expressions into every session built with
@@ -51,6 +51,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val li = litInt("minhash_sig") _
         MinhashSig(exprs(0), li(exprs(1), "k"), li(exprs(2), "n"))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[TokenizeExpr].getName, "graft_tokens"),
+      (exprs: Seq[Expression]) => TokenizeExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_token_count"),
+      new ExpressionInfo(
+        classOf[TokenCountExpr].getName, "graft_token_count"),
+      (exprs: Seq[Expression]) => TokenCountExpr(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("simhash_words"),
       new ExpressionInfo(classOf[SimhashWords].getName, "simhash_words"),

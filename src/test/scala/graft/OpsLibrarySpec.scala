@@ -141,6 +141,12 @@ class OpsLibrarySpec extends SparkSpec {
       .getSeq[org.apache.spark.sql.Row](0)
       .map(x => (x.getLong(0), x.getLong(1)))
     assert(fps == graft.functions.Winnow.selectScalar("abcdefgh", 5, 4, 11))
+    // the fused tokenizer resolves in SQL and matches the column API
+    val tk = spark.sql(
+      "SELECT graft_tokens('Hello, World! 42') AS t, " +
+      "graft_token_count('Hello, World! 42') AS n").head()
+    assert(tk.getSeq[String](0) == Seq("hello", "world", "42") &&
+      tk.getInt(1) == 3)
     // the rest of the text-kernel family resolves and evaluates in SQL
     val k = spark.sql(
       "SELECT size(minhash_sig(array('a','b','c'), 2, 8)) AS m, " +
