@@ -2735,6 +2735,46 @@ object SparkEntry {
         "text", "lang")
       .orderBy("group", "row", "col")
 
+  /** Bloom pre-screened contamination ([[graft.text.SketchOps
+    * .bloomWords]]/[[graft.text.SketchOps.bloomMightContain]], X78):
+    * the 100 TB contamination shape — build a Bloom filter over the
+    * eval set's distinct shingles (docs < 25), embed its word table
+    * as a plan constant (16 KB of 32-bit-packed words at m = 2^16),
+    * and pre-screen the
+    * corpus with a NARROW membership expression so only Bloom
+    * survivors reach the exact verification join. Per corpus doc:
+    * distinct shingles, Bloom hits, exact hits — no false negatives
+    * by construction (exact ⊆ bloom, both counted), false positives
+    * deterministic and visible as n_bloom_hits − n_exact_hits. */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{SketchOps, TextOps}
+    val mBits = 1 << 16
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val eval = docs.filter(col("doc_id") < 25)
+      .select(explode(array_distinct(TextOps.shingles(col("text"), 3)))
+        .as("shingle")).distinct()
+    val wordMap = SketchOps.bloomWords(eval, "shingle", mBits)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flagged = docs.filter(col("doc_id") >= 25)
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.shingles(col("text"), 3)))
+          .as("shingle"))
+      .withColumn("bloom_hit",
+        SketchOps.bloomMightContain(col("shingle"), wordMap, mBits))
+    val perDoc = flagged.groupBy("doc_id").agg(
+      count(lit(1)).as("n_shingles"),
+      sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"))
+    // exact verify ONLY on Bloom survivors — the pre-screen point;
+    // the eval side is fixture-bounded (25 docs), broadcast by rule
+    val exactHits = flagged.filter(col("bloom_hit"))
+      .join(broadcast(eval), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_exact_hits"))
+    perDoc.join(exactHits, Seq("doc_id"), "left")
+      .withColumn("n_exact_hits",
+        coalesce(col("n_exact_hits"), lit(0L)))
+      .orderBy("doc_id")
+  }
+
   /** BPE fertility / vocab-coverage report ([[graft.text.BpeOps
     * .fertilityReport]], VERDICT r16 ask #6): per (source, lang),
     * the exact integer counts behind fertility (subwords/word),
@@ -3160,6 +3200,7 @@ object SparkEntry {
     "q145_streaming_vocab"  -> (q145 _),
     "q146_hll_registers"    -> (q146 _),
     "q147_cm_cells"         -> (q147 _),
+    "q148_bloom_contamination" -> (q148 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -5788,6 +5829,37 @@ object SparkEntry {
     // mechanism only — the exact recount + threshold make the final
     // answer the true per-lang heavy hitters, so the oracle replays
     // exactly those (lang '' for null, count * 100 > stratum total).
+    // Bloom pre-screen: word build (bit_or of md5 positions), the
+    // 4-probe membership test, and the survivor-only exact join.
+    "q148_bloom_contamination" -> (shingleCte + """,
+      ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 25),
+      wd AS (SELECT p // 32 AS widx,
+          bit_or(1::BIGINT << (p % 32)::INT) AS word
+        FROM (SELECT ('0x' || substr(md5(r.r::VARCHAR || ':' || shingle),
+            1, 8))::BIGINT % 65536 AS p
+          FROM ev CROSS JOIN range(0, 4) r(r))
+        GROUP BY 1),
+      cp AS (SELECT doc_id, shingle,
+          ('0x' || substr(md5(r.r::VARCHAR || ':' || shingle),
+            1, 8))::BIGINT % 65536 AS p
+        FROM (SELECT DISTINCT doc_id, shingle FROM sh
+              WHERE doc_id >= 25) CROSS JOIN range(0, 4) r(r)),
+      chk AS (SELECT doc_id, shingle,
+          bool_and(coalesce((wd.word >> (p % 32)::INT) & 1, 0) = 1)
+            AS bloom_hit
+        FROM cp LEFT JOIN wd ON wd.widx = p // 32
+        GROUP BY doc_id, shingle),
+      agg1 AS (SELECT doc_id, count(*)::BIGINT AS n_shingles,
+          sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END)::BIGINT
+            AS n_bloom_hits
+        FROM chk GROUP BY doc_id),
+      ex AS (SELECT c.doc_id, count(*)::BIGINT AS n_exact_hits
+        FROM chk c JOIN ev USING (shingle)
+        WHERE c.bloom_hit GROUP BY c.doc_id)
+      SELECT a.doc_id, a.n_shingles, a.n_bloom_hits,
+        coalesce(ex.n_exact_hits, 0)::BIGINT AS n_exact_hits
+      FROM agg1 a LEFT JOIN ex USING (doc_id)
+      ORDER BY doc_id"""),
     // Count-min cells: row-seeded md5 column hashes, exact occurrence
     // counts per (group, row, col).
     "q147_cm_cells" -> (tokCte + """,

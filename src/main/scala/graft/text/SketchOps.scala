@@ -127,6 +127,61 @@ object SketchOps {
     }.min
   }
 
+  /** Bloom-filter words over the DISTINCT values of `keyCol`
+    * (Bloom 1970, under the register-exact convention): `hashes`
+    * bit positions per key — position i = md5("i:" + key)'s first 8
+    * hex digits mod `mBits` — packed 64 bits per word by a
+    * `bit_or(1 << (pos % 64))` aggregate keyed on `pos div 64`.
+    * Output (word_idx, word): exact integers from md5 bits, so the
+    * oracle replays every word verbatim; absent word_idx rows are
+    * implicitly zero. Words merge by bitwise OR ([[mergeBloom]]) —
+    * union-exact, the per-shard roll-up. One narrow pass + one
+    * aggregate whose exchange is ≤ mBits/64 rows. */
+  def bloomWords(keys: DataFrame, keyCol: String, mBits: Int = 1 << 18,
+      hashes: Int = 4): DataFrame = {
+    require(mBits >= 32 && mBits % 32 == 0, s"mBits=$mBits")
+    require(hashes >= 1 && hashes <= 16, s"hashes=$hashes")
+    val pos = bloomPositions(col(keyCol), mBits, hashes)
+    keys
+      .select(explode(array(pos: _*)).as("__pos"))
+      .groupBy((col("__pos") / 32).cast("long").as("word_idx"))
+      .agg(bit_or(call_function("shiftleft", lit(1L),
+        pmod(col("__pos"), lit(32)).cast("int"))).as("word"))
+  }
+
+  /** Merge Bloom word frames by bitwise OR — union-exact. */
+  def mergeBloom(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("word_idx").agg(bit_or(col("word")).as("word"))
+
+  /** The `hashes` bit positions of one key (long columns in
+    * [0, mBits)). Shared by build and probe sides so the two can
+    * never drift. */
+  private def bloomPositions(key: Column, mBits: Int, hashes: Int)
+      : Seq[Column] =
+    (0 until hashes).map(i =>
+      pmod(conv(substring(md5(concat(lit(s"$i:"), key)), 1, 8), 16, 10)
+        .cast("long"), lit(mBits.toLong)))
+
+  /** Membership-test column against a DRIVER-COLLECTED word table
+    * (mBits/64 longs — e.g. 32 KB at m = 2^18, a plan constant like
+    * the centroid tables): true iff ALL `hashes` bits are set. No
+    * join — a pure narrow expression, which is the point: the
+    * 100 TB corpus scan pays k array lookups per row instead of a
+    * corpus↔eval exchange, and only the (tiny) survivor set reaches
+    * the exact verification join. No false negatives by
+    * construction; false positives are bounded by the standard
+    * (1 − e^{−kn/m})^k and always caught by the exact stage. */
+  def bloomMightContain(key: Column, words: Map[Long, Long],
+      mBits: Int = 1 << 18, hashes: Int = 4): Column = {
+    val arr = Array.tabulate(mBits / 32)(i => words.getOrElse(i.toLong, 0L))
+    val wordsLit = array(arr.toIndexedSeq.map(lit): _*)
+    bloomPositions(key, mBits, hashes).map { p =>
+      (call_function("shiftright",
+        element_at(wordsLit, (p / 32).cast("int") + 1),
+        pmod(p, lit(32)).cast("int")).bitwiseAND(1L)) === 1L
+    }.reduce(_ && _)
+  }
+
   /** Reader-side estimate from one group's registers (absent buckets
     * count as zeros): the standard HLL estimator with the
     * small-range (linear counting) correction. Driver-side Double —

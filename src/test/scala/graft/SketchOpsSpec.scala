@@ -102,6 +102,42 @@ class SketchOpsSpec extends SparkSpec {
     assert(SketchOps.cmEstimate(enCells, "zzz-absent") >= 0L)
   }
 
+  test("bloom words: literal re-derivation; OR-merge; no false negatives; " +
+      "tiny-m false positives exist and are one-sided") {
+    def brutePos(key: String, i: Int, m: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 8), 16) % m
+    }
+    val m = 256 // small on purpose: dense filter => provoked FPs below
+    val keys = (0 until 40).map(i => s"key$i")
+    val df = keys.toDF("k")
+    val words = SketchOps.bloomWords(df, "k", m).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = keys.flatMap(k => (0 until 4).map(i => brutePos(k, i, m)))
+      .groupBy(_ / 32)
+      .map { case (w, ps) =>
+        w -> ps.map(p => 1L << (p % 32).toInt).reduce(_ | _) }
+    assert(words == want)
+    // OR-merge == whole-set build
+    val w1 = SketchOps.bloomWords(keys.take(2).toDF("k"), "k", m)
+    val w2 = SketchOps.bloomWords(keys.drop(2).toDF("k"), "k", m)
+    val merged = SketchOps.mergeBloom(w1, w2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == words)
+    // no false negatives: every inserted key tests true
+    val probes = (keys ++ (0 until 3000).map(i => s"absent$i")).toDF("k")
+    val hits = probes.withColumn("hit",
+        SketchOps.bloomMightContain(col("k"), words, m))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(keys.forall(hits(_)))
+    // dense filter (160 of 256 bits targeted) + many probes: false
+    // positives occur, and they are ONE-SIDED (hits only)
+    val fps = hits.count { case (k, h) => h && !keys.contains(k) }
+    assert(fps > 0, "expected false positives at m=256 over 3000 probes")
+  }
+
   test("estimate lands within 5% of the true distinct count at m=4096") {
     // 30k distinct tokens (3 per doc over 10k docs)
     val docs = (0 until 10000).map(i =>
