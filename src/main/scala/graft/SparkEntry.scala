@@ -2769,7 +2769,9 @@ object SparkEntry {
     val exactHits = flagged.filter(col("bloom_hit"))
       .join(broadcast(eval), Seq("shingle"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_exact_hits"))
-    perDoc.join(exactHits, Seq("doc_id"), "left")
+    // shuffle-hash-pinned: exactHits is per-DOC (corpus-row-sized at
+    // scale) — an estimate broadcast here is the audit-flagged class
+    perDoc.join(exactHits.hint("shuffle_hash"), Seq("doc_id"), "left")
       .withColumn("n_exact_hits",
         coalesce(col("n_exact_hits"), lit(0L)))
       .orderBy("doc_id")
