@@ -2755,6 +2755,12 @@ object SparkEntry {
         .as("shingle")).distinct()
     val wordMap = SketchOps.bloomWords(eval, "shingle", mBits)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // deliberately NOT checkpointed despite two consumers: with the
+    // fused tokenizer the shingle + k-probe pass is a cheap narrow
+    // scan, and the r17 A/B measured materializing the shingle-string
+    // stream at 1.5x the cost of just recomputing it (2.13 vs 3.21 s
+    // at sf0.1) — the staging economics the q28 convention codified
+    // inverted once tokenization stopped dominating
     val flagged = docs.filter(col("doc_id") >= 25)
       .select(col("doc_id"),
         explode(array_distinct(TextOps.shingles(col("text"), 3)))

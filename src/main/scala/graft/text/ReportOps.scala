@@ -105,14 +105,17 @@ object ReportOps {
     * Short docs fold to their whole-text shingle (the [[TextOps
     * .shingles]] fallback), so every doc reports.
     *
-    * Scale shape: the (doc, shingle) stream is staged ONCE (eager
-    * serialized checkpoint — the q28 convention; retained, the
-    * result reads it), then ONE map-side-combining min-aggregate
-    * builds the first-occurrence table (hot boilerplate shingles
-    * combine before the exchange — the reason this is not a
-    * per-shingle window, which would sort each hot key in one task)
-    * and ONE shuffle-hash-pinned join back attaches it — both sides
-    * corpus-derived, never estimate-broadcast. */
+    * Scale shape: the (doc, shingle) stream feeds ONE
+    * map-side-combining min-aggregate that builds the
+    * first-occurrence table (hot boilerplate shingles combine before
+    * the exchange — the reason this is not a per-shingle window,
+    * which would sort each hot key in one task) and ONE
+    * shuffle-hash-pinned join back that attaches it — both sides
+    * corpus-derived, never estimate-broadcast. Both consumers
+    * shuffle on the shingle key, so ReuseExchange computes the
+    * stream once without any materialization (the r16 checkpoint
+    * here was removed after the r17 A/B measured it as pure
+    * overhead once the fused tokenizer landed). */
   def firstOccurrenceNovelty(docs: DataFrame, idCol: String,
       textCol: String, k: Int = 3): DataFrame = {
     require(k >= 1, s"firstOccurrenceNovelty: k=$k")
@@ -123,9 +126,13 @@ object ReportOps {
       transform(sequence(lit(1), size(tk) - (k - 1)),
         i => concat_ws(" ", slice(tk, i, lit(k)))))
       .otherwise(array(concat_ws(" ", tk)))
+    // NOT checkpointed despite two consumers: both shuffle on __sh
+    // (the groupBy and the shuffle-hash join), so ReuseExchange
+    // computes the stream once anyway, and the r17 A/B measured the
+    // materialization as pure overhead (0.90 vs 1.01 s at sf0.1) now
+    // that the fused tokenizer made the pass cheap
     val sh = staged
       .select(col("doc_id"), explode(array_distinct(grams)).as("__sh"))
-      .localCheckpoint(true)
     val firsts = sh.groupBy("__sh").agg(min("doc_id").as("__first"))
     sh.join(firsts.hint("shuffle_hash"), "__sh")
       .groupBy("doc_id")

@@ -78,11 +78,12 @@ object VocabOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val k = ((den + num - 1) / num).toInt // ⌈1/φ⌉ ≥ 1/φ − 1 counters
-    // tokenize ONCE: both passes scan the full stream, and the regex
-    // tokenizer dominates the text family's task time (f100 smoke:
-    // each tokenizing pass ≈ 23 s at 27M tokens), so the per-doc
-    // token arrays are staged — the LmOps/DsirOps materialized-
-    // projection convention — and each pass pays only the explode
+    // tokenize ONCE: the two passes are SEPARATE ACTIONS over the
+    // full stream (no shared exchange to reuse), so the staged
+    // checkpoint still wins even now that the fused tokenizer made
+    // the pass itself cheap (r17 A/B at sf0.1: staged 0.98 s vs
+    // recompute 1.12 s) — unlike single-action consumers on a shared
+    // shuffle key, where removal won (firstOccurrenceNovelty, q148)
     val staged = docs.select(TextOps.tokens(col(textCol)).as("__toks"))
       .localCheckpoint(true)
     try {
