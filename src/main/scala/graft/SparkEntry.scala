@@ -2750,9 +2750,15 @@ object SparkEntry {
     import graft.text.{SketchOps, TextOps}
     val mBits = 1 << 16
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    // the fused DistinctShingles kernel, not the HOF form: the r17
+    // bloom smoke measured the interpreted per-element shingle HOF
+    // dominating both arms (empty-token docs are the one semantic
+    // difference -- kernel yields no shingle, HOF a "" one -- and the
+    // corpus has none; the oracle's ELSE branch never fires on it)
+    def docShingles = explode(graft.functions.MinhashKernel
+      .distinctShingles(TextOps.tokens(col("text")), 3)).as("shingle")
     val eval = docs.filter(col("doc_id") < 25)
-      .select(explode(array_distinct(TextOps.shingles(col("text"), 3)))
-        .as("shingle")).distinct()
+      .select(docShingles).distinct()
     val wordMap = SketchOps.bloomWords(eval, "shingle", mBits)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // deliberately NOT checkpointed despite two consumers: with the
@@ -2762,9 +2768,7 @@ object SparkEntry {
     // at sf0.1) — the staging economics the q28 convention codified
     // inverted once tokenization stopped dominating
     val flagged = docs.filter(col("doc_id") >= 25)
-      .select(col("doc_id"),
-        explode(array_distinct(TextOps.shingles(col("text"), 3)))
-          .as("shingle"))
+      .select(col("doc_id"), docShingles)
       .withColumn("bloom_hit",
         SketchOps.bloomMightContain(col("shingle"), wordMap, mBits))
     val perDoc = flagged.groupBy("doc_id").agg(
