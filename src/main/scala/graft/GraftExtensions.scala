@@ -14,10 +14,18 @@ import graft.functions.{ArrayDotExpr, BigramCountsExpr, ChunkWindowsExpr, Distin
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Arity guard for the unary kernels (ADVICE r17): `exprs.head` on
+    // an empty argument list is an opaque NoSuchElementException; a
+    // require turns `graft_tokens()` into a readable analysis error.
+    def one(fn: String)(exprs: Seq[Expression]): Expression = {
+      require(exprs.length == 1,
+        s"$fn expects exactly 1 argument, got ${exprs.length}")
+      exprs.head
+    }
     ext.injectFunction((
       FunctionIdentifier("fp2_decode"),
       new ExpressionInfo(classOf[Fp2Decode].getName, "fp2_decode"),
-      (exprs: Seq[Expression]) => Fp2Decode(exprs.head)))
+      (exprs: Seq[Expression]) => Fp2Decode(one("fp2_decode")(exprs))))
     ext.injectFunction((
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotExpr].getName, "array_dot"),
@@ -25,11 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+      (exprs: Seq[Expression]) => NfcNormalize(one("nfc_normalize")(exprs))))
     ext.injectFunction((
       FunctionIdentifier("strip_accents"),
       new ExpressionInfo(classOf[StripAccentsExpr].getName, "strip_accents"),
-      (exprs: Seq[Expression]) => StripAccentsExpr(exprs.head)))
+      (exprs: Seq[Expression]) => StripAccentsExpr(one("strip_accents")(exprs))))
     // Text-kernel family. Numeric parameters must be foldable
     // literals — they parameterize the kernels, not the data.
     def litInt(fn: String)(e: Expression, name: String): Int = {
@@ -54,20 +62,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_tokens"),
       new ExpressionInfo(classOf[TokenizeExpr].getName, "graft_tokens"),
-      (exprs: Seq[Expression]) => TokenizeExpr(exprs.head)))
+      (exprs: Seq[Expression]) => TokenizeExpr(one("graft_tokens")(exprs))))
     ext.injectFunction((
       FunctionIdentifier("graft_token_count"),
       new ExpressionInfo(
         classOf[TokenCountExpr].getName, "graft_token_count"),
-      (exprs: Seq[Expression]) => TokenCountExpr(exprs.head)))
+      (exprs: Seq[Expression]) => TokenCountExpr(one("graft_token_count")(exprs))))
     ext.injectFunction((
       FunctionIdentifier("simhash_words"),
       new ExpressionInfo(classOf[SimhashWords].getName, "simhash_words"),
-      (exprs: Seq[Expression]) => SimhashWords(exprs.head)))
+      (exprs: Seq[Expression]) => SimhashWords(one("simhash_words")(exprs))))
     ext.injectFunction((
       FunctionIdentifier("bigram_counts"),
       new ExpressionInfo(classOf[BigramCountsExpr].getName, "bigram_counts"),
-      (exprs: Seq[Expression]) => BigramCountsExpr(exprs.head)))
+      (exprs: Seq[Expression]) => BigramCountsExpr(one("bigram_counts")(exprs))))
     ext.injectFunction((
       FunctionIdentifier("hashed_ngram_counts"),
       new ExpressionInfo(

@@ -2697,10 +2697,17 @@ object SparkEntry {
     // strategy choice could flip to broadcasting the corpus-derived
     // exact-counts side at scale, the audit class EXECJOINS polices.
     val snaps = s.read.parquet(outDir)
+    // .distinct: if a stratum's watermark REPEATS across drains (a
+    // later slice contributing zero tokens to it re-emits an
+    // identical snapshot at the same n_seen), the max-watermark join
+    // matches every such drain and would duplicate the stratum's
+    // candidate rows; tied-watermark snapshots are identical row
+    // sets by construction, so distinct collapses them (ADVICE r17).
     val finalSnap = snaps.join(broadcast(
       snaps.groupBy("stratum").agg(max("n_seen").as("n_seen"))),
       Seq("stratum", "n_seen"))
       .select(col("stratum"), col("token"), col("n_seen"))
+      .distinct()
     val exact = docs
       .select(coalesce(col("lang"), lit("")).as("stratum"),
         explode(col("toks")).as("token"))

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -80,11 +80,18 @@ object Tokenize {
     ColumnBridge.column(TokenCountExpr(ColumnBridge.expression(c)))
 }
 
-/** The fused tokenizer as a codegen-native unary expression. */
-case class TokenizeExpr(child: Expression) extends UnaryExpression {
+/** The fused tokenizer as a codegen-native unary expression.
+  * ExpectsInputTypes (ADVICE r17): without the declared contract,
+  * SQL-registered `graft_tokens(123)` passes analysis and dies at
+  * runtime in generated code; with it, non-string input is a clean
+  * analysis error (int/string literals still coerce via the
+  * standard implicit-cast rule). */
+case class TokenizeExpr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
   // containsNull = true matches split()'s array type exactly, so the
   // swap is schema-invisible to every downstream plan and oracle
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def inputTypes: Seq[ColumnBridge.AbsDataType] = Seq(StringType)
   override def prettyName: String = "graft_tokens"
 
   override def nullSafeEval(input: Any): Any =
@@ -98,8 +105,10 @@ case class TokenizeExpr(child: Expression) extends UnaryExpression {
 }
 
 /** Token count over the same byte scan, no array allocation. */
-case class TokenCountExpr(child: Expression) extends UnaryExpression {
+case class TokenCountExpr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
   override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[ColumnBridge.AbsDataType] = Seq(StringType)
   override def prettyName: String = "graft_token_count"
 
   override def nullSafeEval(input: Any): Any =

@@ -125,16 +125,27 @@ object PruneOps {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // range bounds are sampled per run, but rank/keep are invariant
     // to where the bounds fall: the key is total, so partition p's
-    // rows all order strictly before partition p+1's within a cluster
+    // rows all order strictly before partition p+1's within a cluster.
+    // The pid-stamped frame is ALSO checkpointed (ADVICE r17): the
+    // local-rank branch and the counts branch both consume __pid, and
+    // without materialization their agreement rests on plan-level
+    // exchange reuse — with spark.sql.exchange.reuse=false (or AQE
+    // coalescing the two shuffle reads differently) the branches
+    // would see DIFFERENT pid assignments and compose silently wrong
+    // ranks. Freezing the pids makes correctness independent of the
+    // optimizer's reuse decision; the frame is three narrow columns
+    // plus an int.
     val parts = mat.repartitionByRange(col("cluster").asc,
         col("cos_c").desc_nulls_last, col("id").asc)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val wLocal = Window.partitionBy(col("__pid"), col("cluster"))
       .orderBy(col("cos_c").desc_nulls_last, col("id").asc)
     val local = parts.withColumn("__lr", row_number().over(wLocal))
     // tiny side frame: per-(partition, cluster) counts → prefix-sum
-    // offsets per cluster + exact cluster sizes (the range exchange
-    // is identical in both branches, so Spark reuses it)
+    // offsets per cluster + exact cluster sizes (reads the SAME
+    // materialized pids as the local-rank branch — see above)
     val counts = parts.groupBy("__pid", "cluster")
       .agg(count(lit(1)).as("__cnt"))
     val wOff = Window.partitionBy("cluster").orderBy("__pid")

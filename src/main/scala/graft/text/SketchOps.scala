@@ -129,14 +129,18 @@ object SketchOps {
 
   /** Bloom-filter words over the DISTINCT values of `keyCol`
     * (Bloom 1970, under the register-exact convention): `hashes`
-    * bit positions per key — position i = md5("i:" + key)'s first 8
-    * hex digits mod `mBits` — packed 64 bits per word by a
-    * `bit_or(1 << (pos % 64))` aggregate keyed on `pos div 64`.
-    * Output (word_idx, word): exact integers from md5 bits, so the
-    * oracle replays every word verbatim; absent word_idx rows are
-    * implicitly zero. Words merge by bitwise OR ([[mergeBloom]]) —
-    * union-exact, the per-shard roll-up. One narrow pass + one
-    * aggregate whose exchange is ≤ mBits/64 rows. */
+    * bit positions per key ([[bloomPositions]]) — packed 32 bits per
+    * long word by a `bit_or(shiftleft(1, pos % 32))` aggregate keyed
+    * on `pos div 32`. 32-bit (not 64-bit) packing is deliberate:
+    * the DuckDB oracle replays the words with signed-BIGINT
+    * `bit_or`/shift arithmetic, and `1 << 63` would flip the sign
+    * bit — capping shifts at 31 keeps every word a small positive
+    * integer in ANY engine's signed-64 semantics. Output (word_idx,
+    * word): exact integers from md5 bits, so the oracle replays
+    * every word verbatim; absent word_idx rows are implicitly zero.
+    * Words merge by bitwise OR ([[mergeBloom]]) — union-exact, the
+    * per-shard roll-up. One narrow pass + one aggregate whose
+    * exchange is ≤ mBits/32 rows. */
   def bloomWords(keys: DataFrame, keyCol: String, mBits: Int = 1 << 18,
       hashes: Int = 4): DataFrame = {
     require(mBits >= 32 && mBits % 32 == 0, s"mBits=$mBits")
@@ -163,8 +167,10 @@ object SketchOps {
         .cast("long"), lit(mBits.toLong)))
 
   /** Membership-test column against a DRIVER-COLLECTED word table
-    * (mBits/64 longs — e.g. 32 KB at m = 2^18, a plan constant like
-    * the centroid tables): true iff ALL `hashes` bits are set. No
+    * (mBits/32 longs at 32 bits per word — e.g. 64 KB of long slots
+    * at m = 2^18, a plan constant like the centroid tables; see
+    * [[bloomWords]] for why 32-bit packing): true iff ALL `hashes`
+    * bits are set. No
     * join — a pure narrow expression, which is the point: the
     * 100 TB corpus scan pays k array lookups per row instead of a
     * corpus↔eval exchange, and only the (tiny) survivor set reaches

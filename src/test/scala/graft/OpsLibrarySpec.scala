@@ -147,6 +147,15 @@ class OpsLibrarySpec extends SparkSpec {
       "graft_token_count('Hello, World! 42') AS n").head()
     assert(tk.getSeq[String](0) == Seq("hello", "world", "42") &&
       tk.getInt(1) == 3)
+    // declared input contract: non-string input is a clean ANALYSIS
+    // error (not a runtime codegen failure), and wrong arity is a
+    // readable registration error
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_tokens(array(1, 2))").head()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT graft_token_count()").head()
+    }
     // the rest of the text-kernel family resolves and evaluates in SQL
     val k = spark.sql(
       "SELECT size(minhash_sig(array('a','b','c'), 2, 8)) AS m, " +
