@@ -5848,19 +5848,23 @@ object SparkEntry {
     // mechanism only — the exact recount + threshold make the final
     // answer the true per-lang heavy hitters, so the oracle replays
     // exactly those (lang '' for null, count * 100 > stratum total).
-    // Bloom pre-screen: word build (bit_or of md5 positions), the
-    // 4-probe membership test, and the survivor-only exact join.
+    // Bloom pre-screen: word build (bit_or of Kirsch-Mitzenmacher
+    // positions (h1 + i*h2) % m from TWO 8-hex slices of ONE md5,
+    // h2 forced odd), the 4-probe membership test, and the
+    // survivor-only exact join.
     "q148_bloom_contamination" -> (shingleCte + """,
       ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 25),
       wd AS (SELECT p // 32 AS widx,
           bit_or(1::BIGINT << (p % 32)::INT) AS word
-        FROM (SELECT ('0x' || substr(md5(r.r::VARCHAR || ':' || shingle),
-            1, 8))::BIGINT % 65536 AS p
+        FROM (SELECT (('0x' || substr(md5(shingle), 1, 8))::BIGINT
+            + r.r * ((('0x' || substr(md5(shingle), 9, 8))::BIGINT) | 1))
+            % 65536 AS p
           FROM ev CROSS JOIN range(0, 4) r(r))
         GROUP BY 1),
       cp AS (SELECT doc_id, shingle,
-          ('0x' || substr(md5(r.r::VARCHAR || ':' || shingle),
-            1, 8))::BIGINT % 65536 AS p
+          (('0x' || substr(md5(shingle), 1, 8))::BIGINT
+            + r.r * ((('0x' || substr(md5(shingle), 9, 8))::BIGINT) | 1))
+            % 65536 AS p
         FROM (SELECT DISTINCT doc_id, shingle FROM sh
               WHERE doc_id >= 25) CROSS JOIN range(0, 4) r(r)),
       chk AS (SELECT doc_id, shingle,

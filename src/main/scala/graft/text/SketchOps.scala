@@ -158,13 +158,31 @@ object SketchOps {
     a.unionByName(b).groupBy("word_idx").agg(bit_or(col("word")).as("word"))
 
   /** The `hashes` bit positions of one key (long columns in
-    * [0, mBits)). Shared by build and probe sides so the two can
-    * never drift. */
+    * [0, mBits)), by Kirsch–Mitzenmacher double hashing ("Less
+    * hashing, same performance", ESA 2006): pos_i = (h1 + i·h2) mod
+    * m where h1/h2 are the first/second 8-hex-digit slices of ONE
+    * md5 — the k independent seeded md5s this replaces were the
+    * measured CPU bottleneck of the q148 pre-screen (~100M md5 ≈
+    * 32 s at f100, BENCH_NOTES r17), and KM's positions preserve the
+    * Bloom asymptotics. h2 is forced odd so the stride is a unit
+    * mod the power-of-two m and one key's k positions never
+    * collapse onto a single bit. h1 + i·h2 < 2^32·(1+i) stays far
+    * inside signed-64, so the DuckDB replay is verbatim signed
+    * arithmetic: `('0x'||substr(md5(k),1,8))::BIGINT` etc. Shared by
+    * build and probe sides so the two can never drift. */
   private def bloomPositions(key: Column, mBits: Int, hashes: Int)
-      : Seq[Column] =
+      : Seq[Column] = {
+    val h = md5(key)
+    val h1 = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val h2 = conv(substring(h, 9, 8), 16, 10).cast("long").bitwiseOR(1L)
+    // relational form, used on the BUILD side only (the eval set is
+    // tiny); all k positions sit in one unconditional array() so the
+    // shared md5 is CSE-eligible. The corpus-scale PROBE side uses
+    // [[graft.functions.BloomKernel]] instead — see
+    // [[bloomMightContain]].
     (0 until hashes).map(i =>
-      pmod(conv(substring(md5(concat(lit(s"$i:"), key)), 1, 8), 16, 10)
-        .cast("long"), lit(mBits.toLong)))
+      pmod(h1 + lit(i.toLong) * h2, lit(mBits.toLong)))
+  }
 
   /** Membership-test column against a DRIVER-COLLECTED word table
     * (mBits/32 longs at 32 bits per word — e.g. 64 KB of long slots
@@ -180,12 +198,15 @@ object SketchOps {
   def bloomMightContain(key: Column, words: Map[Long, Long],
       mBits: Int = 1 << 18, hashes: Int = 4): Column = {
     val arr = Array.tabulate(mBits / 32)(i => words.getOrElse(i.toLong, 0L))
-    val wordsLit = array(arr.toIndexedSeq.map(lit): _*)
-    bloomPositions(key, mBits, hashes).map { p =>
-      (call_function("shiftright",
-        element_at(wordsLit, (p / 32).cast("int") + 1),
-        pmod(p, lit(32)).cast("int")).bitwiseAND(1L)) === 1L
-    }.reduce(_ && _)
+    // the fused kernel, not a relational AND-of-probes: && evaluates
+    // short-circuit, which makes every probe after the first a
+    // CONDITIONAL subtree — ineligible for subexpression elimination,
+    // so the shared md5 would re-evaluate per probe (measured 2x the
+    // k-seeded-md5 cost it was meant to beat). The kernel digests
+    // once per row and loops the k probes over the table as a plan
+    // reference object; position arithmetic is [[bloomPositions]]
+    // verbatim.
+    graft.functions.BloomKernel.mightContain(key, arr, mBits, hashes)
   }
 
   /** Reader-side estimate from one group's registers (absent buckets

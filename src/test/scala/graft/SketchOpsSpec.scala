@@ -104,11 +104,15 @@ class SketchOpsSpec extends SparkSpec {
 
   test("bloom words: literal re-derivation; OR-merge; no false negatives; " +
       "tiny-m false positives exist and are one-sided") {
+    // Kirsch-Mitzenmacher: pos_i = (h1 + i*h2) mod m from two 8-hex
+    // slices of ONE md5, h2 forced odd (mirrors bloomPositions)
     def brutePos(key: String, i: Int, m: Int): Long = {
       val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$i:$key".getBytes("UTF-8"))
+        .digest(key.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(h.substring(0, 8), 16) % m
+      val h1 = java.lang.Long.parseLong(h.substring(0, 8), 16)
+      val h2 = java.lang.Long.parseLong(h.substring(8, 16), 16) | 1L
+      (h1 + i * h2) % m
     }
     val m = 256 // small on purpose: dense filter => provoked FPs below
     val keys = (0 until 40).map(i => s"key$i")
