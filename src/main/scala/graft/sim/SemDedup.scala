@@ -34,7 +34,10 @@ import org.apache.spark.sql.functions._
   *      the (id, norm, vec) projection, then per-cluster pairwise
   *      rescore. This is the step that is quadratic per cluster; size
   *      `numCentroids` so N/C stays in the ~10⁴–10⁵ band, or chain
-  *      two levels of quantization before calling this.
+  *      two levels of quantization before calling this. A skew guard
+  *      ([[pairKeys]], bounded by `maxPairsPerCluster`) adaptively
+  *      sub-splits any cluster whose candidate-pair count blows the
+  *      budget, so one boilerplate mega-cluster cannot hang a task.
   *   5. ε-clusters: [[graft.text.DedupOps.connectedComponents]] over
   *      the pair sliver (docs in no pair never enter the loop).
   *   6. exemplar: one shuffle on the component key; keep = argmin by
@@ -54,6 +57,15 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Default pair budget: 2×10⁹ candidate pairs per join key (~65k
+    * rows), the top of the paper's intended N/C ≈ 10⁴–10⁵ operating
+    * band. A cluster at 1% of a 100 TB corpus is ~10⁹ rows → 10¹⁸
+    * pairs in ONE merge-join key — the guard exists so that failure
+    * mode splits instead of hanging a single task for a year. */
+  val DefaultPairBudget: Long = 2000000000L
+
   private[sim] def rcos(p: Double)(v: Column, nv: Column, c: Column,
       nc: Column): Column =
     floor(when(nv > 0.0 && nc > 0.0, Similarity.dot(v, c) / (nv * nc))
@@ -62,9 +74,10 @@ object SemDedup {
   def semDedup(corpus: DataFrame, threshold: Double,
       numCentroids: Int = 256, idCol: String = "vec_id",
       vecCol: String = "embedding", roundScale: Int = 6,
-      centroidStride: Long = 0L): DataFrame =
+      centroidStride: Long = 0L,
+      maxPairsPerCluster: Long = DefaultPairBudget): DataFrame =
     run(corpus, threshold, numCentroids, idCol, vecCol, roundScale,
-      centroidStride, pq = None)
+      centroidStride, pq = None, pairBudget = maxPairsPerCluster)
 
   /** [[semDedup]] with a PQ-compressed pair stage (SDC — symmetric
     * distance computation, Jégou et al. 2011 §III): the quadratic
@@ -97,14 +110,16 @@ object SemDedup {
       numCentroids: Int = 256, idCol: String = "vec_id",
       vecCol: String = "embedding", roundScale: Int = 6,
       centroidStride: Long = 0L, pqSubspaces: Int = 4,
-      pqCodes: Int = 16, pqIters: Int = 1): DataFrame =
+      pqCodes: Int = 16, pqIters: Int = 1,
+      maxPairsPerCluster: Long = DefaultPairBudget): DataFrame =
     run(corpus, threshold, numCentroids, idCol, vecCol, roundScale,
-      centroidStride, pq = Some((pqSubspaces, pqCodes, pqIters)))
+      centroidStride, pq = Some((pqSubspaces, pqCodes, pqIters)),
+      pairBudget = maxPairsPerCluster)
 
   private def run(corpus: DataFrame, threshold: Double,
       numCentroids: Int, idCol: String, vecCol: String,
       roundScale: Int, centroidStride: Long,
-      pq: Option[(Int, Int, Int)]): DataFrame = {
+      pq: Option[(Int, Int, Int)], pairBudget: Long): DataFrame = {
     val p = math.pow(10.0, roundScale)
     val stride =
       if (centroidStride > 0L) centroidStride
@@ -152,10 +167,11 @@ object SemDedup {
       .select("id", "vec", "norm", "cluster", "cos_c")
       .localCheckpoint(eager = true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val keyed = pairKeys(members, pairBudget, roundScale)
     val pairs = pq match {
-      case None => exactPairs(members, threshold, p)
+      case None => exactPairs(keyed, threshold, p)
       case Some((m, k, iters)) =>
-        pqPairs(corpus, members, threshold, p, idCol, vecCol, m, k, iters)
+        pqPairs(corpus, keyed, threshold, p, idCol, vecCol, m, k, iters)
     }
     val comp = graft.text.DedupOps.connectedComponents(
       members.select(col("id")), pairs)
@@ -167,15 +183,126 @@ object SemDedup {
       .withColumn("keep", col("id") === col("rep_id"))
   }
 
+  /** Mega-cluster guard for the quadratic pair stage. Returns
+    * `members` plus a `pk` pair-join key: identical to `cluster` when
+    * every cluster's candidate-pair count n·(n−1)/2 fits `budget`
+    * (the parity path — zero plan change beyond one narrow column),
+    * and a refined composite key when any cluster exceeds it.
+    *
+    * Why: one boilerplate cluster holding 1% of a 100 TB corpus is
+    * ~10⁹ rows → ~10¹⁸ candidate pairs landing on ONE merge-join key
+    * — a single task that never finishes. The coarse quantizer is the
+    * paper's own bound (N/C per cluster); the guard enforces it when
+    * the data's skew defeats the parameter.
+    *
+    * Oversize policy — one extra quantizer level per pass, restricted
+    * to the oversize clusters (the [[ClusterOps]] discipline, applied
+    * with the SAME assignment function the coarse stage used):
+    *   - seeds: per (key, md5-residue) class, the member whose
+    *     md5(id) string sorts lowest — one map-side-combined
+    *     aggregate over ONLY the oversize rows, collect bounded by
+    *     |oversize|·subK (≤ 64·16 rows per pass). md5 ranking (not
+    *     min id) matters: ingest order routinely correlates with
+    *     content, so id-ranked seeds would all come from one corner
+    *     of the cluster and each pass would peel a sliver instead of
+    *     splitting — md5 decorrelates the seed set from both id order
+    *     and geometry while staying deterministic and
+    *     engine-independent.
+    *   - assignment: [[graft.functions.NearestCentroids.topIds]]
+    *     (rounded cosine, ties to smallest seed id) — the refined key
+    *     is a FUNCTION OF THE VECTOR, so exact duplicates can never
+    *     be separated by the guard (identical vectors score identical
+    *     cosines against every seed and tie-break identically).
+    *   - repeat until every key fits the budget or `maxDepth` passes
+    *     are spent; each pass can shrink a key ~subK×, so 8 passes
+    *     cover a 16⁸ ≈ 4×10⁹× overage.
+    *
+    * Semantics: rows split into different sub-keys are no longer
+    * pairwise-compared — the same trade `numCentroids` itself makes,
+    * applied adaptively where skew concentrated the corpus. The
+    * output `cluster` column is NOT refined; only pair generation is.
+    *
+    * Documented refusal: a key that cannot be split (all residues
+    * collapse to one seed, or the rows are geometrically identical —
+    * identical vectors always co-assign BY DESIGN) still exceeding
+    * the budget after `maxDepth` passes throws. The actionable fix is
+    * upstream exact dedup (D1) — a mega-key of byte-identical vectors
+    * is an exact-duplicate pile, not a semantic-dedup input. */
+  private[sim] def pairKeys(members: DataFrame, budget: Long,
+      roundScale: Int, subK: Int = 16, maxDepth: Int = 8): DataFrame = {
+    if (budget <= 0L) return members.withColumn("pk", col("cluster"))
+    var fr = members.withColumn("pk", col("cluster").cast("string"))
+    var refined = false
+    var depth = 0
+    while (true) {
+      val over = fr.groupBy("pk").count()
+        .filter(col("count") * (col("count") - 1) / 2 > budget)
+        .select(col("pk"), col("count")).collect()
+      if (over.isEmpty)
+        return if (refined) fr else members.withColumn("pk", col("cluster"))
+      if (depth >= maxDepth)
+        throw new IllegalStateException(
+          s"SemDedup pair guard: ${over.length} pair key(s) still above " +
+          s"maxPairsPerCluster=$budget after $maxDepth split passes " +
+          s"(largest: ${over.map(_.getLong(1)).max} rows). The rows are " +
+          "geometrically inseparable (identical/near-identical vectors); " +
+          "run exact dedup (D1) upstream or raise the budget.")
+      require(over.length <= 64,
+        s"SemDedup pair guard: ${over.length} oversize pair keys in one " +
+        "pass (cap 64) — raise maxPairsPerCluster or numCentroids")
+      log.warn(s"graft SemDedup: ${over.length} cluster key(s) exceed " +
+        s"the $budget pair budget (largest ${over.map(_.getLong(1)).max} " +
+        s"rows); sub-splitting (pass ${depth + 1}/$maxDepth)")
+      val overKeys = over.map(_.getString(0)).toIndexedSeq
+      val idMd5 = md5(col("id").cast("string"))
+      val seedIdRows = fr.filter(col("pk").isin(overKeys: _*))
+        .groupBy(col("pk"),
+          pmod(conv(substring(idMd5, 1, 8), 16, 10).cast("long"),
+            lit(subK.toLong)).as("__r"))
+        .agg(min_by(col("id"), idMd5).as("sid"))
+        .select("pk", "sid").collect()
+      val seedIds: Map[String, IndexedSeq[Long]] =
+        seedIdRows.groupBy(_.getString(0)).map { case (k, rs) =>
+          k -> rs.map(_.getLong(1)).sorted.toIndexedSeq
+        }
+      val allSeedIds = seedIdRows.map(r => java.lang.Long.valueOf(
+        r.getLong(1))).toIndexedSeq
+      val vecOf = fr.filter(col("pk").isin(overKeys: _*) &&
+          col("id").isin(allSeedIds: _*))
+        .select(col("pk"), col("id"), col("vec").cast("array<double>"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Double](2))
+        .toMap
+      val subExpr = overKeys.foldLeft(lit(null).cast("string")) { (acc, k) =>
+        val ids = seedIds(k)
+        when(col("pk") === lit(k), concat_ws("/", col("pk"),
+          element_at(graft.functions.NearestCentroids.topIds(col("vec"),
+            ids, ids.map(i => vecOf((k, i))), 1, roundScale), 1)))
+          .otherwise(acc)
+      }
+      // Checkpoint per pass: the refined frame feeds the next pass's
+      // size check twice plus both sides of the pair self-join, and
+      // the when-chain embeds |oversize| fused assignment kernels
+      // that must not re-run per consumer.
+      fr = fr.withColumn("pk", coalesce(subExpr, col("pk")))
+        .localCheckpoint(eager = true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      refined = true
+      depth += 1
+    }
+    fr // unreachable
+  }
+
   /** The reference pair stage: vectors ride the cluster self-join,
-    * each pair pays a d-dim cosine. */
+    * each pair pays a d-dim cosine. Joins on the guard's `pk` key
+    * (== `cluster` unless a cluster blew the pair budget). */
   private def exactPairs(members: DataFrame, threshold: Double,
       p: Double): DataFrame = {
-    val a = members.select(col("cluster"), col("id").as("id_a"),
+    val a = members.select(col("pk"), col("id").as("id_a"),
       col("vec").as("va"), col("norm").as("na"))
-    val b = members.select(col("cluster"), col("id").as("id_b"),
+    val b = members.select(col("pk"), col("id").as("id_b"),
       col("vec").as("vb"), col("norm").as("nb"))
-    a.join(b.hint("merge"), Seq("cluster"))
+    a.join(b.hint("merge"), Seq("pk"))
       .filter(col("id_a") < col("id_b"))
       .filter(rcos(p)(col("va"), col("na"), col("vb"), col("nb"))
         >= threshold)
@@ -215,14 +342,14 @@ object SemDedup {
     // point). The checkpointed projection carries only attributes and
     // scalars sized ~50 B/row.
     val slim = PqOps.withPqMeta(members, "vec", model)
-      .select(col("cluster"), col("id"), col("norm"),
+      .select(col("pk"), col("id"), col("norm"),
         col("__codes"), col("__pqerr"), col("__pqnorm"))
       .localCheckpoint(eager = true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val a = slim.select(col("cluster"), col("id").as("id_a"),
+    val a = slim.select(col("pk"), col("id").as("id_a"),
       col("norm").as("na"), col("__codes").as("ca"),
       col("__pqerr").as("ea"), col("__pqnorm").as("ra"))
-    val b = slim.select(col("cluster"), col("id").as("id_b"),
+    val b = slim.select(col("pk"), col("id").as("id_b"),
       col("norm").as("nb"), col("__codes").as("cb"),
       col("__pqerr").as("eb"), col("__pqnorm").as("rb"))
     // Unrolled over the m subspaces: plain element_at chains stay in
@@ -244,7 +371,7 @@ object SemDedup {
     val margin = (col("ra") * col("eb") + col("ea") * col("rb") +
       col("ea") * col("eb")) * lit(1.0 + 1e-12) +
       (lit(0.5 / p) + lit(1e-9)) * col("na") * col("nb")
-    val cand = a.join(b.hint("merge"), Seq("cluster"))
+    val cand = a.join(b.hint("merge"), Seq("pk"))
       .filter(col("id_a") < col("id_b"))
       .filter(col("na") > 0.0 && col("nb") > 0.0 &&
         (sdcDot + margin) / (col("na") * col("nb")) >= threshold)

@@ -1,0 +1,119 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The SemDeDup mega-cluster pair guard ([[SemDedup.pairKeys]]):
+  * parity when no cluster blows the budget, adaptive sub-split when
+  * one does, exact duplicates never separated, documented refusal on
+  * geometrically inseparable piles. */
+class SemDedupGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Skewed corpus: `big` rows in one tight cone (one coarse cluster
+    * at stride = n) plus `small` rows in an orthogonal cone. Cone
+    * members spread over a quarter-circle so a seed set drawn from
+    * anywhere in the cone splits it geometrically. */
+  private def skewed(big: Int, small: Int): DataFrame = {
+    val n = big + small
+    val rows = (0 until n).map { i =>
+      if (i < big) {
+        val t = i.toDouble / big * (math.Pi / 4)
+        (i.toLong, Seq(10.0 * math.cos(t), 10.0 * math.sin(t), 0.0, 0.0))
+      } else {
+        val t = (i - big).toDouble / math.max(1, small) * (math.Pi / 4)
+        (i.toLong, Seq(0.0, 0.0, 10.0 * math.cos(t), 10.0 * math.sin(t)))
+      }
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def membersOf(df: DataFrame): DataFrame =
+    df.select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      .withColumn("norm", sqrt(Similarity.dot(col("vec"), col("vec"))))
+      .withColumn("cluster", when(element_at(col("vec"), 1) > 0.0, 0L)
+        .otherwise(1L))
+      .withColumn("cos_c", lit(null).cast("double"))
+
+  test("pairKeys is the identity when every cluster fits the budget") {
+    val m = membersOf(skewed(40, 10))
+    val out = SemDedup.pairKeys(m, budget = 1000000L, roundScale = 6)
+    // parity path: pk IS the cluster column (long), no composite keys
+    assert(out.schema("pk").dataType.typeName == "long")
+    assert(out.select(col("pk") === col("cluster")).collect()
+      .forall(_.getBoolean(0)))
+  }
+
+  test("pairKeys sub-splits an oversize cluster under the pair budget") {
+    // 800 rows in one coarse cluster = 319,600 candidate pairs;
+    // budget 1000 pairs (~45 rows/key) forces at least two passes.
+    val m = membersOf(skewed(800, 200))
+    val out = SemDedup.pairKeys(m, budget = 1000L, roundScale = 6)
+    val sizes = out.groupBy("pk").count().collect().map(_.getLong(1))
+    assert(sizes.sum == 1000L) // every row keeps exactly one key
+    assert(sizes.forall(n => n * (n - 1) / 2 <= 1000L),
+      s"oversize key survived: ${sizes.max} rows")
+    assert(sizes.length > 2) // the skew cluster actually split
+  }
+
+  test("pairKeys never separates exact duplicates") {
+    // 600 spread rows plus 5 groups of 40 byte-identical vectors
+    // planted at distinct cone angles; budget small enough to force
+    // splitting right through the duplicate piles' size range.
+    val spread = (0 until 600).map { i =>
+      val t = i.toDouble / 600 * (math.Pi / 4)
+      (i.toLong, Seq(10.0 * math.cos(t), 10.0 * math.sin(t), 0.0, 0.0))
+    }
+    val dupes = (0 until 5).flatMap { g =>
+      val t = (g + 0.5) / 5 * (math.Pi / 4)
+      val v = Seq(10.0 * math.cos(t), 10.0 * math.sin(t), 0.0, 0.0)
+      (0 until 40).map(j => ((600 + g * 40 + j).toLong, v))
+    }
+    val m = membersOf((spread ++ dupes).toDF("vec_id", "embedding"))
+    val out = SemDedup.pairKeys(m, budget = 2000L, roundScale = 6)
+    val dupPks = out.filter(col("id") >= 600L)
+      .withColumn("grp", ((col("id") - 600L) / 40L).cast("int"))
+      .select("grp", "pk").distinct().collect()
+      .groupBy(_.getInt(0)).view.mapValues(_.length).toMap
+    assert((0 until 5).forall(g => dupPks(g) == 1),
+      s"a duplicate group landed in >1 pair key: $dupPks")
+  }
+
+  test("semDedup output is invariant to an un-engaged guard") {
+    val df = skewed(60, 20)
+    val on  = SemDedup.semDedup(df, 0.99, centroidStride = 80L)
+      .orderBy("id").collect().toSeq
+    val off = SemDedup.semDedup(df, 0.99, centroidStride = 80L,
+      maxPairsPerCluster = 0L).orderBy("id").collect().toSeq
+    assert(on == off)
+  }
+
+  test("semDedup and semDedupPq agree under an engaged guard") {
+    // Guard engages on the 400-row cone; both variants must see the
+    // SAME refined pair keys and hence produce identical outputs
+    // (the PQ prefilter is exact-recall within a key by construction).
+    val df = skewed(400, 100)
+    val exact = SemDedup.semDedup(df, 0.999, centroidStride = 500L,
+      maxPairsPerCluster = 500L).orderBy("id").collect().toSeq
+    val pq = SemDedup.semDedupPq(df, 0.999, centroidStride = 500L,
+      maxPairsPerCluster = 500L, pqSubspaces = 2, pqCodes = 8)
+      .orderBy("id").collect().toSeq
+    assert(exact == pq)
+    // dedup actually happened inside refined keys (adjacent cone
+    // members at 0.999 rounded cosine collapse)
+    assert(exact.count(_.getBoolean(5)) < exact.size)
+  }
+
+  test("pairKeys refuses a geometrically inseparable mega-pile") {
+    val v = Seq(3.0, 4.0, 0.0, 0.0)
+    val m = membersOf((0 until 100).map(i => (i.toLong, v))
+      .toDF("vec_id", "embedding"))
+    val ex = intercept[IllegalStateException] {
+      SemDedup.pairKeys(m, budget = 10L, roundScale = 6, maxDepth = 2)
+        .count()
+    }
+    assert(ex.getMessage.contains("exact dedup"))
+  }
+}
