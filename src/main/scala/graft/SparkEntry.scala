@@ -2794,6 +2794,82 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Streaming HLL register sketch ([[graft.streaming
+    * .StreamingSketch.hllRegisters]], VERDICT r17 ask #4): per-lang
+    * registers carried as keyed streaming state across three cron
+    * drains over ascending doc_id slices; close-out = the final
+    * snapshot (max tokens-seen watermark per lang), which equals the
+    * BATCH sketch register-for-register because the state transition
+    * IS the operator's max-merge. Oracle = q146's batch replay plus
+    * the per-lang exact token total — n_total doubles as the
+    * stream-vs-batch parity signal (the q145 convention: a drain
+    * that dropped or double-counted a token breaks the hash). */
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingSketch
+    import graft.text.TextOps
+    val root = streamTmpRoot(s, "q149")
+    val inDir = s"$root/in"; val outDir = s"$root/regs"
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextOps.tokens(col("text")).as("toks"))
+    docs.filter(col("doc_id") < 250).coalesce(1).write.parquet(inDir)
+    val schema = s.read.parquet(inDir).schema
+    def drain(): Unit = StreamingSketch.sketchRun(s, inDir, outDir,
+      s"$root/ckpt", schema, "lang", "toks", "hll")
+    drain()
+    docs.filter(col("doc_id") >= 250 && col("doc_id") < 500)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    drain()
+    docs.filter(col("doc_id") >= 500).coalesce(1).write.mode("append")
+      .parquet(inDir)
+    drain()
+    val snaps = s.read.parquet(outDir)
+    // broadcast = parameter-bounded watermark side; .distinct for
+    // tied-watermark snapshot re-emissions (identical rows by
+    // construction — the q145 ADVICE fix, same failure shape)
+    snaps.join(broadcast(
+        snaps.groupBy("group").agg(max("n_seen").as("n_seen"))),
+        Seq("group", "n_seen"))
+      .select(col("group"), col("bucket"), col("max_rho"),
+        col("n_seen").as("n_total"))
+      .distinct()
+      .orderBy("group", "bucket")
+  }
+
+  /** Streaming count-min cells ([[graft.streaming.StreamingSketch
+    * .cmCells]], VERDICT r17 ask #4): q149's shape for the
+    * sum-merged sketch — per-lang exact CM cells as keyed streaming
+    * state, close-out equal to the batch q147 cells cell-for-cell,
+    * with the same n_total parity signal. */
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingSketch
+    import graft.text.TextOps
+    val root = streamTmpRoot(s, "q150")
+    val inDir = s"$root/in"; val outDir = s"$root/cells"
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextOps.tokens(col("text")).as("toks"))
+    docs.filter(col("doc_id") < 250).coalesce(1).write.parquet(inDir)
+    val schema = s.read.parquet(inDir).schema
+    def drain(): Unit = StreamingSketch.sketchRun(s, inDir, outDir,
+      s"$root/ckpt", schema, "lang", "toks", "cm")
+    drain()
+    docs.filter(col("doc_id") >= 250 && col("doc_id") < 500)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    drain()
+    docs.filter(col("doc_id") >= 500).coalesce(1).write.mode("append")
+      .parquet(inDir)
+    drain()
+    val snaps = s.read.parquet(outDir)
+    snaps.join(broadcast(
+        snaps.groupBy("group").agg(max("n_seen").as("n_seen"))),
+        Seq("group", "n_seen"))
+      .select(col("group"), col("row"), col("col"), col("n"),
+        col("n_seen").as("n_total"))
+      .distinct()
+      .orderBy("group", "row", "col")
+  }
+
   /** BPE fertility / vocab-coverage report ([[graft.text.BpeOps
     * .fertilityReport]], VERDICT r16 ask #6): per (source, lang),
     * the exact integer counts behind fertility (subwords/word),
@@ -3068,7 +3144,7 @@ object SparkEntry {
       "q95_streaming_near_dedup", "q96_streaming_near_dedup_audit",
       "q97_bloom_dedup", "q123_streaming_interleave",
       "q127_streaming_token_interleave", "q134_streaming_budget",
-      "q145_streaming_vocab")
+      "q145_streaming_vocab", "q149_streaming_hll", "q150_streaming_cm")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3220,6 +3296,8 @@ object SparkEntry {
     "q146_hll_registers"    -> (q146 _),
     "q147_cm_cells"         -> (q147 _),
     "q148_bloom_contamination" -> (q148 _),
+    "q149_streaming_hll"    -> (q149 _),
+    "q150_streaming_cm"     -> (q150 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -5916,6 +5994,46 @@ object SparkEntry {
                  ELSE 3 END + 1) END)::INT AS max_rho
       FROM rr GROUP BY 1, 2
       ORDER BY "group", bucket"""),
+    // Streaming HLL close-out: the q146 batch replay (the streaming
+    // state's max-merge makes the final snapshot equal the batch
+    // sketch) joined to the exact per-lang token total, which the
+    // stream's watermark must reproduce exactly.
+    "q149_streaming_hll" -> (tokCte + """,
+      occ AS (SELECT coalesce(d.lang, '') AS grp,
+          unnest(tk.toks) AS token
+        FROM tk JOIN documents d USING (doc_id)),
+      tot AS (SELECT grp, count(*)::BIGINT AS n_total FROM occ
+        GROUP BY grp),
+      rr AS (SELECT grp,
+          ('0x' || substr(md5(token), 1, 3))::BIGINT AS bucket,
+          ltrim(substr(md5(token), 4, 12), '0') AS st
+        FROM occ)
+      SELECT r.grp AS "group", bucket,
+        max(CASE WHEN length(st) = 0 THEN 49
+          ELSE ((12 - length(st)) * 4 +
+            CASE WHEN ('0x' || substr(st, 1, 1))::BIGINT >= 8 THEN 0
+                 WHEN ('0x' || substr(st, 1, 1))::BIGINT >= 4 THEN 1
+                 WHEN ('0x' || substr(st, 1, 1))::BIGINT >= 2 THEN 2
+                 ELSE 3 END + 1) END)::INT AS max_rho,
+        t.n_total
+      FROM rr r JOIN tot t USING (grp)
+      GROUP BY 1, 2, 4
+      ORDER BY "group", bucket"""),
+    // Streaming CM close-out: the q147 batch replay (sum-merge) with
+    // the same exact-total parity column.
+    "q150_streaming_cm" -> (tokCte + """,
+      occ AS (SELECT coalesce(d.lang, '') AS grp,
+          unnest(tk.toks) AS token
+        FROM tk JOIN documents d USING (doc_id)),
+      tot AS (SELECT grp, count(*)::BIGINT AS n_total FROM occ
+        GROUP BY grp)
+      SELECT o.grp AS "group", r.r AS "row",
+        ('0x' || substr(md5(r.r::VARCHAR || ':' || token), 1, 3))::BIGINT
+          AS col,
+        count(*)::BIGINT AS n, t.n_total
+      FROM occ o CROSS JOIN range(0, 4) r(r) JOIN tot t USING (grp)
+      GROUP BY 1, 2, 3, 5
+      ORDER BY "group", "row", col"""),
     "q145_streaming_vocab" -> (tokCte + """,
       occ AS (SELECT coalesce(d.lang, '') AS lang,
           unnest(tk.toks) AS token
