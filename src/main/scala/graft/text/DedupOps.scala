@@ -775,7 +775,10 @@ object DedupOps {
       .select(id, posexplode(split(col(textCol), "\n"))
         .as(Seq("idx", "line")))
       .withColumn("participates",
-        size(TextOps.tokens(col("line"))) > 0)
+        // array-free count kernel: the per-LINE cardinality makes
+        // this the hottest tokenizer call in the operator, and only
+        // the emptiness bit is consumed (r17 ask #6 call-site audit)
+        TextOps.tokenCount(col("line")) > 0)
       .withColumn("key", md5(col("line")))
     // Rank ONLY participating lines: structural lines bypass the
     // shuffle entirely — a corpus's blank lines would otherwise all
