@@ -158,7 +158,35 @@ object HammingOps {
     * back the sketch's quantization error while the corpus-wide scan
     * still moves only signature words. Returns (q_id, rank, n_id,
     * cos) ranked (cos DESC nulls last, n_id ASC); requires
-    * shortlist ≥ k. */
+    * shortlist ≥ k.
+    *
+    * SIZING (the d=768 recall panel, `tools/Wide768Recall`,
+    * BENCH_NOTES r17 — measured, not derived): at real embedding
+    * dimensionality the RAW wide-Hamming ranking is a candidate
+    * generator only (≤ 10% recall@10 even at 256 bits), so this
+    * two-stage form is the operating level, and the shortlist is the
+    * knob that buys recall:
+    *   - planes = 256 (bitsPerWord = 32 → 8 words/row);
+    *   - shortlist ≥ 40·k ([[recommendedShortlist]]) — the panel
+    *     measured recall@10 of 1.000 / 0.9995 / 0.650 across its
+    *     clean / noisy / adversarial-noise ladder at that setting,
+    *     vs collapse at shortlist = k;
+    *   - exact rerank as written here (never skip stage 2 at d ≫
+    *     planes).
+    * The 40·k shortlist keeps stage 2 tiny (40·k·|Q| vector
+    * fetches) while the corpus-wide stage-1 scan still moves only
+    * 8 BIGINT words per row ≈ 0.4% of the d=768 float payload. */
+  /** The measured shortlist floor for [[hammingRerankTopK]] at real
+    * embedding dimensionality: 40·k (the `tools/Wide768Recall`
+    * operating point — recall@10 ≥ 0.9995 on the panel's clean and
+    * noisy arms at 256 bits). Callers with adversarial near-ties
+    * (the panel's hardest arm read 0.650) should raise the
+    * multiplier or the plane count, not skip the rerank. */
+  def recommendedShortlist(k: Int): Int = {
+    require(k >= 1, s"k=$k")
+    math.multiplyExact(40, k)
+  }
+
   def hammingRerankTopK(queries: DataFrame, corpus: DataFrame,
       encoded: DataFrame, k: Int, shortlist: Int, planes: Int = 128,
       dim: Int = 64, seed: Long = 42L, bitsPerWord: Int = 32,

@@ -103,6 +103,24 @@ class HammingOpsSpec extends SparkSpec {
     }
   }
 
+  test("recommendedShortlist is the measured 40x floor and always " +
+      "a legal shortlist") {
+    assert(HammingOps.recommendedShortlist(1) == 40)
+    assert(HammingOps.recommendedShortlist(10) == 400)
+    // legal by construction: >= k, so the rerank accepts it directly
+    val got = HammingOps.hammingRerankTopK(
+      df.filter(col("vec_id") < 2), df,
+      HammingOps.encodeWide(df, "vec_id", "embedding"), 2,
+      HammingOps.recommendedShortlist(2))
+    assert(got.count() == 2 * 2)
+    intercept[IllegalArgumentException] {
+      HammingOps.recommendedShortlist(0)
+    }
+    intercept[ArithmeticException] { // overflow refuses, not wraps
+      HammingOps.recommendedShortlist(Int.MaxValue / 4)
+    }
+  }
+
   test("identical vectors are at distance 0 and rank first; " +
       "partition-invariant") {
     val withDup = df.unionAll(Seq(
