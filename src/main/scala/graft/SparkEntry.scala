@@ -2870,6 +2870,22 @@ object SparkEntry {
       .orderBy("group", "row", "col")
   }
 
+  /** Mergeable rank/quantile sketch ([[graft.operators.StatsOps
+    * .rankSketchCells]], X81): per-lang decimal log-buckets over the
+    * per-doc token count — the lake-telemetry quantile tier whose
+    * cells sum-merge across days/shards (unlike q59's exact
+    * quantiles, which rescan per call). Cells are exact integers
+    * from decimal-string arithmetic, replayed verbatim by the
+    * oracle; quantile bounds are reader-side. */
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val docs = t(s, dir, "documents")
+      .select(col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    graft.operators.StatsOps.rankSketchCells(docs, "n_tok", "lang")
+      .orderBy("group", "digits", "lead")
+  }
+
   /** BPE fertility / vocab-coverage report ([[graft.text.BpeOps
     * .fertilityReport]], VERDICT r16 ask #6): per (source, lang),
     * the exact integer counts behind fertility (subwords/word),
@@ -3298,6 +3314,7 @@ object SparkEntry {
     "q148_bloom_contamination" -> (q148 _),
     "q149_streaming_hll"    -> (q149 _),
     "q150_streaming_cm"     -> (q150 _),
+    "q151_rank_sketch"      -> (q151 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -6019,6 +6036,17 @@ object SparkEntry {
       FROM rr r JOIN tot t USING (grp)
       GROUP BY 1, 2, 4
       ORDER BY "group", bucket"""),
+    // Rank sketch: decimal log-buckets over per-doc token counts —
+    // digits = decimal length, lead = first 2 digits, exact counts.
+    "q151_rank_sketch" -> (tokCte + """,
+      vt AS (SELECT coalesce(d.lang, '') AS grp,
+          len(tk.toks)::BIGINT AS v
+        FROM tk JOIN documents d USING (doc_id))
+      SELECT grp AS "group", length(v::VARCHAR)::INT AS digits,
+        substr(v::VARCHAR, 1, 2)::BIGINT AS lead,
+        count(*)::BIGINT AS n
+      FROM vt GROUP BY 1, 2, 3
+      ORDER BY "group", digits, lead"""),
     // Streaming CM close-out: the q147 batch replay (sum-merge) with
     // the same exact-total parity column.
     "q150_streaming_cm" -> (tokCte + """,

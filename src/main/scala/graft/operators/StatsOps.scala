@@ -119,4 +119,90 @@ object StatsOps {
       col(valueCol).cast("double") >= lit(lo) &&
       col(valueCol).cast("double") <= lit(hi))
   }
+
+  /** Mergeable rank/quantile sketch — the lake-telemetry companion
+    * to [[exactQuantiles]] (which pays a corpus range exchange PER
+    * CALL and cannot combine yesterday's answer with today's): a
+    * log-bucketed histogram in the sketch family's register-exact
+    * convention (the [[graft.text.SketchOps]] discipline — exact
+    * integers out, float estimates reader-side, merge = the
+    * operator's own roll-up).
+    *
+    * Buckets are DECIMAL, not binary or γ-logarithmic (DDSketch,
+    * Masson et al. 2019, is the published shape; its `ceil(log_γ x)`
+    * index crosses engines through float log, which this engine's
+    * oracle discipline forbids): a nonnegative BIGINT value buckets
+    * by its decimal rendering — `digits` = length(v as string),
+    * `lead` = first `sigDigits` digits as an integer. Pure string
+    * arithmetic, bit-identical in any engine (`length(v::VARCHAR)`,
+    * `substr(v::VARCHAR, 1, s)::BIGINT`). Bucket order (digits,
+    * lead) IS numeric order, and counts are exact, so the bucket
+    * containing any requested rank is DETERMINISTICALLY correct —
+    * the quantile's true value provably lies in the returned
+    * [lo, hi) = [lead, lead+1)·10^(digits−len(lead)) — with relative
+    * width ≤ 1/10^(sigDigits−1) (10% at the default 2; DDSketch
+    * gives a similar relative-accuracy contract, probabilistically).
+    *
+    * Scale shape: one narrow pass + one (group, digits, lead)-keyed
+    * map-side-combined aggregate — ≤ 19·10^sigDigits cells per group
+    * (≈ 1.9k at the default), constant in corpus size like X76/X77.
+    * Cells merge by SUM ([[mergeRankCells]]) and deltas subtract —
+    * per-day sketches roll up without rescanning, the exact thing
+    * [[exactQuantiles]] cannot do. A streaming tier needs no new
+    * operator: sum-merged cells are the
+    * [[graft.streaming.StreamingSketch.cmCells]] state shape.
+    *
+    * NULL values drop (no rank — the [[exactQuantiles]] convention);
+    * a NEGATIVE value throws (`raise_error`): counts/lengths/sizes
+    * are the domain, and silently folding sign into string buckets
+    * would corrupt the order guarantee. */
+  def rankSketchCells(df: DataFrame, valueCol: String,
+      groupCol: String, sigDigits: Int = 2): DataFrame = {
+    require(sigDigits >= 1 && sigDigits <= 4, s"sigDigits=$sigDigits")
+    val v = col(valueCol).cast("long")
+    val checked = when(v < 0L, raise_error(concat(
+        lit(s"rankSketchCells($valueCol): negative value "),
+        v.cast("string")))).otherwise(v)
+    val s = checked.cast("string")
+    df.filter(v.isNotNull)
+      .select(coalesce(col(groupCol).cast("string"), lit(""))
+          .as("group"),
+        length(s).as("digits"),
+        substring(s, 1, sigDigits).cast("long").as("lead"))
+      .groupBy("group", "digits", "lead")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge rank-sketch cell frames by cell-wise sum — the additive
+    * roll-up (union-exact: merging sketches of A and B yields the
+    * sketch of A ⊎ B cell-for-cell). */
+  def mergeRankCells(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("group", "digits", "lead")
+      .agg(sum(col("n")).as("n"))
+
+  /** Reader-side quantile bounds from one group's cells: the [lo,
+    * hi) value range of the bucket holding 1-based rank
+    * `ceil(p·n)` under the sketch's total order — the true
+    * p-quantile provably lies inside (counts exact, bucket order
+    * numeric). Driver-side — deliberately NOT oracle-checked, like
+    * [[graft.text.SketchOps.hllEstimate]]. */
+  def rankSketchQuantile(cells: Seq[(Int, Long, Long)], p: Double)
+      : (Long, Long) = {
+    require(p > 0.0 && p <= 1.0, s"p=$p")
+    require(cells.nonEmpty, "rankSketchQuantile: empty sketch")
+    val sorted = cells.sortBy { case (d, l, _) => (d, l) }
+    val n = sorted.iterator.map(_._3).sum
+    val target = math.max(1L, math.ceil(p * n).toLong)
+    var cum = 0L
+    for ((d, l, c) <- sorted) {
+      cum += c
+      if (cum >= target) {
+        var scale = 1L
+        var e = d - l.toString.length
+        while (e > 0) { scale *= 10L; e -= 1 }
+        return (l * scale, (l + 1) * scale)
+      }
+    }
+    throw new IllegalStateException("rank walk exhausted") // unreachable
+  }
 }

@@ -70,4 +70,53 @@ class StatsOpsSpec extends SparkSpec {
       StatsOps.filterByQuantileRange(df, "v", "id", (9L, 10L), (1L, 10L))
     }
   }
+
+  test("rankSketchCells: buckets are decimal-exact and the quantile " +
+      "bound provably contains the exact quantile") {
+    // skewed positive values incl. 0, single digits, and cross-decade
+    val vals = (0 until 500).map(i =>
+      ((i.toLong * 7919L) % 12345L) * ((i % 13) + 1) / 7L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v, "g") }
+      .toDF("id", "v", "grp")
+    val cells = StatsOps.rankSketchCells(df, "v", "grp")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // cell recount == literal bucketing
+    val want = vals.groupBy(v =>
+        (v.toString.length, v.toString.take(2).toLong))
+      .map { case ((d, l), vs) => (d, l, vs.size.toLong) }.toSet
+    assert(cells.toSet == want)
+    // containment: for a ladder of probs, the exact ceil-rank
+    // quantile lies in the sketch's [lo, hi)
+    val sorted = vals.sorted
+    for (p <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)) {
+      val exact = sorted((math.max(1L,
+        math.ceil(p * vals.size).toLong) - 1).toInt)
+      val (lo, hi) = StatsOps.rankSketchQuantile(cells, p)
+      assert(lo <= exact && exact < hi, s"p=$p: $exact not in [$lo,$hi)")
+      // the relative-width contract at sigDigits=2: hi-lo <= ~10% of lo
+      assert(lo == 0 || (hi - lo).toDouble / lo <= 0.1 + 1e-9)
+    }
+  }
+
+  test("rankSketchCells merge is union-exact; negatives refuse") {
+    val a = Seq((0L, 12L, "x"), (1L, 999L, "x"), (2L, 5L, "y"))
+      .toDF("id", "v", "grp")
+    val b = Seq((3L, 12L, "x"), (4L, 0L, "y")).toDF("id", "v", "grp")
+    val merged = StatsOps.mergeRankCells(
+        StatsOps.rankSketchCells(a, "v", "grp"),
+        StatsOps.rankSketchCells(b, "v", "grp"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val whole = StatsOps.rankSketchCells(a.unionByName(b), "v", "grp")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(merged == whole)
+    val ex = intercept[Exception] {
+      StatsOps.rankSketchCells(
+        Seq((0L, -3L, "x")).toDF("id", "v", "grp"), "v", "grp").count()
+    }
+    assert(ex.getMessage.contains("negative value") ||
+      Option(ex.getCause).exists(_.getMessage.contains("negative value")))
+  }
 }
