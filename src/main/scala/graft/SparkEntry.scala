@@ -2886,6 +2886,40 @@ object SparkEntry {
       .orderBy("group", "digits", "lead")
   }
 
+  /** Streaming rank sketch ([[graft.streaming.StreamingSketch
+    * .rankCells]], X82): q151's decimal buckets as keyed streaming
+    * state across three cron drains — sum-merge, so the close-out is
+    * the batch sketch cell-for-cell (the q149/q150 argument), with
+    * the values-seen watermark as the parity column. */
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingSketch
+    import graft.text.TextOps
+    val root = streamTmpRoot(s, "q152")
+    val inDir = s"$root/in"; val outDir = s"$root/cells"
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    docs.filter(col("doc_id") < 250).coalesce(1).write.parquet(inDir)
+    val schema = s.read.parquet(inDir).schema
+    def drain(): Unit = StreamingSketch.rankCellsRun(s, inDir, outDir,
+      s"$root/ckpt", schema, "lang", "n_tok")
+    drain()
+    docs.filter(col("doc_id") >= 250 && col("doc_id") < 500)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    drain()
+    docs.filter(col("doc_id") >= 500).coalesce(1).write.mode("append")
+      .parquet(inDir)
+    drain()
+    val snaps = s.read.parquet(outDir)
+    snaps.join(broadcast(
+        snaps.groupBy("group").agg(max("n_seen").as("n_seen"))),
+        Seq("group", "n_seen"))
+      .select(col("group"), col("digits"), col("lead"), col("n"),
+        col("n_seen").as("n_total"))
+      .distinct()
+      .orderBy("group", "digits", "lead")
+  }
+
   /** BPE fertility / vocab-coverage report ([[graft.text.BpeOps
     * .fertilityReport]], VERDICT r16 ask #6): per (source, lang),
     * the exact integer counts behind fertility (subwords/word),
@@ -3160,7 +3194,8 @@ object SparkEntry {
       "q95_streaming_near_dedup", "q96_streaming_near_dedup_audit",
       "q97_bloom_dedup", "q123_streaming_interleave",
       "q127_streaming_token_interleave", "q134_streaming_budget",
-      "q145_streaming_vocab", "q149_streaming_hll", "q150_streaming_cm")
+      "q145_streaming_vocab", "q149_streaming_hll", "q150_streaming_cm",
+      "q152_streaming_rank")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3315,6 +3350,7 @@ object SparkEntry {
     "q149_streaming_hll"    -> (q149 _),
     "q150_streaming_cm"     -> (q150 _),
     "q151_rank_sketch"      -> (q151 _),
+    "q152_streaming_rank"   -> (q152 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -6046,6 +6082,20 @@ object SparkEntry {
         substr(v::VARCHAR, 1, 2)::BIGINT AS lead,
         count(*)::BIGINT AS n
       FROM vt GROUP BY 1, 2, 3
+      ORDER BY "group", digits, lead"""),
+    // Streaming rank-sketch close-out: the q151 batch replay plus
+    // the per-group exact value-count watermark.
+    "q152_streaming_rank" -> (tokCte + """,
+      vt AS (SELECT coalesce(d.lang, '') AS grp,
+          len(tk.toks)::BIGINT AS v
+        FROM tk JOIN documents d USING (doc_id)),
+      tot AS (SELECT grp, count(*)::BIGINT AS n_total FROM vt
+        GROUP BY grp)
+      SELECT grp AS "group", length(v::VARCHAR)::INT AS digits,
+        substr(v::VARCHAR, 1, 2)::BIGINT AS lead,
+        count(*)::BIGINT AS n, t.n_total
+      FROM vt JOIN tot t USING (grp)
+      GROUP BY 1, 2, 3, 5
       ORDER BY "group", digits, lead"""),
     // Streaming CM close-out: the q147 batch replay (sum-merge) with
     // the same exact-total parity column.

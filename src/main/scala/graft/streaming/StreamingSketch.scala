@@ -27,6 +27,19 @@ final case class CmCellRow(group: String, row: Int, col: Long, n: Long,
   * Keys pack as `row << 32 | col` (col < 16⁴ by construction). */
 final case class CmState(cells: Map[Long, Long], nSeen: Long)
 
+/** A valued record entering the rank-sketch stream (one nonnegative
+  * measurement per row — token count, byte size, …). */
+final case class ValueDoc(group: String, doc_id: Long, v: Long)
+
+/** One rank-sketch cell snapshot row: the exact bucket count and the
+  * group's values-seen watermark at emission. */
+final case class RankCellRow(group: String, digits: Int, lead: Long,
+    n: Long, n_seen: Long)
+
+/** Keyed rank-sketch state: packed (digits, lead) → count, plus
+  * values seen. Keys pack as `digits << 32 | lead` (lead < 10⁴). */
+final case class RankState(cells: Map[Long, Long], nSeen: Long)
+
 /** §2.9 + LLM-extension: STREAMING sketch tier — HyperLogLog
   * registers and count-min cells as keyed streaming state, the
   * continuous-ingest counterparts of
@@ -158,6 +171,50 @@ object StreamingSketch {
     }.toArray.iterator
   }
 
+  /** The per-group rank-sketch transition
+    * ([[graft.operators.StatsOps.rankSketchCells]]'s decimal-bucket
+    * arithmetic JVM-side — `digits` = decimal length, `lead` = first
+    * `sigDigits` digits; sum-merge, so the close-out argument is the
+    * [[cmSummarize]] one verbatim). Negative values throw — same
+    * domain contract as the batch operator. */
+  def rankSummarize(group: String, docs: Iterator[ValueDoc],
+      state: GroupState[RankState], sigDigits: Int)
+      : Iterator[RankCellRow] = {
+    val cells = scala.collection.mutable.HashMap.empty[Long, Long]
+    var nSeen = 0L
+    state.getOption.foreach { s => cells ++= s.cells; nSeen = s.nSeen }
+    docs.foreach { d =>
+      require(d.v >= 0L,
+        s"rankSummarize($group): negative value ${d.v} at doc ${d.doc_id}")
+      val s = java.lang.Long.toString(d.v)
+      val key = (s.length.toLong << 32) |
+        java.lang.Long.parseLong(s.substring(0, math.min(sigDigits,
+          s.length)))
+      cells(key) = cells.getOrElse(key, 0L) + 1L
+      nSeen += 1L
+    }
+    state.update(RankState(cells.toMap, nSeen))
+    val watermark = nSeen
+    cells.iterator.map { case (key, n) =>
+      RankCellRow(group, (key >> 32).toInt, key & 0xffffffffL, n,
+        watermark)
+    }.toArray.iterator
+  }
+
+  /** Fold a (possibly streaming) valued dataset into per-group rank
+    * sketches; emits the full cell snapshot per group per trigger.
+    * State ≤ 19·10^sigDigits entries per group. */
+  def rankCells(docs: Dataset[ValueDoc], sigDigits: Int = 2)
+      : Dataset[RankCellRow] = {
+    require(sigDigits >= 1 && sigDigits <= 4, s"sigDigits=$sigDigits")
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (g: String, it: Iterator[ValueDoc], st: GroupState[RankState]) =>
+          rankSummarize(g, it, st, sigDigits))
+  }
+
   /** Fold a (possibly streaming) tokenized dataset into per-group HLL
     * registers; emits the full register snapshot per group per
     * trigger. */
@@ -186,6 +243,46 @@ object StreamingSketch {
         GroupStateTimeout.NoTimeout)(
         (g: String, it: Iterator[SketchDoc], st: GroupState[CmState]) =>
           cmSummarize(g, it, st, rows, colHexDigits))
+  }
+
+  /** Cron-style run for the rank sketch: drain new parquet files
+    * (schema must include `groupCol`, long `doc_id`, and a long
+    * `valueCol`), append cell snapshots to `outDir`. Same checkpoint
+    * / provider contract as [[sketchRun]]. NULL values drop reader-
+    * side (the batch operator's convention). */
+  def rankCellsRun(spark: SparkSession, inDir: String, outDir: String,
+      checkpoint: String, schema: org.apache.spark.sql.types.StructType,
+      groupCol: String, valueCol: String, sigDigits: Int = 2,
+      stateStoreProvider: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    import spark.implicits._
+    val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(ProviderConf)
+    stateStoreProvider.foreach(spark.conf.set(ProviderConf, _))
+    try {
+      val reader = spark.readStream.schema(schema)
+      maxFilesPerTrigger.foreach(n =>
+        reader.option("maxFilesPerTrigger", n))
+      val in = reader.parquet(inDir)
+        .filter(col(valueCol).isNotNull)
+        .select(coalesce(col(groupCol).cast("string"), lit(""))
+          .as("group"), col("doc_id").cast("long").as("doc_id"),
+          col(valueCol).cast("long").as("v"))
+        .as[ValueDoc]
+      val q = rankCells(in, sigDigits).toDF().writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally if (stateStoreProvider.isDefined) {
+      saved match {
+        case Some(v) => spark.conf.set(ProviderConf, v)
+        case None    => spark.conf.unset(ProviderConf)
+      }
+    }
   }
 
   /** Cron-style run: drain new parquet document files from `inDir`

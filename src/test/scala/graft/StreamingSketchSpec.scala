@@ -77,6 +77,57 @@ class StreamingSketchSpec extends SparkSpec {
     assert(batchCm == jvmCm)
   }
 
+  test("rankSummarize sum-merges decimal buckets across triggers; " +
+      "negatives refuse") {
+    import graft.streaming.{RankState, ValueDoc}
+    val st = new TestGroupState[RankState]
+    graft.streaming.StreamingSketch.rankSummarize("g",
+      Iterator(ValueDoc("g", 1L, 123L), ValueDoc("g", 2L, 7L)),
+      st, 2).toSeq
+    // 123 -> (3, 12); 7 -> (1, 7)
+    assert(st.value.cells == Map((3L << 32 | 12L) -> 1L,
+      (1L << 32 | 7L) -> 1L) && st.value.nSeen == 2L)
+    graft.streaming.StreamingSketch.rankSummarize("g",
+      Iterator(ValueDoc("g", 3L, 125L)), st, 2).toSeq
+    assert(st.value.cells((3L << 32) | 12L) == 2L)
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingSketch.rankSummarize("g",
+        Iterator(ValueDoc("g", 4L, -1L)), st, 2).toSeq
+    }
+  }
+
+  test("rank sketch three-drain close-out equals the batch operator") {
+    val docs = (0L until 60L).map { i =>
+      (i, Seq("en", "de")((i % 2).toInt), (i * i * 37L) % 4321L)
+    }.toDF("doc_id", "lang", "n_tok")
+    val want = graft.operators.StatsOps
+      .rankSketchCells(docs, "n_tok", "lang")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val root = Files.createTempDirectory("graft_srank").toString
+    val inDir = s"$root/in"
+    docs.filter(col("doc_id") < 20).coalesce(1).write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    def drain(): Unit = graft.streaming.StreamingSketch.rankCellsRun(
+      spark, inDir, s"$root/out", s"$root/ckpt", schema, "lang", "n_tok")
+    drain()
+    docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    drain()
+    docs.filter(col("doc_id") >= 40).coalesce(1).write.mode("append")
+      .parquet(inDir)
+    drain()
+    val snaps = spark.read.parquet(s"$root/out")
+    val got = snaps.join(
+        snaps.groupBy("group").agg(max("n_seen").as("n_seen")),
+        Seq("group", "n_seen"))
+      .select("group", "digits", "lead", "n").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+  }
+
   test("close-out parity: three drains == the batch sketch, " +
       "register-for-register and cell-for-cell") {
     val docs = (0L until 60L).map { i =>
