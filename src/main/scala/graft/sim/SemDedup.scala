@@ -121,9 +121,13 @@ object SemDedup {
       roundScale: Int, centroidStride: Long,
       pq: Option[(Int, Int, Int)], pairBudget: Long): DataFrame = {
     val p = math.pow(10.0, roundScale)
+    // corpus size, when this path computes it anyway (stride
+    // derivation) — lets the pair guard free-pass without a job
+    val nKnown: Long =
+      if (centroidStride > 0L) -1L else corpus.count()
     val stride =
       if (centroidStride > 0L) centroidStride
-      else math.max(1L, corpus.count() / math.max(1, numCentroids))
+      else math.max(1L, nKnown / math.max(1, numCentroids))
     val centRows = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).cast("long").as("c_id"),
         col(vecCol).cast("array<double>").as("c_vec"))
@@ -167,7 +171,8 @@ object SemDedup {
       .select("id", "vec", "norm", "cluster", "cos_c")
       .localCheckpoint(eager = true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val keyed = pairKeys(members, pairBudget, roundScale)
+    val keyed = pairKeys(members, pairBudget, roundScale,
+      nTotalHint = nKnown)
     val pairs = pq match {
       case None => exactPairs(keyed, threshold, p)
       case Some((m, k, iters)) =>
@@ -229,8 +234,20 @@ object SemDedup {
     * upstream exact dedup (D1) — a mega-key of byte-identical vectors
     * is an exact-duplicate pile, not a semantic-dedup input. */
   private[sim] def pairKeys(members: DataFrame, budget: Long,
-      roundScale: Int, subK: Int = 16, maxDepth: Int = 8): DataFrame = {
+      roundScale: Int, subK: Int = 16, maxDepth: Int = 8,
+      nTotalHint: Long = -1L): DataFrame = {
     if (budget <= 0L) return members.withColumn("pk", col("cluster"))
+    // Job-free fast path: when the WHOLE corpus cannot exceed the
+    // pair budget, no cluster can — the size is either already known
+    // (the stride derivation counted the corpus) or one narrow count
+    // on the checkpointed members, strictly cheaper than the keyed
+    // size check it replaces. The shuffling groupBy below runs ONLY
+    // on corpora big enough that the guard can actually matter.
+    val nTotal =
+      if (nTotalHint >= 0L) nTotalHint else members.count()
+    if (nTotal <= 1L ||
+        BigInt(nTotal) * (nTotal - 1) / 2 <= BigInt(budget))
+      return members.withColumn("pk", col("cluster"))
     var fr = members.withColumn("pk", col("cluster").cast("string"))
     var refined = false
     var depth = 0
