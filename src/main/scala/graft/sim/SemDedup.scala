@@ -203,16 +203,23 @@ object SemDedup {
     * Oversize policy — one extra quantizer level per pass, restricted
     * to the oversize clusters (the [[ClusterOps]] discipline, applied
     * with the SAME assignment function the coarse stage used):
-    *   - seeds: per (key, md5-residue) class, the member whose
-    *     md5(id) string sorts lowest — one map-side-combined
-    *     aggregate over ONLY the oversize rows, collect bounded by
-    *     |oversize|·subK (≤ 64·16 rows per pass). md5 ranking (not
-    *     min id) matters: ingest order routinely correlates with
-    *     content, so id-ranked seeds would all come from one corner
-    *     of the cluster and each pass would peel a sliver instead of
-    *     splitting — md5 decorrelates the seed set from both id order
-    *     and geometry while staying deterministic and
-    *     engine-independent.
+    *   - seeds: the union of two families, each one map-side-combined
+    *     aggregate over ONLY the oversize rows (collect ≤ 2·64·subK
+    *     rows per pass): per (key, md5(id)-residue) class the member
+    *     whose md5(id) sorts lowest — mass-proportional coverage,
+    *     md5-ranked because ingest order correlates with content and
+    *     id-ranked seeds would all come from one corner of the
+    *     cluster — and per (key, depth-salted vector-hash) class the
+    *     same pick, so every DISTINCT geometry contributes a seed (a
+    *     key of one duplicate pile plus stragglers would otherwise
+    *     draw every seed from the pile and be unsplittable;
+    *     vector-class collisions re-roll per pass via the salt).
+    *   - resolution: pass 1 assigns at the operator's `roundScale`;
+    *     later passes escalate toward 12 decimals so near-identical
+    *     rows stop tying with a pile — only byte-identical vectors
+    *     remain inseparable, which is the set that must stay
+    *     together. (Refined keys are never oracle-replayed, so the
+    *     finer rounding costs no portability.)
     *   - assignment: [[graft.functions.NearestCentroids.topIds]]
     *     (rounded cosine, ties to smallest seed id) — the refined key
     *     is a FUNCTION OF THE VECTOR, so exact duplicates can never
@@ -272,12 +279,32 @@ object SemDedup {
         s"rows); sub-splitting (pass ${depth + 1}/$maxDepth)")
       val overKeys = over.map(_.getString(0)).toIndexedSeq
       val idMd5 = md5(col("id").cast("string"))
-      val seedIdRows = fr.filter(col("pk").isin(overKeys: _*))
-        .groupBy(col("pk"),
-          pmod(conv(substring(idMd5, 1, 8), 16, 10).cast("long"),
-            lit(subK.toLong)).as("__r"))
+      val overFr = fr.filter(col("pk").isin(overKeys: _*))
+      // Two seed families, unioned:
+      //  - md5(id)-residue classes: mass-proportional coverage of the
+      //    key (the workhorse split);
+      //  - depth-salted VECTOR-hash classes: every distinct geometry
+      //    contributes a seed. Without this family a key of one big
+      //    duplicate pile plus a few stragglers can draw ALL its
+      //    id-class seeds from the pile — every seed is the same
+      //    vector, assignment cannot separate anything, and the key
+      //    falsely "refuses" at maxDepth. Vector-class collisions
+      //    re-roll each pass via the depth salt.
+      val vecClass = pmod(conv(substring(md5(concat_ws(",",
+          lit(depth.toString), col("vec").cast("array<string>"))),
+          1, 8), 16, 10).cast("long"), lit(subK.toLong))
+      val idClass = pmod(conv(substring(idMd5, 1, 8), 16, 10)
+        .cast("long"), lit(subK.toLong))
+      val seedIdRows = overFr
+        .groupBy(col("pk"), idClass.as("__r"))
         .agg(min_by(col("id"), idMd5).as("sid"))
-        .select("pk", "sid").collect()
+        .select("pk", "sid")
+        .unionByName(overFr
+          .groupBy(col("pk"), vecClass.as("__r"))
+          .agg(min_by(col("id"), idMd5).as("sid"))
+          .select("pk", "sid"))
+        .distinct()
+        .collect()
       val seedIds: Map[String, IndexedSeq[Long]] =
         seedIdRows.groupBy(_.getString(0)).map { case (k, rs) =>
           k -> rs.map(_.getLong(1)).sorted.toIndexedSeq
@@ -290,11 +317,20 @@ object SemDedup {
         .collect()
         .map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Double](2))
         .toMap
+      // Pass 1 assigns at the operator's own roundScale; later passes
+      // ESCALATE the resolution (up to 12 decimals). Why: at the
+      // coarse scale a near-identical row ties with a duplicate
+      // pile's cosine to every seed and co-assigns with it forever —
+      // pass-2+ rounding separates everything except byte-identical
+      // vectors, which is exactly the set that MUST stay together.
+      // The refined keys are never oracle-replayed (only the parity
+      // path is), so the finer rounding costs no portability.
+      val passScale = math.min(12, roundScale + 3 * depth)
       val subExpr = overKeys.foldLeft(lit(null).cast("string")) { (acc, k) =>
         val ids = seedIds(k)
         when(col("pk") === lit(k), concat_ws("/", col("pk"),
           element_at(graft.functions.NearestCentroids.topIds(col("vec"),
-            ids, ids.map(i => vecOf((k, i))), 1, roundScale), 1)))
+            ids, ids.map(i => vecOf((k, i))), 1, passScale), 1)))
           .otherwise(acc)
       }
       // Checkpoint per pass: the refined frame feeds the next pass's

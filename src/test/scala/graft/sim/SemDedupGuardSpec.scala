@@ -106,6 +106,65 @@ class SemDedupGuardSpec extends SparkSpec {
     assert(exact.count(_.getBoolean(5)) < exact.size)
   }
 
+  test("property: over random corpora the guard's two theorems hold " +
+      "— budget compliance and keep-set containment") {
+    // deterministic pseudo-random corpora: mixed cones, planted
+    // exact-duplicate piles, a zero vector — the guard must (a)
+    // leave no pair key over budget, (b) never lose a guard-off
+    // exemplar (splitting refines components; the argmin of a
+    // component is the argmin of its sub-component).
+    for (trial <- 0 until 6) {
+      val rnd = new scala.util.Random(1000 + trial)
+      val n = 80 + rnd.nextInt(60)
+      val rows = (0 until n).map { i =>
+        val r = rnd.nextInt(10)
+        val v =
+          if (r == 0) Seq(0.0, 0.0, 0.0, 0.0)
+          else if (r <= 2) Seq(3.0, 4.0, 0.0, 0.0) // duplicate pile
+          else {
+            val t = rnd.nextDouble() * (math.Pi / 4)
+            val axis = rnd.nextInt(2)
+            if (axis == 0)
+              Seq(10 * math.cos(t), 10 * math.sin(t), 0.0, 0.0)
+            else Seq(0.0, 0.0, 10 * math.cos(t), 10 * math.sin(t))
+          }
+        (i.toLong, v)
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      val budget = 50L + rnd.nextInt(200)
+      // identical-vector piles are inseparable BY DESIGN — a pile
+      // whose own pair count exceeds the budget must REFUSE (the
+      // documented contract: exact-dedup upstream); otherwise the
+      // two theorems must hold.
+      val maxPile = rows.groupBy(_._2).valuesIterator.map(_.size).max
+      val pileOver = maxPile.toLong * (maxPile - 1) / 2 > budget
+      val m = membersOf(df)
+      try {
+        // (a) budget compliance on the refined keys
+        val keyed = SemDedup.pairKeys(m, budget, roundScale = 6)
+        val over = keyed.groupBy("pk").count()
+          .filter(col("count") * (col("count") - 1) / 2 > budget).count()
+        assert(over == 0L, s"trial $trial: $over keys over budget $budget")
+        // (b) containment end-to-end at a merging threshold
+        val kOn = SemDedup.semDedup(df, 0.995, centroidStride = n.toLong,
+            maxPairsPerCluster = budget)
+          .filter(col("keep")).select("id").collect()
+          .map(_.getLong(0)).toSet
+        val kOff = SemDedup.semDedup(df, 0.995, centroidStride = n.toLong,
+            maxPairsPerCluster = 0L)
+          .filter(col("keep")).select("id").collect()
+          .map(_.getLong(0)).toSet
+        assert((kOff -- kOn).isEmpty,
+          s"trial $trial: containment violated ${(kOff -- kOn).take(5)}")
+      } catch {
+        case e: IllegalStateException =>
+          assert(pileOver,
+            s"trial $trial: refused (${e.getMessage.take(80)}) but no " +
+            s"duplicate pile exceeds budget $budget (max pile $maxPile)")
+      }
+    }
+  }
+
   test("pairKeys refuses a geometrically inseparable mega-pile") {
     val v = Seq(3.0, 4.0, 0.0, 0.0)
     val m = membersOf((0 until 100).map(i => (i.toLong, v))
