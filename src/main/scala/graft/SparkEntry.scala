@@ -2920,6 +2920,26 @@ object SparkEntry {
       .orderBy("group", "digits", "lead")
   }
 
+  /** Systematic PPS sample ([[graft.text.SampleOps
+    * .samplePpsSystematic]], X83): 300 token-weighted draws over the
+    * documents corpus — exact integer grid over the packOffsets
+    * prefix sums, salt-derived start; the oracle replays the
+    * coordinate, the window prefix sum, and the ceil-div grid
+    * arithmetic verbatim. Σ n_hits = 300 by construction. */
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{SampleOps, TextOps}
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    val out = SampleOps.samplePpsSystematic(docs, "doc_id", "n_tok",
+        300L, "q153")
+      .select("doc_id", "n_tok", "n_hits")
+      .orderBy("doc_id")
+      .localCheckpoint(eager = true)
+    graft.text.PackOps.releaseSubstrates()
+    out
+  }
+
   /** BPE fertility / vocab-coverage report ([[graft.text.BpeOps
     * .fertilityReport]], VERDICT r16 ask #6): per (source, lang),
     * the exact integer counts behind fertility (subwords/word),
@@ -3351,6 +3371,7 @@ object SparkEntry {
     "q150_streaming_cm"     -> (q150 _),
     "q151_rank_sketch"      -> (q151 _),
     "q152_streaming_rank"   -> (q152 _),
+    "q153_pps_sample"       -> (q153 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -6083,6 +6104,29 @@ object SparkEntry {
         count(*)::BIGINT AS n
       FROM vt GROUP BY 1, 2, 3
       ORDER BY "group", digits, lead"""),
+    // Systematic PPS: hash coordinate, window prefix sum over
+    // (coord, doc_id), salt-derived start, ceil-div grid counts.
+    "q153_pps_sample" -> (tokCte + """,
+      w AS (SELECT d.doc_id, len(tk.toks)::BIGINT AS n_tok,
+          ('0x' || substr(md5('q153:' || d.doc_id), 1, 8))::BIGINT
+            / 4294967296.0 AS coord
+        FROM tk JOIN documents d USING (doc_id)),
+      t AS (SELECT sum(n_tok)::BIGINT AS tw FROM w),
+      o AS (SELECT doc_id, n_tok,
+          sum(n_tok) OVER (ORDER BY coord, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+            AS end_off
+        FROM w),
+      g AS (SELECT o.doc_id, o.n_tok, o.end_off, t.tw,
+          ('0x' || substr(md5('pps:q153'), 1, 15))::BIGINT % t.tw AS st
+        FROM o, t),
+      h AS (SELECT doc_id, n_tok,
+          ((end_off * 300 - st + tw - 1) // tw
+            - ((end_off - n_tok) * 300 - st + tw - 1) // tw)::BIGINT
+            AS n_hits
+        FROM g)
+      SELECT doc_id, n_tok, n_hits FROM h
+      WHERE n_hits > 0 ORDER BY doc_id"""),
     // Streaming rank-sketch close-out: the q151 batch replay plus
     // the per-group exact value-count watermark.
     "q152_streaming_rank" -> (tokCte + """,

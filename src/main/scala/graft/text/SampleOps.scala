@@ -243,6 +243,73 @@ object SampleOps {
     probs.map(p => sample(math.ceil(p * m).toInt - 1)._1)
   }
 
+  /** Systematic probability-proportional-to-size sample (Madow 1949,
+    * the classical survey-sampling systematic PPS) — the WEIGHTED
+    * tier of the sampling family: "k draws proportional to
+    * quality/length/score", the corpus-subselection primitive behind
+    * quality-weighted training mixes. k grid points sit at rational
+    * positions (s + j·W)/k (j = 0..k−1) over the corpus laid out in
+    * [[hashCoord]] order with exact cumulative integer weights (the
+    * [[PackOps.packOffsets]] two-pass prefix sum — no corpus-wide
+    * window); a row whose [start, end) weight interval contains m
+    * grid points is emitted with `n_hits` = m. The start s ∈ [0, W)
+    * is the salt's md5 (first 15 hex digits mod W — a plan literal
+    * the oracle recomputes in SQL), realizing Madow's random start
+    * deterministically, so inclusion probability is exactly w·k/W
+    * for w ≤ W/k under the start randomization; a heavier row is
+    * ALWAYS selected, with multiplicity (the with-replacement-like
+    * n_hits PPS assigns oversize units). Σ n_hits = k exactly — the
+    * grid partitions [0, W).
+    *
+    * Why not Efraimidis–Spirakis exponential keys (the usual
+    * weighted-sample-without-replacement answer): it ranks by
+    * ln(u)/w — transcendental floats whose libm differences break
+    * cross-engine replay on near-ties. Systematic PPS needs only
+    * integer div over exact prefix sums, so the oracle replays every
+    * selection verbatim.
+    *
+    * Scale shape: one narrow weight-sum pass, the packOffsets range
+    * shuffle + two per-partition scans (driver traffic = one row per
+    * partition), then a narrow integer filter. RETAINS the pack
+    * substrate (the [[PackOps]] contract — call
+    * `PackOps.releaseSubstrates()` once results are consumed).
+    * Weights: nonnegative integers; NULL counts as 0 (never
+    * selected); negative throws; requires W·k < 2^63 (scale weights
+    * down for very large k — only ratios matter).
+    *
+    * Returns the selected rows: input columns + `n_hits` (long ≥ 1). */
+  def samplePpsSystematic(df: DataFrame, idCol: String,
+      weightCol: String, k: Long, salt: String): DataFrame = {
+    require(k >= 1, s"samplePpsSystematic: k=$k")
+    val wChecked = when(col(weightCol) < 0, raise_error(concat(
+        lit(s"samplePpsSystematic($weightCol): negative weight "),
+        col(weightCol).cast("string"))))
+      .otherwise(col(weightCol))
+    val staged = df.withColumn("__w",
+      coalesce(wChecked.cast("long"), lit(0L)))
+    val totW = staged.agg(sum(col("__w"))).head().getLong(0)
+    require(totW > 0, "samplePpsSystematic: total weight is 0")
+    require(totW <= Long.MaxValue / k,
+      s"samplePpsSystematic: W=$totW x k=$k overflows the 64-bit " +
+      "grid arithmetic — scale the weights down (only ratios matter)")
+    val s = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pps:$salt".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16) % totW
+    }
+    // hits = #{j in [0,k): start*k <= s + j*W < end*k}
+    //      = ceilDiv(end*k - s, W) - ceilDiv(start*k - s, W);
+    // numerators are >= -s > -W, so the (a + W - 1) div W form is
+    // exact (the sum is nonnegative, div == floor).
+    graft.text.PackOps.packOffsets(staged, idCol, "__w", salt)
+      .withColumn("n_hits",
+        expr(s"(end_off * ${k}L - ${s}L + ${totW - 1}L) div ${totW}L" +
+          s" - (start_off * ${k}L - ${s}L + ${totW - 1}L) div ${totW}L"))
+      .filter(col("n_hits") > 0)
+      .drop("__w", "start_off", "end_off")
+  }
+
   /** EXACT-count stratified sample: keep exactly
     * `floor(n_s·num/den)` rows of each stratum — the rows whose hash
     * coordinate ranks lowest within the stratum (ties by id).
