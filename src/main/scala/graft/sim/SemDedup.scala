@@ -259,9 +259,13 @@ object SemDedup {
     var refined = false
     var depth = 0
     while (true) {
+      // limit(65): the pass refuses above 64 oversize keys anyway, so
+      // the driver never collects more than 65 rows — without the
+      // limit a pathological corpus (millions of slightly-over keys)
+      // would flood the driver BEFORE the cap could fire.
       val over = fr.groupBy("pk").count()
         .filter(col("count") * (col("count") - 1) / 2 > budget)
-        .select(col("pk"), col("count")).collect()
+        .select(col("pk"), col("count")).limit(65).collect()
       if (over.isEmpty)
         return if (refined) fr else members.withColumn("pk", col("cluster"))
       if (depth >= maxDepth)
@@ -272,7 +276,7 @@ object SemDedup {
           "geometrically inseparable (identical/near-identical vectors); " +
           "run exact dedup (D1) upstream or raise the budget.")
       require(over.length <= 64,
-        s"SemDedup pair guard: ${over.length} oversize pair keys in one " +
+        "SemDedup pair guard: more than 64 oversize pair keys in one " +
         "pass (cap 64) — raise maxPairsPerCluster or numCentroids")
       log.warn(s"graft SemDedup: ${over.length} cluster key(s) exceed " +
         s"the $budget pair budget (largest ${over.map(_.getLong(1)).max} " +
