@@ -6121,9 +6121,9 @@ object SparkEntry {
           ('0x' || substr(md5('pps:q153'), 1, 15))::BIGINT % t.tw AS st
         FROM o, t),
       h AS (SELECT doc_id, n_tok,
-          ((end_off * 300 - st + tw - 1) // tw
-            - ((end_off - n_tok) * 300 - st + tw - 1) // tw)::BIGINT
-            AS n_hits
+          ((end_off::HUGEINT * 300 - st + tw - 1) // tw
+            - ((end_off - n_tok)::HUGEINT * 300 - st + tw - 1) // tw)
+            ::BIGINT AS n_hits
         FROM g)
       SELECT doc_id, n_tok, n_hits FROM h
       WHERE n_hits > 0 ORDER BY doc_id"""),

@@ -200,7 +200,15 @@ object StatsOps {
         var scale = 1L
         var e = d - l.toString.length
         while (e > 0) { scale *= 10L; e -= 1 }
-        return (l * scale, (l + 1) * scale)
+        // lo cannot overflow (a bucket only exists for values that
+        // fit in a long, and lo ≤ the smallest such value), but hi =
+        // (lead+1)·scale can at 19 digits (lead 92 → 93·10^17 >
+        // Long.Max, ADVICE r18): clamp to Long.MaxValue — the true
+        // quantile still lies in [lo, Long.MaxValue].
+        val hi =
+          try Math.multiplyExact(l + 1, scale)
+          catch { case _: ArithmeticException => Long.MaxValue }
+        return (l * scale, hi)
       }
     }
     throw new IllegalStateException("rank walk exhausted") // unreachable

@@ -263,8 +263,16 @@ object SemDedup {
       // the driver never collects more than 65 rows — without the
       // limit a pathological corpus (millions of slightly-over keys)
       // would flood the driver BEFORE the cap could fire.
+      // The size test compares in DOUBLE space: n·(n−1)/2 as a long
+      // multiply overflows above n ≈ 3.04e9 — exactly the mega-key
+      // tail the guard exists for — and under ANSI would throw here
+      // instead of splitting (ADVICE r18). A budget heuristic needs
+      // no exactness near the threshold; n ≤ 65k keys are exact in
+      // double anyway (< 2^53).
       val over = fr.groupBy("pk").count()
-        .filter(col("count") * (col("count") - 1) / 2 > budget)
+        .filter(col("count").cast("double") *
+          (col("count").cast("double") - 1.0) / 2.0 >
+          lit(budget.toDouble))
         .select(col("pk"), col("count")).limit(65).collect()
       if (over.isEmpty)
         return if (refined) fr else members.withColumn("pk", col("cluster"))
@@ -299,26 +307,30 @@ object SemDedup {
           1, 8), 16, 10).cast("long"), lit(subK.toLong))
       val idClass = pmod(conv(substring(idMd5, 1, 8), 16, 10)
         .cast("long"), lit(subK.toLong))
-      val seedIdRows = overFr
+      // Seed ids AND seed vectors collected in ONE pass (VERDICT r18
+      // ask #4): min_by(struct(id, vec)) rides the vector along with
+      // the winning id, so the guard's firing path reads the oversize
+      // slice once per pass instead of re-filtering it for the seed
+      // vectors. Collect stays ≤ 2·64·subK rows, now ~d doubles wider
+      // each — still parameter-bounded.
+      val seedStruct = struct(col("id"),
+        col("vec").cast("array<double>").as("vec"))
+      val seedRows = overFr
         .groupBy(col("pk"), idClass.as("__r"))
-        .agg(min_by(col("id"), idMd5).as("sid"))
-        .select("pk", "sid")
+        .agg(min_by(seedStruct, idMd5).as("s"))
+        .select(col("pk"), col("s.id").as("sid"), col("s.vec").as("svec"))
         .unionByName(overFr
           .groupBy(col("pk"), vecClass.as("__r"))
-          .agg(min_by(col("id"), idMd5).as("sid"))
-          .select("pk", "sid"))
+          .agg(min_by(seedStruct, idMd5).as("s"))
+          .select(col("pk"), col("s.id").as("sid"),
+            col("s.vec").as("svec")))
         .distinct()
         .collect()
       val seedIds: Map[String, IndexedSeq[Long]] =
-        seedIdRows.groupBy(_.getString(0)).map { case (k, rs) =>
+        seedRows.groupBy(_.getString(0)).map { case (k, rs) =>
           k -> rs.map(_.getLong(1)).sorted.toIndexedSeq
         }
-      val allSeedIds = seedIdRows.map(r => java.lang.Long.valueOf(
-        r.getLong(1))).toIndexedSeq
-      val vecOf = fr.filter(col("pk").isin(overKeys: _*) &&
-          col("id").isin(allSeedIds: _*))
-        .select(col("pk"), col("id"), col("vec").cast("array<double>"))
-        .collect()
+      val vecOf = seedRows
         .map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Double](2))
         .toMap
       // Pass 1 assigns at the operator's own roundScale; later passes

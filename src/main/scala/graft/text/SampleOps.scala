@@ -274,8 +274,12 @@ object SampleOps {
     * substrate (the [[PackOps]] contract — call
     * `PackOps.releaseSubstrates()` once results are consumed).
     * Weights: nonnegative integers; NULL counts as 0 (never
-    * selected); negative throws; requires W·k < 2^63 (scale weights
-    * down for very large k — only ratios matter).
+    * selected); negative throws. Grid hit-counts compute in
+    * DECIMAL(38,0) (DuckDB replays as HUGEINT), so W·k needs no
+    * 64-bit headroom — token-weighted sampling at real corpus totals
+    * (W ≈ 10¹³ tokens × k ≈ 10⁸ draws) runs without rescaling; only
+    * W itself must fit a long (the packOffsets prefix substrate),
+    * and W·k ≤ ~8.5×10³⁷ < 10³⁸ holds for ALL long inputs.
     *
     * Returns the selected rows: input columns + `n_hits` (long ≥ 1). */
   def samplePpsSystematic(df: DataFrame, idCol: String,
@@ -287,11 +291,12 @@ object SampleOps {
       .otherwise(col(weightCol))
     val staged = df.withColumn("__w",
       coalesce(wChecked.cast("long"), lit(0L)))
-    val totW = staged.agg(sum(col("__w"))).head().getLong(0)
+    // coalesce: an empty input (or all-null weights) sums to NULL —
+    // fold to 0 so the require below fires with the designed
+    // diagnostic instead of a generic null-value error (ADVICE r18).
+    val totW = staged.agg(coalesce(sum(col("__w")), lit(0L)))
+      .head().getLong(0)
     require(totW > 0, "samplePpsSystematic: total weight is 0")
-    require(totW <= Long.MaxValue / k,
-      s"samplePpsSystematic: W=$totW x k=$k overflows the 64-bit " +
-      "grid arithmetic — scale the weights down (only ratios matter)")
     val s = {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(s"pps:$salt".getBytes("UTF-8"))
@@ -301,11 +306,17 @@ object SampleOps {
     // hits = #{j in [0,k): start*k <= s + j*W < end*k}
     //      = ceilDiv(end*k - s, W) - ceilDiv(start*k - s, W);
     // numerators are >= -s > -W, so the (a + W - 1) div W form is
-    // exact (the sum is nonnegative, div == floor).
+    // exact (the sum is nonnegative, div == floor). The off*k
+    // products compute in DECIMAL(38,0): W·k overflows a long at
+    // real corpus totals (W ≈ 10¹³ × k ≈ 10⁸), while 38 digits hold
+    // the worst case for all long inputs (< 8.6×10³⁷); the integral
+    // div quotient is ≤ k, back in long range.
     graft.text.PackOps.packOffsets(staged, idCol, "__w", salt)
       .withColumn("n_hits",
-        expr(s"(end_off * ${k}L - ${s}L + ${totW - 1}L) div ${totW}L" +
-          s" - (start_off * ${k}L - ${s}L + ${totW - 1}L) div ${totW}L"))
+        expr(s"cast((cast(end_off as decimal(38,0)) * ${k}L - ${s}L" +
+          s" + ${totW - 1}L) div ${totW}L" +
+          s" - (cast(start_off as decimal(38,0)) * ${k}L - ${s}L" +
+          s" + ${totW - 1}L) div ${totW}L as bigint)"))
       .filter(col("n_hits") > 0)
       .drop("__w", "start_off", "end_off")
   }

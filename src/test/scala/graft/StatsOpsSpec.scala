@@ -119,4 +119,19 @@ class StatsOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("negative value") ||
       Option(ex.getCause).exists(_.getMessage.contains("negative value")))
   }
+
+  test("rankSketchQuantile clamps hi at 19 digits (ADVICE r18)") {
+    // Values near Long.MaxValue bucket at (digits=19, lead=92);
+    // (lead+1)·10^17 = 9.3e18 overflows a long — hi must clamp to
+    // Long.MaxValue, not wrap negative, and lo stays exact.
+    val v = Long.MaxValue - 5 // 9223372036854775802 → bucket (19, 92)
+    val cells = Seq((19, 92L, 3L))
+    val (lo, hi) = StatsOps.rankSketchQuantile(cells, 0.5)
+    assert(lo == 9200000000000000000L)
+    assert(hi == Long.MaxValue)
+    assert(lo <= v && v < hi)
+    // an unclamped 18-digit bucket is untouched
+    val (lo2, hi2) = StatsOps.rankSketchQuantile(Seq((18, 92L, 1L)), 1.0)
+    assert(lo2 == 920000000000000000L && hi2 == 930000000000000000L)
+  }
 }
