@@ -96,6 +96,25 @@ object SemDedup {
     * [[semDedup]] — the approximation buys bytes and FLOPs, never
     * recall (spec-pinned; q113 pins it against q87's oracle).
     *
+    * `lowerBoundSkip` (VERDICT r18 #5, OPT-IN): the same bound
+    * applied from BELOW marks pairs whose true cosine provably
+    * clears the threshold plus the rounding grid — those ride the
+    * rescore joins as narrow no-fetch rows (`!sure` as an extra join
+    * condition: no checkpoint, no second self-join, no null-key
+    * skew), cutting the mid-pipeline exchange payload from
+    * |pairs|·d floats to |uncertain|·d. Output is bit-identical
+    * either way (admissibility spec-pinned; SemLbSmoke asserts
+    * end-to-end arm parity). It is OFF by default because the win is
+    * NETWORK-bound: on local[32] page-cache shuffle the payload cut
+    * is free anyway and the per-pair bookkeeping reads 1.0–1.4×
+    * (measured matrix in BENCH_NOTES r19 — q113 parity, d=512 pile
+    * parity, d=64 pile 1.37×), while on q113's noisy corpus the
+    * band never certifies at ANY trainable codebook (census: sure =
+    * 0/100k at m∈{4,8,16}, k∈{16,32} — recon error stays O(‖v‖), so
+    * no SDC-table bound can prune there). Enable it on a real
+    * cluster for wide-vector duplication-heavy corpora, where
+    * |pairs|·d floats through two exchanges is the binding cost.
+    *
     * When it wins — and when it does not (measured, BENCH_NOTES r14
     * A/B): the prefilter only pays when the uncertain band is small,
     * i.e. codebooks tight enough (large m·k) that the error margins
@@ -111,15 +130,17 @@ object SemDedup {
       vecCol: String = "embedding", roundScale: Int = 6,
       centroidStride: Long = 0L, pqSubspaces: Int = 4,
       pqCodes: Int = 16, pqIters: Int = 1,
-      maxPairsPerCluster: Long = DefaultPairBudget): DataFrame =
+      maxPairsPerCluster: Long = DefaultPairBudget,
+      lowerBoundSkip: Boolean = false): DataFrame =
     run(corpus, threshold, numCentroids, idCol, vecCol, roundScale,
       centroidStride, pq = Some((pqSubspaces, pqCodes, pqIters)),
-      pairBudget = maxPairsPerCluster)
+      pairBudget = maxPairsPerCluster, lbSkip = lowerBoundSkip)
 
-  private def run(corpus: DataFrame, threshold: Double,
+  private[sim] def run(corpus: DataFrame, threshold: Double,
       numCentroids: Int, idCol: String, vecCol: String,
       roundScale: Int, centroidStride: Long,
-      pq: Option[(Int, Int, Int)], pairBudget: Long): DataFrame = {
+      pq: Option[(Int, Int, Int)], pairBudget: Long,
+      lbSkip: Boolean = false): DataFrame = {
     val p = math.pow(10.0, roundScale)
     // corpus size, when this path computes it anyway (stride
     // derivation) — lets the pair guard free-pass without a job
@@ -176,7 +197,8 @@ object SemDedup {
     val pairs = pq match {
       case None => exactPairs(keyed, threshold, p)
       case Some((m, k, iters)) =>
-        pqPairs(corpus, keyed, threshold, p, idCol, vecCol, m, k, iters)
+        pqPairs(corpus, keyed, threshold, p, idCol, vecCol, m, k,
+          iters, lbSkip)
     }
     val comp = graft.text.DedupOps.connectedComponents(
       members.select(col("id")), pairs)
@@ -381,9 +403,9 @@ object SemDedup {
   /** SDC pair stage: codes + error scalars ride the self-join; the
     * conservative bound admits every true pair (exact recall), the
     * exact rescore re-applies the true threshold on the sliver. */
-  private def pqPairs(corpus: DataFrame, members: DataFrame,
+  private[sim] def pqPairs(corpus: DataFrame, members: DataFrame,
       threshold: Double, p: Double, idCol: String, vecCol: String,
-      m: Int, k: Int, iters: Int): DataFrame = {
+      m: Int, k: Int, iters: Int, lbSkip: Boolean = false): DataFrame = {
     val model = PqOps.pqTrain(corpus, idCol, vecCol,
       subspaces = m, k = k, iters = iters)
     val scale = (1L << model.scaleBits).toDouble
@@ -435,26 +457,68 @@ object SemDedup {
     // the threshold), so the rounding-grid slack must be scaled by
     // the norm product: an absolute 1/p only covers na·nb ≤ 2 and
     // silently drops boundary pairs for larger norms (ADVICE r14).
-    // margin = quantization bound (×(1+1e-12) fp headroom, relative)
-    //        + (0.5/p + eps)·na·nb for the rounding grid.
-    val margin = (col("ra") * col("eb") + col("ea") * col("rb") +
-      col("ea") * col("eb")) * lit(1.0 + 1e-12) +
+    // The quantization bound Q = rn_a·e_b + e_a·rn_b + e_a·e_b
+    // (×(1+1e-12) fp headroom) sandwiches the true dot BOTH ways:
+    //   |dot(a,b) − sdcDot| ≤ Q
+    // so the SAME table gives two admissible tests (VERDICT r18 #5):
+    //   admit (upper): sdcDot + Q + grid·na·nb ≥ thr·na·nb — any
+    //     true pair survives (exact recall, as before);
+    //   sure (lower):  sdcDot − Q ≥ (thr + 0.5/p + eps)·na·nb — the
+    //     true cosine provably clears the rounding grid ABOVE thr,
+    //     so the pair's exact rescore cannot fail and is SKIPPED.
+    // Only the uncertain band (admitted, not sure) pays the two
+    // vector-fetch joins — on a duplication-amplified corpus (true
+    // cosines ≈ 1 ≫ thr) that band is a sliver, which is where the
+    // r14 A/B's 9× exact-path win actually lived.
+    val qBound = (col("ra") * col("eb") + col("ea") * col("rb") +
+      col("ea") * col("eb")) * lit(1.0 + 1e-12)
+    val margin = qBound +
       (lit(0.5 / p) + lit(1e-9)) * col("na") * col("nb")
-    val cand = a.join(b.hint("merge"), Seq("pk"))
+    val admit = col("na") > 0.0 && col("nb") > 0.0 &&
+      (sdcDot + margin) / (col("na") * col("nb")) >= threshold
+    val sure = sdcDot - qBound >= (lit(threshold) + lit(0.5 / p) +
+      lit(1e-9)) * col("na") * col("nb")
+    val joined = a.join(b.hint("merge"), Seq("pk"))
       .filter(col("id_a") < col("id_b"))
-      .filter(col("na") > 0.0 && col("nb") > 0.0 &&
-        (sdcDot + margin) / (col("na") * col("nb")) >= threshold)
-      .select("id_a", "id_b")
-    // exact rescore on the candidate sliver only — corpus-derived
-    // sides strategy-pinned, never size-estimate broadcast
-    val va = members.select(col("id").as("id_a"), col("vec").as("va"),
-      col("norm").as("na"))
-    val vb = members.select(col("id").as("id_b"), col("vec").as("vb"),
-      col("norm").as("nb"))
-    cand.join(va.hint("shuffle_hash"), "id_a")
-      .join(vb.hint("shuffle_hash"), "id_b")
-      .filter(rcos(p)(col("va"), col("na"), col("vb"), col("nb"))
-        >= threshold)
+    // exact rescore sides — corpus-derived, strategy-pinned, never
+    // size-estimate broadcast
+    val va = members.select(col("id").as("__ia"), col("vec").as("va"),
+      col("norm").as("__nra"))
+    val vb = members.select(col("id").as("__ib"), col("vec").as("vb"),
+      col("norm").as("__nrb"))
+    if (!lbSkip) {
+      // default path: admit-then-rescore-everything — the measured
+      // winner on shuffle-cheap (local/page-cache) execution; see
+      // the lowerBoundSkip scaladoc + BENCH_NOTES r19 matrix
+      val cand0 = joined.filter(admit).select("id_a", "id_b")
+      return cand0
+        .join(va.hint("shuffle_hash"), cand0("id_a") === va("__ia"))
+        .join(vb.hint("shuffle_hash"), cand0("id_b") === vb("__ib"))
+        .filter(rcos(p)(col("va"), col("__nra"), col("vb"), col("__nrb"))
+          >= threshold)
+        .select("id_a", "id_b")
+    }
+    // Sure pairs skip the vector fetch INSIDE one pipeline: `!sure`
+    // rides each equi-join as an extra condition, so a sure pair
+    // hash-partitions normally (no null-key skew), probes nothing,
+    // and crosses both exchanges as a ~25 B narrow row with NULL
+    // vector columns — while an uncertain pair fetches its vectors
+    // exactly as before. The final filter `sure OR rcos ≥ thr` is
+    // then exact on the uncertain band and constant-true on the sure
+    // band. One dataflow: no checkpoint, no second self-join (the
+    // split-and-union formulations measured 2–2.5× this shape at
+    // f50 — SemLbStage), and the mid-pipeline exchange payload drops
+    // from |pairs|·d floats to |uncertain|·d.
+    val cand = joined.filter(admit)
+      .select(col("id_a"), col("id_b"), sure.as("__sure"))
+    cand
+      .join(va.hint("shuffle_hash"),
+        cand("id_a") === va("__ia") && !cand("__sure"), "left")
+      .join(vb.hint("shuffle_hash"),
+        cand("id_b") === vb("__ib") && !cand("__sure"), "left")
+      .filter(col("__sure") ||
+        rcos(p)(col("va"), col("__nra"), col("vb"), col("__nrb"))
+          >= threshold)
       .select("id_a", "id_b")
   }
 }

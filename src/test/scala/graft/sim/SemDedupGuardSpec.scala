@@ -165,6 +165,58 @@ class SemDedupGuardSpec extends SparkSpec {
     }
   }
 
+  test("SDC bound admissibility: sdcDot sandwiches the true dot, and " +
+      "the lower-bound 'sure' test never admits a sub-threshold pair") {
+    // The invariant BOTH pqPairs tests rest on (upper admit = exact
+    // recall; lower sure = rescore skip, VERDICT r18 #5):
+    //   |dot(a,b) − sdcDot| ≤ Q,  Q = rn_a·e_b + e_a·rn_b + e_a·e_b
+    // checked literally over every pair of a random corpus, plus the
+    // implication: sure(thr) ⇒ rounded cosine ≥ thr for a threshold
+    // ladder.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextDouble() * 4 - 2)))
+    val df = rows.toDF("vec_id", "embedding")
+    val model = PqOps.pqTrain(df, "vec_id", "embedding",
+      subspaces = 2, k = 4, iters = 1)
+    val scale = (1L << model.scaleBits).toDouble
+    val off = 1L << (model.scaleBits + 1)
+    val reconD = model.codebook.map(_.map(_.map(c => (c - off) / scale)))
+    val meta = PqOps.withPqMeta(
+        df.select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec")),
+        "vec", model)
+      .select("id", "__codes", "__pqerr", "__pqnorm").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val vecOf = rows.toMap
+    val p = 1e6
+    val thrs = Seq(-0.5, 0.0, 0.35, 0.9, 0.99)
+    for {
+      (ia, _) <- rows; (ib, _) <- rows if ia < ib
+    } {
+      val (ca, ea, ra) = meta(ia); val (cb, eb, rb) = meta(ib)
+      val sdc = (0 until model.subspaces).map(s =>
+        dot(reconD(s)(ca(s)).toSeq, reconD(s)(cb(s)).toSeq)).sum
+      val q = ra * eb + ea * rb + ea * eb
+      val t = dot(vecOf(ia), vecOf(ib))
+      assert(sdc - q - 1e-9 <= t && t <= sdc + q + 1e-9,
+        s"pair ($ia,$ib): dot $t outside [${sdc - q}, ${sdc + q}]")
+      val na = math.sqrt(dot(vecOf(ia), vecOf(ia)))
+      val nb = math.sqrt(dot(vecOf(ib), vecOf(ib)))
+      val rcos = math.floor(t / (na * nb) * p + 0.5) / p
+      for (thr <- thrs) {
+        val sure = sdc - q * (1.0 + 1e-12) >=
+          (thr + 0.5 / p + 1e-9) * na * nb
+        assert(!sure || rcos >= thr,
+          s"pair ($ia,$ib) thr $thr: sure but rcos $rcos < thr")
+      }
+    }
+  }
+
   test("pairKeys refuses a geometrically inseparable mega-pile") {
     val v = Seq(3.0, 4.0, 0.0, 0.0)
     val m = membersOf((0 until 100).map(i => (i.toLong, v))
