@@ -2940,6 +2940,43 @@ object SparkEntry {
     out
   }
 
+  /** Image near-dup pairs ([[graft.multimodal.MediaDedup]], X84 —
+    * VERDICT r18 ask #1): deterministic 18×16 BMPs in exact-dup
+    * piles (seed = doc_id % 40) with three engineered dup classes —
+    * PNG re-encode (doc_id % 3 = 1: different bytes, identical
+    * pixels), global brightness +7 (doc_id % 5 = 2: dHash-invariant
+    * when unclamped), and a right-edge "sticker" edit (doc_id % 7 =
+    * 3: +80 on x ≥ 14, clamped at 255 — flips only right-column
+    * comparisons, a small positive Hamming distance). The REAL
+    * ImageIO decoder hashes every payload (the re-encodes exercise
+    * the PNG codec path); pairs come from the 4×16-bit rotated-band
+    * join at radius 3. The oracle re-derives every pixel, the luma
+    * grid, the 64 packed comparison bits (sign bit via two's
+    * complement), and the pair set by brute self-join — equal to
+    * the banded join by the pigeonhole exactness argument. */
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{MediaDedup, Multimodal}
+    import s.implicits._
+    val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val sd = (id % 40).toInt
+        val bright = id % 5 == 2
+        val sticker = id % 7 == 3
+        def ch(a: Int, b: Int, c: Int, x: Int, y: Int): Int = {
+          var v = (sd * a + x * b + y * c) % 248
+          if (bright) v += 7
+          if (sticker && x >= 14) v += 80
+          math.min(v, 255)
+        }
+        val bmp = Multimodal.SyntheticMedia.bmp24(18, 16)((x, y) =>
+          (ch(3, 7, 11, x, y), ch(5, 11, 3, x, y), ch(7, 3, 13, x, y)))
+        (id, if (id % 3 == 1) MediaDedup.pngReencode(bmp) else bmp)
+      }.toDF("media_id", "payload")
+    MediaDedup.nearDupPairs(MediaDedup.withDhash(media),
+        "media_id", "dhash", 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** BPE fertility / vocab-coverage report ([[graft.text.BpeOps
     * .fertilityReport]], VERDICT r16 ask #6): per (source, lang),
     * the exact integer counts behind fertility (subwords/word),
@@ -3372,6 +3409,7 @@ object SparkEntry {
     "q151_rank_sketch"      -> (q151 _),
     "q152_streaming_rank"   -> (q152 _),
     "q153_pps_sample"       -> (q153 _),
+    "q154_image_neardup"    -> (q154 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -6127,6 +6165,45 @@ object SparkEntry {
         FROM g)
       SELECT doc_id, n_tok, n_hits FROM h
       WHERE n_hits > 0 ORDER BY doc_id"""),
+    // Image near-dup: pixel grid -> BT.601 integer luma -> 9x8 cell
+    // sums (18x16 fixtures: every cell exactly 2x2 px, so the
+    // engine's cross-multiplied mean compare reduces to sum<sum) ->
+    // 64 packed bits (bit 63 = sign via two's complement) -> brute
+    // pair join at radius 3 (== the engine's banded join by
+    // pigeonhole exactness).
+    "q154_image_neardup" -> """
+      WITH px AS (
+        SELECT d.doc_id, x.x, y.y,
+          (CASE WHEN d.doc_id % 5 = 2 THEN 7 ELSE 0 END +
+           CASE WHEN d.doc_id % 7 = 3 AND x.x >= 14 THEN 80 ELSE 0 END)
+            AS sh
+        FROM documents d
+        CROSS JOIN generate_series(0, 17) AS x(x)
+        CROSS JOIN generate_series(0, 15) AS y(y)),
+      lum AS (
+        SELECT doc_id, x // 2 AS cx, y // 2 AS cy,
+          sum(299 * least(((doc_id % 40) * 3 + x * 7 + y * 11) % 248 + sh, 255)
+            + 587 * least(((doc_id % 40) * 5 + x * 11 + y * 3) % 248 + sh, 255)
+            + 114 * least(((doc_id % 40) * 7 + x * 3 + y * 13) % 248 + sh, 255))
+            AS s
+        FROM px GROUP BY doc_id, x // 2, y // 2),
+      bits AS (
+        SELECT a.doc_id, (a.cy * 8 + a.cx)::INT AS bit
+        FROM lum a JOIN lum b
+          ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        WHERE a.s < b.s),
+      hash AS (
+        SELECT d.doc_id,
+          coalesce(sum(CASE WHEN bit = 63
+            THEN (-9223372036854775807 - 1)
+            ELSE (1::BIGINT << bit) END), 0)::BIGINT AS h
+        FROM documents d LEFT JOIN bits USING (doc_id)
+        GROUP BY d.doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        bit_count(xor(a.h, b.h))::INT AS hdist
+      FROM hash a JOIN hash b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.h, b.h)) <= 3
+      ORDER BY id_a, id_b""",
     // Streaming rank-sketch close-out: the q151 batch replay plus
     // the per-group exact value-count watermark.
     "q152_streaming_rank" -> (tokCte + """,

@@ -1,0 +1,201 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Image NEAR-duplicate tier (VERDICT r18 ask #1) — the gap between
+  * byte-exact media fingerprints and embedding SemDeDup: a 64-bit
+  * difference hash ("dHash", the public perceptual-hash family à la
+  * Krawetz's "Kind of Like That", 2013; same gradient idea as
+  * pHash/blockhash surveys) over the REAL decoder, wired into the
+  * engine's existing Hamming retrieval machinery.
+  *
+  * Why dHash for the 100 TB curation pass: crop-resistant enough for
+  * re-encode/resize/brightness dupes (the dominant web-image dup
+  * classes), 64 bits per image (a billion images = 8 GB of
+  * signatures — broadcastable shards), pure integer arithmetic end
+  * to end, and ranking/pairing is `bit_count(xor)` — the same
+  * engine-portable kernel as [[graft.sim.HammingOps]] / SimHash.
+  *
+  * Integer-exact contract (the oracle replays it verbatim over the
+  * seed-arithmetic [[Multimodal.SyntheticMedia.bmp24]] fixtures):
+  *   - luma = 299·R + 587·G + 114·B (BT.601 coefficients ×1000,
+  *     exact ints in 0..255000 — no float grayscale);
+  *   - pixel (x, y) of a W×H image belongs to grid cell
+  *     (x·9 div W, y·8 div H) — the 9×8 box partition (W ≥ 9,
+  *     H ≥ 8 guarantees every cell nonempty: consecutive cell
+  *     indices step by < 1);
+  *   - row-adjacent cells compare by MEAN luma via cross-multiplied
+  *     integer sums: left < right ⟺ sumL·nR < sumR·nL — exact, no
+  *     division (boxes may differ by one pixel column/row when
+  *     9 ∤ W or 8 ∤ H); safe for any image up to ~10⁹ px;
+  *   - bit (cy·8 + cx) of the signature is set iff cell (cx, cy) <
+  *     cell (cx+1, cy), cx ∈ 0..7, cy ∈ 0..7 — 64 comparisons in
+  *     ONE signed BIGINT (bit 63 is the sign bit; xor/bit_count are
+  *     two's-complement-identical in Spark and DuckDB).
+  *
+  * Decode is [[javax.imageio.ImageIO]] (PNG/BMP/GIF/JPEG, no
+  * external library — the [[Multimodal.MediaDecoder.ImageIo]]
+  * codec); undecodable or sub-grid payloads hash to NULL and join
+  * no pair (the poison-row convention — one bad row must not kill a
+  * corpus pass, and dedup must not silently eat undecodable rows).
+  *
+  * Pairing is the rotated-table pigeonhole scheme the engine already
+  * uses for 64-bit SimHash ([[graft.text.DedupOps.simhashPairs64]],
+  * Manku et al. WWW'07): a pair within Hamming radius ≤ 3 must agree
+  * exactly on one of the four 16-bit words, so the band equi-join
+  * finds every such pair with NO recall loss, at O(n²/2¹⁶) per band
+  * instead of the corpus cross join. Consumers needing top-k instead
+  * of pairs feed the same signatures to
+  * [[graft.sim.HammingOps.hammingTopK]]-style ranking.
+  *
+  * Reference scope: the reference pipeline has no image operators;
+  * extends the multimodal family per the build brief's training-data
+  * mandate (text: 4 dedup tiers; embeddings: SemDeDup; images: this
+  * + the byte-exact fingerprint). */
+object MediaDedup {
+
+  /** 64-bit difference hash of a decoded image; null (boxed) when
+    * the image is smaller than the 9×8 grid. */
+  def dhash64(img: java.awt.image.BufferedImage): java.lang.Long = {
+    val w = img.getWidth; val h = img.getHeight
+    if (w < 9 || h < 8) return null
+    val sums = Array.ofDim[Long](8, 9)
+    val counts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val cy = (y.toLong * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val cx = (x.toLong * 9 / w).toInt
+        val rgb = img.getRGB(x, y)
+        sums(cy)(cx) += 299L * ((rgb >> 16) & 0xff) +
+          587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+        counts(cy)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var sig = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (sums(cy)(cx) * counts(cy)(cx + 1) <
+            sums(cy)(cx + 1) * counts(cy)(cx))
+          sig |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    sig
+  }
+
+  /** Decode-and-hash: ImageIO over the payload bytes (in-memory
+    * cache — the [[Multimodal.MediaDecoder.ImageIo]] tmpfs lesson),
+    * null on any decode failure. */
+  def dhash64Bytes(payload: Array[Byte]): java.lang.Long = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) null else dhash64(img)
+  }
+
+  /** Lossless PNG re-encode of any decodable payload (fixture/test
+    * helper for the re-encoded-near-duplicate class: different
+    * bytes, identical pixels, identical dHash). Throws on
+    * undecodable input — fixtures are constructed, not scavenged. */
+  def pngReencode(payload: Array[Byte]): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "pngReencode: undecodable payload")
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Add a `dhash` column: one decoder per partition, payload bytes
+    * never shuffled (the [[Multimodal.extractFeatures]] batch
+    * shape). Null payloads and undecodable images get null. */
+  def withDhash(df: DataFrame, payloadCol: String = "payload",
+      outCol: String = "dhash"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, LongType, nullable = true))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val hash = if (payload == null) null else dhash64Bytes(payload)
+        Row.fromSeq(r.toSeq :+ hash)
+      }
+    }
+  }
+
+  /** Near-duplicate pairs within Hamming radius ≤ `maxHamming` (≤ 3
+    * — the 4-band pigeonhole guarantee) over a hashed frame:
+    * (id_a, id_b, hdist), id_a < id_b, null hashes excluded.
+    *
+    * Scale shape — distinct-signature collapse BEFORE the
+    * quadratic: image corpora are duplication-heavy (that is the
+    * point of this tier), and running the band join over members
+    * would put every identical-hash pile into the same band buckets
+    * — O(pile²) in-bucket work per band for pairs we already know
+    * are distance 0 (measured: 113 s at the f100 smoke, vs 8 s
+    * collapsed). Instead: (1) the banded merge-pinned self-join
+    * runs over DISTINCT signatures only (quadratic in distinct
+    * hashes, not rows); (2) distance-0 pairs come from one plain
+    * equi-join on the hash value (output-sized by definition); (3)
+    * cross-hash pairs expand back through two shuffle-hash-pinned
+    * membership joins (also output-sized). The union is EXACTLY the
+    * member-level pair set the direct band join yields
+    * (spec-pinned against brute force; the f100 smoke asserts the
+    * radius-0 count equals the hash-histogram pair count). */
+  def nearDupPairs(hashed: DataFrame, idCol: String = "media_id",
+      hashCol: String = "dhash", maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"nearDupPairs guarantees recall only for radius <= 3 over 4 " +
+      s"bands (pigeonhole); got $maxHamming")
+    val sh = hashed
+      .filter(col(hashCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(hashCol).cast("long").as("h"))
+      .localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val dh = sh.select("h").distinct()
+      .localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val banded = dh.select(col("h"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("h"), b * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+      .select(col("h"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    // distinct-hash pairs within the radius (hdist ≥ 1: ha < hb)
+    val hp = banded.as("a").join(banded.as("b").hint("merge"),
+        col("a.band") === col("b.band") &&
+        col("a.key") === col("b.key") && col("a.h") < col("b.h"))
+      .select(col("a.h").as("ha"), col("b.h").as("hb"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("int")
+          .as("hdist"))
+      .groupBy("ha", "hb").agg(min("hdist").as("hdist"))
+      .filter(col("hdist") <= maxHamming)
+    // expansion joins: corpus-derived membership sides stay pinned
+    val ma = sh.select(col("h").as("ha"), col("id").as("ia"))
+    val mb = sh.select(col("h").as("hb"), col("id").as("ib"))
+    val cross = hp.join(ma.hint("shuffle_hash"), "ha")
+      .join(mb.hint("shuffle_hash"), "hb")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hdist"))
+    val within = sh.as("a").join(sh.as("b").hint("merge"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        lit(0).cast("int").as("hdist"))
+    within.unionByName(cross)
+  }
+}

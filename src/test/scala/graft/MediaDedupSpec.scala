@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.{MediaDedup, Multimodal}
+
+/** Image near-dup tier (X84): dHash kernel vs a literal per-pixel
+  * re-derivation, the invariances the hash is FOR (re-encode,
+  * unclamped brightness), banded-pair brute parity, and the
+  * poison-row conventions. */
+class MediaDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Literal re-derivation of the dhash64 contract straight from a
+    * pixel function — independent of BufferedImage and the decoder. */
+  private def bruteDhash(w: Int, h: Int)
+      (px: (Int, Int) => (Int, Int, Int)): Long = {
+    val sums = Array.ofDim[Long](8, 9)
+    val counts = Array.ofDim[Long](8, 9)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      sums(y * 8 / h)(x * 9 / w) += 299L * r + 587L * g + 114L * b
+      counts(y * 8 / h)(x * 9 / w) += 1
+    }
+    (0 until 8).flatMap(cy => (0 until 8).map(cx =>
+      if (sums(cy)(cx) * counts(cy)(cx + 1) <
+          sums(cy)(cx + 1) * counts(cy)(cx)) 1L << (cy * 8 + cx)
+      else 0L)).reduce(_ | _)
+  }
+
+  private def seedPx(seed: Int)(x: Int, y: Int): (Int, Int, Int) =
+    ((seed * 3 + x * 7 + y * 11) % 248,
+     (seed * 5 + x * 11 + y * 3) % 248,
+     (seed * 7 + x * 3 + y * 13) % 248)
+
+  test("dhash64 over the real BMP decoder matches the literal " +
+      "re-derivation, incl. non-divisible grid dims") {
+    for ((w, h) <- Seq((18, 16), (9, 8), (23, 17), (64, 48), (10, 11));
+         seed <- Seq(0, 7, 131)) {
+      val bmp = Multimodal.SyntheticMedia.bmp24(w, h)(seedPx(seed))
+      val got = MediaDedup.dhash64Bytes(bmp)
+      assert(got != null && got.longValue ==
+        bruteDhash(w, h)(seedPx(seed)), s"w=$w h=$h seed=$seed")
+    }
+  }
+
+  test("re-encode and unclamped brightness are dHash-invariant; a " +
+      "local edit moves few bits; sign bit round-trips") {
+    val base = Multimodal.SyntheticMedia.bmp24(18, 16)(seedPx(42))
+    val hBase = MediaDedup.dhash64Bytes(base).longValue
+    // PNG re-encode: different container bytes, identical pixels
+    val png = MediaDedup.pngReencode(base)
+    assert(!java.util.Arrays.equals(png, base))
+    assert(MediaDedup.dhash64Bytes(png).longValue == hBase)
+    // global +7 brightness (unclamped: base channels <= 247)
+    val bright = Multimodal.SyntheticMedia.bmp24(18, 16) { (x, y) =>
+      val (r, g, b) = seedPx(42)(x, y); (r + 7, g + 7, b + 7)
+    }
+    assert(MediaDedup.dhash64Bytes(bright).longValue == hBase)
+    // right-edge sticker: only right-column comparisons can flip
+    val sticker = Multimodal.SyntheticMedia.bmp24(18, 16) { (x, y) =>
+      val (r, g, b) = seedPx(42)(x, y)
+      if (x >= 14) (math.min(r + 80, 255), math.min(g + 80, 255),
+        math.min(b + 80, 255)) else (r, g, b)
+    }
+    val d = java.lang.Long.bitCount(
+      MediaDedup.dhash64Bytes(sticker).longValue ^ hBase)
+    assert(d > 0 && d <= 16, s"sticker moved $d bits")
+    // an image engineered to set bit 63 (brightest at top-right)
+    // hashes negative and survives the banding round-trip
+    val grad = Multimodal.SyntheticMedia.bmp24(18, 16)((x, _) =>
+      (x * 14, x * 14, x * 14))
+    val hg = MediaDedup.dhash64Bytes(grad).longValue
+    assert(hg < 0L, f"gradient hash 0x$hg%x should set bit 63")
+  }
+
+  test("banded nearDupPairs equals the brute-force pair set") {
+    // 120 docs: 12 piles of 10 (seed = id % 12) with the q154 edit
+    // classes sprinkled in — pile members land within radius 3,
+    // cross-pile pairs mostly outside it, and several ids decode to
+    // null (excluded from pairs on both sides).
+    val rows = (0L until 120L).map { id =>
+      val payload: Array[Byte] =
+        if (id % 29 == 11) Array[Byte](1, 2, 3) // undecodable
+        else {
+          val s = (id % 12).toInt * 17
+          Multimodal.SyntheticMedia.bmp24(18, 16) { (x, y) =>
+            val (r, g, b) = seedPx(s)(x, y)
+            if (id % 5 == 2) (r + 7, g + 7, b + 7) else (r, g, b)
+          }
+        }
+      (id, payload)
+    }
+    val hashed = MediaDedup.withDhash(rows.toDF("media_id", "payload"))
+    val got = MediaDedup.nearDupPairs(hashed, "media_id", "dhash", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val hs = hashed.filter(col("dhash").isNotNull)
+      .select("media_id", "dhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty, "fixture produced no near-dup pairs")
+    // the undecodable ids joined nothing
+    assert(!got.exists(p => p._1 % 29 == 11 || p._2 % 29 == 11))
+  }
+
+  test("sub-grid and null payloads hash to null") {
+    val tiny = Multimodal.SyntheticMedia.bmp24(8, 8)(seedPx(3))
+    assert(MediaDedup.dhash64Bytes(tiny) == null)
+    val out = MediaDedup.withDhash(
+      Seq((1L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "payload"))
+      .select("dhash").collect()
+    assert(out(0).isNullAt(0))
+  }
+}
