@@ -2977,6 +2977,45 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Media header-metadata passthrough ([[graft.multimodal.Multimodal
+    * .headerMeta]], VERDICT r18 ask #8 — the q76 family's no-decode
+    * tier): per-doc containers with ARITHMETIC header fields — BMP
+    * (width 9+id%7, height 8+id%5, 24 bpp) and ImageIO PNG
+    * re-encodes (IHDR 8-bit truecolor) carrying one or two real
+    * tEXt chunks (CRC32-correct, inserted before IEND) — sniffed by
+    * the header walker without any pixel decode. The oracle is pure
+    * doc_id arithmetic: every surfaced column (format, dims, depth,
+    * color type, tEXt count and keyword=value payloads) is a CASE
+    * over the residues that built the fixture. */
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{MediaDedup, Multimodal}
+    import s.implicits._
+    val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = 9 + (id % 7).toInt; val h = 8 + (id % 5).toInt
+        val sd = (id % 40).toInt
+        val bmp = Multimodal.SyntheticMedia.bmp24(w, h)((x, y) =>
+          ((sd * 3 + x * 7 + y * 11) % 256, (sd * 5 + x * 11 + y * 3) % 256,
+           (sd * 7 + x * 3 + y * 13) % 256))
+        val payload =
+          if (id % 2 == 1) {
+            var png = MediaDedup.pngReencode(bmp)
+            png = Multimodal.SyntheticMedia.pngAddText(png, "src",
+              s"doc${id % 10}")
+            if (id % 6 == 1)
+              png = Multimodal.SyntheticMedia.pngAddText(png, "lang",
+                s"l${id % 3}")
+            png
+          } else bmp
+        (id, payload)
+      }.toDF("media_id", "payload")
+    Multimodal.headerMeta(media)
+      .select(col("media_id").as("doc_id"), col("meta_format"),
+        col("meta_width"), col("meta_height"), col("meta_depth"),
+        col("meta_color_type"), col("n_text"), col("text_kv"))
+      .orderBy("doc_id")
+  }
+
   /** BPE fertility / vocab-coverage report ([[graft.text.BpeOps
     * .fertilityReport]], VERDICT r16 ask #6): per (source, lang),
     * the exact integer counts behind fertility (subwords/word),
@@ -3410,6 +3449,7 @@ object SparkEntry {
     "q152_streaming_rank"   -> (q152 _),
     "q153_pps_sample"       -> (q153 _),
     "q154_image_neardup"    -> (q154 _),
+    "q155_media_meta"       -> (q155 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -6204,6 +6244,27 @@ object SparkEntry {
       FROM hash a JOIN hash b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.h, b.h)) <= 3
       ORDER BY id_a, id_b""",
+    // Header-metadata passthrough: every column is doc_id residue
+    // arithmetic — the engine's header walk (real BMP/PNG parsers,
+    // no pixel decode) must reproduce the fixture construction
+    // exactly (ImageIO PNG re-encode = IHDR 8-bit truecolor).
+    "q155_media_meta" -> """
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 1 THEN 'png' ELSE 'bmp' END AS meta_format,
+        (9 + doc_id % 7)::INT AS meta_width,
+        (8 + doc_id % 5)::INT AS meta_height,
+        (CASE WHEN doc_id % 2 = 1 THEN 8 ELSE 24 END)::INT AS meta_depth,
+        (CASE WHEN doc_id % 2 = 1 THEN 2 END)::INT AS meta_color_type,
+        (CASE WHEN doc_id % 2 = 1
+              THEN CASE WHEN doc_id % 6 = 1 THEN 2 ELSE 1 END
+              ELSE 0 END)::INT AS n_text,
+        CASE WHEN doc_id % 2 = 1
+             THEN 'src=doc' || (doc_id % 10)::VARCHAR ||
+               CASE WHEN doc_id % 6 = 1
+                    THEN ';lang=l' || (doc_id % 3)::VARCHAR
+                    ELSE '' END
+             ELSE '' END AS text_kv
+      FROM documents ORDER BY doc_id""",
     // Streaming rank-sketch close-out: the q151 batch replay plus
     // the per-group exact value-count watermark.
     "q152_streaming_rank" -> (tokCte + """,

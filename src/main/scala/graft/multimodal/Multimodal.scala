@@ -357,6 +357,96 @@ object Multimodal {
     }
   }
 
+  /** Header-only metadata sniff (VERDICT r18 ask #8): surface the
+    * container fields a curation filter needs ("drop images < 64px",
+    * "keep RGB") as COLUMNS without paying a pixel decode — the
+    * header walk reads tens of bytes per row where ImageIO decodes
+    * the full bitmap. Real parsers, no library:
+    *   - BMP ('BM' + BITMAPINFOHEADER): width/height (LE int32 at
+    *     18/22 — height signed, negative = top-down), bit count
+    *     (LE u16 at 28) as `meta_depth`;
+    *   - PNG (8-byte signature + chunk walk): IHDR width/height
+    *     (BE int32), bit depth and color type bytes; every tEXt
+    *     chunk's keyword=value collected in file order into
+    *     `text_kv` (';'-joined) with `n_text` the count — the
+    *     sidecar-metadata channel PNG curation pipelines filter on.
+    * Unrecognized/truncated payloads yield NULL meta columns (the
+    * poison-row convention); a recognized format fills `n_text`/
+    * `text_kv` ('' when none — absent metadata is data, not null).
+    * Columns added: meta_format, meta_width, meta_height,
+    * meta_depth, meta_color_type (PNG only), n_text, text_kv. */
+  def headerMeta(df: DataFrame, payloadCol: String = "payload")
+      : DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("meta_format", StringType),
+      StructField("meta_width", IntegerType),
+      StructField("meta_height", IntegerType),
+      StructField("meta_depth", IntegerType),
+      StructField("meta_color_type", IntegerType),
+      StructField("n_text", IntegerType),
+      StructField("text_kv", StringType)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.getAs[Array[Byte]](pIdx)
+        val meta: Seq[Any] = sniffHeader(p)
+        Row.fromSeq(r.toSeq ++ meta)
+      }
+    }
+  }
+
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+    ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+    ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  private val pngSig =
+    Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+
+  /** (meta_format, w, h, depth, color_type, n_text, text_kv) — see
+    * [[headerMeta]]. */
+  private[multimodal] def sniffHeader(p: Array[Byte]): Seq[Any] = {
+    val nulls = Seq(null, null, null, null, null, null, null)
+    if (p == null) return nulls
+    if (p.length >= 30 && p(0) == 'B'.toByte && p(1) == 'M'.toByte)
+      return Seq("bmp", le32(p, 18), le32(p, 22),
+        (p(28) & 0xff) | ((p(29) & 0xff) << 8), null, 0, "")
+    if (p.length >= 33 && p.take(8).sameElements(pngSig)) {
+      // chunk walk: IHDR is first by spec; collect tEXt in order
+      var w = 0; var h = 0; var depth = 0; var ct = 0
+      var sawIhdr = false
+      val kvs = scala.collection.mutable.ArrayBuffer.empty[String]
+      var o = 8
+      while (o + 8 <= p.length) {
+        val len = be32(p, o)
+        if (len < 0 || o + 12 + len > p.length) return nulls // truncated
+        val typ = new String(p, o + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        if (typ == "IHDR" && len >= 13) {
+          w = be32(p, o + 8); h = be32(p, o + 12)
+          depth = p(o + 16) & 0xff; ct = p(o + 17) & 0xff
+          sawIhdr = true
+        } else if (typ == "tEXt") {
+          val data = new String(p, o + 8, len,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          val i = data.indexOf('\u0000')
+          kvs += (if (i < 0) data + "="
+                  else data.substring(0, i) + "=" + data.substring(i + 1))
+        }
+        if (typ == "IEND")
+          return if (sawIhdr)
+            Seq("png", w, h, depth, ct, kvs.length, kvs.mkString(";"))
+          else nulls
+        o += 12 + len
+      }
+      return nulls // no IEND: truncated
+    }
+    nulls
+  }
+
   /** Payload->payload kernel contract (resize, re-encode, resample):
     * same per-partition batching as [[MediaDecoder]]. Real kernels
     * wrap an image/audio library; the stub is deterministic. */
@@ -440,6 +530,31 @@ object Multimodal {
         y -= 1
       }
       buf.array()
+    }
+
+    /** Append a tEXt chunk (keyword NUL value, CRC32 over type+data
+      * — the real PNG chunk grammar) immediately before IEND: the
+      * deterministic sidecar-metadata fixture for [[headerMeta]]'s
+      * tEXt walk. The result remains a valid PNG every decoder
+      * accepts. */
+    def pngAddText(png: Array[Byte], keyword: String, value: String)
+        : Array[Byte] = {
+      require(png.length >= 12, "not a PNG")
+      val data = (keyword + "\u0000" + value)
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val chunk = java.nio.ByteBuffer.allocate(12 + data.length)
+      chunk.putInt(data.length)
+      chunk.put("tEXt".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      chunk.put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(chunk.array(), 4, 4 + data.length)
+      chunk.putInt(crc.getValue.toInt)
+      val iendAt = png.length - 12 // len(0) + "IEND" + crc
+      val out = new Array[Byte](png.length + chunk.capacity())
+      System.arraycopy(png, 0, out, 0, iendAt)
+      System.arraycopy(chunk.array(), 0, out, iendAt, chunk.capacity())
+      System.arraycopy(png, iendAt, out, iendAt + chunk.capacity(), 12)
+      out
     }
 
     /** Per-document test image: pixel channels are small linear
