@@ -158,7 +158,17 @@ object Bench {
     // #7) so every round's artifact carries its converged floors
     // without a bespoke probe session; the env var still widens the
     // set ("qX,qY"), and "none"/"off" disables it for quick runs.
-    val convergedDefault = Seq("q54_merge_legality", "q57_merge_units",
+    // r19 (VERDICT r18 ask #3): converged floors are the PRIMARY
+    // round-over-round record for every query whose 3-run min reads
+    // >= 0.5 s — two sentinel-clean r18 runs of the same tree spread
+    // a uniform ~1.2x (70.7 vs 84.7 s) while the pinned floors
+    // corroborated each other, so the 3-run-min total cannot
+    // adjudicate sub-1.25x moves but the floors can. The >= 0.5 s
+    // class is derived from THIS run's own timings (self-
+    // maintaining as queries speed up or land); the historically
+    // pinned job-heavy class stays listed explicitly so its floors
+    // survive even if a clean run dips below the threshold.
+    val convergedPinned = Seq("q54_merge_legality", "q57_merge_units",
       "q61_l1_lifecycle", "q73_packed_blocks",
       "q148_bloom_contamination",
       // r18: the checkpoint/CC-loop class — their 3-run mins read
@@ -167,6 +177,9 @@ object Bench {
       // artifact carries the floors round-over-round comparisons
       // should use.
       "q87_semdedup", "q94_fuzzy_dedup", "q113_semdedup_pq")
+    val convergedDefault = (convergedPinned ++
+      results.collect { case (name, times) if times.min >= 0.5 => name })
+      .distinct
     val convergedSet: Seq[String] =
       (sys.env.get("SPARK_GRAFT_CONVERGED") match {
         case None | Some("default") | Some("1") => convergedDefault

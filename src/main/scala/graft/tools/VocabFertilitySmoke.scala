@@ -124,8 +124,12 @@ object VocabFertilitySmoke {
       .select(coalesce(col("lang"), lit("")).as("stratum"),
         explode(col("toks")).as("token"))
       .groupBy("stratum", "token").agg(count(lit(1)).as("n_tok"))
+    // .distinct: tied-watermark snapshot re-emissions are identical
+    // row sets (the q145 ADVICE fix, swept to every max-watermark
+    // join site in r19) — without it a zero-token drain would read
+    // as a false parity_diff
     val streamed = broadcast(finalSnap
-        .select("stratum", "token", "n_seen"))
+        .select("stratum", "token", "n_seen").distinct())
       .join(exact, Seq("stratum", "token"))
       .filter(col("n_tok") * 100 > col("n_seen"))
       .select("stratum", "token", "n_tok", "n_seen")
