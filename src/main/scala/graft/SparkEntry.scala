@@ -2980,13 +2980,16 @@ object SparkEntry {
   /** Media header-metadata passthrough ([[graft.multimodal.Multimodal
     * .headerMeta]], VERDICT r18 ask #8 — the q76 family's no-decode
     * tier): per-doc containers with ARITHMETIC header fields — BMP
-    * (width 9+id%7, height 8+id%5, 24 bpp) and ImageIO PNG
-    * re-encodes (IHDR 8-bit truecolor) carrying one or two real
-    * tEXt chunks (CRC32-correct, inserted before IEND) — sniffed by
-    * the header walker without any pixel decode. The oracle is pure
-    * doc_id arithmetic: every surfaced column (format, dims, depth,
-    * color type, tEXt count and keyword=value payloads) is a CASE
-    * over the residues that built the fixture. */
+    * (width 9+id%7, height 8+id%5, 24 bpp), ImageIO PNG re-encodes
+    * (IHDR 8-bit truecolor) carrying one or two real tEXt chunks
+    * (CRC32-correct, inserted before IEND), and ImageIO JPEG
+    * re-encodes (SOF dims + 8-bit sample precision; pixel content
+    * lossy and never pinned — headers are what a sniff reads) — all
+    * parsed by the header walker without any pixel decode. The
+    * oracle is pure doc_id arithmetic: every surfaced column
+    * (format, dims, depth, color type, tEXt count and keyword=value
+    * payloads) is a CASE over the residues that built the
+    * fixture. */
   private def q155(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.{MediaDedup, Multimodal}
     import s.implicits._
@@ -3006,13 +3009,41 @@ object SparkEntry {
               png = Multimodal.SyntheticMedia.pngAddText(png, "lang",
                 s"l${id % 3}")
             png
-          } else bmp
+          } else if (id % 4 == 2) MediaDedup.jpegReencode(bmp)
+          else bmp
         (id, payload)
       }.toDF("media_id", "payload")
     Multimodal.headerMeta(media)
       .select(col("media_id").as("doc_id"), col("meta_format"),
         col("meta_width"), col("meta_height"), col("meta_depth"),
         col("meta_color_type"), col("n_text"), col("text_kv"))
+      .orderBy("doc_id")
+  }
+
+  /** Image average hash ([[graft.multimodal.MediaDedup.ahash64]],
+    * X84's second lens): per-doc aHash-64 over 16×16 BMPs — 8×8
+    * cell sums vs the global sum, cross-multiplied exact (at these
+    * dims: cell·64 > total), 64 bits packed into one signed BIGINT.
+    * The brightness-shifted docs (+7 unclamped, doc_id % 5 = 2)
+    * exercise aHash's shift invariance in-corpus: both comparison
+    * sides move by the same 7000·n_cell·n_total. The oracle
+    * re-derives every pixel, cell, comparison, and the sign-bit
+    * pack. */
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{MediaDedup, Multimodal}
+    import s.implicits._
+    val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val sd = (id % 40).toInt
+        val bright = if (id % 5 == 2) 7 else 0
+        val bmp = Multimodal.SyntheticMedia.bmp24(16, 16)((x, y) =>
+          ((sd * 3 + x * 7 + y * 11) % 248 + bright,
+           (sd * 5 + x * 11 + y * 3) % 248 + bright,
+           (sd * 7 + x * 3 + y * 13) % 248 + bright))
+        (id, bmp)
+      }.toDF("media_id", "payload")
+    MediaDedup.withAhash(media)
+      .select(col("media_id").as("doc_id"), col("ahash"))
       .orderBy("doc_id")
   }
 
@@ -3450,6 +3481,7 @@ object SparkEntry {
     "q153_pps_sample"       -> (q153 _),
     "q154_image_neardup"    -> (q154 _),
     "q155_media_meta"       -> (q155 _),
+    "q156_image_ahash"      -> (q156 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -6250,10 +6282,13 @@ object SparkEntry {
     // exactly (ImageIO PNG re-encode = IHDR 8-bit truecolor).
     "q155_media_meta" -> """
       SELECT doc_id,
-        CASE WHEN doc_id % 2 = 1 THEN 'png' ELSE 'bmp' END AS meta_format,
+        CASE WHEN doc_id % 2 = 1 THEN 'png'
+             WHEN doc_id % 4 = 2 THEN 'jpeg'
+             ELSE 'bmp' END AS meta_format,
         (9 + doc_id % 7)::INT AS meta_width,
         (8 + doc_id % 5)::INT AS meta_height,
-        (CASE WHEN doc_id % 2 = 1 THEN 8 ELSE 24 END)::INT AS meta_depth,
+        (CASE WHEN doc_id % 2 = 1 OR doc_id % 4 = 2 THEN 8
+              ELSE 24 END)::INT AS meta_depth,
         (CASE WHEN doc_id % 2 = 1 THEN 2 END)::INT AS meta_color_type,
         (CASE WHEN doc_id % 2 = 1
               THEN CASE WHEN doc_id % 6 = 1 THEN 2 ELSE 1 END
@@ -6265,6 +6300,34 @@ object SparkEntry {
                     ELSE '' END
              ELSE '' END AS text_kv
       FROM documents ORDER BY doc_id""",
+    // aHash: luma cells vs the global sum (16x16 -> 2x2 cells, so
+    // the cross-mult reduces to cell*64 > total), packed with the
+    // same two's-complement sign-bit convention as q154.
+    "q156_image_ahash" -> """
+      WITH px AS (
+        SELECT d.doc_id, x.x, y.y,
+          CASE WHEN d.doc_id % 5 = 2 THEN 7 ELSE 0 END AS sh
+        FROM documents d
+        CROSS JOIN generate_series(0, 15) AS x(x)
+        CROSS JOIN generate_series(0, 15) AS y(y)),
+      lum AS (
+        SELECT doc_id, x // 2 AS cx, y // 2 AS cy,
+          sum(299 * (((doc_id % 40) * 3 + x * 7 + y * 11) % 248 + sh)
+            + 587 * (((doc_id % 40) * 5 + x * 11 + y * 3) % 248 + sh)
+            + 114 * (((doc_id % 40) * 7 + x * 3 + y * 13) % 248 + sh))
+            AS s
+        FROM px GROUP BY doc_id, x // 2, y // 2),
+      tot AS (SELECT doc_id, sum(s) AS st FROM lum GROUP BY doc_id),
+      bits AS (
+        SELECT l.doc_id, (l.cy * 8 + l.cx)::INT AS bit
+        FROM lum l JOIN tot t USING (doc_id)
+        WHERE l.s * 64 > t.st)
+      SELECT d.doc_id,
+        coalesce(sum(CASE WHEN bit = 63
+          THEN (-9223372036854775807 - 1)
+          ELSE (1::BIGINT << bit) END), 0)::BIGINT AS ahash
+      FROM documents d LEFT JOIN bits USING (doc_id)
+      GROUP BY d.doc_id ORDER BY d.doc_id""",
     // Streaming rank-sketch close-out: the q151 batch replay plus
     // the per-group exact value-count watermark.
     "q152_streaming_rank" -> (tokCte + """,

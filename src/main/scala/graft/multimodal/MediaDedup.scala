@@ -92,16 +92,74 @@ object MediaDedup {
     sig
   }
 
+  /** 64-bit average hash ("aHash" — the other classic of the
+    * perceptual family): 8×8 grid cells (x·8 div W, y·8 div H), bit
+    * (cy·8 + cx) set iff the cell's mean luma EXCEEDS the global
+    * mean — cross-multiplied exactly like [[dhash64]]
+    * (sum_cell·n_total > sum_total·n_cell, compared in BigInt so no
+    * image size can overflow; the oracle's HUGEINT sums replay it).
+    * Same luma, same null conventions (needs W ≥ 8, H ≥ 8). A
+    * complementary lens to dHash: aHash keys on absolute block
+    * level, dHash on horizontal gradient — and like dHash it is
+    * invariant to an unclamped global brightness shift (adding c to
+    * every pixel adds c·n_cell·n_total to BOTH sides of each
+    * comparison; spec-pinned). */
+  def ahash64(img: java.awt.image.BufferedImage): java.lang.Long = {
+    val w = img.getWidth; val h = img.getHeight
+    if (w < 8 || h < 8) return null
+    val sums = Array.ofDim[Long](8, 8)
+    val counts = Array.ofDim[Long](8, 8)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val cy = (y.toLong * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val cx = (x.toLong * 8 / w).toInt
+        val rgb = img.getRGB(x, y)
+        val lum = 299L * ((rgb >> 16) & 0xff) +
+          587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+        sums(cy)(cx) += lum; counts(cy)(cx) += 1; total += lum
+        x += 1
+      }
+      y += 1
+    }
+    val nTot = BigInt(w.toLong * h)
+    val totB = BigInt(total)
+    var sig = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (BigInt(sums(cy)(cx)) * nTot > totB * counts(cy)(cx))
+          sig |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    sig
+  }
+
+  private def decodeImg(payload: Array[Byte])
+      : java.awt.image.BufferedImage = {
+    javax.imageio.ImageIO.setUseCache(false)
+    try javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    catch { case _: java.io.IOException => null }
+  }
+
   /** Decode-and-hash: ImageIO over the payload bytes (in-memory
     * cache — the [[Multimodal.MediaDecoder.ImageIo]] tmpfs lesson),
     * null on any decode failure. */
   def dhash64Bytes(payload: Array[Byte]): java.lang.Long = {
-    javax.imageio.ImageIO.setUseCache(false)
-    val img =
-      try javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+    val img = decodeImg(payload)
     if (img == null) null else dhash64(img)
+  }
+
+  /** [[ahash64]] over payload bytes; null on decode failure. */
+  def ahash64Bytes(payload: Array[Byte]): java.lang.Long = {
+    val img = decodeImg(payload)
+    if (img == null) null else ahash64(img)
   }
 
   /** Lossless PNG re-encode of any decodable payload (fixture/test
@@ -118,11 +176,9 @@ object MediaDedup {
     bos.toByteArray
   }
 
-  /** Add a `dhash` column: one decoder per partition, payload bytes
-    * never shuffled (the [[Multimodal.extractFeatures]] batch
-    * shape). Null payloads and undecodable images get null. */
-  def withDhash(df: DataFrame, payloadCol: String = "payload",
-      outCol: String = "dhash"): DataFrame = {
+  private def withHashCol(df: DataFrame, payloadCol: String,
+      outCol: String)(kernel: Array[Byte] => java.lang.Long)
+      : DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField(outCol, LongType, nullable = true))
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
@@ -130,11 +186,39 @@ object MediaDedup {
     df.mapPartitions { it =>
       it.map { r =>
         val payload = r.getAs[Array[Byte]](pIdx)
-        val hash = if (payload == null) null else dhash64Bytes(payload)
+        val hash = if (payload == null) null else kernel(payload)
         Row.fromSeq(r.toSeq :+ hash)
       }
     }
   }
+
+  /** Lossy ImageIO JPEG re-encode of any decodable payload (fixture
+    * helper for [[Multimodal.headerMeta]]'s JPEG walk): the
+    * CONTAINER structure and SOF dims are deterministic — which is
+    * all a header sniff reads — while pixel content is codec-
+    * dependent and never oracle-pinned. */
+  def jpegReencode(payload: Array[Byte]): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "jpegReencode: undecodable payload")
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Add a `dhash` column: one decoder per partition, payload bytes
+    * never shuffled (the [[Multimodal.extractFeatures]] batch
+    * shape). Null payloads and undecodable images get null. */
+  def withDhash(df: DataFrame, payloadCol: String = "payload",
+      outCol: String = "dhash"): DataFrame =
+    withHashCol(df, payloadCol, outCol)(dhash64Bytes)
+
+  /** Add an `ahash` column — [[ahash64]] under the same batch
+    * shape and null conventions as [[withDhash]]. */
+  def withAhash(df: DataFrame, payloadCol: String = "payload",
+      outCol: String = "ahash"): DataFrame =
+    withHashCol(df, payloadCol, outCol)(ahash64Bytes)
 
   /** Near-duplicate pairs within Hamming radius ≤ `maxHamming` (≤ 3
     * — the 4-band pigeonhole guarantee) over a hashed frame:

@@ -444,6 +444,33 @@ object Multimodal {
       }
       return nulls // no IEND: truncated
     }
+    if (p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
+      // JPEG: FFD8 then FFxx marker segments (BE16 length includes
+      // itself); the first SOFn (C0–CF minus DHT C4 / JPG C8 / DAC
+      // CC) carries precision, height, width. meta_depth = the SOF
+      // sample precision (8 for every baseline encoder).
+      var o = 2
+      while (o + 4 <= p.length) {
+        if ((p(o) & 0xff) != 0xff) return nulls // desynced
+        val m = p(o + 1) & 0xff
+        if (m == 0xff) o += 1                       // fill byte
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) o += 2 // bare
+        else {
+          val len = ((p(o + 2) & 0xff) << 8) | (p(o + 3) & 0xff)
+          if (len < 2 || o + 2 + len > p.length) return nulls
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+              m != 0xcc && len >= 8) {
+            val prec = p(o + 4) & 0xff
+            val ih = ((p(o + 5) & 0xff) << 8) | (p(o + 6) & 0xff)
+            val iw = ((p(o + 7) & 0xff) << 8) | (p(o + 8) & 0xff)
+            return Seq("jpeg", iw, ih, prec, null, 0, "")
+          }
+          if (m == 0xda) return nulls // SOS before any SOF
+          o += 2 + len
+        }
+      }
+      return nulls // ran out before a SOF
+    }
     nulls
   }
 

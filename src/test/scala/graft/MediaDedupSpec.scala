@@ -108,6 +108,45 @@ class MediaDedupSpec extends SparkSpec {
     assert(!got.exists(p => p._1 % 29 == 11 || p._2 % 29 == 11))
   }
 
+  /** Literal aHash re-derivation from a pixel function. */
+  private def bruteAhash(w: Int, h: Int)
+      (px: (Int, Int) => (Int, Int, Int)): Long = {
+    val sums = Array.ofDim[Long](8, 8)
+    val counts = Array.ofDim[Long](8, 8)
+    var tot = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      val l = 299L * r + 587L * g + 114L * b
+      sums(y * 8 / h)(x * 8 / w) += l
+      counts(y * 8 / h)(x * 8 / w) += 1
+      tot += l
+    }
+    val n = BigInt(w.toLong * h)
+    (0 until 8).flatMap(cy => (0 until 8).map(cx =>
+      if (BigInt(sums(cy)(cx)) * n > BigInt(tot) * counts(cy)(cx))
+        1L << (cy * 8 + cx)
+      else 0L)).reduce(_ | _)
+  }
+
+  test("ahash64 matches the literal re-derivation and is invariant " +
+      "to an unclamped global brightness shift") {
+    for ((w, h) <- Seq((16, 16), (8, 8), (23, 17)); seed <- Seq(0, 99)) {
+      val bmp = Multimodal.SyntheticMedia.bmp24(w, h)(seedPx(seed))
+      val got = MediaDedup.ahash64Bytes(bmp)
+      assert(got != null && got.longValue ==
+        bruteAhash(w, h)(seedPx(seed)), s"w=$w h=$h seed=$seed")
+    }
+    val base = Multimodal.SyntheticMedia.bmp24(16, 16)(seedPx(42))
+    val bright = Multimodal.SyntheticMedia.bmp24(16, 16) { (x, y) =>
+      val (r, g, b) = seedPx(42)(x, y); (r + 7, g + 7, b + 7)
+    }
+    assert(MediaDedup.ahash64Bytes(base) ==
+      MediaDedup.ahash64Bytes(bright))
+    // sub-grid refuses (aHash needs only 8 wide)
+    assert(MediaDedup.ahash64Bytes(
+      Multimodal.SyntheticMedia.bmp24(7, 8)(seedPx(1))) == null)
+  }
+
   test("sub-grid and null payloads hash to null") {
     val tiny = Multimodal.SyntheticMedia.bmp24(8, 8)(seedPx(3))
     assert(MediaDedup.dhash64Bytes(tiny) == null)

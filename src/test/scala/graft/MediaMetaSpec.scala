@@ -50,6 +50,24 @@ class MediaMetaSpec extends SparkSpec {
     }
   }
 
+  test("JPEG SOF headers surface: dims + sample precision, no decode") {
+    val bmp = Multimodal.SyntheticMedia.bmp24(21, 14)((x, y) =>
+      (x * 9 % 256, y * 13 % 256, 77))
+    val jpg = MediaDedup.jpegReencode(bmp)
+    val out = Multimodal.headerMeta(
+      Seq((0L, jpg), (1L, jpg.take(6))).toDF("media_id", "payload"))
+      .orderBy("media_id").collect()
+    assert(out(0).getAs[String]("meta_format") == "jpeg")
+    assert(out(0).getAs[Int]("meta_width") == 21 &&
+      out(0).getAs[Int]("meta_height") == 14 &&
+      out(0).getAs[Int]("meta_depth") == 8)
+    assert(out(0).isNullAt(out(0).fieldIndex("meta_color_type")))
+    assert(out(0).getAs[Int]("n_text") == 0 &&
+      out(0).getAs[String]("text_kv") == "")
+    // truncated before any SOF: nulls
+    assert(out(1).isNullAt(out(1).fieldIndex("meta_format")))
+  }
+
   test("pngAddText emits a CRC-valid chunk every decoder accepts") {
     val bmp = Multimodal.SyntheticMedia.bmp24(10, 10)((_, _) => (5, 6, 7))
     val png = Multimodal.SyntheticMedia.pngAddText(
