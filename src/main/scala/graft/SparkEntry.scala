@@ -3047,6 +3047,40 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Audio near-dup pairs ([[graft.multimodal.MediaDedup
+    * .audioHash64]], X86 — completing the modality dedup matrix:
+    * text/embeddings/images/now audio): deterministic 256-sample
+    * WAVs in piles (seed = doc_id % 40) with two engineered dup
+    * classes — exact amplitude doubling (doc_id % 5 = 2: the
+    * loudness-remaster class the energy-gradient hash is invariant
+    * to by cross-multiplication) and a local edit (doc_id % 7 = 3:
+    * first 32 samples replaced, flipping only early-frame
+    * comparisons — small positive Hamming distance). The REAL
+    * `javax.sound.sampled` parser decodes every payload; pairs come
+    * from the same 4×16-bit rotated-band join as q154. The oracle
+    * re-derives the samples, the 65 frame energies, the 64 packed
+    * comparison bits, and the pair set by brute self-join. */
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{MediaDedup, Multimodal}
+    import s.implicits._
+    val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val sd = (id % 40).toInt
+        val gain = if (id % 5 == 2) 2 else 1
+        val edit = id % 7 == 3
+        val wav = Multimodal.SyntheticMedia.wavPcm16(8000, 256) { i =>
+          val base =
+            if (edit && i < 32) 1000
+            else (sd * 131 + i * 997) % 32768 - 16384
+          base * gain
+        }
+        (id, wav)
+      }.toDF("media_id", "payload")
+    MediaDedup.nearDupPairs(MediaDedup.withAudioHash(media),
+        "media_id", "audio_hash", 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** BPE fertility / vocab-coverage report ([[graft.text.BpeOps
     * .fertilityReport]], VERDICT r16 ask #6): per (source, lang),
     * the exact integer counts behind fertility (subwords/word),
@@ -3482,6 +3516,7 @@ object SparkEntry {
     "q154_image_neardup"    -> (q154 _),
     "q155_media_meta"       -> (q155 _),
     "q156_image_ahash"      -> (q156 _),
+    "q157_audio_neardup"    -> (q157 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -6328,6 +6363,42 @@ object SparkEntry {
           ELSE (1::BIGINT << bit) END), 0)::BIGINT AS ahash
       FROM documents d LEFT JOIN bits USING (doc_id)
       GROUP BY d.doc_id ORDER BY d.doc_id""",
+    // Audio near-dup: sample arithmetic (local edit applied before
+    // the gain, exactly as the fixture builds it) -> 65 frame
+    // |s|-energies (frame = i*65 // 256) -> 64 adjacent-frame mean
+    // comparisons cross-multiplied by frame sizes -> sign-bit pack
+    // -> brute pair join at radius 3 (== the banded join by
+    // pigeonhole exactness).
+    "q157_audio_neardup" -> """
+      WITH smp AS (
+        SELECT d.doc_id, i.i,
+          (CASE WHEN d.doc_id % 7 = 3 AND i.i < 32 THEN 1000
+                ELSE ((d.doc_id % 40) * 131 + i.i * 997) % 32768
+                  - 16384 END)
+          * (CASE WHEN d.doc_id % 5 = 2 THEN 2 ELSE 1 END) AS s
+        FROM documents d
+        CROSS JOIN generate_series(0, 255) AS i(i)),
+      fr AS (
+        SELECT doc_id, (i * 65) // 256 AS f,
+          sum(abs(s)) AS e, count(*) AS c
+        FROM smp GROUP BY doc_id, (i * 65) // 256),
+      bits AS (
+        SELECT a.doc_id, a.f::INT AS bit
+        FROM fr a JOIN fr b
+          ON a.doc_id = b.doc_id AND b.f = a.f + 1
+        WHERE a.e * b.c < b.e * a.c),
+      hash AS (
+        SELECT d.doc_id,
+          coalesce(sum(CASE WHEN bit = 63
+            THEN (-9223372036854775807 - 1)
+            ELSE (1::BIGINT << bit) END), 0)::BIGINT AS h
+        FROM documents d LEFT JOIN bits USING (doc_id)
+        GROUP BY d.doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        bit_count(xor(a.h, b.h))::INT AS hdist
+      FROM hash a JOIN hash b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.h, b.h)) <= 3
+      ORDER BY id_a, id_b""",
     // Streaming rank-sketch close-out: the q151 batch replay plus
     // the per-group exact value-count watermark.
     "q152_streaming_rank" -> (tokCte + """,

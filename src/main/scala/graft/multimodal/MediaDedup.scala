@@ -140,6 +140,69 @@ object MediaDedup {
     sig
   }
 
+  /** 64-bit audio fingerprint — the dHash idea on the time axis
+    * (energy-gradient hashing, the integer-exact cousin of the
+    * spectral fingerprints à la Haitsma–Kalker 2002): the REAL
+    * `javax.sound.sampled` parser decodes 16-bit signed PCM
+    * (channel 0, the [[Multimodal.MediaDecoder.AudioIo]]
+    * convention), samples partition into 65 equal frames
+    * (i·65 div n), each frame's energy is the exact Σ|s|, and bit f
+    * is set iff frame f's MEAN energy < frame f+1's —
+    * cross-multiplied by frame sizes in BigInt (frames differ ±1
+    * sample when 65 ∤ n), so the whole chain is integer arithmetic
+    * an oracle replays over a sample grid. Invariant by
+    * construction to exact amplitude scaling (|k·s| = k·|s|
+    * cancels in the cross-multiplication — the loudness-normalized
+    * re-master class, spec-pinned). Needs ≥ 65 samples; anything
+    * undecodable, non-16-bit-PCM, or shorter hashes NULL. */
+  def audioHash64(payload: Array[Byte]): java.lang.Long = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException =>
+          return null
+        case _: java.io.IOException => return null
+      }
+    try {
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getEncoding !=
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return null
+      val frameBytes = fmt.getFrameSize
+      val bytes = in.readAllBytes()
+      val n = bytes.length / frameBytes
+      if (n < 65) return null
+      val e = new Array[Long](65)
+      val c = new Array[Long](65)
+      var i = 0
+      while (i < n) {
+        val off = i * frameBytes // channel 0
+        val lo = bytes(off) & 0xff
+        val hi = bytes(off + 1)
+        val s = if (fmt.isBigEndian) ((lo << 8) | (hi & 0xff)).toShort.toInt
+                else ((hi << 8) | lo).toShort.toInt
+        val f = (i.toLong * 65 / n).toInt
+        e(f) += math.abs(s.toLong); c(f) += 1
+        i += 1
+      }
+      var sig = 0L
+      var f = 0
+      while (f < 64) {
+        if (BigInt(e(f)) * c(f + 1) < BigInt(e(f + 1)) * c(f))
+          sig |= 1L << f
+        f += 1
+      }
+      sig
+    } finally in.close()
+  }
+
+  /** Add an `audio_hash` column — [[audioHash64]] under the
+    * [[withDhash]] batch shape and null conventions. */
+  def withAudioHash(df: DataFrame, payloadCol: String = "payload",
+      outCol: String = "audio_hash"): DataFrame =
+    withHashCol(df, payloadCol, outCol)(audioHash64)
+
   private def decodeImg(payload: Array[Byte])
       : java.awt.image.BufferedImage = {
     javax.imageio.ImageIO.setUseCache(false)

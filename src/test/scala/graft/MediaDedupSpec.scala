@@ -147,6 +147,46 @@ class MediaDedupSpec extends SparkSpec {
       Multimodal.SyntheticMedia.bmp24(7, 8)(seedPx(1))) == null)
   }
 
+  /** Literal audio-hash re-derivation from a sample function. */
+  private def bruteAudioHash(n: Int)(smp: Int => Int): Long = {
+    val e = new Array[Long](65); val c = new Array[Long](65)
+    for (i <- 0 until n) {
+      val f = (i.toLong * 65 / n).toInt
+      e(f) += math.abs(smp(i).toLong); c(f) += 1
+    }
+    (0 until 64).map(f =>
+      if (BigInt(e(f)) * c(f + 1) < BigInt(e(f + 1)) * c(f)) 1L << f
+      else 0L).reduce(_ | _)
+  }
+
+  test("audioHash64 over the real WAV parser matches the literal " +
+      "re-derivation; exact gain is invariant; edits are local") {
+    def smp(seed: Int)(i: Int): Int =
+      (seed * 131 + i * 997) % 32768 - 16384
+    for (n <- Seq(65, 256, 1000); seed <- Seq(0, 7)) {
+      val wav = Multimodal.SyntheticMedia.wavPcm16(8000, n)(smp(seed))
+      val got = MediaDedup.audioHash64(wav)
+      assert(got != null && got.longValue == bruteAudioHash(n)(smp(seed)),
+        s"n=$n seed=$seed")
+    }
+    val base = Multimodal.SyntheticMedia.wavPcm16(8000, 256)(smp(11))
+    val hBase = MediaDedup.audioHash64(base).longValue
+    // exact 2x amplitude: |2s| = 2|s| cancels in the cross-mult
+    val loud = Multimodal.SyntheticMedia.wavPcm16(8000, 256)(i =>
+      smp(11)(i) * 2)
+    assert(MediaDedup.audioHash64(loud).longValue == hBase)
+    // a leading edit flips only early-frame comparisons
+    val edited = Multimodal.SyntheticMedia.wavPcm16(8000, 256)(i =>
+      if (i < 32) 1000 else smp(11)(i))
+    val d = java.lang.Long.bitCount(
+      MediaDedup.audioHash64(edited).longValue ^ hBase)
+    assert(d > 0 && d <= 10, s"edit moved $d bits")
+    // too short / undecodable / wrong depth hash to null
+    assert(MediaDedup.audioHash64(
+      Multimodal.SyntheticMedia.wavPcm16(8000, 64)(smp(1))) == null)
+    assert(MediaDedup.audioHash64(Array[Byte](1, 2, 3)) == null)
+  }
+
   test("sub-grid and null payloads hash to null") {
     val tiny = Multimodal.SyntheticMedia.bmp24(8, 8)(seedPx(3))
     assert(MediaDedup.dhash64Bytes(tiny) == null)
