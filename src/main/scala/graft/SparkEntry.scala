@@ -3081,6 +3081,41 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Video near-dup pairs ([[graft.multimodal.MediaDedup
+    * .videoFrameDhashes]]/[[graft.multimodal.MediaDedup
+    * .sharedFrameVideoPairs]], X87): deterministic 6-frame 18×16
+    * AVI/DIB videos in piles (seed = doc_id % 40) with three dup
+    * classes — brightness +7 (per-frame dHash invariant: full
+    * 6-frame match), a 4-frame cut (doc_id % 7 = 3: shares exactly
+    * its 4 frames), and a constant "intro card" frame 0 (doc_id %
+    * 3 = 1: a boilerplate hash shared ACROSS seeds, which the
+    * minShared = 3 cut correctly ignores). The raw RIFF/DIB walker
+    * hashes every sampled frame; pairing counts shared distinct
+    * frame hashes. The oracle re-derives every frame's pixels,
+    * cells, packed bits, and the shared-count pair join. */
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{MediaDedup, Multimodal}
+    import s.implicits._
+    val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val sd = (id % 40).toInt
+        val bright = if (id % 5 == 2) 7 else 0
+        val corrupt = id % 3 == 1
+        val nf = if (id % 7 == 3) 4 else 6
+        val avi = Multimodal.SyntheticMedia.aviDib(18, 16, nf) {
+          (f, x, y) =>
+            if (corrupt && f == 0) (40, 40, 40)
+            else ((sd * 3 + f * 17 + x * 7 + y * 11) % 248 + bright,
+                  (sd * 5 + f * 13 + x * 11 + y * 3) % 248 + bright,
+                  (sd * 7 + f * 19 + x * 3 + y * 13) % 248 + bright)
+        }
+        (id, avi)
+      }.toDF("media_id", "payload")
+    MediaDedup.sharedFrameVideoPairs(
+        MediaDedup.videoFrameHashTable(media), minShared = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** BPE fertility / vocab-coverage report ([[graft.text.BpeOps
     * .fertilityReport]], VERDICT r16 ask #6): per (source, lang),
     * the exact integer counts behind fertility (subwords/word),
@@ -3517,6 +3552,7 @@ object SparkEntry {
     "q155_media_meta"       -> (q155 _),
     "q156_image_ahash"      -> (q156 _),
     "q157_audio_neardup"    -> (q157 _),
+    "q158_video_neardup"    -> (q158 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -6398,6 +6434,63 @@ object SparkEntry {
         bit_count(xor(a.h, b.h))::INT AS hdist
       FROM hash a JOIN hash b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.h, b.h)) <= 3
+      ORDER BY id_a, id_b""",
+    // Video near-dup: per-(doc, frame) pixel grid (corrupt intro
+    // frame BEFORE brightness, exactly as the fixture builds) ->
+    // per-frame dHash (18x16: 2x2 cells, sum compare, sign-bit
+    // pack) -> distinct per-video hash sets -> shared-count join
+    // cut at 3.
+    "q158_video_neardup" -> """
+      WITH fr AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 3 THEN 4 ELSE 6 END AS nf
+        FROM documents),
+      dfr AS (
+        SELECT doc_id, f.f FROM fr
+        CROSS JOIN generate_series(0, 5) AS f(f) WHERE f.f < nf),
+      px AS (
+        SELECT d.doc_id, d.f, x.x, y.y,
+          CASE WHEN d.doc_id % 3 = 1 AND d.f = 0 THEN 40
+               ELSE ((d.doc_id % 40) * 3 + d.f * 17 + x.x * 7
+                 + y.y * 11) % 248
+                 + CASE WHEN d.doc_id % 5 = 2 THEN 7 ELSE 0 END
+          END AS r,
+          CASE WHEN d.doc_id % 3 = 1 AND d.f = 0 THEN 40
+               ELSE ((d.doc_id % 40) * 5 + d.f * 13 + x.x * 11
+                 + y.y * 3) % 248
+                 + CASE WHEN d.doc_id % 5 = 2 THEN 7 ELSE 0 END
+          END AS g,
+          CASE WHEN d.doc_id % 3 = 1 AND d.f = 0 THEN 40
+               ELSE ((d.doc_id % 40) * 7 + d.f * 19 + x.x * 3
+                 + y.y * 13) % 248
+                 + CASE WHEN d.doc_id % 5 = 2 THEN 7 ELSE 0 END
+          END AS b
+        FROM dfr d
+        CROSS JOIN generate_series(0, 17) AS x(x)
+        CROSS JOIN generate_series(0, 15) AS y(y)),
+      lum AS (
+        SELECT doc_id, f, x // 2 AS cx, y // 2 AS cy,
+          sum(299 * r + 587 * g + 114 * b) AS s
+        FROM px GROUP BY doc_id, f, x // 2, y // 2),
+      vbits AS (
+        SELECT a.doc_id, a.f, (a.cy * 8 + a.cx)::INT AS bit
+        FROM lum a JOIN lum b
+          ON a.doc_id = b.doc_id AND a.f = b.f AND b.cy = a.cy
+          AND b.cx = a.cx + 1
+        WHERE a.s < b.s),
+      fhash AS (
+        SELECT d.doc_id, d.f,
+          coalesce(sum(CASE WHEN bit = 63
+            THEN (-9223372036854775807 - 1)
+            ELSE (1::BIGINT << bit) END), 0)::BIGINT AS h
+        FROM dfr d LEFT JOIN vbits
+          ON d.doc_id = vbits.doc_id AND d.f = vbits.f
+        GROUP BY d.doc_id, d.f),
+      dh AS (SELECT DISTINCT doc_id, h FROM fhash)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        count(*)::BIGINT AS n_shared
+      FROM dh a JOIN dh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 3
       ORDER BY id_a, id_b""",
     // Streaming rank-sketch close-out: the q151 batch replay plus
     // the per-group exact value-count watermark.

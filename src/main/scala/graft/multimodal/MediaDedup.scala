@@ -203,6 +203,158 @@ object MediaDedup {
       outCol: String = "audio_hash"): DataFrame =
     withHashCol(df, payloadCol, outCol)(audioHash64)
 
+  /** Per-frame dHash table for AVI/DIB video payloads (X87 — the
+    * video tier of the near-dup matrix): the same hand-rolled RIFF
+    * walk as [[Multimodal.MediaDecoder.AviDib]] (uncompressed
+    * 24-bit BGR "NNdb" frames, bottom-up rows padded to 4 bytes),
+    * each `frameStride`-th frame hashed by the [[dhash64]] contract
+    * straight off the raw rows — no BufferedImage, no codec.
+    * Returns (frameIndex, dhash) pairs in frame order; null for
+    * non-AVI / non-DIB / sub-grid / truncated payloads (poison-row
+    * convention). MJPEG and other codecs are NOT hashed here — a
+    * lossy decode is not oracle-replayable; route those through
+    * [[dhash64Bytes]] per extracted frame if needed. */
+  def videoFrameDhashes(payload: Array[Byte], frameStride: Int = 1)
+      : Array[(Int, Long)] = {
+    require(frameStride >= 1, s"frameStride=$frameStride")
+    def fourcc(b: Array[Byte], off: Int): String =
+      if (off + 4 <= b.length)
+        new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    def le32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    if (payload == null || payload.length < 12 ||
+        fourcc(payload, 0) != "RIFF" || fourcc(payload, 8) != "AVI ")
+      return null
+    var width = 0; var height = 0; var bitCount = 0; var comp = ""
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val id = fourcc(payload, p)
+        val sz = le32(payload, p + 4)
+        if (sz < 0 || p + 8 + sz > end) return
+        if (id == "LIST" && sz >= 4) walk(p + 12, p + 8 + sz)
+        else if (id == "strf" && sz >= 40 && bitCount == 0) {
+          width = le32(payload, p + 8 + 4)
+          height = le32(payload, p + 8 + 8)
+          bitCount = le32(payload, p + 8 + 14) & 0xffff
+          comp = if (le32(payload, p + 8 + 16) == 0) "RGB"
+                 else fourcc(payload, p + 8 + 16)
+        } else if (id.length == 4 &&
+            (id.endsWith("db") || id.endsWith("dc")))
+          frames += ((p + 8, sz))
+        p += 8 + sz + (sz & 1)
+      }
+    }
+    walk(12, math.min(payload.length, 8 + le32(payload, 4)))
+    if (frames.isEmpty || width < 9 || height < 8 || bitCount != 24 ||
+        comp != "RGB")
+      return null
+    val rowBytes = (width * 3 + 3) & ~3
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var f = 0
+    while (f < frames.length) {
+      if (f % frameStride == 0) {
+        val (off, sz) = frames(f)
+        if (sz < rowBytes * height) return null // corrupt frame
+        val sums = Array.ofDim[Long](8, 9)
+        val counts = Array.ofDim[Long](8, 9)
+        var y = 0
+        while (y < height) {
+          val cy = (y.toLong * 8 / height).toInt
+          val rowOff = off + (height - 1 - y) * rowBytes // bottom-up
+          var x = 0
+          while (x < width) {
+            val cx = (x.toLong * 9 / width).toInt
+            val p = rowOff + x * 3
+            sums(cy)(cx) += 299L * (payload(p + 2) & 0xff) +
+              587L * (payload(p + 1) & 0xff) + 114L * (payload(p) & 0xff)
+            counts(cy)(cx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var sig = 0L
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 8) {
+            if (sums(cy)(cx) * counts(cy)(cx + 1) <
+                sums(cy)(cx + 1) * counts(cy)(cx))
+              sig |= 1L << (cy * 8 + cx)
+            cx += 1
+          }
+          cy += 1
+        }
+        out += ((f, sig))
+      }
+      f += 1
+    }
+    out.toArray
+  }
+
+  /** Frame-hash table: (idCol, frame_idx, dhash) — one row per
+    * sampled frame, per-partition batch shape, payload bytes never
+    * shuffled. Undecodable videos contribute no rows (count them
+    * upstream via [[videoFrameDhashes]] null checks if needed). */
+  def videoFrameHashTable(df: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload", frameStride: Int = 1)
+      : DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("frame_idx", IntegerType),
+      StructField("dhash", LongType)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val iIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val hs = if (payload == null) null
+                 else videoFrameDhashes(payload, frameStride)
+        if (hs == null) Iterator.empty
+        else hs.iterator.map { case (f, h) =>
+          Row(r.getAs[Number](iIdx).longValue, f, h) }
+      }
+    }.withColumnRenamed("id", idCol)
+  }
+
+  /** Video near-dup pairs by shared frame signatures: two videos
+    * pair when ≥ `minShared` DISTINCT frame dhashes coincide
+    * exactly — the shot-level containment test (a re-encode,
+    * brightness remaster, or frame-dropped cut shares most frame
+    * hashes; unrelated videos share none). One merge-pinned
+    * equi-join on the frame hash over per-video DISTINCT hash sets
+    * (a video repeating a frame counts it once), then a count
+    * cut — output-sized, no quadratic beyond genuinely shared
+    * hashes. Boilerplate frames (intro cards, black frames) shared
+    * by THOUSANDS of videos make a hash bucket quadratic: cap them
+    * with `maxVideosPerHash` (hashes above the cap are DROPPED
+    * from pairing — the q107/shingle-cap trade, documented not
+    * silent: a dropped hash can only lower n_shared). 0 = off. */
+  def sharedFrameVideoPairs(frameHashes: DataFrame, minShared: Int = 1,
+      idCol: String = "media_id", hashCol: String = "dhash",
+      maxVideosPerHash: Long = 0L): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared")
+    val fh0 = frameHashes
+      .select(col(idCol).cast("long").as("id"),
+        col(hashCol).cast("long").as("h"))
+      .distinct()
+    val fh = (if (maxVideosPerHash > 0L) {
+      val hot = fh0.groupBy("h").count()
+        .filter(col("count") > maxVideosPerHash).select("h")
+      fh0.join(hot.hint("shuffle_hash"), Seq("h"), "left_anti")
+    } else fh0)
+      .localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    fh.as("a").join(fh.as("b").hint("merge"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   private def decodeImg(payload: Array[Byte])
       : java.awt.image.BufferedImage = {
     javax.imageio.ImageIO.setUseCache(false)

@@ -187,6 +187,52 @@ class MediaDedupSpec extends SparkSpec {
     assert(MediaDedup.audioHash64(Array[Byte](1, 2, 3)) == null)
   }
 
+  test("videoFrameDhashes matches per-frame literal dHash; stride " +
+      "samples; MJPEG/truncated refuse to null") {
+    def fpx(f: Int)(x: Int, y: Int): (Int, Int, Int) =
+      ((f * 17 + x * 7 + y * 11) % 248, (f * 13 + x * 11 + y * 3) % 248,
+       (f * 19 + x * 3 + y * 13) % 248)
+    val avi = Multimodal.SyntheticMedia.aviDib(18, 16, 5)(
+      (f, x, y) => fpx(f)(x, y))
+    val got = MediaDedup.videoFrameDhashes(avi)
+    assert(got != null && got.length == 5)
+    for ((f, h) <- got)
+      assert(h == bruteDhash(18, 16)(fpx(f)), s"frame $f")
+    val strided = MediaDedup.videoFrameDhashes(avi, frameStride = 2)
+    assert(strided.map(_._1).toSeq == Seq(0, 2, 4))
+    assert(strided.toSeq == got.filter(_._1 % 2 == 0).toSeq)
+    // MJPEG containers are lossy-decoded — not hashed here
+    val (mjpeg, _) = Multimodal.SyntheticMedia.docAviMjpeg(3)
+    assert(MediaDedup.videoFrameDhashes(mjpeg) == null)
+    assert(MediaDedup.videoFrameDhashes(avi.take(60)) == null)
+    assert(MediaDedup.videoFrameDhashes(Array[Byte](1, 2)) == null)
+  }
+
+  test("sharedFrameVideoPairs counts distinct shared frame hashes; " +
+      "the boilerplate cap drops hot frames") {
+    // videos 0,1: same 4 frames; video 2: shares 2 of them; all
+    // three plus 3..9 share one "intro" hash (the hot frame).
+    val rows = Seq(
+      (0L, 0, 100L), (0L, 1, 101L), (0L, 2, 102L), (0L, 3, 103L),
+      (1L, 0, 100L), (1L, 1, 101L), (1L, 2, 102L), (1L, 3, 103L),
+      (2L, 0, 102L), (2L, 1, 103L), (2L, 2, 555L),
+      (2L, 3, 555L)) ++ // repeated in-video frame counts ONCE
+      (0L to 9L).map(v => (v, 9, 777L)) // intro card everywhere
+    val fh = rows.toDF("media_id", "frame_idx", "dhash")
+    val got = MediaDedup.sharedFrameVideoPairs(fh, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // 0-1 share {100,101,102,103,777} = 5; 0-2 and 1-2 share
+    // {102,103,777} = 3; everyone else only the intro (1 < 2)
+    assert(got == Set((0L, 1L, 5L), (0L, 2L, 3L), (1L, 2L, 3L)))
+    val capped = MediaDedup.sharedFrameVideoPairs(fh, minShared = 2,
+        maxVideosPerHash = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // 777 appears in 10 > 5 videos: dropped everywhere
+    assert(capped == Set((0L, 1L, 4L), (0L, 2L, 2L), (1L, 2L, 2L)))
+  }
+
   test("sub-grid and null payloads hash to null") {
     val tiny = Multimodal.SyntheticMedia.bmp24(8, 8)(seedPx(3))
     assert(MediaDedup.dhash64Bytes(tiny) == null)
