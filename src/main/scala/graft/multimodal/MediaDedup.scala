@@ -57,7 +57,12 @@ import org.apache.spark.sql.types._
 object MediaDedup {
 
   /** 64-bit difference hash of a decoded image; null (boxed) when
-    * the image is smaller than the 9×8 grid. */
+    * the image is smaller than the 9×8 grid. The 64 cross-
+    * multiplied comparisons run in BigInt: a JVM long multiply
+    * wraps SILENTLY (no ANSI throw), and sum·count exceeds 2⁶³
+    * around a gigapixel — a wrong hash beats a refusal only if it's
+    * never wrong. Pixel accumulation stays long (exact to ~7×10¹³
+    * px). */
   def dhash64(img: java.awt.image.BufferedImage): java.lang.Long = {
     val w = img.getWidth; val h = img.getHeight
     if (w < 9 || h < 8) return null
@@ -77,13 +82,20 @@ object MediaDedup {
       }
       y += 1
     }
+    packGradientBits(sums, counts)
+  }
+
+  /** Shared dHash bit packing: bit (cy·8+cx) set iff cell (cx,cy)'s
+    * mean < cell (cx+1,cy)'s, cross-multiplied in BigInt. */
+  private def packGradientBits(sums: Array[Array[Long]],
+      counts: Array[Array[Long]]): Long = {
     var sig = 0L
     var cy = 0
     while (cy < 8) {
       var cx = 0
       while (cx < 8) {
-        if (sums(cy)(cx) * counts(cy)(cx + 1) <
-            sums(cy)(cx + 1) * counts(cy)(cx))
+        if (BigInt(sums(cy)(cx)) * counts(cy)(cx + 1) <
+            BigInt(sums(cy)(cx + 1)) * counts(cy)(cx))
           sig |= 1L << (cy * 8 + cx)
         cx += 1
       }
@@ -276,19 +288,7 @@ object MediaDedup {
           }
           y += 1
         }
-        var sig = 0L
-        var cy = 0
-        while (cy < 8) {
-          var cx = 0
-          while (cx < 8) {
-            if (sums(cy)(cx) * counts(cy)(cx + 1) <
-                sums(cy)(cx + 1) * counts(cy)(cx))
-              sig |= 1L << (cy * 8 + cx)
-            cx += 1
-          }
-          cy += 1
-        }
-        out += ((f, sig))
+        out += ((f, packGradientBits(sums, counts)))
       }
       f += 1
     }
