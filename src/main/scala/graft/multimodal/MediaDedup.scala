@@ -455,7 +455,8 @@ object MediaDedup {
     * (spec-pinned against brute force; the f100 smoke asserts the
     * radius-0 count equals the hash-histogram pair count). */
   def nearDupPairs(hashed: DataFrame, idCol: String = "media_id",
-      hashCol: String = "dhash", maxHamming: Int = 3): DataFrame = {
+      hashCol: String = "dhash", maxHamming: Int = 3,
+      maxBucket: Long = 0L): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"nearDupPairs guarantees recall only for radius <= 3 over 4 " +
       s"bands (pigeonhole); got $maxHamming")
@@ -468,13 +469,27 @@ object MediaDedup {
     val dh = sh.select("h").distinct()
       .localCheckpoint(eager = true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val banded = dh.select(col("h"),
+    val banded0 = dh.select(col("h"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             shiftrightunsigned(col("h"), b * 16)
               .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
       .select(col("h"), col("bk.band").as("band"),
         col("bk.key").as("key"))
+    // Optional oversize-bucket cap (the LSH/q107 discipline): a
+    // (band, word) bucket holding > maxBucket DISTINCT signatures
+    // is quadratic in it — on near-degenerate corpora (the
+    // MediaAvScaleSmoke finding) a handful of hot 16-bit words can
+    // carry most of the work. Dropping a bucket loses ONLY pairs
+    // whose every other agreeing band is also dropped — one-sided
+    // recall reduction, documented not silent. 0 = off (the exact
+    // pigeonhole contract; q154/q157 run uncapped).
+    val banded = if (maxBucket > 0L) {
+      val hot = banded0.groupBy("band", "key").count()
+        .filter(col("count") > maxBucket).select("band", "key")
+      banded0.join(hot.hint("shuffle_hash"), Seq("band", "key"),
+        "left_anti")
+    } else banded0
     // distinct-hash pairs within the radius (hdist ≥ 1: ha < hb)
     val hp = banded.as("a").join(banded.as("b").hint("merge"),
         col("a.band") === col("b.band") &&

@@ -233,6 +233,30 @@ class MediaDedupSpec extends SparkSpec {
     assert(capped == Set((0L, 1L, 4L), (0L, 2L, 2L), (1L, 2L, 2L)))
   }
 
+  test("nearDupPairs maxBucket caps hot band buckets one-sidedly") {
+    // 30 hashes differing only in band-0 low bits: every one shares
+    // the same three upper 16-bit words, so bands 1-3 each hold ONE
+    // 30-hash bucket while band 0 holds 30 singletons — every
+    // radius-3 pair is found ONLY via the hot bands. Capping
+    // buckets at 10 drops bands 1-3 entirely -> no surviving
+    // agreeing band -> no pairs; a cap above the bucket size
+    // changes nothing.
+    val hs = (0L until 30L).map(i => 0x7770666055500000L | i)
+    val expect = (for {
+      a <- hs; b <- hs if a < b
+      if java.lang.Long.bitCount(a ^ b) <= 3
+    } yield 1).size.toLong
+    assert(expect > 100L) // the fixture is genuinely pair-dense
+    val rows = hs.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("media_id", "dhash")
+    assert(MediaDedup.nearDupPairs(rows, maxHamming = 3).count()
+      == expect)
+    assert(MediaDedup.nearDupPairs(rows, maxHamming = 3,
+      maxBucket = 10L).count() == 0L)
+    assert(MediaDedup.nearDupPairs(rows, maxHamming = 3,
+      maxBucket = 64L).count() == expect)
+  }
+
   test("sub-grid and null payloads hash to null") {
     val tiny = Multimodal.SyntheticMedia.bmp24(8, 8)(seedPx(3))
     assert(MediaDedup.dhash64Bytes(tiny) == null)
