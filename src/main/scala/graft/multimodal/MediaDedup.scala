@@ -182,6 +182,10 @@ object MediaDedup {
           javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
         return null
       val frameBytes = fmt.getFrameSize
+      // readAllBytes can surface IOException AFTER a successful
+      // stream open (truncated payload body), and parser plugins can
+      // throw RuntimeExceptions on malformed frames — same NonFatal
+      // one-bad-row convention as [[decodeImg]] (ADVICE r19).
       val bytes = in.readAllBytes()
       val n = bytes.length / frameBytes
       if (n < 65) return null
@@ -206,6 +210,8 @@ object MediaDedup {
         f += 1
       }
       sig
+    } catch {
+      case scala.util.control.NonFatal(_) => null
     } finally in.close()
   }
 
@@ -264,7 +270,14 @@ object MediaDedup {
     if (frames.isEmpty || width < 9 || height < 8 || bitCount != 24 ||
         comp != "RGB")
       return null
-    val rowBytes = (width * 3 + 3) & ~3
+    // row stride sized in Long (ADVICE r19): a header declaring huge
+    // dims (e.g. 20000x40000) wraps the Int product negative, the
+    // corrupt-frame guard below then passes vacuously and the pixel
+    // loop reads past the payload. No frame chunk can hold a frame
+    // this big (sz is an Int), so refuse before any multiply wraps.
+    val rowBytesL = (width.toLong * 3 + 3) & ~3L
+    if (rowBytesL * height > Int.MaxValue) return null
+    val rowBytes = rowBytesL.toInt
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     var f = 0
     while (f < frames.length) {
@@ -358,9 +371,14 @@ object MediaDedup {
   private def decodeImg(payload: Array[Byte])
       : java.awt.image.BufferedImage = {
     javax.imageio.ImageIO.setUseCache(false)
+    // NonFatal, not just IOException (ADVICE r19): ImageIO plugins
+    // throw RuntimeExceptions (IllegalArgument, ArrayIndexOutOfBounds,
+    // NegativeArraySize) on malformed real-world payloads — the
+    // one-bad-row convention means every decode failure is a null,
+    // never a dead corpus pass.
     try javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
-    catch { case _: java.io.IOException => null }
+    catch { case scala.util.control.NonFatal(_) => null }
   }
 
   /** Decode-and-hash: ImageIO over the payload bytes (in-memory

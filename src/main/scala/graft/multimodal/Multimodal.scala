@@ -246,7 +246,14 @@ object Multimodal {
         if (width <= 0 || height <= 0 || bitCount != 24 ||
             comp != "RGB")
           return bail
-        val rowBytes = (width * 3 + 3) & ~3 // DIB rows pad to 4 bytes
+        // row stride sized in Long (ADVICE r19): a header declaring
+        // huge dims wraps the Int product negative, the corrupt-frame
+        // guard below then passes vacuously and the pixel loop reads
+        // past the payload. No real chunk can hold a frame this big
+        // (sz is an Int), so refuse before any multiply can wrap.
+        val rowBytesL = (width.toLong * 3 + 3) & ~3L
+        if (rowBytesL * height > Int.MaxValue) return bail
+        val rowBytes = rowBytesL.toInt // DIB rows pad to 4 bytes
         var sumR = 0L; var sumG = 0L; var sumB = 0L; var bright = 0L
         var sampled = 0
         var f = 0
@@ -422,7 +429,11 @@ object Multimodal {
       var o = 8
       while (o + 8 <= p.length) {
         val len = be32(p, o)
-        if (len < 0 || o + 12 + len > p.length) return nulls // truncated
+        // bound computed in Long (ADVICE r19): a crafted chunk length
+        // near 2^31 overflows the Int sum negative and would bypass
+        // the guard — the subsequent reads then throw and a poison
+        // row kills the corpus pass instead of yielding nulls.
+        if (len < 0 || o + 12L + len > p.length) return nulls // truncated
         val typ = new String(p, o + 4, 4,
           java.nio.charset.StandardCharsets.US_ASCII)
         if (typ == "IHDR" && len >= 13) {

@@ -257,6 +257,29 @@ class MediaDedupSpec extends SparkSpec {
       maxBucket = 64L).count() == expect)
   }
 
+  test("an AVI header declaring huge dims nulls out instead of " +
+      "wrapping the corrupt-frame guard (ADVICE r19: Long stride)") {
+    // strf biWidth/biHeight patched to 20000x40000: the Int product
+    // rowBytes*height wraps negative, the old guard passed vacuously
+    // and the pixel loop read past the payload.
+    val avi = Multimodal.SyntheticMedia.aviDib(18, 16, 2)((f, x, y) =>
+      ((f + x) % 256, y % 256, 7))
+    def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte
+      b(off + 1) = ((v >>> 8) & 0xff).toByte
+      b(off + 2) = ((v >>> 16) & 0xff).toByte
+      b(off + 3) = ((v >>> 24) & 0xff).toByte
+    }
+    val evil = avi.clone()
+    putLe32(evil, 176, 20000) // strf biWidth
+    putLe32(evil, 180, 40000) // strf biHeight
+    assert(MediaDedup.videoFrameDhashes(evil) == null)
+    // the feature decoder shares the stride arithmetic: same refusal
+    val feats = Multimodal.MediaDecoder.AviDib()
+      .decodeToFeatures("video", evil)
+    assert(feats == null)
+  }
+
   test("sub-grid and null payloads hash to null") {
     val tiny = Multimodal.SyntheticMedia.bmp24(8, 8)(seedPx(3))
     assert(MediaDedup.dhash64Bytes(tiny) == null)

@@ -68,6 +68,28 @@ class MediaMetaSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("meta_format")))
   }
 
+  test("a crafted PNG chunk length near 2^31 nulls out instead of " +
+      "bypassing the truncation guard (ADVICE r19: Long bound)") {
+    // valid signature + IHDR, then a chunk whose declared length
+    // makes o + 12 + len overflow Int — the old Int-math guard let
+    // it through and the walk then read at a negative offset.
+    val bmp = Multimodal.SyntheticMedia.bmp24(9, 8)((_, _) => (1, 2, 3))
+    val png = MediaDedup.pngReencode(bmp)
+    val evil = java.util.Arrays.copyOf(png, 33 + 8)
+    val evilLen = Int.MaxValue - 20 // 33 + 12 + len wraps negative
+    evil(33) = ((evilLen >>> 24) & 0xff).toByte
+    evil(34) = ((evilLen >>> 16) & 0xff).toByte
+    evil(35) = ((evilLen >>> 8) & 0xff).toByte
+    evil(36) = (evilLen & 0xff).toByte
+    evil(37) = 't'.toByte; evil(38) = 'E'.toByte
+    evil(39) = 'X'.toByte; evil(40) = 't'.toByte
+    val out = Multimodal.headerMeta(
+      Seq((0L, evil)).toDF("media_id", "payload")).collect()
+    for (c <- Seq("meta_format", "meta_width", "meta_height",
+        "meta_depth", "meta_color_type", "n_text", "text_kv"))
+      assert(out(0).isNullAt(out(0).fieldIndex(c)), s"col $c")
+  }
+
   test("pngAddText emits a CRC-valid chunk every decoder accepts") {
     val bmp = Multimodal.SyntheticMedia.bmp24(10, 10)((_, _) => (5, 6, 7))
     val png = Multimodal.SyntheticMedia.pngAddText(
