@@ -3116,6 +3116,90 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Media near-dup canonicalization ([[graft.multimodal.MediaDedup
+    * .canonicalMedia]], X88 — VERDICT r19 ask #1, the pair-list →
+    * survivor-set step): the q154 image corpus plus a RESOLUTION
+    * class (doc_id % 3 = 0: 2× nearest-neighbor upscale to 36×32 —
+    * every 9×8 grid cell doubles uniformly, so the dHash is
+    * IDENTICAL and the upscale lands in its pile's cluster), paired
+    * at radius 3, clustered by the engine's pointer-jump CC, and
+    * canonicalized keep-best by pixel count from the no-decode
+    * header sniff (`meta_width·meta_height`), min id on ties. The
+    * oracle re-derives every pixel of BOTH sizes, the per-size cell
+    * grids, the packed bits, the brute pair join, min-reachable-id
+    * components via recursive reachability, and the
+    * (n_px DESC, id) survivor pick. */
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{MediaDedup, Multimodal}
+    import s.implicits._
+    val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val sd = (id % 40).toInt
+        val bright = id % 5 == 2
+        val sticker = id % 7 == 3
+        def ch(a: Int, b: Int, c: Int, x: Int, y: Int): Int = {
+          var v = (sd * a + x * b + y * c) % 248
+          if (bright) v += 7
+          if (sticker && x >= 14) v += 80
+          math.min(v, 255)
+        }
+        def px(x: Int, y: Int): (Int, Int, Int) =
+          (ch(3, 7, 11, x, y), ch(5, 11, 3, x, y), ch(7, 3, 13, x, y))
+        val bmp =
+          if (id % 3 == 0)
+            Multimodal.SyntheticMedia.bmp24(36, 32)((x, y) =>
+              px(x / 2, y / 2))
+          else Multimodal.SyntheticMedia.bmp24(18, 16)(px)
+        (id, if (id % 3 == 1) MediaDedup.pngReencode(bmp) else bmp)
+      }.toDF("media_id", "payload")
+    val pairs = MediaDedup.nearDupPairs(MediaDedup.withDhash(media),
+      "media_id", "dhash", 3)
+    val nodes = Multimodal.headerMeta(media)
+      .select(col("media_id"),
+        (col("meta_width") * col("meta_height")).as("quality"))
+    MediaDedup.canonicalMedia(nodes, pairs)
+      .select(col("media_id").as("doc_id"), col("component"),
+        col("survivor"), col("keep"), col("quality").as("n_px"))
+      .orderBy("doc_id")
+  }
+
+  /** Video decode-verdict audit ([[graft.multimodal.MediaDedup
+    * .videoDecodeAudit]], X87's poison-row audit — VERDICT r19 ask
+    * #3): the q158 corpus with two engineered undecodable classes —
+    * header-truncated payloads (doc_id % 11 = 5: cut mid-hdrl, the
+    * walk finds no frames) and junk bytes (doc_id % 13 = 7: wrong
+    * RIFF magic) — hashed at frameStride 2. Every video gets exactly
+    * one audit row off the SAME scan the pair stage uses:
+    * undecodable → (0, false) via the sentinel row, decodable → the
+    * sampled-frame count (6 frames → 3, the 4-frame cut class → 2).
+    * The oracle is pure doc_id residue arithmetic. */
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{MediaDedup, Multimodal}
+    import s.implicits._
+    val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val sd = (id % 40).toInt
+        val nf = if (id % 7 == 3) 4 else 6
+        val avi = Multimodal.SyntheticMedia.aviDib(18, 16, nf) {
+          (f, x, y) =>
+            ((sd * 3 + f * 17 + x * 7 + y * 11) % 248,
+             (sd * 5 + f * 13 + x * 11 + y * 3) % 248,
+             (sd * 7 + f * 19 + x * 3 + y * 13) % 248)
+        }
+        val payload: Array[Byte] =
+          if (id % 11 == 5) java.util.Arrays.copyOf(avi, 80)
+          else if (id % 13 == 7)
+            Array.tabulate(64)(i => (i * 37 % 251).toByte)
+          else avi
+        (id, payload)
+      }.toDF("media_id", "payload")
+    MediaDedup.videoDecodeAudit(
+        MediaDedup.videoFrameHashTable(media, frameStride = 2))
+      .select(col("media_id").as("doc_id"), col("n_frames"),
+        col("decoded"))
+      .orderBy("doc_id")
+  }
+
   /** BPE fertility / vocab-coverage report ([[graft.text.BpeOps
     * .fertilityReport]], VERDICT r16 ask #6): per (source, lang),
     * the exact integer counts behind fertility (subwords/word),
@@ -3553,6 +3637,8 @@ object SparkEntry {
     "q156_image_ahash"      -> (q156 _),
     "q157_audio_neardup"    -> (q157 _),
     "q158_video_neardup"    -> (q158 _),
+    "q159_media_canonical"  -> (q159 _),
+    "q160_video_decode_audit" -> (q160 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -6492,6 +6578,86 @@ object SparkEntry {
       FROM dh a JOIN dh b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2 HAVING count(*) >= 3
       ORDER BY id_a, id_b""",
+    // Media canonicalization: the q154 pixel/hash re-derivation
+    // extended with the 2x-upscale class (base coords sx = x//2,
+    // cells x//4 — every cell is a uniformly doubled base cell, so
+    // counts stay uniform per doc and the mean comparison reduces
+    // to the sum comparison), then brute radius-3 pairs, recursive
+    // min-reachable-id components, and the (n_px DESC, id) survivor
+    // pick per component.
+    "q159_media_canonical" -> """
+      WITH RECURSIVE px AS (
+        SELECT d.doc_id, x.x, y.y,
+          CASE WHEN d.doc_id % 3 = 0 THEN x.x // 2 ELSE x.x END AS sx,
+          CASE WHEN d.doc_id % 3 = 0 THEN y.y // 2 ELSE y.y END AS sy
+        FROM documents d
+        CROSS JOIN generate_series(0, 35) AS x(x)
+        CROSS JOIN generate_series(0, 31) AS y(y)
+        WHERE d.doc_id % 3 = 0 OR (x.x <= 17 AND y.y <= 15)),
+      shp AS (
+        SELECT doc_id, x, y, sx, sy,
+          (CASE WHEN doc_id % 5 = 2 THEN 7 ELSE 0 END +
+           CASE WHEN doc_id % 7 = 3 AND sx >= 14 THEN 80 ELSE 0 END)
+            AS sh
+        FROM px),
+      lum AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN x // 4 ELSE x // 2 END AS cx,
+          CASE WHEN doc_id % 3 = 0 THEN y // 4 ELSE y // 2 END AS cy,
+          sum(299 * least(((doc_id % 40) * 3 + sx * 7 + sy * 11) % 248
+                + sh, 255)
+            + 587 * least(((doc_id % 40) * 5 + sx * 11 + sy * 3) % 248
+                + sh, 255)
+            + 114 * least(((doc_id % 40) * 7 + sx * 3 + sy * 13) % 248
+                + sh, 255)) AS s
+        FROM shp GROUP BY 1, 2, 3),
+      bits AS (
+        SELECT a.doc_id, (a.cy * 8 + a.cx)::INT AS bit
+        FROM lum a JOIN lum b
+          ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        WHERE a.s < b.s),
+      hash AS (
+        SELECT d.doc_id,
+          coalesce(sum(CASE WHEN bit = 63
+            THEN (-9223372036854775807 - 1)
+            ELSE (1::BIGINT << bit) END), 0)::BIGINT AS h
+        FROM documents d LEFT JOIN bits USING (doc_id)
+        GROUP BY d.doc_id),
+      pr AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM hash a JOIN hash b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h, b.h)) <= 3),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                UNION SELECT id_b, id_a FROM pr),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      comp AS (SELECT id AS doc_id, min(r) AS component
+               FROM reach GROUP BY id),
+      qual AS (SELECT doc_id,
+          (CASE WHEN doc_id % 3 = 0 THEN 1152 ELSE 288 END)::BIGINT
+            AS n_px
+        FROM documents),
+      rk AS (SELECT c.doc_id, c.component, q.n_px,
+          row_number() OVER (PARTITION BY c.component
+            ORDER BY q.n_px DESC, c.doc_id) AS rn
+        FROM comp c JOIN qual q USING (doc_id)),
+      sv AS (SELECT component, doc_id AS survivor FROM rk WHERE rn = 1)
+      SELECT r.doc_id, r.component, s.survivor,
+        (r.doc_id = s.survivor) AS keep, r.n_px
+      FROM rk r JOIN sv s USING (component)
+      ORDER BY r.doc_id""",
+    // Decode-verdict audit: pure residue arithmetic — the two
+    // undecodable classes report (0, false), decodable videos the
+    // stride-2 sampled-frame count (frame 0 always sampled).
+    "q160_video_decode_audit" -> """
+      SELECT doc_id,
+        (CASE WHEN doc_id % 11 = 5 OR doc_id % 13 = 7 THEN 0
+              WHEN doc_id % 7 = 3 THEN 2 ELSE 3 END)::BIGINT
+          AS n_frames,
+        (doc_id % 11 <> 5 AND doc_id % 13 <> 7) AS decoded
+      FROM documents ORDER BY doc_id""",
     // Streaming rank-sketch close-out: the q151 batch replay plus
     // the per-group exact value-count watermark.
     "q152_streaming_rank" -> (tokCte + """,

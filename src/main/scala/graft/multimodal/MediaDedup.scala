@@ -310,8 +310,13 @@ object MediaDedup {
 
   /** Frame-hash table: (idCol, frame_idx, dhash) — one row per
     * sampled frame, per-partition batch shape, payload bytes never
-    * shuffled. Undecodable videos contribute no rows (count them
-    * upstream via [[videoFrameDhashes]] null checks if needed). */
+    * shuffled. An undecodable video (null payload, non-AVI/DIB,
+    * truncated, MJPEG) contributes ONE sentinel row with null
+    * frame_idx/dhash — the poison-row convention (VERDICT r19 ask
+    * #3): a corpus pass reads its decode-failure rate off the same
+    * scan via [[videoDecodeAudit]] instead of paying a second decode
+    * pass, and pairing ([[sharedFrameVideoPairs]]) filters the
+    * sentinels before banding. */
   def videoFrameHashTable(df: DataFrame, idCol: String = "media_id",
       payloadCol: String = "payload", frameStride: Int = 1)
       : DataFrame = {
@@ -326,12 +331,28 @@ object MediaDedup {
         val payload = r.getAs[Array[Byte]](pIdx)
         val hs = if (payload == null) null
                  else videoFrameDhashes(payload, frameStride)
-        if (hs == null) Iterator.empty
-        else hs.iterator.map { case (f, h) =>
-          Row(r.getAs[Number](iIdx).longValue, f, h) }
+        val id = r.getAs[Number](iIdx).longValue
+        if (hs == null) Iterator.single(Row(id, null, null))
+        else hs.iterator.map { case (f, h) => Row(id, f, h) }
       }
     }.withColumnRenamed("id", idCol)
   }
+
+  /** Decode-verdict audit over a [[videoFrameHashTable]] output
+    * (VERDICT r19 ask #3): per video, how many frames hashed —
+    * (idCol, n_frames, decoded), n_frames = 0 and decoded = false
+    * for undecodable payloads (their sentinel row carries a null
+    * hash; a decodable AVI always hashes ≥ 1 frame since stride
+    * sampling includes frame 0). One map-side-combinable aggregation
+    * over the hash table the pair stage already scans — the corpus
+    * decode-failure rate costs no second decode pass. */
+  def videoDecodeAudit(frameHashes: DataFrame,
+      idCol: String = "media_id", hashCol: String = "dhash")
+      : DataFrame =
+    frameHashes
+      .groupBy(col(idCol))
+      .agg(count(col(hashCol)).cast("long").as("n_frames"))
+      .withColumn("decoded", col("n_frames") > 0L)
 
   /** Video near-dup pairs by shared frame signatures: two videos
     * pair when ≥ `minShared` DISTINCT frame dhashes coincide
@@ -345,12 +366,15 @@ object MediaDedup {
     * by THOUSANDS of videos make a hash bucket quadratic: cap them
     * with `maxVideosPerHash` (hashes above the cap are DROPPED
     * from pairing — the q107/shingle-cap trade, documented not
-    * silent: a dropped hash can only lower n_shared). 0 = off. */
+    * silent: a dropped hash can only lower n_shared, and the
+    * dropped (hash, n_videos) rows are enumerable as a report frame
+    * via [[sharedFrameHotHashes]]). 0 = off. */
   def sharedFrameVideoPairs(frameHashes: DataFrame, minShared: Int = 1,
       idCol: String = "media_id", hashCol: String = "dhash",
       maxVideosPerHash: Long = 0L): DataFrame = {
     require(minShared >= 1, s"minShared=$minShared")
     val fh0 = frameHashes
+      .filter(col(hashCol).isNotNull) // undecodable-video sentinels
       .select(col(idCol).cast("long").as("id"),
         col(hashCol).cast("long").as("h"))
       .distinct()
@@ -487,21 +511,17 @@ object MediaDedup {
     val dh = sh.select("h").distinct()
       .localCheckpoint(eager = true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val banded0 = dh.select(col("h"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("h"), b * 16)
-              .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
-      .select(col("h"), col("bk.band").as("band"),
-        col("bk.key").as("key"))
+    val banded0 = bandExplode(dh)
     // Optional oversize-bucket cap (the LSH/q107 discipline): a
     // (band, word) bucket holding > maxBucket DISTINCT signatures
     // is quadratic in it — on near-degenerate corpora (the
     // MediaAvScaleSmoke finding) a handful of hot 16-bit words can
     // carry most of the work. Dropping a bucket loses ONLY pairs
     // whose every other agreeing band is also dropped — one-sided
-    // recall reduction, documented not silent. 0 = off (the exact
-    // pigeonhole contract; q154/q157 run uncapped).
+    // recall reduction, documented not silent: the dropped (band,
+    // key, n) rows are a first-class report frame,
+    // [[nearDupDroppedBuckets]], sharing this exact grouping. 0 =
+    // off (the exact pigeonhole contract; q154/q157 run uncapped).
     val banded = if (maxBucket > 0L) {
       val hot = banded0.groupBy("band", "key").count()
         .filter(col("count") > maxBucket).select("band", "key")
@@ -529,5 +549,118 @@ object MediaDedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         lit(0).cast("int").as("hdist"))
     within.unionByName(cross)
+  }
+
+  /** Media near-dup CANONICALIZATION (VERDICT r19 ask #1): close the
+    * pair-list → survivor-set gap so every modality ends where text
+    * dedup ends ([[graft.text.DedupOps.fuzzyDedupDocsBest]]:
+    * candidates → verify → components → keep-best). `pairs` is any
+    * (id_a, id_b) near-dup pair frame — [[nearDupPairs]] output for
+    * images/audio, [[sharedFrameVideoPairs]] for video (after its
+    * own minShared cut); `nodes` carries every media id plus a
+    * per-item `quality` column the survivor policy maximises —
+    * largest resolution (`meta_width * meta_height` from
+    * [[Multimodal.headerMeta]], no pixel decode), longest audio
+    * duration, most video frames ([[videoDecodeAudit]]'s n_frames),
+    * whatever the curation pass values. Smallest id wins ties, so
+    * the survivor is total-order deterministic.
+    *
+    * Scale shape — the [[graft.text.DedupOps.fuzzyDedupDocsBest]]
+    * discipline verbatim: components from the engine's adaptive
+    * pointer-jump CC (edge-sliver-sized state, O(log diameter)
+    * rounds); the survivor is ONE `max_by` aggregation keyed by
+    * component (per-key state = one (quality, id) pair) plus one
+    * component-keyed join back; the labeled frame fans into both, so
+    * it is eagerly serialized-checkpointed, and every corpus-derived
+    * join side stays SHUFFLE_HASH-pinned.
+    *
+    * Returns every item: (idCol, component, survivor, keep, quality)
+    * with component = min reachable id, keep ⇔ id == survivor. */
+  def canonicalMedia(nodes: DataFrame, pairs: DataFrame,
+      idCol: String = "media_id", qualityCol: String = "quality")
+      : DataFrame = {
+    val q = nodes.select(col(idCol).cast("long").as(idCol),
+      col(qualityCol).cast("long").as("quality"))
+    val comps = graft.text.DedupOps.connectedComponents(
+        q.select(col(idCol).as("id")),
+        pairs.select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b")))
+      .withColumnRenamed("id", idCol)
+    val labeled = comps.join(q.hint("shuffle_hash"), Seq(idCol))
+      .localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // max over the lexicographic (quality, -id) order: highest
+    // quality, then SMALLEST id among equals — ids are unique, so no
+    // two structs compare equal and the pick is deterministic.
+    val surv = labeled.groupBy("component")
+      .agg(max_by(col(idCol),
+        struct(col("quality"), -col(idCol))).as("survivor"))
+    labeled.join(surv.hint("shuffle_hash"), Seq("component"))
+      .select(col(idCol), col("component"), col("survivor"),
+        (col(idCol) === col("survivor")).as("keep"), col("quality"))
+  }
+
+  /** The 4x16-bit rotated-band explosion over a distinct-signature
+    * frame — ONE definition shared by [[nearDupPairs]]'s band join
+    * and [[nearDupDroppedBuckets]]'s report, so what the report says
+    * was dropped is by construction what the cap dropped. */
+  private def bandExplode(dh: DataFrame): DataFrame =
+    dh.select(col("h"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("h"), b * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+      .select(col("h"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+
+  /** Cap-drop REPORT for [[nearDupPairs]]`(maxBucket)` (VERDICT r19
+    * ask #5 — drops must be data, not a re-derivation): the (band,
+    * key, n_hashes) rows the cap would remove, i.e. every band
+    * bucket holding more than `maxBucket` DISTINCT signatures. A
+    * 100 TB curation run logs this frame next to the pair output so
+    * its recall loss is quantified in-band: a dropped bucket loses
+    * only pairs whose every other agreeing band is also dropped
+    * (one-sided, see the cap comment in [[nearDupPairs]]), and
+    * n_hashes bounds the candidate pairs forgone at n·(n−1)/2.
+    * Grouping is the same [[bandExplode]] the pair path uses —
+    * distinct signatures, not members — so the counts match the cap
+    * decision exactly. */
+  def nearDupDroppedBuckets(hashed: DataFrame,
+      idCol: String = "media_id", hashCol: String = "dhash",
+      maxBucket: Long = 0L): DataFrame = {
+    require(maxBucket > 0L,
+      s"nearDupDroppedBuckets reports an active cap; got $maxBucket")
+    val dh = hashed
+      .filter(col(hashCol).isNotNull)
+      .select(col(hashCol).cast("long").as("h"))
+      .distinct()
+    bandExplode(dh).groupBy("band", "key")
+      .agg(count(lit(1)).as("n_hashes"))
+      .filter(col("n_hashes") > maxBucket)
+  }
+
+  /** Cap-drop REPORT for [[sharedFrameVideoPairs]]
+    * `(maxVideosPerHash)`: the (`hashCol`, n_videos) rows the
+    * boilerplate-frame cap removes — every frame hash carried by
+    * more than `maxVideosPerHash` distinct videos. Counting is over
+    * the same distinct (video, hash) collapse the pair path uses (a
+    * video repeating a frame counts once), so the report equals the
+    * cap decision; a dropped hash can only lower n_shared, and this
+    * frame is the evidence of by-how-much-at-most (n_videos choose 2
+    * pair memberships forgone per hash). */
+  def sharedFrameHotHashes(frameHashes: DataFrame,
+      idCol: String = "media_id", hashCol: String = "dhash",
+      maxVideosPerHash: Long = 0L): DataFrame = {
+    require(maxVideosPerHash > 0L,
+      s"sharedFrameHotHashes reports an active cap; got " +
+      s"$maxVideosPerHash")
+    frameHashes
+      .filter(col(hashCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(hashCol).cast("long").as(hashCol))
+      .distinct()
+      .groupBy(hashCol)
+      .agg(count(lit(1)).as("n_videos"))
+      .filter(col("n_videos") > maxVideosPerHash)
   }
 }

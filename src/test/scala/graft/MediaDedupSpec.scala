@@ -208,6 +208,48 @@ class MediaDedupSpec extends SparkSpec {
     assert(MediaDedup.videoFrameDhashes(Array[Byte](1, 2)) == null)
   }
 
+  test("videoFrameHashTable surfaces undecodable videos as sentinel " +
+      "rows; videoDecodeAudit reads the failure rate off the same " +
+      "scan; pairing filters the sentinels (VERDICT r19 ask #3)") {
+    def fpx(f: Int)(x: Int, y: Int): (Int, Int, Int) =
+      ((f * 17 + x * 7 + y * 11) % 248, (f * 13 + x * 11 + y * 3) % 248,
+       (f * 19 + x * 3 + y * 13) % 248)
+    val good = Multimodal.SyntheticMedia.aviDib(18, 16, 5)(
+      (f, x, y) => fpx(f)(x, y))
+    val (mjpeg, _) = Multimodal.SyntheticMedia.docAviMjpeg(3)
+    val rows = Seq(
+      (0L, good),
+      (1L, good.take(80)),                    // truncated: undecodable
+      (2L, mjpeg),                            // MJPEG: not hashed here
+      (3L, null.asInstanceOf[Array[Byte]]))   // null payload
+    val fh = MediaDedup.videoFrameHashTable(
+      rows.toDF("media_id", "payload"))
+    val byId = fh.collect().groupBy(_.getLong(0))
+    assert(byId(0L).length == 5 && byId(0L).forall(!_.isNullAt(2)))
+    for (id <- 1L to 3L) {
+      assert(byId(id).length == 1, s"id $id")
+      assert(byId(id).head.isNullAt(1) && byId(id).head.isNullAt(2))
+    }
+    val audit = MediaDedup.videoDecodeAudit(fh).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(audit == Set((0L, 5L, true), (1L, 0L, false),
+      (2L, 0L, false), (3L, 0L, false)))
+    // stride sampling shows up in the audit count
+    val strided = MediaDedup.videoDecodeAudit(
+      MediaDedup.videoFrameHashTable(
+        rows.toDF("media_id", "payload"), frameStride = 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(strided(0L) == 3L && strided(1L) == 0L)
+    // sentinels never reach the pair stage: a second identical good
+    // video pairs on all 5 frames, the undecodable ids join nothing
+    val withDup = (rows :+ (4L, good)).toDF("media_id", "payload")
+    val pairs = MediaDedup.sharedFrameVideoPairs(
+        MediaDedup.videoFrameHashTable(withDup), minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(pairs == Set((0L, 4L, 5L)))
+  }
+
   test("sharedFrameVideoPairs counts distinct shared frame hashes; " +
       "the boilerplate cap drops hot frames") {
     // videos 0,1: same 4 frames; video 2: shares 2 of them; all
@@ -255,6 +297,88 @@ class MediaDedupSpec extends SparkSpec {
       maxBucket = 10L).count() == 0L)
     assert(MediaDedup.nearDupPairs(rows, maxHamming = 3,
       maxBucket = 64L).count() == expect)
+  }
+
+  test("canonicalMedia: pairs -> components -> keep-best survivor " +
+      "with min-id ties; singletons keep themselves (r19 ask #1)") {
+    // chain component {1,2,3} (transitive through 2), pile {5,6},
+    // singleton 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val nodes = Seq(
+      (1L, 100L), (2L, 300L), (3L, 300L), // quality tie at 300
+      (5L, 50L), (6L, 50L),               // full tie -> min id
+      (7L, 10L)).toDF("media_id", "quality")
+    val got = MediaDedup.canonicalMedia(nodes, pairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, 1L, 2L, false, 100L), // highest quality wins over min id
+      (2L, 1L, 2L, true, 300L),  // quality tie 2 vs 3 -> smaller id
+      (3L, 1L, 2L, false, 300L),
+      (5L, 5L, 5L, true, 50L),   // full tie -> min id survives
+      (6L, 5L, 5L, false, 50L),
+      (7L, 7L, 7L, true, 10L)))  // singleton: own survivor
+    // end-to-end over real images: the highest-resolution member of
+    // a dHash cluster survives (2x nearest-neighbor upscale shares
+    // the hash exactly: every 9x8 cell doubles uniformly)
+    def px(x: Int, y: Int): (Int, Int, Int) = seedPx(21)(x, y)
+    val base = Multimodal.SyntheticMedia.bmp24(18, 16)(px)
+    val up = Multimodal.SyntheticMedia.bmp24(36, 32)((x, y) =>
+      px(x / 2, y / 2))
+    assert(MediaDedup.dhash64Bytes(up) == MediaDedup.dhash64Bytes(base))
+    val media = Seq((10L, base), (11L, up), (12L, base))
+      .toDF("media_id", "payload")
+    val hashed = MediaDedup.withDhash(media)
+    val meta = Multimodal.headerMeta(media)
+      .select(col("media_id"),
+        (col("meta_width") * col("meta_height")).as("quality"))
+    val out = MediaDedup.canonicalMedia(meta,
+        MediaDedup.nearDupPairs(hashed))
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(3), r.getLong(4))).toSet
+    assert(out == Set((10L, false, 288L), (11L, true, 1152L),
+      (12L, false, 288L)))
+  }
+
+  test("cap-drop report frames equal the over-cap histograms the " +
+      "caps act on (VERDICT r19 ask #5)") {
+    // image side: the 30-hash hot-band fixture — bands 1..3 each
+    // hold ONE 30-hash bucket, band 0 thirty singletons.
+    val hs = (0L until 30L).map(i => 0x7770666055500000L | i)
+    val rows = hs.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("media_id", "dhash")
+    val got = MediaDedup.nearDupDroppedBuckets(rows, maxBucket = 10L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // independent histogram: band b of hash h = (h >>> 16b) & 0xffff
+    val expect = (for { h <- hs.distinct; b <- 0 until 4 }
+      yield (b, (h >>> (b * 16)) & 0xffffL))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 > 10L)
+      .map { case ((b, k), n) => (b, k, n) }.toSet
+    assert(got == expect && got.size == 3 &&
+      got.forall(_._3 == 30L))
+    // a cap above every bucket reports nothing
+    assert(MediaDedup.nearDupDroppedBuckets(rows, maxBucket = 64L)
+      .count() == 0L)
+    // video side: the shared-frame fixture — intro hash 777 sits in
+    // 10 videos; with cap 5 it is the one reported row, counted over
+    // distinct (video, hash) exactly as the pair path collapses.
+    val fRows = Seq(
+      (0L, 0, 100L), (0L, 1, 101L), (0L, 2, 102L), (0L, 3, 103L),
+      (1L, 0, 100L), (1L, 1, 101L), (1L, 2, 102L), (1L, 3, 103L),
+      (2L, 0, 102L), (2L, 1, 103L), (2L, 2, 555L), (2L, 3, 555L)) ++
+      (0L to 9L).map(v => (v, 9, 777L))
+    val fh = fRows.toDF("media_id", "frame_idx", "dhash")
+    val hot = MediaDedup.sharedFrameHotHashes(fh, maxVideosPerHash = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hot == Set((777L, 10L)))
+    // 555 repeats WITHIN one video only: never hot at cap 1
+    val hot1 = MediaDedup.sharedFrameHotHashes(fh, maxVideosPerHash = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hot1 == Set((100L, 2L), (101L, 2L), (102L, 3L),
+      (103L, 3L), (777L, 10L)))
   }
 
   test("an AVI header declaring huge dims nulls out instead of " +
