@@ -3200,6 +3200,44 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Dual-lens image pair precision report ([[graft.multimodal
+    * .MediaDedup.dualLensPairs]], X84's precision composition —
+    * VERDICT r19 ask #6): the q154 corpus hashed ONCE per image into
+    * BOTH perceptual lenses ([[graft.multimodal.MediaDedup
+    * .withImageHashes]]: dHash gradient + aHash block level), banded
+    * pairs at radius 3 per lens, full-outer joined with an
+    * agreement class — `both` is the precision cut (re-encode and
+    * unclamped-brightness dupes agree under both lenses by
+    * invariance), the single-lens rows are the recall audit. The
+    * oracle re-derives the shared per-pixel luma frame, BOTH cell
+    * grids (dHash 9×8 uniform cells; aHash 8×8 with non-uniform
+    * column widths, cross-multiplied by cell counts), both packed
+    * hash families, both brute pair sets, and the outer join. */
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{MediaDedup, Multimodal}
+    import s.implicits._
+    val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val sd = (id % 40).toInt
+        val bright = id % 5 == 2
+        val sticker = id % 7 == 3
+        def ch(a: Int, b: Int, c: Int, x: Int, y: Int): Int = {
+          var v = (sd * a + x * b + y * c) % 248
+          if (bright) v += 7
+          if (sticker && x >= 14) v += 80
+          math.min(v, 255)
+        }
+        val bmp = Multimodal.SyntheticMedia.bmp24(18, 16)((x, y) =>
+          (ch(3, 7, 11, x, y), ch(5, 11, 3, x, y), ch(7, 3, 13, x, y)))
+        (id, if (id % 3 == 1) MediaDedup.pngReencode(bmp) else bmp)
+      }.toDF("media_id", "payload")
+    MediaDedup.dualLensPairs(MediaDedup.withImageHashes(media),
+        "media_id")
+      .select(col("id_a"), col("id_b"), col("hdist_dhash"),
+        col("hdist_ahash"), col("agreement"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** BPE fertility / vocab-coverage report ([[graft.text.BpeOps
     * .fertilityReport]], VERDICT r16 ask #6): per (source, lang),
     * the exact integer counts behind fertility (subwords/word),
@@ -3639,6 +3677,7 @@ object SparkEntry {
     "q158_video_neardup"    -> (q158 _),
     "q159_media_canonical"  -> (q159 _),
     "q160_video_decode_audit" -> (q160 _),
+    "q161_dual_lens"        -> (q161 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -6648,6 +6687,73 @@ object SparkEntry {
         (r.doc_id = s.survivor) AS keep, r.n_px
       FROM rk r JOIN sv s USING (component)
       ORDER BY r.doc_id""",
+    // Dual-lens pairs: ONE per-pixel luma frame feeds both hash
+    // re-derivations — dHash over uniform 2x2 cells (sum compare),
+    // aHash over (x*8)//18 columns whose widths differ, so the mean
+    // comparison cross-multiplies by cell count against the global
+    // sum (s*288 > st*c, the ahash64 contract verbatim) — then brute
+    // pair sets per lens and a full outer join with the agreement
+    // class.
+    "q161_dual_lens" -> """
+      WITH px AS (
+        SELECT d.doc_id, x.x, y.y,
+          (CASE WHEN d.doc_id % 5 = 2 THEN 7 ELSE 0 END +
+           CASE WHEN d.doc_id % 7 = 3 AND x.x >= 14 THEN 80 ELSE 0 END)
+            AS sh
+        FROM documents d
+        CROSS JOIN generate_series(0, 17) AS x(x)
+        CROSS JOIN generate_series(0, 15) AS y(y)),
+      pl AS (
+        SELECT doc_id, x, y,
+          299 * least(((doc_id % 40) * 3 + x * 7 + y * 11) % 248
+              + sh, 255)
+          + 587 * least(((doc_id % 40) * 5 + x * 11 + y * 3) % 248
+              + sh, 255)
+          + 114 * least(((doc_id % 40) * 7 + x * 3 + y * 13) % 248
+              + sh, 255) AS l
+        FROM px),
+      dlum AS (SELECT doc_id, x // 2 AS cx, y // 2 AS cy, sum(l) AS s
+        FROM pl GROUP BY 1, 2, 3),
+      dbits AS (SELECT a.doc_id, (a.cy * 8 + a.cx)::INT AS bit
+        FROM dlum a JOIN dlum b ON a.doc_id = b.doc_id
+          AND b.cy = a.cy AND b.cx = a.cx + 1
+        WHERE a.s < b.s),
+      dhash AS (SELECT d.doc_id,
+          coalesce(sum(CASE WHEN bit = 63
+            THEN (-9223372036854775807 - 1)
+            ELSE (1::BIGINT << bit) END), 0)::BIGINT AS h
+        FROM documents d LEFT JOIN dbits USING (doc_id)
+        GROUP BY d.doc_id),
+      alum AS (SELECT doc_id, (x * 8) // 18 AS cx, y // 2 AS cy,
+          sum(l) AS s, count(*) AS c
+        FROM pl GROUP BY 1, 2, 3),
+      atot AS (SELECT doc_id, sum(s) AS st FROM alum GROUP BY doc_id),
+      abits AS (SELECT l.doc_id, (l.cy * 8 + l.cx)::INT AS bit
+        FROM alum l JOIN atot t USING (doc_id)
+        WHERE l.s * 288 > t.st * l.c),
+      ahash AS (SELECT d.doc_id,
+          coalesce(sum(CASE WHEN bit = 63
+            THEN (-9223372036854775807 - 1)
+            ELSE (1::BIGINT << bit) END), 0)::BIGINT AS h
+        FROM documents d LEFT JOIN abits USING (doc_id)
+        GROUP BY d.doc_id),
+      dp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          bit_count(xor(a.h, b.h))::INT AS hdist_dhash
+        FROM dhash a JOIN dhash b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h, b.h)) <= 3),
+      ap AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          bit_count(xor(a.h, b.h))::INT AS hdist_ahash
+        FROM ahash a JOIN ahash b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h, b.h)) <= 3)
+      SELECT coalesce(d.id_a, a.id_a) AS id_a,
+        coalesce(d.id_b, a.id_b) AS id_b,
+        d.hdist_dhash, a.hdist_ahash,
+        CASE WHEN d.id_a IS NOT NULL AND a.id_a IS NOT NULL THEN 'both'
+             WHEN d.id_a IS NOT NULL THEN 'dhash_only'
+             ELSE 'ahash_only' END AS agreement
+      FROM dp d FULL OUTER JOIN ap a
+        ON d.id_a = a.id_a AND d.id_b = a.id_b
+      ORDER BY id_a, id_b""",
     // Decode-verdict audit: pure residue arithmetic — the two
     // undecodable classes report (0, false), decodable videos the
     // stride-2 sampled-frame count (frame 0 always sampled).

@@ -477,6 +477,59 @@ object MediaDedup {
       outCol: String = "ahash"): DataFrame =
     withHashCol(df, payloadCol, outCol)(ahash64Bytes)
 
+  /** Add BOTH perceptual hashes from ONE decode: at corpus scale the
+    * ImageIO decode dominates the per-row cost (the hash loops are
+    * linear integer passes), so a dual-lens pass must not pay it
+    * twice. Same batch shape and null conventions as [[withDhash]];
+    * a sub-grid image can be dHash-null (needs W ≥ 9) while
+    * aHash-hashable (W ≥ 8) — the nulls stay per-lens. */
+  def withImageHashes(df: DataFrame, payloadCol: String = "payload",
+      dhashCol: String = "dhash", ahashCol: String = "ahash")
+      : DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField(dhashCol, LongType, nullable = true),
+      StructField(ahashCol, LongType, nullable = true)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val img = if (payload == null) null else decodeImg(payload)
+        Row.fromSeq(r.toSeq ++ Seq(
+          if (img == null) null else dhash64(img),
+          if (img == null) null else ahash64(img)))
+      }
+    }
+  }
+
+  /** Dual-lens pair precision report (VERDICT r19 ask #6): the two
+    * perceptual lenses key on DIFFERENT structure — dHash on
+    * horizontal gradient, aHash on absolute block level vs the
+    * global mean — so their pair-set intersection is the standard
+    * precision move (a true re-encode/brightness dupe agrees under
+    * both; a gradient coincidence between unrelated images rarely
+    * also agrees on block levels). One full-outer merge-pinned join
+    * over the two banded pair sets (each output-sized by the
+    * [[nearDupPairs]] scale argument; both corpus-derived, so no
+    * broadcast): (id_a, id_b, hdist_dhash, hdist_ahash, agreement)
+    * with agreement ∈ both | dhash_only | ahash_only — consumers cut
+    * at `agreement = 'both'` for precision or keep the single-lens
+    * rows as the recall audit. */
+  def dualLensPairs(hashed: DataFrame, idCol: String = "media_id",
+      dhashCol: String = "dhash", ahashCol: String = "ahash",
+      maxHamming: Int = 3): DataFrame = {
+    val dp = nearDupPairs(hashed, idCol, dhashCol, maxHamming)
+      .withColumnRenamed("hdist", "hdist_dhash")
+    val ap = nearDupPairs(hashed, idCol, ahashCol, maxHamming)
+      .withColumnRenamed("hdist", "hdist_ahash")
+    dp.join(ap.hint("merge"), Seq("id_a", "id_b"), "full_outer")
+      .withColumn("agreement",
+        when(col("hdist_dhash").isNotNull &&
+             col("hdist_ahash").isNotNull, "both")
+        .when(col("hdist_dhash").isNotNull, "dhash_only")
+        .otherwise("ahash_only"))
+  }
+
   /** Near-duplicate pairs within Hamming radius ≤ `maxHamming` (≤ 3
     * — the 4-band pigeonhole guarantee) over a hashed frame:
     * (id_a, id_b, hdist), id_a < id_b, null hashes excluded.

@@ -381,6 +381,46 @@ class MediaDedupSpec extends SparkSpec {
       (103L, 3L), (777L, 10L)))
   }
 
+  test("dualLensPairs: a brightness dupe survives both lenses, a " +
+      "gradient coincidence falls out of aHash (r19 ask #6); one " +
+      "decode feeds both hashes") {
+    // base: pure horizontal luma ramp (8x per channel, max 136)
+    def ramp(x: Int, y: Int): (Int, Int, Int) = (8 * x, 8 * x, 8 * x)
+    val base = Multimodal.SyntheticMedia.bmp24(18, 16)(ramp)
+    // true dupe: unclamped global +7 — invariant under BOTH lenses
+    val bright = Multimodal.SyntheticMedia.bmp24(18, 16) { (x, y) =>
+      val (r, g, b) = ramp(x, y); (r + 7, g + 7, b + 7)
+    }
+    // gradient coincidence: +100 on the bottom half preserves every
+    // within-row ordering (same dHash) but moves block levels far
+    // from the global mean (aHash flips many bits)
+    val shifted = Multimodal.SyntheticMedia.bmp24(18, 16) { (x, y) =>
+      val (r, g, b) = ramp(x, y)
+      if (y >= 8) (r + 100, g + 100, b + 100) else (r, g, b)
+    }
+    assert(MediaDedup.dhash64Bytes(shifted) ==
+      MediaDedup.dhash64Bytes(base))
+    val aDist = java.lang.Long.bitCount(
+      MediaDedup.ahash64Bytes(shifted).longValue ^
+      MediaDedup.ahash64Bytes(base).longValue)
+    assert(aDist > 3, s"fixture too weak: ahash moved only $aDist bits")
+    val media = Seq((0L, base), (1L, bright), (2L, shifted))
+      .toDF("media_id", "payload")
+    val hashed = MediaDedup.withImageHashes(media)
+    // the one-decode kernel agrees with the per-lens kernels
+    val h = hashed.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(h(0L) == ((MediaDedup.dhash64Bytes(base).longValue,
+      MediaDedup.ahash64Bytes(base).longValue)))
+    val got = MediaDedup.dualLensPairs(hashed)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getAs[String]("agreement"))).toMap
+    assert(got((0L, 1L)) == "both")
+    assert(got((0L, 2L)) == "dhash_only")
+    assert(got((1L, 2L)) == "dhash_only")
+    assert(got.size == 3)
+  }
+
   test("an AVI header declaring huge dims nulls out instead of " +
       "wrapping the corrupt-frame guard (ADVICE r19: Long stride)") {
     // strf biWidth/biHeight patched to 20000x40000: the Int product
