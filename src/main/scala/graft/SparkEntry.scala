@@ -3238,6 +3238,60 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Streaming cross-batch IMAGE near-dedup ([[graft.streaming
+    * .IncrementalNearDup.imageNearDedupRun]], X89 — VERDICT r19 ask
+    * #4): the q154 image corpus ingested in three batches with
+    * nondecreasing ids — ids < 250, then the rest, then a RE-SEND
+    * batch re-encoding every id ≥ 250 image to PNG under id +
+    * 1,000,000 (different bytes, identical pixels, identical
+    * dHash). dHash band-word buckets live in the state store; a doc
+    * survives iff no bucket is already claimed by a lower id, so
+    * every re-send is suppressed and the drained survivor set
+    * equals the batch band restatement the oracle computes over
+    * original ∪ re-send ids. */
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.IncrementalNearDup
+    import graft.multimodal.{MediaDedup, Multimodal}
+    import s.implicits._
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_q162")
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    }
+    val inDir = s"$root/in"; val outDir = s"$root/survivors"
+    def img(eff: Long): Array[Byte] = {
+      val sd = (eff % 40).toInt
+      val bright = eff % 5 == 2
+      val sticker = eff % 7 == 3
+      def ch(a: Int, b: Int, c: Int, x: Int, y: Int): Int = {
+        var v = (sd * a + x * b + y * c) % 248
+        if (bright) v += 7
+        if (sticker && x >= 14) v += 80
+        math.min(v, 255)
+      }
+      Multimodal.SyntheticMedia.bmp24(18, 16)((x, y) =>
+        (ch(3, 7, 11, x, y), ch(5, 11, 3, x, y), ch(7, 3, 13, x, y)))
+    }
+    val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    val cut = 250L
+    ids.filter(_ < cut).map(id => (id, img(id)))
+      .toDF("doc_id", "payload").write.parquet(inDir)
+    val schema = s.read.parquet(inDir).schema
+    def drain(): Unit = IncrementalNearDup.imageNearDedupRun(
+      s, inDir, outDir, s"$root/ckpt", schema)
+    drain()
+    ids.filter(_ >= cut).map(id => (id, img(id)))
+      .toDF("doc_id", "payload").write.mode("append").parquet(inDir)
+    drain()
+    ids.filter(_ >= cut)
+      .map(id => (id + 1000000L, MediaDedup.pngReencode(img(id))))
+      .toDF("doc_id", "payload").write.mode("append").parquet(inDir)
+    drain()
+    s.read.parquet(outDir).orderBy("doc_id")
+  }
+
   /** BPE fertility / vocab-coverage report ([[graft.text.BpeOps
     * .fertilityReport]], VERDICT r16 ask #6): per (source, lang),
     * the exact integer counts behind fertility (subwords/word),
@@ -3513,7 +3567,7 @@ object SparkEntry {
       "q97_bloom_dedup", "q123_streaming_interleave",
       "q127_streaming_token_interleave", "q134_streaming_budget",
       "q145_streaming_vocab", "q149_streaming_hll", "q150_streaming_cm",
-      "q152_streaming_rank")
+      "q152_streaming_rank", "q162_streaming_image_neardup")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3678,6 +3732,7 @@ object SparkEntry {
     "q159_media_canonical"  -> (q159 _),
     "q160_video_decode_audit" -> (q160 _),
     "q161_dual_lens"        -> (q161 _),
+    "q162_streaming_image_neardup" -> (q162 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -6687,6 +6742,61 @@ object SparkEntry {
         (r.doc_id = s.survivor) AS keep, r.n_px
       FROM rk r JOIN sv s USING (component)
       ORDER BY r.doc_id""",
+    // Streaming image near-dedup close-out: the q154 hash
+    // re-derivation over original ∪ re-send ids (re-sends hash via
+    // eff = doc_id - 1,000,000 — a PNG re-encode has identical
+    // pixels), then the batch band restatement: 4 rotated 16-bit
+    // words per hash (arithmetic shift + mask == logical shift for
+    // the masked low word), survivor = no word claimed by a lower
+    // id.
+    "q162_streaming_image_neardup" -> """
+      WITH ids AS (
+        SELECT doc_id FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 FROM documents WHERE doc_id >= 250),
+      eff AS (SELECT doc_id,
+          CASE WHEN doc_id >= 1000000 THEN doc_id - 1000000
+               ELSE doc_id END AS e
+        FROM ids),
+      px AS (
+        SELECT i.doc_id, i.e, x.x, y.y,
+          (CASE WHEN i.e % 5 = 2 THEN 7 ELSE 0 END +
+           CASE WHEN i.e % 7 = 3 AND x.x >= 14 THEN 80 ELSE 0 END)
+            AS sh
+        FROM eff i
+        CROSS JOIN generate_series(0, 17) AS x(x)
+        CROSS JOIN generate_series(0, 15) AS y(y)),
+      lum AS (
+        SELECT doc_id, x // 2 AS cx, y // 2 AS cy,
+          sum(299 * least(((e % 40) * 3 + x * 7 + y * 11) % 248
+                + sh, 255)
+            + 587 * least(((e % 40) * 5 + x * 11 + y * 3) % 248
+                + sh, 255)
+            + 114 * least(((e % 40) * 7 + x * 3 + y * 13) % 248
+                + sh, 255)) AS s
+        FROM px GROUP BY doc_id, x // 2, y // 2),
+      bits AS (
+        SELECT a.doc_id, (a.cy * 8 + a.cx)::INT AS bit
+        FROM lum a JOIN lum b
+          ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        WHERE a.s < b.s),
+      hash AS (
+        SELECT i.doc_id,
+          coalesce(sum(CASE WHEN bit = 63
+            THEN (-9223372036854775807 - 1)
+            ELSE (1::BIGINT << bit) END), 0)::BIGINT AS h
+        FROM ids i LEFT JOIN bits USING (doc_id)
+        GROUP BY i.doc_id),
+      bands AS (
+        SELECT doc_id, b.b AS band, (h >> (b.b * 16)) & 65535 AS key
+        FROM hash CROSS JOIN range(0, 4) AS b(b)),
+      matched AS (
+        SELECT DISTINCT a.doc_id FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key
+          AND b.doc_id < a.doc_id)
+      SELECT doc_id FROM ids
+      WHERE doc_id NOT IN (SELECT doc_id FROM matched)
+      ORDER BY doc_id""",
     // Dual-lens pairs: ONE per-pixel luma frame feeds both hash
     // re-derivations — dHash over uniform 2x2 cells (sum compare),
     // aHash over (x*8)//18 columns whose widths differ, so the mean

@@ -165,6 +165,78 @@ object StreamScaleSmoke {
         f""""drain3_sec":$t3%.1f,"state_mb":$stateMb}""")
     }
 
+    // Cross-batch IMAGE near-dedup (VERDICT r19 ask #4): the q162
+    // dataflow at scale — synthetic BMP piles (seed = id % piles, so
+    // distinct dHash signatures ~ piles regardless of corpus size),
+    // a third of the rows PNG-re-encoded and a fifth brightness-
+    // remastered (both dHash-invariant, so they land in their pile's
+    // buckets), run 2 re-sends 10% of run 1's pixels under fresh ids
+    // (cross-run bucket suppression), run 3 is a byte re-send. The
+    // claim under test: state = 4 band buckets per DISTINCT
+    // signature + one marker per survivor — ~piles keys, NOT ~docs
+    // keys — so state_mb must hold roughly constant across factors
+    // while docs grows. Decode cost stays in the scan (only the
+    // 8-byte hash reaches the shuffle).
+    if (phaseOn("image")) locally {
+      import graft.multimodal.{MediaDedup, Multimodal}
+      import graft.streaming.IncrementalNearDup
+      import spark.implicits._
+      val in = s"$root/img/in"; val out = s"$root/img/out"
+      val ckpt = s"$root/img/ckpt"
+      val piles = 5000
+      val imgs = docs.select(col("doc_id")).as[Long].map { id =>
+        val sd = (id % piles).toInt
+        val bright = id % 5 == 2
+        // The seed must pass through a real avalanche mix: dHash
+        // removes uniform brightness by design, so any pixel
+        // function where the seed enters additively (even behind a
+        // shift — carries are rare) collapses the piles onto a
+        // handful of hashes (measured: 31, then 501 survivors from
+        // 5000 piles on two linear attempts). splitmix-style
+        // finalizer ⇒ 5000/5000 distinct hashes, ~4360 distinct
+        // 16-bit words per band (near the uniform-birthday bound;
+        // the shortfall reflects dHash's adjacent-bit correlation),
+        // ~3000 expected survivors after band-bucket chaining.
+        def mixPx(z0: Long): Long = {
+          var z = z0
+          z = (z ^ (z >>> 33)) * 0xFF51AFD7ED558CCDL
+          z = (z ^ (z >>> 33)) * 0xC4CEB9FE1A85EC53L
+          z ^ (z >>> 33)
+        }
+        val bmp = Multimodal.SyntheticMedia.bmp24(18, 16) { (x, y) =>
+          def c(salt: Long): Int = {
+            val v = ((mixPx((sd.toLong << 40) | (x.toLong << 20) |
+              (y.toLong << 2) | salt) >>> 8) % 248).toInt
+            if (bright) v + 7 else v
+          }
+          (c(1), c(2), c(3))
+        }
+        (id, if (id % 3 == 1) MediaDedup.pngReencode(bmp) else bmp)
+      }.toDF("doc_id", "payload")
+      def drain(): Double = {
+        val t0 = System.nanoTime()
+        IncrementalNearDup.imageNearDedupRun(spark, in, out, ckpt,
+          spark.read.parquet(in).schema)
+        (System.nanoTime() - t0) / 1e9
+      }
+      imgs.filter(col("doc_id") < cut).write.parquet(in)
+      val t1 = drain()
+      imgs.filter(col("doc_id") >= cut).write.mode("append").parquet(in)
+      imgs.filter(col("doc_id") < cut / 10)
+        .select((col("doc_id") + total * 10).as("doc_id"),
+          col("payload"))
+        .write.mode("append").parquet(in)
+      val t2 = drain()
+      val t3 = drain() // byte re-send territory: pure state-probe
+      val survivors = spark.read.parquet(out).count()
+      val stateKb = dirSize(java.nio.file.Paths.get(ckpt, "state")) >> 10
+      println(f"""{"op":"image_neardup","provider":"hdfs",""" +
+        f""""factor":$factor,"docs":$total,"piles":$piles,""" +
+        f""""survivors":$survivors,""" +
+        f""""drain1_sec":$t1%.1f,"drain2_sec":$t2%.1f,""" +
+        f""""drain3_sec":$t3%.1f,"state_kb":$stateKb}""")
+    }
+
     // Bounded-state Bloom dedup: the claim under test is that state
     // is a PARAMETER (shards x bits/8 bytes), independent of corpus
     // size — compare state_kb across factors. 256 shards x 2^20

@@ -272,6 +272,60 @@ class StreamingStatusSpec extends SparkSpec {
     assert(streamed == Set(1L, 2L, 11L))
   }
 
+  test("streaming IMAGE near-dedup equals batch dHash band semantics; " +
+      "re-encoded re-send suppressed; undecodable rows yield nothing") {
+    import graft.multimodal.{MediaDedup, Multimodal}
+    import graft.streaming.IncrementalNearDup
+    def img(seed: Int, bright: Boolean): Array[Byte] =
+      Multimodal.SyntheticMedia.bmp24(18, 16) { (x, y) =>
+        def c(a: Int, b: Int, cc: Int): Int = {
+          val v = (seed * a + x * b + y * cc) % 248
+          if (bright) v + 7 else v // unclamped: dHash-invariant
+        }
+        (c(3, 7, 11), c(5, 11, 3), c(7, 3, 13))
+      }
+    val in = Files.createTempDirectory("ind_in").toString
+    val out = Files.createTempDirectory("ind_out").toString
+    val ckpt = Files.createTempDirectory("ind_ckpt").toString
+    val b1 = Seq(
+      (1L, img(17, bright = false)),
+      (2L, img(99, bright = false)),
+      (3L, img(17, bright = true))) // brightness remaster of 1
+      .toDF("doc_id", "payload")
+    val b2 = Seq(
+      (10L, MediaDedup.pngReencode(img(17, bright = false))), // re-encode of 1
+      (11L, img(200, bright = false)),                        // fresh
+      (12L, Array[Byte](1, 2, 3)),                            // undecodable
+      (13L, img(99, bright = true)))                          // remaster of 2
+      .toDF("doc_id", "payload")
+    val schema = b1.schema
+    b1.write.mode("append").parquet(in)
+    IncrementalNearDup.imageNearDedupRun(spark, in, out, ckpt, schema)
+    b2.write.mode("append").parquet(in)
+    IncrementalNearDup.imageNearDedupRun(spark, in, out, ckpt, schema)
+    b2.write.mode("append").parquet(in) // byte-identical re-send
+    IncrementalNearDup.imageNearDedupRun(spark, in, out, ckpt, schema)
+    val streamed = spark.read.parquet(out)
+      .collect().map(_.getLong(0)).toSet
+
+    // batch restatement over the SAME banding: survivors = banded
+    // docs sharing no band word with any lower-id doc (undecodable
+    // payloads produce no band rows on either side)
+    val all = b1.union(b2).dropDuplicates("doc_id")
+    val hits = IncrementalNearDup
+      .imageBandHits(all, "doc_id", "payload").toDF()
+      .localCheckpoint(true)
+    val matched = hits.as("a").join(hits.as("b"),
+        col("a.bkey") === col("b.bkey") &&
+        col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id")).collect().map(_.getLong(0)).toSet
+    val banded = hits.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == banded -- matched)
+    assert(streamed == Set(1L, 2L, 11L))
+    assert(!banded.contains(12L)) // undecodable: absent, not poison
+  }
+
   test("near-dedup backlog split into bounded triggers matches one-shot drain") {
     import graft.streaming.IncrementalNearDup
     // A backfill drained under maxFilesPerTrigger=1 (one file per
