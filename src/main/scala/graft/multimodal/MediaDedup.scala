@@ -230,11 +230,22 @@ object MediaDedup {
     * Returns (frameIndex, dhash) pairs in frame order; null for
     * non-AVI / non-DIB / sub-grid / truncated payloads (poison-row
     * convention). MJPEG and other codecs are NOT hashed here — a
-    * lossy decode is not oracle-replayable; route those through
-    * [[dhash64Bytes]] per extracted frame if needed. */
-  def videoFrameDhashes(payload: Array[Byte], frameStride: Int = 1)
-      : Array[(Int, Long)] = {
-    require(frameStride >= 1, s"frameStride=$frameStride")
+    * lossy decode is not oracle-replayable; MJPEG-in-AVI routes
+    * through [[videoFrameDhashesMjpeg]] (spec-tier, same per-frame
+    * contract over the DECODED pixels). */
+  /** Parsed AVI container layout: stream format fields plus every
+    * frame chunk's (offset, size) in file order. */
+  private final case class AviLayout(width: Int, height: Int,
+      bitCount: Int, comp: String, frames: Array[(Int, Int)])
+
+  /** ONE RIFF/AVI chunk walk shared by the DIB and MJPEG hash
+    * routes (the same grammar as
+    * [[Multimodal.MediaDecoder.AviDib]]): recursive descent
+    * collecting the first strf's BITMAPINFOHEADER fields and every
+    * "NNdb"/"NNdc" frame chunk; truncated/oversized chunk headers
+    * stop the walk (never read past the payload). Null for
+    * non-RIFF/non-AVI payloads. */
+  private def aviLayout(payload: Array[Byte]): AviLayout = {
     def fourcc(b: Array[Byte], off: Int): String =
       if (off + 4 <= b.length)
         new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -267,8 +278,18 @@ object MediaDedup {
       }
     }
     walk(12, math.min(payload.length, 8 + le32(payload, 4)))
-    if (frames.isEmpty || width < 9 || height < 8 || bitCount != 24 ||
-        comp != "RGB")
+    AviLayout(width, height, bitCount, comp, frames.toArray)
+  }
+
+  def videoFrameDhashes(payload: Array[Byte], frameStride: Int = 1)
+      : Array[(Int, Long)] = {
+    require(frameStride >= 1, s"frameStride=$frameStride")
+    val lay = aviLayout(payload)
+    if (lay == null) return null
+    val width = lay.width; val height = lay.height
+    val frames = lay.frames
+    if (frames.isEmpty || width < 9 || height < 8 ||
+        lay.bitCount != 24 || lay.comp != "RGB")
       return null
     // row stride sized in Long (ADVICE r19): a header declaring huge
     // dims (e.g. 20000x40000) wraps the Int product negative, the
@@ -308,6 +329,49 @@ object MediaDedup {
     out.toArray
   }
 
+  /** Per-frame dHash for MJPEG-in-AVI payloads (VERDICT r19 ask #7
+    * — the fallback route [[videoFrameDhashes]] documents): the SAME
+    * RIFF walk, but the stream must declare biCompression 'MJPG'
+    * and each sampled frame chunk — a complete JPEG — decodes via
+    * ImageIO and hashes by the [[dhash64]] contract, so a frame's
+    * hash here is by construction [[dhash64Bytes]] of the standalone
+    * JPEG bytes (spec-pinned). SPEC-TIER ONLY: a JPEG decode is
+    * deterministic for a given JDK decoder but not an arithmetic
+    * contract a DuckDB oracle can replay, so frame HASHES from this
+    * route are never oracle-pinned — container fields (dims, frame
+    * counts) are, via [[Multimodal.MediaDecoder.AviDib]]'s feature
+    * path. Null for non-AVI, non-MJPG compression (DIB payloads
+    * route through [[videoFrameDhashes]]), or any sampled frame
+    * that fails to decode or is sub-grid — the whole-video refusal
+    * matching the DIB route's corrupt-frame semantics, so a
+    * half-hashed video never silently pairs on its decodable
+    * prefix. Only sampled frames pay the JPEG decode. */
+  def videoFrameDhashesMjpeg(payload: Array[Byte],
+      frameStride: Int = 1): Array[(Int, Long)] = {
+    require(frameStride >= 1, s"frameStride=$frameStride")
+    val lay = aviLayout(payload)
+    if (lay == null || lay.frames.isEmpty || lay.comp != "MJPG")
+      return null
+    javax.imageio.ImageIO.setUseCache(false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var f = 0
+    while (f < lay.frames.length) {
+      if (f % frameStride == 0) {
+        val (off, sz) = lay.frames(f)
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload, off, sz))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) return null
+        val h = dhash64(img)
+        if (h == null) return null // sub-grid frame
+        out += ((f, h.longValue))
+      }
+      f += 1
+    }
+    out.toArray
+  }
+
   /** Frame-hash table: (idCol, frame_idx, dhash) — one row per
     * sampled frame, per-partition batch shape, payload bytes never
     * shuffled. An undecodable video (null payload, non-AVI/DIB,
@@ -318,8 +382,19 @@ object MediaDedup {
     * pass, and pairing ([[sharedFrameVideoPairs]]) filters the
     * sentinels before banding. */
   def videoFrameHashTable(df: DataFrame, idCol: String = "media_id",
-      payloadCol: String = "payload", frameStride: Int = 1)
-      : DataFrame = {
+      payloadCol: String = "payload", frameStride: Int = 1,
+      codec: String = "dib"): DataFrame = {
+    // codec picks the kernel: "dib" is the oracle-replayable default
+    // (q158/q160); "mjpeg" is the spec-tier JPEG-frame route — same
+    // table shape, sentinel and pairing semantics, never oracle-
+    // pinned (see [[videoFrameDhashesMjpeg]]).
+    val kernel: (Array[Byte], Int) => Array[(Int, Long)] =
+      codec match {
+        case "dib"   => videoFrameDhashes(_, _)
+        case "mjpeg" => videoFrameDhashesMjpeg(_, _)
+        case other => throw new IllegalArgumentException(
+          s"videoFrameHashTable codec must be dib|mjpeg: $other")
+      }
     val outSchema = StructType(Seq(
       StructField("id", LongType), StructField("frame_idx", IntegerType),
       StructField("dhash", LongType)))
@@ -330,7 +405,7 @@ object MediaDedup {
       it.flatMap { r =>
         val payload = r.getAs[Array[Byte]](pIdx)
         val hs = if (payload == null) null
-                 else videoFrameDhashes(payload, frameStride)
+                 else kernel(payload, frameStride)
         val id = r.getAs[Number](iIdx).longValue
         if (hs == null) Iterator.single(Row(id, null, null))
         else hs.iterator.map { case (f, h) => Row(id, f, h) }
