@@ -3292,6 +3292,49 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy("doc_id")
   }
 
+  /** VIDEO canonicalization ([[graft.multimodal.MediaDedup
+    * .canonicalMedia]] over [[graft.multimodal.MediaDedup
+    * .sharedFrameVideoPairs]] — the X88 step on the modality whose
+    * PAIR operator differs from images: containment counting, not
+    * banded Hamming): the q158 corpus verbatim (seed piles,
+    * brightness remasters, 4-frame cuts, the cross-seed intro card
+    * correctly below minShared), pairs at minShared = 3, quality =
+    * decoded frame count from [[graft.multimodal.MediaDedup
+    * .videoDecodeAudit]] over the SAME frame-hash scan pairing uses
+    * — so the full-length 6-frame master beats its 4-frame cut, min
+    * id breaks ties among full-length members. The oracle re-derives
+    * frames → cells → bits → shared-count pairs (the q158 chain),
+    * then recursive min-reachable-id components and the
+    * (n_frames DESC, id) survivor pick. */
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{MediaDedup, Multimodal}
+    import s.implicits._
+    val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val sd = (id % 40).toInt
+        val bright = if (id % 5 == 2) 7 else 0
+        val corrupt = id % 3 == 1
+        val nf = if (id % 7 == 3) 4 else 6
+        val avi = Multimodal.SyntheticMedia.aviDib(18, 16, nf) {
+          (f, x, y) =>
+            if (corrupt && f == 0) (40, 40, 40)
+            else ((sd * 3 + f * 17 + x * 7 + y * 11) % 248 + bright,
+                  (sd * 5 + f * 13 + x * 11 + y * 3) % 248 + bright,
+                  (sd * 7 + f * 19 + x * 3 + y * 13) % 248 + bright)
+        }
+        (id, avi)
+      }.toDF("media_id", "payload")
+    val fh = MediaDedup.videoFrameHashTable(media)
+      .localCheckpoint(true) // fans into pairing AND the audit
+    val pairs = MediaDedup.sharedFrameVideoPairs(fh, minShared = 3)
+    val nodes = MediaDedup.videoDecodeAudit(fh)
+      .select(col("media_id"), col("n_frames").as("quality"))
+    MediaDedup.canonicalMedia(nodes, pairs)
+      .select(col("media_id").as("doc_id"), col("component"),
+        col("survivor"), col("keep"), col("quality").as("n_frames"))
+      .orderBy("doc_id")
+  }
+
   /** BPE fertility / vocab-coverage report ([[graft.text.BpeOps
     * .fertilityReport]], VERDICT r16 ask #6): per (source, lang),
     * the exact integer counts behind fertility (subwords/word),
@@ -3733,6 +3776,7 @@ object SparkEntry {
     "q160_video_decode_audit" -> (q160 _),
     "q161_dual_lens"        -> (q161 _),
     "q162_streaming_image_neardup" -> (q162 _),
+    "q163_video_canonical"  -> (q163 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -6797,6 +6841,82 @@ object SparkEntry {
       SELECT doc_id FROM ids
       WHERE doc_id NOT IN (SELECT doc_id FROM matched)
       ORDER BY doc_id""",
+    // Video canonicalization: the q158 frame-hash chain verbatim
+    // (pixels -> 2x2 luma cells -> packed sign bits -> distinct
+    // per-video hash sets -> shared-count pairs at minShared 3),
+    // then recursive min-reachable-id components over the pair
+    // edges and the (n_frames DESC, id) survivor pick. n_frames is
+    // fixture arithmetic (4-frame cut at doc_id % 7 = 3, else 6) --
+    // identical to what videoDecodeAudit counts off the scan, since
+    // every corpus video decodes.
+    "q163_video_canonical" -> """
+      WITH RECURSIVE fr AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 3 THEN 4 ELSE 6 END AS nf
+        FROM documents),
+      dfr AS (
+        SELECT doc_id, f.f FROM fr
+        CROSS JOIN generate_series(0, 5) AS f(f) WHERE f.f < nf),
+      px AS (
+        SELECT d.doc_id, d.f, x.x, y.y,
+          CASE WHEN d.doc_id % 3 = 1 AND d.f = 0 THEN 40
+               ELSE ((d.doc_id % 40) * 3 + d.f * 17 + x.x * 7
+                 + y.y * 11) % 248
+                 + CASE WHEN d.doc_id % 5 = 2 THEN 7 ELSE 0 END
+          END AS r,
+          CASE WHEN d.doc_id % 3 = 1 AND d.f = 0 THEN 40
+               ELSE ((d.doc_id % 40) * 5 + d.f * 13 + x.x * 11
+                 + y.y * 3) % 248
+                 + CASE WHEN d.doc_id % 5 = 2 THEN 7 ELSE 0 END
+          END AS g,
+          CASE WHEN d.doc_id % 3 = 1 AND d.f = 0 THEN 40
+               ELSE ((d.doc_id % 40) * 7 + d.f * 19 + x.x * 3
+                 + y.y * 13) % 248
+                 + CASE WHEN d.doc_id % 5 = 2 THEN 7 ELSE 0 END
+          END AS b
+        FROM dfr d
+        CROSS JOIN generate_series(0, 17) AS x(x)
+        CROSS JOIN generate_series(0, 15) AS y(y)),
+      lum AS (
+        SELECT doc_id, f, x // 2 AS cx, y // 2 AS cy,
+          sum(299 * r + 587 * g + 114 * b) AS s
+        FROM px GROUP BY doc_id, f, x // 2, y // 2),
+      vbits AS (
+        SELECT a.doc_id, a.f, (a.cy * 8 + a.cx)::INT AS bit
+        FROM lum a JOIN lum b
+          ON a.doc_id = b.doc_id AND a.f = b.f AND b.cy = a.cy
+          AND b.cx = a.cx + 1
+        WHERE a.s < b.s),
+      fhash AS (
+        SELECT d.doc_id, d.f,
+          coalesce(sum(CASE WHEN bit = 63
+            THEN (-9223372036854775807 - 1)
+            ELSE (1::BIGINT << bit) END), 0)::BIGINT AS h
+        FROM dfr d LEFT JOIN vbits
+          ON d.doc_id = vbits.doc_id AND d.f = vbits.f
+        GROUP BY d.doc_id, d.f),
+      dh AS (SELECT DISTINCT doc_id, h FROM fhash),
+      pr AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM dh a JOIN dh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                UNION SELECT id_b, id_a FROM pr),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      comp AS (SELECT id AS doc_id, min(r) AS component
+               FROM reach GROUP BY id),
+      rk AS (SELECT c.doc_id, c.component, fr.nf::BIGINT AS n_frames,
+          row_number() OVER (PARTITION BY c.component
+            ORDER BY fr.nf DESC, c.doc_id) AS rn
+        FROM comp c JOIN fr USING (doc_id)),
+      sv AS (SELECT component, doc_id AS survivor FROM rk WHERE rn = 1)
+      SELECT r.doc_id, r.component, s.survivor,
+        (r.doc_id = s.survivor) AS keep, r.n_frames
+      FROM rk r JOIN sv s USING (component)
+      ORDER BY r.doc_id""",
     // Dual-lens pairs: ONE per-pixel luma frame feeds both hash
     // re-derivations — dHash over uniform 2x2 cells (sum compare),
     // aHash over (x*8)//18 columns whose widths differ, so the mean
