@@ -3292,6 +3292,70 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy("doc_id")
   }
 
+  /** Streaming cross-batch AUDIO near-dedup ([[graft.streaming
+    * .IncrementalNearDup.audioNearDedupRun]], the X89 machinery on
+    * the audio fingerprint): the q157 WAV corpus in three batches —
+    * ids < 250, the rest, then a RE-SEND of every id ≥ 250 as a
+    * gain-2 LOUDNESS REMASTER under id + 1,000,000 (different
+    * bytes; identical energy-gradient hash by the spec-pinned
+    * amplitude-scaling invariance). Fingerprint band-word buckets
+    * live in the state store; every remaster re-send is suppressed
+    * and the drained survivor set equals the batch band restatement
+    * the oracle computes over original ∪ re-send ids. */
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.IncrementalNearDup
+    import graft.multimodal.Multimodal
+    import s.implicits._
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_q164")
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    }
+    val inDir = s"$root/in"; val outDir = s"$root/survivors"
+    // md5-arithmetic samples (the register-exact convention): the
+    // q157 congruence sawtooth's frame-energy gradients are nearly
+    // seed-INdependent (measured: 18 distinct hashes over 40 seeds,
+    // 1 band survivor in 500 ids — a degenerate close-out), so pile
+    // samples come from md5("<sd>:<i>") instead — uniform energies,
+    // 80 distinct hashes / 39 survivors at 500 ids, and DuckDB
+    // replays the exact bytes.
+    def base(eff: Long, i: Int): Int = {
+      val sd = eff % 40
+      if (eff % 7 == 3 && i < 32) 1000
+      else {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$sd:$i".getBytes("UTF-8"))
+        val hi4 = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+        hi4 % 32768 - 16384
+      }
+    }
+    def wav(eff: Long, gain: Int): Array[Byte] =
+      Multimodal.SyntheticMedia.wavPcm16(8000, 256)(i =>
+        base(eff, i) * gain)
+    def origGain(id: Long): Int = if (id % 5 == 2) 2 else 1
+    val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    val cut = 250L
+    ids.filter(_ < cut).map(id => (id, wav(id, origGain(id))))
+      .toDF("doc_id", "payload").write.parquet(inDir)
+    val schema = s.read.parquet(inDir).schema
+    def drain(): Unit = IncrementalNearDup.audioNearDedupRun(
+      s, inDir, outDir, s"$root/ckpt", schema)
+    drain()
+    ids.filter(_ >= cut).map(id => (id, wav(id, origGain(id))))
+      .toDF("doc_id", "payload").write.mode("append").parquet(inDir)
+    drain()
+    // gain-2 remaster of the BASE signal: byte-different for gain-1
+    // originals, byte-identical for the gain-2 class — both must
+    // drop (hash-identical either way)
+    ids.filter(_ >= cut)
+      .map(id => (id + 1000000L, wav(id, 2)))
+      .toDF("doc_id", "payload").write.mode("append").parquet(inDir)
+    drain()
+    s.read.parquet(outDir).orderBy("doc_id")
+  }
+
   /** VIDEO canonicalization ([[graft.multimodal.MediaDedup
     * .canonicalMedia]] over [[graft.multimodal.MediaDedup
     * .sharedFrameVideoPairs]] — the X88 step on the modality whose
@@ -3610,7 +3674,8 @@ object SparkEntry {
       "q97_bloom_dedup", "q123_streaming_interleave",
       "q127_streaming_token_interleave", "q134_streaming_budget",
       "q145_streaming_vocab", "q149_streaming_hll", "q150_streaming_cm",
-      "q152_streaming_rank", "q162_streaming_image_neardup")
+      "q152_streaming_rank", "q162_streaming_image_neardup",
+      "q164_streaming_audio_neardup")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3777,6 +3842,7 @@ object SparkEntry {
     "q161_dual_lens"        -> (q161 _),
     "q162_streaming_image_neardup" -> (q162 _),
     "q163_video_canonical"  -> (q163 _),
+    "q164_streaming_audio_neardup" -> (q164 _),
   )
 
   /** Shared DuckDB restatement of the UniMax closed form
@@ -6917,6 +6983,59 @@ object SparkEntry {
         (r.doc_id = s.survivor) AS keep, r.n_frames
       FROM rk r JOIN sv s USING (component)
       ORDER BY r.doc_id""",
+    // Streaming audio near-dedup close-out: the q157 fingerprint
+    // re-derivation over original ∪ re-send ids (re-sends carry the
+    // BASE signal at gain 2 — amplitude scaling cancels in the
+    // cross-multiplied energy comparison, so hash(re-send) ==
+    // hash(original)), then the same batch band restatement as
+    // q162: 4 rotated 16-bit words per hash, survivor = no word
+    // claimed by a lower id.
+    "q164_streaming_audio_neardup" -> """
+      WITH ids AS (
+        SELECT doc_id FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 FROM documents WHERE doc_id >= 250),
+      eff AS (SELECT doc_id,
+          CASE WHEN doc_id >= 1000000 THEN doc_id - 1000000
+               ELSE doc_id END AS ef,
+          CASE WHEN doc_id >= 1000000 THEN 2
+               WHEN doc_id % 5 = 2 THEN 2 ELSE 1 END AS gain
+        FROM ids),
+      smp AS (
+        SELECT d.doc_id, i.i,
+          (CASE WHEN d.ef % 7 = 3 AND i.i < 32 THEN 1000
+                ELSE ('0x' || substr(md5((d.ef % 40)::VARCHAR
+                  || ':' || i.i::VARCHAR), 1, 4))::INT % 32768
+                  - 16384 END)
+          * d.gain AS s
+        FROM eff d
+        CROSS JOIN generate_series(0, 255) AS i(i)),
+      fr AS (
+        SELECT doc_id, (i * 65) // 256 AS f,
+          sum(abs(s)) AS e, count(*) AS c
+        FROM smp GROUP BY doc_id, (i * 65) // 256),
+      bits AS (
+        SELECT a.doc_id, a.f::INT AS bit
+        FROM fr a JOIN fr b
+          ON a.doc_id = b.doc_id AND b.f = a.f + 1
+        WHERE a.e * b.c < b.e * a.c),
+      hash AS (
+        SELECT i.doc_id,
+          coalesce(sum(CASE WHEN bit = 63
+            THEN (-9223372036854775807 - 1)
+            ELSE (1::BIGINT << bit) END), 0)::BIGINT AS h
+        FROM ids i LEFT JOIN bits USING (doc_id)
+        GROUP BY i.doc_id),
+      bands AS (
+        SELECT doc_id, b.b AS band, (h >> (b.b * 16)) & 65535 AS key
+        FROM hash CROSS JOIN range(0, 4) AS b(b)),
+      matched AS (
+        SELECT DISTINCT a.doc_id FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key
+          AND b.doc_id < a.doc_id)
+      SELECT doc_id FROM ids
+      WHERE doc_id NOT IN (SELECT doc_id FROM matched)
+      ORDER BY doc_id""",
     // Dual-lens pairs: ONE per-pixel luma frame feeds both hash
     // re-derivations — dHash over uniform 2x2 cells (sum compare),
     // aHash over (x*8)//18 columns whose widths differ, so the mean

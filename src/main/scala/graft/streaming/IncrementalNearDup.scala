@@ -194,14 +194,38 @@ object IncrementalNearDup {
     * provider's partitioned SSTs, and dup-heavy crawls (the point of
     * the operator) collapse far below that. */
   def imageBandHits(df: org.apache.spark.sql.DataFrame, idCol: String,
-      payloadCol: String): Dataset[BandHit] = {
-    import df.sparkSession.implicits._
-    graft.multimodal.MediaDedup.withDhash(
-        df.select(col(idCol).as("doc_id"), col(payloadCol).as("payload")))
-      .filter(col("dhash").isNotNull)
+      payloadCol: String): Dataset[BandHit] =
+    hash64BandHits(graft.multimodal.MediaDedup.withDhash(
+      df.select(col(idCol).as("doc_id"), col(payloadCol).as("payload"))),
+      "dhash")
+
+  /** Band-key rows of an AUDIO frame — [[imageBandHits]] with the
+    * [[graft.multimodal.MediaDedup.audioHash64]] energy-gradient
+    * fingerprint in place of dHash: the amplitude-scaling invariance
+    * (|k·s| cancels in the cross-multiplication, spec-pinned) means
+    * a re-crawled loudness remaster lands in its original's buckets
+    * and drops, the audio analogue of the image re-encode class.
+    * Same 4×16-bit band scheme as the batch pair stage (q157), same
+    * absence semantics for undecodable/short payloads. */
+  def audioBandHits(df: org.apache.spark.sql.DataFrame, idCol: String,
+      payloadCol: String): Dataset[BandHit] =
+    hash64BandHits(graft.multimodal.MediaDedup.withAudioHash(
+      df.select(col(idCol).as("doc_id"), col(payloadCol).as("payload"))),
+      "audio_hash")
+
+  /** The 4×16-bit rotated-word band explosion over any 64-bit
+    * perceptual hash column — ONE definition for the image and audio
+    * streaming tiers, matching the batch pair stage's band scheme
+    * ([[graft.multimodal.MediaDedup.nearDupPairs]]) so stream
+    * buckets equal batch bands. Null hashes yield no rows. */
+  private def hash64BandHits(hashed: org.apache.spark.sql.DataFrame,
+      hashCol: String): Dataset[BandHit] = {
+    import hashed.sparkSession.implicits._
+    hashed
+      .filter(col(hashCol).isNotNull)
       .select(col("doc_id"), explode(array((0 until 4).map(b =>
         concat_ws(":", lit(b),
-          shiftrightunsigned(col("dhash"), b * 16)
+          shiftrightunsigned(col(hashCol), b * 16)
             .bitwiseAND(lit(0xFFFFL)).cast("string"))): _*)).as("bkey"))
       .select(col("bkey"), col("doc_id")).as[BandHit]
   }
@@ -220,6 +244,19 @@ object IncrementalNearDup {
     runDrain(spark, inDir, outDir, checkpoint, schema,
       stateStoreProvider, maxFilesPerTrigger, audit,
       in => imageBandHits(in, "doc_id", "payload"))
+
+  /** Cron-style run over an AUDIO corpus — [[imageNearDedupRun]]
+    * with [[audioBandHits]]; drain skeleton, state semantics and
+    * backends identical. */
+  def audioNearDedupRun(spark: SparkSession, inDir: String,
+      outDir: String, checkpoint: String,
+      schema: org.apache.spark.sql.types.StructType,
+      stateStoreProvider: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None,
+      audit: Boolean = false): Unit =
+    runDrain(spark, inDir, outDir, checkpoint, schema,
+      stateStoreProvider, maxFilesPerTrigger, audit,
+      in => audioBandHits(in, "doc_id", "payload"))
 
   /** Cron-style run: drain new parquet document files from `inDir`
     * (schema: doc_id, text, ...), append newly-seen near-dup

@@ -326,6 +326,51 @@ class StreamingStatusSpec extends SparkSpec {
     assert(!banded.contains(12L)) // undecodable: absent, not poison
   }
 
+  test("streaming AUDIO near-dedup: a gain-doubled loudness remaster " +
+      "is suppressed cross-batch; stream equals the batch band " +
+      "restatement") {
+    import graft.multimodal.Multimodal
+    import graft.streaming.IncrementalNearDup
+    def wav(seed: Int, gain: Int): Array[Byte] =
+      Multimodal.SyntheticMedia.wavPcm16(8000, 256) { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$i".getBytes("UTF-8"))
+        ((((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 32768 - 16384) * gain
+      }
+    val in = Files.createTempDirectory("and_in").toString
+    val out = Files.createTempDirectory("and_out").toString
+    val ckpt = Files.createTempDirectory("and_ckpt").toString
+    val b1 = Seq((1L, wav(17, 1)), (2L, wav(99, 1)))
+      .toDF("doc_id", "payload")
+    val b2 = Seq(
+      (10L, wav(17, 2)),            // loudness remaster of 1
+      (11L, wav(200, 1)),           // fresh
+      (12L, Array[Byte](1, 2, 3)))  // undecodable: no band rows
+      .toDF("doc_id", "payload")
+    val schema = b1.schema
+    b1.write.mode("append").parquet(in)
+    IncrementalNearDup.audioNearDedupRun(spark, in, out, ckpt, schema)
+    b2.write.mode("append").parquet(in)
+    IncrementalNearDup.audioNearDedupRun(spark, in, out, ckpt, schema)
+    b2.write.mode("append").parquet(in) // byte-identical re-send
+    IncrementalNearDup.audioNearDedupRun(spark, in, out, ckpt, schema)
+    val streamed = spark.read.parquet(out)
+      .collect().map(_.getLong(0)).toSet
+    val all = b1.union(b2).dropDuplicates("doc_id")
+    val hits = IncrementalNearDup
+      .audioBandHits(all, "doc_id", "payload").toDF()
+      .localCheckpoint(true)
+    val matched = hits.as("a").join(hits.as("b"),
+        col("a.bkey") === col("b.bkey") &&
+        col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id")).collect().map(_.getLong(0)).toSet
+    val banded = hits.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == banded -- matched)
+    assert(streamed == Set(1L, 2L, 11L))
+    assert(!banded.contains(12L))
+  }
+
   test("near-dedup backlog split into bounded triggers matches one-shot drain") {
     import graft.streaming.IncrementalNearDup
     // A backfill drained under maxFilesPerTrigger=1 (one file per
