@@ -58,6 +58,33 @@ object MediaDedupScaleSmoke {
     println(f"[smoke] f=$factor docs=$nDocs seeds=$nSeeds " +
       f"hash=${tHash}%.1f s pairs=${tPairs}%.1f s " +
       f"n_pairs=$nPairs n_zero=$nZero (exact)")
+
+    // Canonicalization at scale (X88): pairs -> pointer-jump CC ->
+    // keep-best survivor, with two EXACT invariants: one survivor
+    // per component, and ZERO pairs crossing components (the CC
+    // respected every edge — recall of the canonical step observed,
+    // not argued). Quality = payload length (class-deterministic:
+    // PNG re-encodes differ from raw BMPs).
+    val t2 = System.nanoTime()
+    val nodes = media.select(col("media_id"),
+      length(col("payload")).cast("long").as("quality"))
+    val canon = MediaDedup.canonicalMedia(nodes, pairs)
+      .localCheckpoint(true)
+    val tCanon = (System.nanoTime() - t2) / 1e9
+    val nComp = canon.select("component").distinct().count()
+    val nSurv = canon.filter(col("keep")).count()
+    assert(nSurv == nComp,
+      s"survivor/component mismatch: $nSurv survivors, $nComp components")
+    val lab = canon.select(col("media_id"), col("component"))
+    val crossing = pairs.select("id_a", "id_b")
+      .join(lab.select(col("media_id").as("id_a"),
+        col("component").as("ca")).hint("shuffle_hash"), "id_a")
+      .join(lab.select(col("media_id").as("id_b"),
+        col("component").as("cb")).hint("shuffle_hash"), "id_b")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(crossing == 0L, s"$crossing pairs cross components")
+    println(f"[smoke] canonical=${tCanon}%.1f s components=$nComp " +
+      f"survivors=$nSurv crossing=0 (exact)")
     spark.stop()
   }
 }
