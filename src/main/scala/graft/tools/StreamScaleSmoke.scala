@@ -177,12 +177,14 @@ object StreamScaleSmoke {
     // keys — so state_mb must hold roughly constant across factors
     // while docs grows. Decode cost stays in the scan (only the
     // 8-byte hash reaches the shuffle).
-    if (phaseOn("image")) locally {
+    if (phaseOn("image")) Seq("hdfs" -> None,
+        "rocksdb" -> Some(IncrementalDedup.RocksDbProvider))
+      .foreach { case (label, provider) =>
       import graft.multimodal.{MediaDedup, Multimodal}
       import graft.streaming.IncrementalNearDup
       import spark.implicits._
-      val in = s"$root/img/in"; val out = s"$root/img/out"
-      val ckpt = s"$root/img/ckpt"
+      val in = s"$root/img_$label/in"; val out = s"$root/img_$label/out"
+      val ckpt = s"$root/img_$label/ckpt"
       val piles = 5000
       val imgs = docs.select(col("doc_id")).as[Long].map { id =>
         val sd = (id % piles).toInt
@@ -216,7 +218,7 @@ object StreamScaleSmoke {
       def drain(): Double = {
         val t0 = System.nanoTime()
         IncrementalNearDup.imageNearDedupRun(spark, in, out, ckpt,
-          spark.read.parquet(in).schema)
+          spark.read.parquet(in).schema, stateStoreProvider = provider)
         (System.nanoTime() - t0) / 1e9
       }
       imgs.filter(col("doc_id") < cut).write.parquet(in)
@@ -230,7 +232,7 @@ object StreamScaleSmoke {
       val t3 = drain() // byte re-send territory: pure state-probe
       val survivors = spark.read.parquet(out).count()
       val stateKb = dirSize(java.nio.file.Paths.get(ckpt, "state")) >> 10
-      println(f"""{"op":"image_neardup","provider":"hdfs",""" +
+      println(f"""{"op":"image_neardup","provider":"$label",""" +
         f""""factor":$factor,"docs":$total,"piles":$piles,""" +
         f""""survivors":$survivors,""" +
         f""""drain1_sec":$t1%.1f,"drain2_sec":$t2%.1f,""" +
