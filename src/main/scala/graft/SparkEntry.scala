@@ -3253,13 +3253,10 @@ object SparkEntry {
     import graft.streaming.IncrementalNearDup
     import graft.multimodal.{MediaDedup, Multimodal}
     import s.implicits._
-    val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_q162")
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-    }
+    // applicationId-suffixed root + exit-time cleanup (ADVICE r20):
+    // a fixed root lets concurrent harness invocations destroy each
+    // other's in-flight checkpoint/input dirs and leaks dirs per run
+    val root = streamTmpRoot(s, "q162")
     val inDir = s"$root/in"; val outDir = s"$root/survivors"
     def img(eff: Long): Array[Byte] = {
       val sd = (eff % 40).toInt
@@ -3306,13 +3303,9 @@ object SparkEntry {
     import graft.streaming.IncrementalNearDup
     import graft.multimodal.Multimodal
     import s.implicits._
-    val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_q164")
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-    }
+    // applicationId-suffixed root + exit-time cleanup (ADVICE r20):
+    // same routing as q123/q127/q134/q162
+    val root = streamTmpRoot(s, "q164")
     val inDir = s"$root/in"; val outDir = s"$root/survivors"
     // md5-arithmetic samples (the register-exact convention): the
     // q157 congruence sawtooth's frame-energy gradients are nearly

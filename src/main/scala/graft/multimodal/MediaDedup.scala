@@ -263,7 +263,10 @@ object MediaDedup {
       while (p + 8 <= end) {
         val id = fourcc(payload, p)
         val sz = le32(payload, p + 4)
-        if (sz < 0 || p + 8 + sz > end) return
+        // bound computed in Long (ADVICE r20): a crafted chunk size
+        // near 2^31 wraps the Int sum negative, bypasses the guard,
+        // and sends p negative into fourcc / the DIB pixel loop
+        if (sz < 0 || p + 8L + sz > end) return
         if (id == "LIST" && sz >= 4) walk(p + 12, p + 8 + sz)
         else if (id == "strf" && sz >= 40 && bitCount == 0) {
           width = le32(payload, p + 8 + 4)
@@ -274,7 +277,11 @@ object MediaDedup {
         } else if (id.length == 4 &&
             (id.endsWith("db") || id.endsWith("dc")))
           frames += ((p + 8, sz))
-        p += 8 + sz + (sz & 1)
+        // p + 8 + sz <= end proven above, so only the odd-size pad
+        // can step past end — advance in Long and stop if it does
+        val nextP = p + 8L + sz + (sz & 1)
+        if (nextP > end) return
+        p = nextP.toInt
       }
     }
     walk(12, math.min(payload.length, 8 + le32(payload, 4)))

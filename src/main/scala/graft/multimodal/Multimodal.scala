@@ -223,7 +223,11 @@ object Multimodal {
           while (p + 8 <= end) {
             val id = fourcc(payload, p)
             val sz = le32(payload, p + 4)
-            if (sz < 0 || p + 8 + sz > end) return // truncated: stop
+            // bound computed in Long (ADVICE r20): a crafted chunk
+            // size near 2^31 wraps the Int sum negative, bypasses
+            // the guard, and sends p negative into fourcc / the
+            // DIB pixel loop
+            if (sz < 0 || p + 8L + sz > end) return // truncated: stop
             if (id == "LIST" && sz >= 4) walk(p + 12, p + 8 + sz)
             else if (id == "strf" && sz >= 40 && bitCount == 0) {
               width = le32(payload, p + 8 + 4)
@@ -234,7 +238,11 @@ object Multimodal {
             } else if (id.length == 4 &&
                 (id.endsWith("db") || id.endsWith("dc")))
               frames += ((p + 8, sz))
-            p += 8 + sz + (sz & 1) // chunks are word-aligned
+            // chunks are word-aligned; advance in Long so the odd-size
+            // pad cannot wrap p past Int range
+            val nextP = p + 8L + sz + (sz & 1)
+            if (nextP > end) return
+            p = nextP.toInt
           }
         }
         walk(12, math.min(payload.length, 8 + le32(payload, 4)))

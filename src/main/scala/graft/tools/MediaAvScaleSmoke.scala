@@ -80,7 +80,11 @@ object MediaAvScaleSmoke {
     val nVPairs = vPairs.count()
     val tVPairs = (System.nanoTime() - tV1) / 1e9
     val vSharedSum = vPairs.agg(sum("n_shared")).collect()(0).getLong(0)
-    val vExpect = fht.select("media_id", "dhash").distinct()
+    // null-dhash sentinel rows (undecodable videos) are filtered by
+    // the pairing path, so the expected histogram must skip them too
+    // (ADVICE r20) — silent mismatch if the fixture gains any
+    val vExpect = fht.filter(col("dhash").isNotNull)
+      .select("media_id", "dhash").distinct()
       .groupBy("dhash").count()
       .agg(sum(col("count") * (col("count") - 1))).collect()(0)
       .getLong(0) / 2

@@ -208,6 +208,38 @@ class MediaDedupSpec extends SparkSpec {
     assert(MediaDedup.videoFrameDhashes(Array[Byte](1, 2)) == null)
   }
 
+  test("a crafted AVI chunk size near 2^31 refuses to null instead " +
+      "of bypassing the truncation guard (ADVICE r20: Long bound)") {
+    // RIFF/AVI header, then a frame chunk whose declared size makes
+    // p + 8 + sz wrap the Int sum negative — the old Int-math guard
+    // let it through, p then went negative and the next fourcc read
+    // threw StringIndexOutOfBoundsException (one crafted payload
+    // killing a whole corpus pass).
+    val evil = new Array[Byte](64)
+    def put4(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(evil, off)
+    def putLe32(off: Int, v: Int): Unit = {
+      evil(off) = (v & 0xff).toByte
+      evil(off + 1) = ((v >>> 8) & 0xff).toByte
+      evil(off + 2) = ((v >>> 16) & 0xff).toByte
+      evil(off + 3) = ((v >>> 24) & 0xff).toByte
+    }
+    put4(0, "RIFF"); putLe32(4, 56); put4(8, "AVI ")
+    put4(12, "00db"); putLe32(16, Int.MaxValue - 15) // 20+sz wraps
+    // both walks must refuse, not crash
+    assert(MediaDedup.videoFrameDhashes(evil) == null)
+    assert(MediaDedup.videoFrameDhashesMjpeg(evil) == null)
+    assert(Multimodal.MediaDecoder.AviDib()
+      .decodeToFeatures("avi", evil) == null)
+    // a LIST whose size wraps the recursion bound must refuse too
+    val evil2 = new Array[Byte](64)
+    put4(0, "RIFF"); putLe32(4, 56); put4(8, "AVI ")
+    put4(12, "LIST"); putLe32(16, Int.MaxValue - 15); put4(20, "movi")
+    assert(MediaDedup.videoFrameDhashes(evil2) == null)
+    assert(Multimodal.MediaDecoder.AviDib()
+      .decodeToFeatures("avi", evil2) == null)
+  }
+
   test("MJPEG frame-hash route (VERDICT r19 ask #7): per-frame hash " +
       "== dhash64Bytes of the standalone JPEG; stride; symmetric " +
       "codec refusal; re-mux identity; re-encode drift bounded; " +
