@@ -395,22 +395,20 @@ object DedupOps {
 
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       maxIters: Int = 10): DataFrame = {
-    // localCheckpoint (eager) rather than persist: an iterative
-    // dataflow must CUT LINEAGE each round, or each round's plan
-    // embeds the previous round's twice over and Catalyst re-analysis
-    // grows exponentially with the iteration count. Checkpointed
-    // frames here are sliver-sized (edges + their endpoints only —
-    // docs in no candidate pair keep component = id and never enter
-    // the loop), so materializing them is cheap even at corpus scale.
+    // localCheckpoint rather than persist: an iterative dataflow must
+    // CUT LINEAGE each round, or each round's plan embeds the
+    // previous round's twice over and Catalyst re-analysis grows
+    // exponentially with the iteration count. Checkpointed frames
+    // here are sliver-sized (edges + their endpoints only — docs in
+    // no candidate pair keep component = id and never enter the
+    // loop), so materializing them is cheap even at corpus scale.
     // materialize the (expensive) pair pipeline once, then symmetrize
     // the checkpointed sliver by unioning with its own swap
     val half = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint(eager = true)
     val edges = half.union(
       half.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
-      .localCheckpoint(eager = true)
+    var labels: DataFrame = null
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -420,20 +418,50 @@ object DedupOps {
       // join+groupBy+left-join round with a single shuffle on id
       // (map-side combinable), and the same materialized pass carries
       // the convergence signal (min(neighbor) < own ⇒ not converged).
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("component", "n_comp"), Seq("dst"))
-        .select(col("src").as("id"), col("n_comp"),
-          lit(null).cast(labels.schema("component").dataType).as("own"))
-      val self = labels.select(col("id"),
-        col("component").as("n_comp"), col("component").as("own"))
-      val hop = viaNeighbors.union(self)
-        .groupBy("id")
-        .agg(min(col("n_comp")).as("component"),
-             min(col("own")).as("own"))
-        .localCheckpoint(eager = true)
+      val hop =
+        if (iter == 0)
+          // Round 1 fused (r21): labels start as the identity
+          // (component = id), so the neighbor join against them IS
+          // the edge list — the round reduces to ONE map-side-
+          // combinable aggregation over the edge sliver (min
+          // neighbor per node, least'd with the node's own id), with
+          // no labels-init distinct/checkpoint pass and no join.
+          // own = id carries the convergence signal unchanged.
+          edges.groupBy(col("src").as("id"))
+            .agg(min(col("dst")).as("__mn"))
+            .select(col("id"),
+              least(col("id"), col("__mn")).as("component"),
+              col("id").as("own"))
+        else {
+          val viaNeighbors = edges
+            .join(labels.withColumnRenamed("id", "dst")
+              .withColumnRenamed("component", "n_comp"), Seq("dst"))
+            .select(col("src").as("id"), col("n_comp"),
+              lit(null).cast(labels.schema("component").dataType)
+                .as("own"))
+          val self = labels.select(col("id"),
+            col("component").as("n_comp"), col("component").as("own"))
+          viaNeighbors.union(self)
+            .groupBy("id")
+            .agg(min(col("n_comp")).as("component"),
+                 min(col("own")).as("own"))
+        }
+      // LAZY checkpoint + full-scan convergence aggregate: ONE job
+      // both materializes the round's checkpoint blocks and returns
+      // the changed count (r21 — an eager checkpoint plus a separate
+      // limit/count action was two jobs per round; the aggregate
+      // computes every partition, so the checkpoint is complete when
+      // the job ends and nothing recomputes). The test reads the
+      // PRE-jump frame: a hop that moved no label means labels are
+      // constant per component (stable under every edge), so the
+      // jump is the identity there and the stop decision is
+      // unchanged from testing the post-jump frame.
+      val ck = hop.localCheckpoint(eager = false)
+      val changed = ck.agg(
+        count(when(col("component") < col("own"), 1)).as("c"))
+        .head().getLong(0)
       // Pointer jump: adopt my label's label. Labels are node ids, so
-      // the label's own row is in `hop`; the left join + coalesce only
+      // the label's own row is in `ck`; the left join + coalesce only
       // guards the (impossible under symmetrized edges) missing case.
       // A hop moves the min one edge; the jump halves the remaining
       // pointer depth — together the reachable-min covers ~2^k nodes
@@ -445,15 +473,13 @@ object DedupOps {
       // read the checkpoint, so lineage stays shallow without a second
       // eager materialization per round.
       val next =
-        if (iter < 2) hop
-        else hop
-          .join(hop.select(col("id").as("component"),
+        if (iter < 2) ck
+        else ck
+          .join(ck.select(col("id").as("component"),
             col("component").as("cc")), Seq("component"), "left")
           .select(col("id"),
             coalesce(col("cc"), col("component")).as("component"),
             col("own"))
-      val changed = next.filter(col("component") < col("own"))
-        .limit(1).count()
       labels = next.select(col("id"), col("component"))
       converged = changed == 0
       iter += 1
