@@ -716,12 +716,15 @@ object MediaDedup {
       : DataFrame = {
     val q = nodes.select(col(idCol).cast("long").as(idCol),
       col(qualityCol).cast("long").as("quality"))
-    val comps = graft.text.DedupOps.connectedComponents(
-        q.select(col(idCol).as("id")),
+    // quality rides the CC relabel join as a pass-through column
+    // (r21): the shuffle_hash join of the labeled frame back onto the
+    // quality projection this replaced was a second corpus-sized
+    // exchange pair on the same id key the relabel already joins on.
+    val labeled = graft.text.DedupOps.connectedComponents(
+        q.select(col(idCol).as("id"), col("quality")),
         pairs.select(col("id_a").cast("long").as("id_a"),
           col("id_b").cast("long").as("id_b")))
       .withColumnRenamed("id", idCol)
-    val labeled = comps.join(q.hint("shuffle_hash"), Seq(idCol))
       .localCheckpoint(eager = true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // max over the lexicographic (quality, -id) order: highest

@@ -200,13 +200,15 @@ object SemDedup {
         pqPairs(corpus, keyed, threshold, p, idCol, vecCol, m, k,
           iters, lbSkip)
     }
+    // cluster/cos_c ride the CC relabel join as pass-through columns
+    // (r21): the shuffle_hash join of members back onto the labeled
+    // frame this replaced was a second corpus-sized exchange pair on
+    // the same key the relabel already joins on.
     val comp = graft.text.DedupOps.connectedComponents(
-      members.select(col("id")), pairs)
+      members.select(col("id"), col("cluster"), col("cos_c")), pairs)
     val w = Window.partitionBy(col("component"))
       .orderBy(col("cos_c").asc_nulls_first, col("id").asc)
-    members.select("id", "cluster", "cos_c")
-      .join(comp.hint("shuffle_hash"), "id")
-      .withColumn("rep_id", first(col("id")).over(w))
+    comp.withColumn("rep_id", first(col("id")).over(w))
       .withColumn("keep", col("id") === col("rep_id"))
   }
 

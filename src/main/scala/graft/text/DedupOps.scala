@@ -491,10 +491,18 @@ object DedupOps {
     require(converged,
       s"connectedComponents did not converge in $maxIters rounds")
     // Relabel the full node set lazily — the big table is never
-    // materialized here.
-    nodes.select(col("id"))
+    // materialized here. Extra `nodes` columns PASS THROUGH (r21):
+    // every caller that carries a payload (quality, cluster, cos_c)
+    // previously re-joined the labeled frame against its own source
+    // on id — one corpus-sized shuffle join per caller that this
+    // left join already subsumes for free.
+    val carry = nodes.columns.filter(_ != "id").toSeq
+    require(!carry.contains("c") && !carry.contains("component"),
+      "connectedComponents: nodes must not carry 'c'/'component' columns")
+    nodes
       .join(labels.withColumnRenamed("component", "c"), Seq("id"), "left")
-      .select(col("id"), coalesce(col("c"), col("id")).as("component"))
+      .select((col("id") +: carry.map(col)) :+
+        coalesce(col("c"), col("id")).as("component"): _*)
   }
 
   /** Canonical-document selection: keep the minimum-id doc of every
@@ -682,7 +690,18 @@ object DedupOps {
   def fuzzyDedupDocs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, bands: Int = 4, rows: Int = 2,
       minJaccard: Double = 0.5, maxBandFreq: Long = Long.MaxValue)
-      : DataFrame = {
+      : DataFrame =
+    fuzzyComponents(docs, docs.select(col(idCol).cast("long").as("id")),
+        idCol, textCol, k, bands, rows, minJaccard, maxBandFreq)
+      .select(col("id").as(idCol), col("component"),
+        (col("id") === col("component")).as("keep"))
+
+  /** The [[fuzzyDedupDocs]] chain up to and including the component
+    * labeling, with caller-supplied `nodes` (id + any pass-through
+    * payload columns) so survivor policies avoid a second join. */
+  private def fuzzyComponents(docs: DataFrame, nodes: DataFrame,
+      idCol: String, textCol: String, k: Int, bands: Int, rows: Int,
+      minJaccard: Double, maxBandFreq: Long): DataFrame = {
     // checkpoint: candidates feed the doc prefilter AND the
     // verification join, and the band self-join behind them is the
     // expensive part of the chain
@@ -717,10 +736,7 @@ object DedupOps {
       .filter(col("n_shared").cast("double")
         / (col("n_a") + col("n_b") - col("n_shared")) >= minJaccard)
       .select("id_a", "id_b")
-    connectedComponents(
-        docs.select(col(idCol).cast("long").as("id")), verified)
-      .select(col("id").as(idCol), col("component"),
-        (col("id") === col("component")).as("keep"))
+    connectedComponents(nodes, verified)
   }
 
   /** [[fuzzyDedupDocs]] with a QUALITY-canonical survivor: per
@@ -750,12 +766,15 @@ object DedupOps {
       textCol: String, quality: Column, k: Int = 3, bands: Int = 4,
       rows: Int = 2, minJaccard: Double = 0.5,
       maxBandFreq: Long = Long.MaxValue): DataFrame = {
-    val comps = fuzzyDedupDocs(docs, idCol, textCol, k, bands, rows,
-        minJaccard, maxBandFreq)
-      .select(col(idCol), col("component"))
-    val q = docs.select(col(idCol).cast("long").as(idCol),
-      quality.cast("long").as("quality"))
-    val labeled = ckptSer(comps.join(q.hint("shuffle_hash"), Seq(idCol)))
+    // quality rides the CC relabel join as a pass-through column
+    // (r21): the shuffle_hash join of the labeled frame back onto
+    // the quality projection this replaced was a second corpus-sized
+    // exchange pair on the same id key the relabel already joins on.
+    val labeled = ckptSer(fuzzyComponents(docs,
+        docs.select(col(idCol).cast("long").as("id"),
+          quality.cast("long").as("quality")),
+        idCol, textCol, k, bands, rows, minJaccard, maxBandFreq)
+      .withColumnRenamed("id", idCol))
     // max over the lexicographic (quality, -id) order: highest
     // quality, then SMALLEST id among equals — deterministic because
     // ids are unique, so no two structs compare equal.
