@@ -624,11 +624,13 @@ object MediaDedup {
     * are distance 0 (measured: 113 s at the f100 smoke, vs 8 s
     * collapsed). Instead: (1) the banded merge-pinned self-join
     * runs over DISTINCT signatures only (quadratic in distinct
-    * hashes, not rows); (2) distance-0 pairs come from one plain
-    * equi-join on the hash value (output-sized by definition); (3)
+    * hashes, not rows); (2) distance-0 pairs ride the expansion as
+    * diagonal (h, h) hash pairs (output-sized by definition — the
+    * separate member self-join this replaced cost two more
+    * exchanges+sorts of the member table on the same hash key); (3)
     * cross-hash pairs expand back through two shuffle-hash-pinned
-    * membership joins (also output-sized). The union is EXACTLY the
-    * member-level pair set the direct band join yields
+    * membership joins (also output-sized). The result is EXACTLY
+    * the member-level pair set the direct band join yields
     * (spec-pinned against brute force; the f100 smoke asserts the
     * radius-0 count equals the hash-histogram pair count). */
   def nearDupPairs(hashed: DataFrame, idCol: String = "media_id",
@@ -672,18 +674,24 @@ object MediaDedup {
           .as("hdist"))
       .groupBy("ha", "hb").agg(min("hdist").as("hdist"))
       .filter(col("hdist") <= maxHamming)
+    // Distance-0 pairs ride the SAME expansion joins as diagonal
+    // (h, h) hash pairs over the distinct-signature frame (r21):
+    // the member table previously paid a separate merge-pinned
+    // self-join on the hash — two more exchanges+sorts of sh on the
+    // very key the expansion joins below already shuffle it on. The
+    // diagonal filter keeps each identical-hash pair once (ia < ib);
+    // cross-hash rows are unaffected (ha ≠ hb ⇒ ia ≠ ib, since a
+    // member carries exactly one hash).
+    val hp2 = hp.unionByName(dh.select(col("h").as("ha"),
+      col("h").as("hb"), lit(0).cast("int").as("hdist")))
     // expansion joins: corpus-derived membership sides stay pinned
     val ma = sh.select(col("h").as("ha"), col("id").as("ia"))
     val mb = sh.select(col("h").as("hb"), col("id").as("ib"))
-    val cross = hp.join(ma.hint("shuffle_hash"), "ha")
+    hp2.join(ma.hint("shuffle_hash"), "ha")
       .join(mb.hint("shuffle_hash"), "hb")
+      .filter(col("ha") =!= col("hb") || col("ia") < col("ib"))
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"), col("hdist"))
-    val within = sh.as("a").join(sh.as("b").hint("merge"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        lit(0).cast("int").as("hdist"))
-    within.unionByName(cross)
   }
 
   /** Media near-dup CANONICALIZATION (VERDICT r19 ask #1): close the
