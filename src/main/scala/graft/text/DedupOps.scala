@@ -312,14 +312,19 @@ object DedupOps {
     // feeds both sides of the candidate-pair self-join
     val banded0 = ckptSer(
       minhashBandKeys(docs, idCol, textCol, k, bands, rows))
-    val banded = if (maxBandFreq == Long.MaxValue) banded0 else {
-      val ok = banded0.groupBy("band", "key")
-        .agg(count(lit(1)).as("__freq"))
+    // Cap via a window count on the self-join's OWN (band, key)
+    // partitioning (r21): the groupBy + shuffle_hash left-semi this
+    // replaced paid three extra exchanges to learn a per-bucket count
+    // the join's exchange can compute in place — the window sorts by
+    // its partition keys, which is exactly the merge join's required
+    // ordering, so the capped frame re-exchanges nothing. Per-bucket
+    // work is row-linear (the quadratic bucket is what the filter
+    // then drops), same skew exposure as the semi-join probe.
+    val banded = if (maxBandFreq == Long.MaxValue) banded0 else
+      banded0.withColumn("__freq",
+          count(lit(1)).over(Window.partitionBy("band", "key")))
         .filter(col("__freq") <= maxBandFreq)
-        .select("band", "key")
-        .hint("shuffle_hash")
-      banded0.join(ok, Seq("band", "key"), "left_semi")
-    }
+        .drop("__freq")
     banded.as("a").join(banded.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.id") < col("b.id"))
