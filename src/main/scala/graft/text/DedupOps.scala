@@ -92,28 +92,25 @@ object DedupOps {
     // Pair-join prune: a shingle held by a single doc cannot produce a
     // pair, and most shingles are singletons — dropping them up front
     // shrinks the self-join input without changing the result. The
-    // shared-shingle set comes from a partial-aggregated groupBy (map-
-    // side combine, only distinct keys shuffle) and is applied as a
-    // semi join. SHUFFLE_HASH is forced: `shared` scales WITH the
-    // corpus (it is its distinct non-singleton shingle set), so AQE's
-    // broadcast conversion — correct-looking at test SF where the
-    // compressed key set sits under the 10 MB threshold — becomes a
-    // single-threaded, driver-resident multi-GB hash-map build at
-    // 100x the data (observed live: a factor-100 scale smoke spent
-    // 10+ min inside LongToUnsafeRowMap.grow before this hint, and an
-    // 8 GB driver died in notEnoughMemoryToBuildAndBroadcastTable).
-    // Never broadcast a corpus-derived side: the shuffled-hash build
-    // is per-partition parallel and bounded by partition size.
-    val shared = sh.groupBy("shingle").agg(count(lit(1)).as("__freq"))
+    // per-shingle frequency comes from a count(*) window on the
+    // shingle key (r21): the groupBy + shuffle_hash left-semi this
+    // replaced paid two extra exchanges of the shingle table to learn
+    // a count ONE exchange computes in place. Per-key window work is
+    // row-linear; the hot-bucket exposure is identical to the
+    // semi-join probe it replaces, and the same never-broadcast rule
+    // holds trivially (no join side exists at all now — the earlier
+    // shape's AQE broadcast of the corpus-derived shared set is the
+    // documented factor-100 failure).
+    // Checkpoint adjudicated by a warm-JVM alternating A/B at sf0.1
+    // (4 rounds each, same session, on the earlier semi-join shape):
+    // with it min 2.64 s / median 2.75 s, without it 2.71 / 2.82 —
+    // materializing the capped table once beats recomputing it for
+    // both sides of the self-join, so it stays.
+    val capped = ckptSer(sh
+      .withColumn("__freq",
+        count(lit(1)).over(Window.partitionBy("shingle")))
       .filter(col("__freq") >= 2 && col("__freq") <= maxShingleFreq)
-      .select("shingle")
-      .hint("shuffle_hash")
-    // Second checkpoint adjudicated by a warm-JVM alternating A/B at
-    // sf0.1 (4 rounds each, same session): with it min 2.64 s / median
-    // 2.75 s, without it 2.71 / 2.82 — materializing the semi-joined
-    // table once beats recomputing it for both sides of the self-join,
-    // so it stays.
-    val capped = ckptSer(sh.join(shared, Seq("shingle"), "left_semi"))
+      .drop("__freq"))
     // sh is distinct per (id, shingle) by construction, so plain count
     // (map-side combinable) equals countDistinct without its extra
     // dedup shuffle.
