@@ -460,11 +460,16 @@ object MediaDedup {
       .select(col(idCol).cast("long").as("id"),
         col(hashCol).cast("long").as("h"))
       .distinct()
-    val fh = (if (maxVideosPerHash > 0L) {
-      val hot = fh0.groupBy("h").count()
-        .filter(col("count") > maxVideosPerHash).select("h")
-      fh0.join(hot.hint("shuffle_hash"), Seq("h"), "left_anti")
-    } else fh0)
+    // Cap via a window count on the hash key (r21, the q107/ngram
+    // shape): the groupBy + shuffle_hash anti-join this replaced
+    // paid two extra exchanges to learn a per-hash count one
+    // exchange computes in place; per-key window work is row-linear.
+    val fh = (if (maxVideosPerHash > 0L)
+      fh0.withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("h")))
+        .filter(col("__n") <= maxVideosPerHash)
+        .drop("__n")
+    else fh0)
       .localCheckpoint(eager = true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     fh.as("a").join(fh.as("b").hint("merge"),
@@ -659,12 +664,18 @@ object MediaDedup {
     // key, n) rows are a first-class report frame,
     // [[nearDupDroppedBuckets]], sharing this exact grouping. 0 =
     // off (the exact pigeonhole contract; q154/q157 run uncapped).
-    val banded = if (maxBucket > 0L) {
-      val hot = banded0.groupBy("band", "key").count()
-        .filter(col("count") > maxBucket).select("band", "key")
-      banded0.join(hot.hint("shuffle_hash"), Seq("band", "key"),
-        "left_anti")
-    } else banded0
+    // Cap via a window count on the band join's OWN (band, key)
+    // partitioning (r21, the q107/ngram shape): the groupBy +
+    // shuffle_hash anti-join this replaced paid two extra exchanges
+    // to learn a per-bucket count the join's exchange computes in
+    // place; per-bucket window work is row-linear.
+    val banded = if (maxBucket > 0L)
+      banded0.withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("band", "key")))
+        .filter(col("__n") <= maxBucket)
+        .drop("__n")
+    else banded0
     // distinct-hash pairs within the radius (hdist ≥ 1: ha < hb)
     val hp = banded.as("a").join(banded.as("b").hint("merge"),
         col("a.band") === col("b.band") &&
