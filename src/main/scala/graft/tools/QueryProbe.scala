@@ -19,7 +19,7 @@ object QueryProbe {
     val names =
       if (args.length > 2) args.drop(2).toSeq
       else Seq("q73_packed_blocks", "q61_l1_lifecycle")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -27,7 +27,15 @@ object QueryProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B knob: SPARK_GRAFT_COALESCE=<advisory bytes> turns on
+    // size-respecting AQE partition coalescing (guide §2.2/§9)
+    val spark = (sys.env.get("SPARK_GRAFT_COALESCE") match {
+      case Some(adv) => b0
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+          "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", adv)
+      case None => b0
+    }).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
